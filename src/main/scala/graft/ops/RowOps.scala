@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Report-shaping row operators.
+  *
+  * The reference implements these as order-dependent driver-side iterator
+  * transforms (`/root/reference/src/groovy/haplorec/util/Row.groovy`). Here:
+  * `noDuplicates` is re-expressed as window-based first-occurrence detection
+  * (distributed, one shuffle per distinct duplicate key); `collapse` is
+  * inherently sequential over the final ordered report and runs on the driver
+  * over `toLocalIterator` (reports are per-job human-readable scale).
+  */
+object RowOps {
+
+  /** One column group for [[noDuplicates]]: rows keep `columnsToShow` only on
+    * the first occurrence of their `duplicateKey` value.
+    * Reference: `Row.groovy:8-64`.
+    */
+  final case class DupGroup(name: String, duplicateKey: Seq[String], columnsToShow: Seq[String])
+
+  /** Blank out repeated column groups: within each group `g`, a row's
+    * `columnsToShow` survive only on the first occurrence of the row's
+    * `duplicateKey` values (first per `ordering`, which must match the
+    * report's output order — the reference relies on SQL fetch order, we make
+    * it explicit).
+    */
+  def noDuplicates(df: DataFrame, groups: Seq[DupGroup], ordering: Seq[String]): DataFrame = {
+    val orderCols = ordering.map(col)
+    var out = df
+    groups.foreach { g =>
+      val rn = s"__rn_${g.name}"
+      val w = Window.partitionBy(g.duplicateKey.map(col): _*).orderBy(orderCols: _*)
+      out = out.withColumn(rn, row_number().over(w))
+      g.columnsToShow.foreach { c =>
+        out = out.withColumn(c, when(col(rn) === 1, col(c)))
+      }
+      out = out.drop(rn)
+    }
+    out
+  }
+
+  /** Driver-side staircase collapse of consecutive sparse rows
+    * (`Row.groovy:109-185`): merge a run of rows whose non-null column sets
+    * don't overlap into one dense row; emit when the next row would overwrite.
+    *
+    * @param rows        ordered report rows as (column -> present value) maps
+    * @param canCollapse whether `next` may merge into `acc` (default: no
+    *                    common columns)
+    */
+  def collapse(
+      rows: Iterator[Map[String, Any]],
+      canCollapse: (Map[String, Any], Map[String, Any]) => Boolean =
+        (acc, next) => acc.keySet.intersect(next.keySet).isEmpty,
+      merge: (Map[String, Any], Map[String, Any]) => Map[String, Any] = _ ++ _
+  ): Iterator[Map[String, Any]] = new Iterator[Map[String, Any]] {
+    private var acc: Option[Map[String, Any]] = None
+    private var pending: Option[Map[String, Any]] = None
+    private def advance(): Unit = {
+      while (pending.isEmpty && rows.hasNext) {
+        val row = rows.next()
+        acc match {
+          case None => acc = Some(row)
+          case Some(a) =>
+            if (canCollapse(a, row)) acc = Some(merge(a, row))
+            else { pending = Some(a); acc = Some(row) }
+        }
+      }
+      if (pending.isEmpty && !rows.hasNext && acc.nonEmpty) {
+        pending = acc; acc = None
+      }
+    }
+    def hasNext: Boolean = { advance(); pending.nonEmpty }
+    def next(): Map[String, Any] = {
+      advance()
+      val r = pending.get; pending = None; r
+    }
+  }
+
+  /** Convert a DataFrame's ordered output into sparse maps (null cells
+    * dropped) for [[collapse]]; runs on the driver via `toLocalIterator`.
+    */
+  def sparseRows(df: DataFrame): Iterator[Map[String, Any]] = {
+    val cols = df.columns
+    df.toLocalIterator().asInstanceOf[java.util.Iterator[Row]]
+      .asScala
+      .map { r =>
+        cols.zipWithIndex.collect {
+          case (c, i) if !r.isNullAt(i) => c -> r.get(i)
+        }.toMap
+      }
+  }
+
+  private implicit class JIter[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}
