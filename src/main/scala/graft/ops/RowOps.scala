@@ -29,16 +29,23 @@ object RowOps {
     */
   def noDuplicates(df: DataFrame, groups: Seq[DupGroup], ordering: Seq[String]): DataFrame = {
     val orderCols = ordering.map(col)
-    var out = df
+    // First-occurrence flags are computed per group from the ORIGINAL columns;
+    // a column shown by ANY group containing it survives (reference builds
+    // rows additively across groups, `Row.groovy:46-60`).
+    var flagged = df
     groups.foreach { g =>
-      val rn = s"__rn_${g.name}"
       val w = Window.partitionBy(g.duplicateKey.map(col): _*).orderBy(orderCols: _*)
-      out = out.withColumn(rn, row_number().over(w))
-      g.columnsToShow.foreach { c =>
-        out = out.withColumn(c, when(col(rn) === 1, col(c)))
-      }
-      out = out.drop(rn)
+      flagged = flagged.withColumn(s"__show_${g.name}", row_number().over(w) === 1)
     }
+    val shownBy: Map[String, Seq[String]] = groups
+      .flatMap(g => g.columnsToShow.map(_ -> g.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var out = flagged
+    shownBy.foreach { case (c, gs) =>
+      val anyShown = gs.map(n => col(s"__show_$n")).reduce(_ || _)
+      out = out.withColumn(c, when(anyShown, col(c)))
+    }
+    groups.foreach(g => out = out.drop(s"__show_${g.name}"))
     out
   }
 
