@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for large-scale corpus curation: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+  *
+  * Scale posture: every variant avoids the O(n²) cross join. Exact dedup
+  * shuffles on a 128-bit content hash (not the document body). MinHash/LSH
+  * shuffles once on (band, signature) buckets; SimHash buckets by signature
+  * chunks (pigeonhole: d hamming-distant pairs share a chunk when chunks >
+  * d); n-gram Jaccard joins on an inverted shingle index with
+  * document-frequency pruning. Candidate verification happens only within
+  * buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min `idCol`) per identical `textCol`.
+    * GroupBy is on md5(normalized text) so the shuffle key is 16 bytes, not
+    * the document; returns (fingerprint, doc count, representative id).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Exact dedup keeping whole rows: first row (by `idCol`) per identical
+    * normalized text.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(contentFingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature: `numHashes` per-document minima of hashed shingles.
+    * Hash family j is `md5(j || ':' || shingle)` and the minimum is
+    * lexicographic — engine-portable (md5 strings compare identically
+    * everywhere), deterministic, and UDF-free.
+    *
+    * Returns (idCol, sig) where sig is array<string> of length numHashes;
+    * documents with no shingles get null minima and are dropped.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleLen: Int = 3): DataFrame =
+    shingleSets(df, idCol, textCol, shingleLen)
+      .select(col(idCol), minHashOfShingles(col("sh"), numHashes).as("sig"))
+
+  /** Per-document distinct shingle sets. The shingle array is computed once
+    * and placed BEHIND an exchange barrier: Catalyst's CollapseProject would
+    * otherwise inline the tokenize+shingle expression into every downstream
+    * reference (8 hash passes, filters, both sides of self-joins) and
+    * higher-order-function lambdas are interpreted — the inlining multiplies
+    * real work, not just expression-tree size. The repartition also spreads
+    * a single-file parquet scan across the executor threads.
+    */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol),
+        array_distinct(shinglesFromTokens(tokens(col(textCol)), shingleLen)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .repartition(p, col(idCol))
+  }
+
+  /** Tight-loop custom expression; semantically identical to
+    * `array((0 until k).map(j => array_min(transform(sh, s => md5(j||":"||s)))))`
+    * but one row-level call instead of k interpreted array passes.
+    */
+  private def minHashOfShingles(sh: Column, numHashes: Int): Column =
+    graft.functions.HashExpressions.minHashSig(sh, numHashes)
+
+  /** LSH banding over MinHash signatures: documents sharing any band's full
+    * signature become candidate near-duplicate pairs (a < b). One shuffle on
+    * (band, band signature); bucket sizes bounded by real collision rates.
+    */
+  def minHashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3): DataFrame =
+    bandedCandidates(
+      minHashSignatures(df, idCol, textCol, numHashes, shingleLen),
+      idCol, numHashes, bands)
+
+  private def bandedCandidates(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // Barrier after the signature computation: the band projection
+    // references `sig` once per band, and both self-join branches hang off
+    // the same exchange (deduplicated by ReuseExchange — no persist needed,
+    // so no cache accumulation across queries).
+    val p = sigs.sparkSession.sparkContext.defaultParallelism
+    val banded = sigs.repartition(p, col(idCol)).select(
+      col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("|", slice(col("sig"), b * rows + 1, rows))
+      }: _*)).as(Seq("band", "band_sig")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs verified by true token-set Jaccard ≥ threshold.
+    * Verification joins the (small) candidate set back to token sets —
+    * only candidates pay the set-comparison cost.
+    */
+  def minHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3): DataFrame = {
+    // Shingle sets computed once behind an exchange, shared by the signature
+    // pass and the verification joins (identical subtrees reuse the
+    // exchange).
+    val sets = shingleSets(df, idCol, textCol, shingleLen)
+    val sigs = sets
+      .select(col(idCol), minHashOfShingles(col("sh"), numHashes).as("sig"))
+    val candidates = bandedCandidates(sigs, idCol, numHashes, bands)
+    candidates
+      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token stream: bit i is set when the sum over
+    * tokens of ±1 (according to bit i of xxhash64(token)) is positive.
+    * Pure column expressions (one aggregate over a 64-wide count array).
+    */
+  def simHash(text: Column): Column =
+    graft.functions.HashExpressions.simHash64(tokens(text))
+
+  /** SimHash near-dup candidates: pairs whose signatures share at least one
+    * of `chunks` equal 16-bit chunks (pigeonhole guarantee: any pair within
+    * hamming distance < chunks shares one), verified by true hamming
+    * distance ≤ maxHamming.
+    */
+  def simHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    val width = 64 / chunks
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // Barrier between the (expensive, interpreted) simhash fold and the
+    // chunk projection that references it once per chunk; the self-join
+    // branches share the downstream exchange via ReuseExchange.
+    val sigs = df
+      .select(col(idCol), simHash(col(textCol)).as("sim"))
+      .repartition(p, col(idCol))
+    val chunked = sigs.select(col(idCol), col("sim"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("sim"), c * width).bitwiseAND((1L << width) - 1)
+      }: _*)).as(Seq("chunk", "chunk_val")))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    val hamming = {
+      val x = col("a.sim").bitwiseXOR(col("b.sim"))
+      bit_count(x)
+    }
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard near-dup pairs via an inverted shingle index: explode
+    * distinct n-grams, self-join on the n-gram, count shared grams, compute
+    * |∩| / (|A| + |B| - |∩|). `maxDocFreq` prunes stop-shingles that would
+    * otherwise blow up the index join (standard df-cut).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      threshold: Double = 0.5,
+      maxDocFreq: Long = 1000): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // Normalize once per row behind a barrier, then explode the grams; no
+    // md5/regex work remains below the barrier, so branch recomputation of
+    // the exploded index is cheap and ReuseExchange shares the shuffles.
+    val grams = df
+      .select(col(idCol), normalized(col(textCol)).as("__norm"))
+      .repartition(p, col(idCol))
+      .select(col(idCol),
+        explode(array_distinct(ngramsFromNormalized(col("__norm"), n))).as("gram"))
+    // Anti-join against the (small) stop-shingle list: broadcasting the few
+    // over-frequent grams scales; broadcasting the full index would not.
+    val stopGrams = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("gram")
+    val pruned = grams.join(broadcast(stopGrams), Seq("gram"), "left_anti")
+    val sizes = pruned.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val common = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.gram") === col("b.gram") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

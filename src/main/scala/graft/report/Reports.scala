@@ -1,0 +1,220 @@
+package graft.report
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.ReferenceTables
+import CondensedJoin._
+
+/** The three reference reports over a finished job's stage tables.
+  * Reference: `/root/reference/src/groovy/haplorec/util/pipeline/Report.groovy:17-176`.
+  */
+object Reports {
+
+  /** User-facing column aliases (`pipeline/Report.groovy:186-197`). */
+  val aliases: Map[String, String] = Map(
+    "PATIENT_ID" -> "SAMPLE_ID",
+    "GENE_NAME" -> "GENE",
+    "DRUG_NAME" -> "DRUG",
+    "PHENOTYPE_NAME" -> "PHENOTYPE",
+    "HAPLOTYPE_NAME1" -> "HAPLOTYPE1",
+    "HAPLOTYPE_NAME2" -> "HAPLOTYPE2",
+    "HAPLOTYPE_NAME" -> "HAPLOTYPE",
+    "SNP_ID" -> "RS#",
+    "HET_COMBO" -> "HET_COMBO",
+    "HET_COMBOS" -> "#HET_COMBOS")
+
+  /** Strip the `table__` prefix, uppercase, apply aliases
+    * (`pipeline/Report.groovy:205-210`).
+    */
+  def friendlyName(namespaced: String): String = {
+    val bare = namespaced.replaceAll("^.*__", "").toUpperCase
+    aliases.getOrElse(bare, bare)
+  }
+
+  /** Stage frames get a surrogate per-row id (the reference tables carry
+    * auto_increment ids used as duplicate keys): row_number over the frame's
+    * full column ordering — deterministic, assigned once per report build.
+    */
+  private def withId(df: DataFrame): DataFrame = {
+    val w = Window.orderBy(df.columns.map(c => col(c).asc_nulls_first): _*)
+    df.withColumn("id", row_number().over(w).cast("long"))
+  }
+
+  private def usingOn(left: Seq[(String, String)], table: String,
+      cols: Seq[String]): Column =
+    cols.map { c =>
+      val (lt, _) = left.findLast { case (_, lc) => lc == c }
+        .getOrElse(throw new IllegalArgumentException(s"no source for USING column $c"))
+      col2(lt, c) === col2(table, c)
+    }.reduce(_ && _)
+
+  /** Phenotype-path drug recommendation report
+    * (`pipeline/Report.groovy:54-114`): recommendation → its drug details →
+    * the phenotypes that caused it → the genotype behind each phenotype →
+    * the haplotypes behind the genotype → the variants behind each call.
+    */
+  def phenotypeDrugRecommendationReport(
+      spark: SparkSession,
+      stages: Map[String, DataFrame],
+      refs: ReferenceTables,
+      jobId: Long): DataFrame = {
+    val jppdr = stages("phenotypeDrugRecommendation")
+      .filter(col("job_id") === jobId)
+    val tables: Map[String, DataFrame] = Map(
+      "jppdr" -> jppdr,
+      "dr" -> withId(refs.drugRecommendation.drop("id")),
+      "gpdr" -> refs.genePhenotypeDrugRecommendation,
+      "jpgp" -> withId(stages("genePhenotype")),
+      "gp" -> refs.genotypePhenotype,
+      "jpg" -> stages("genotype"),
+      "jpgh" -> stages("geneHaplotype"),
+      "ghv" -> refs.geneHaplotypeVariant,
+      "jpv" -> stages("variant"))
+
+    val spec = Spec(
+      select = Seq(
+        "jppdr" -> Seq("patient_id", "drug_recommendation_id", "het_combo", "het_combos"),
+        "dr" -> Seq("drug_name", "recommendation"),
+        "jpgp" -> Seq("gene_name", "phenotype_name"),
+        "jpg" -> Seq("haplotype_name1", "haplotype_name2"),
+        "jpgh" -> Seq("haplotype_name"),
+        "jpv" -> Seq("snp_id", "allele")),
+      root = "jppdr",
+      joins = Seq(
+        Join("dr", "left", _ => col2("jppdr", "drug_recommendation_id") === col2("dr", "id")),
+        Join("gpdr", "left", have => usingOn(have, "gpdr", Seq("drug_recommendation_id"))),
+        Join("jpgp", "left", have => usingOn(have, "jpgp",
+          Seq("job_id", "patient_id", "gene_name", "phenotype_name", "het_combo"))),
+        Join("gp", "left", have => usingOn(have, "gp", Seq("gene_name", "phenotype_name"))),
+        Join("jpg", "left", have => usingOn(have, "jpg",
+          Seq("job_id", "patient_id", "haplotype_name1", "haplotype_name2", "het_combo"))),
+        Join("jpgh", "left", _ =>
+          col2("jpgh", "job_id") === col2("jpg", "job_id") &&
+            col2("jpgh", "patient_id") === col2("jpg", "patient_id") &&
+            col2("jpgh", "gene_name") === col2("jpg", "gene_name") &&
+            col2("jpgh", "het_combo") === col2("jpg", "het_combo") &&
+            (col2("jpgh", "haplotype_name") === col2("jpg", "haplotype_name1") ||
+              col2("jpgh", "haplotype_name") === col2("jpg", "haplotype_name2"))),
+        Join("ghv", "left", _ =>
+          col2("ghv", "gene_name") === col2("jpgh", "gene_name") &&
+            col2("ghv", "haplotype_name") === col2("jpgh", "haplotype_name")),
+        Join("jpv", "left", _ =>
+          col2("jpv", "patient_id") === col2("jpgh", "patient_id") &&
+            col2("jpv", "job_id") === col2("jpgh", "job_id") &&
+            col2("jpv", "snp_id") === col2("ghv", "snp_id") &&
+            col2("jpv", "allele") === col2("ghv", "allele"))),
+      duplicateKey = Map(
+        "dr" -> Seq(Own("id"), Foreign("jppdr", "job_id"), Foreign("jppdr", "patient_id")),
+        "jpgp" -> Seq(Own("id"), Foreign("dr", "id")),
+        "jpgh" -> Seq(Own("job_id"), Own("patient_id"), Own("gene_name"), Own("haplotype_name")),
+        "jpv" -> Seq(Own("job_id"), Own("patient_id"),
+          Foreign("jpgh", "gene_name"), Foreign("jpgh", "haplotype_name"),
+          Own("allele"), Own("snp_id"))))
+
+    renameFriendly(condensed(spec, tables))
+  }
+
+  /** Genotype-path drug recommendation report
+    * (`pipeline/Report.groovy:119-176`).
+    */
+  def genotypeDrugRecommendationReport(
+      spark: SparkSession,
+      stages: Map[String, DataFrame],
+      refs: ReferenceTables,
+      jobId: Long): DataFrame = {
+    val jpgdr = stages("genotypeDrugRecommendation")
+      .filter(col("job_id") === jobId)
+    val tables: Map[String, DataFrame] = Map(
+      "jpgdr" -> jpgdr,
+      "dr" -> withId(refs.drugRecommendation.drop("id")),
+      "gdr" -> refs.genotypeDrugRecommendation,
+      "jpg" -> withId(stages("genotype")),
+      "jpgh" -> stages("geneHaplotype"),
+      "ghv" -> refs.geneHaplotypeVariant,
+      "jpv" -> stages("variant"))
+
+    val spec = Spec(
+      select = Seq(
+        "jpgdr" -> Seq("patient_id", "drug_recommendation_id", "het_combo", "het_combos"),
+        "dr" -> Seq("drug_name", "recommendation"),
+        "jpg" -> Seq("gene_name", "haplotype_name1", "haplotype_name2"),
+        "jpgh" -> Seq("haplotype_name"),
+        "jpv" -> Seq("snp_id", "allele")),
+      root = "jpgdr",
+      joins = Seq(
+        Join("dr", "left", _ => col2("jpgdr", "drug_recommendation_id") === col2("dr", "id")),
+        Join("gdr", "left", have => usingOn(have, "gdr", Seq("drug_recommendation_id"))),
+        Join("jpg", "left", have => usingOn(have, "jpg",
+          Seq("job_id", "patient_id", "haplotype_name1", "haplotype_name2", "het_combo"))),
+        Join("jpgh", "left", _ =>
+          col2("jpgh", "job_id") === col2("jpg", "job_id") &&
+            col2("jpgh", "patient_id") === col2("jpg", "patient_id") &&
+            col2("jpgh", "gene_name") === col2("jpg", "gene_name") &&
+            col2("jpgh", "het_combo") === col2("jpg", "het_combo") &&
+            (col2("jpgh", "haplotype_name") === col2("jpg", "haplotype_name1") ||
+              col2("jpgh", "haplotype_name") === col2("jpg", "haplotype_name2"))),
+        Join("ghv", "left", _ =>
+          col2("ghv", "gene_name") === col2("jpgh", "gene_name") &&
+            col2("ghv", "haplotype_name") === col2("jpgh", "haplotype_name")),
+        Join("jpv", "left", _ =>
+          col2("jpv", "patient_id") === col2("jpgh", "patient_id") &&
+            col2("jpv", "job_id") === col2("jpgh", "job_id") &&
+            col2("jpv", "snp_id") === col2("ghv", "snp_id") &&
+            col2("jpv", "allele") === col2("ghv", "allele"))),
+      duplicateKey = Map(
+        "dr" -> Seq(Own("id"), Foreign("jpgdr", "job_id"), Foreign("jpgdr", "patient_id")),
+        "jpg" -> Seq(Own("id"), Foreign("dr", "id")),
+        "jpgh" -> Seq(Own("job_id"), Own("patient_id"), Own("gene_name"), Own("haplotype_name")),
+        "jpv" -> Seq(Own("job_id"), Own("patient_id"),
+          Foreign("jpgh", "gene_name"), Foreign("jpgh", "haplotype_name"),
+          Own("allele"), Own("snp_id"))))
+
+    renameFriendly(condensed(spec, tables))
+  }
+
+  private def renameFriendly(df: DataFrame): DataFrame = {
+    // Later duplicate friendly names (e.g. two HAPLOTYPE columns) get
+    // numeric suffixes to stay addressable.
+    val seen = scala.collection.mutable.Map[String, Int]()
+    df.columns.foldLeft(df) { (d, c) =>
+      val base = friendlyName(c)
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      d.withColumnRenamed(c, if (n == 0) base else s"$base$n")
+    }
+  }
+
+  /** Novel-haplotype matrix report (`pipeline/Report.groovy:17-34` + matrix
+    * iteration R3): per gene with novel calls, the known-haplotype matrix
+    * plus one row per (patient, chromosome, combo) novel haplotype, columns
+    * = the gene's SNPs in sorted order.
+    */
+  def novelHaplotypeReport(
+      spark: SparkSession,
+      stages: Map[String, DataFrame],
+      refs: ReferenceTables,
+      jobId: Long): Map[String, DataFrame] = {
+    import spark.implicits._
+    val novel = stages("novelHaplotype").filter(col("job_id") === jobId)
+    val genes = novel.select("gene_name").distinct()
+      .orderBy("gene_name").as[String].collect()
+    genes.map { gene =>
+      val known = refs.geneHaplotypeVariant
+        .filter(col("gene_name") === gene)
+        .select(col("haplotype_name").as("row_name"), col("snp_id"), col("allele"))
+      val patientRows = novel.filter(col("gene_name") === gene)
+        .join(stages("variant").filter(col("job_id") === jobId),
+          Seq("job_id", "patient_id", "physical_chromosome"))
+        .join(refs.geneSnp.filter(col("gene_name") === gene).select("snp_id"), Seq("snp_id"))
+        .select(
+          concat(lit("Sample "), col("patient_id"), lit(", chr"),
+            col("physical_chromosome"), lit(" ("), col("het_combo"), lit("/"),
+            col("het_combos"), lit(")")).as("row_name"),
+          col("snp_id"), col("allele"))
+      gene -> known.unionByName(patientRows)
+        .groupBy("row_name").pivot("snp_id").agg(first("allele"))
+        .orderBy("row_name")
+    }.toMap
+  }
+}

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion for the events table: watermarked windowed
+  * aggregation plus stateful sessionization.
+  *
+  * The reference engine is batch-only (SURVEY §2.9); this is the extension
+  * surface for continuous ingest. The same transforms run identically over
+  * `read` (batch backfill) and `readStream` (live) — the usual lambda-free
+  * kappa posture.
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Schema used while the file still carries NANOS timestamps (Spark's
+    * parquet reader has no nanosecond timestamp type).
+    */
+  private val eventNanosSchema: StructType = StructType(
+    eventSchema.fields.map {
+      case f if f.name == "ts" => StructField("ts", LongType)
+      case f => f
+    })
+
+  /** Read an events parquet robustly: nanosecond-timestamp files surface as
+    * long nanos (via the legacy conf) and are converted losslessly to
+    * microsecond timestamps (`ts div 1000` keeps 64-bit integer math).
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Streaming flavour of [[readEvents]]: watches `dir` for files matching
+    * `glob` (the streaming file source requires a directory).
+    */
+  def readEventsStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventNanosSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window per-type aggregation; watermark bounds state. Works on
+    * either a streaming or batch frame with the events schema.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
+  case class SessionState(start: Long, end: Long, n: Int, total: Double)
+
+  /** Stateful sessionization: per-user sessions closed after `gapMs` of
+    * inactivity, via `flatMapGroupsWithState` with event-time timeout.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import spark.implicits._
+    // State keeps epoch MICROseconds (java.sql.Timestamp.getTime would drop
+    // the sub-millisecond part the parquet timestamps carry).
+    def toMicros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(us / 1000000L * 1000L)
+      ts.setNanos(((us % 1000000L) * 1000L).toInt)
+      ts
+    }
+    val gapUs = gapMs * 1000L
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = rows.toVector.sortBy(e => (toMicros(e.ts), e.event_id))
+      var closed = Vector.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = toMicros(e.ts)
+        cur match {
+          case Some(s) if t - s.end <= gapUs =>
+            cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+          case Some(s) =>
+            closed :+= Session(userId, fromMicros(s.start), fromMicros(s.end),
+              s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach { s =>
+          closed :+= Session(userId, fromMicros(s.start), fromMicros(s.end),
+            s.n, s.total)
+        }
+        state.remove()
+      } else {
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end / 1000L + gapMs)
+        }
+      }
+      closed.iterator
+    }
+    events.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
+
+  /** Batch-equivalent sessionization (same gap semantics) for backfill and
+    * for the DuckDB-oracle check: window lag + cumulative session ids —
+    * pure SQL shape, one shuffle on user_id.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"), sum(col("value")).as("total_value"))
+      .drop("session_seq")
+  }
+
+  /** Streaming smoke: drive the events parquet through readStream into a
+    * memory sink; returns collected windowed counts.
+    */
+  def runStreamingSmoke(spark: SparkSession, dir: String): DataFrame = {
+    val stream = readEventsStream(spark, dir)
+    val agg = windowedCounts(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("events_windowed").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table("events_windowed")
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+
+/** Dedup + similarity operator tests on hand-built corpora with known
+  * near-duplicate structure.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dedup-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different text about spark engines and shuffles"),
+    (5L, "THE  QUICK   Brown fox jumps over the lazy dog") // normalized dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized-identical docs") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    val byCount = groups.map(r => (r.getLong(1), r.getLong(2))).toSet
+    // docs 1, 2, 5 share a fingerprint (keep 1); 3 and 4 are singletons
+    assert(byCount == Set((3L, 1L), (1L, 3L), (1L, 4L)))
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("minhash near-duplicates find the near-dup pair") {
+    val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.4, numHashes = 8, bands = 4, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-2, 1-5, 2-5 are identical (jaccard 1.0); 1-3 share most shingles
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash hamming distance 0 for identical docs, small for near dups") {
+    val sigs = docs.select($"doc_id", Dedup.simHash($"text").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L) == sigs(5L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 16)
+    val pairs = Dedup.simHashNearDuplicates(docs, "doc_id", "text",
+        maxHamming = 16, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 4, threshold = 0.5, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("cosine top-k: exact query search") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.topKForQuery(vecs, "vec_id", "embedding",
+        Seq(1.0f, 0.0f, 0.0f), 2)
+      .collect().map(_.getLong(0)).toList
+    assert(top == List(0L, 1L))
+  }
+
+  test("brute-force all-pairs top-k ranks by cosine") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.8f, 0.2f)),
+      (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (1L, 0L), (2L, 1L)))
+  }
+
+  test("IVF probe returns the same neighbourhood as exact for an easy query") {
+    val vecs = (0L until 40L).map { i =>
+      val angle = i.toDouble / 40.0 * math.Pi
+      (i, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", nlist = 4)
+    val centroids = assigned.filter(col("vec_id") === col("centroid_id"))
+      .select(col("centroid_id"), col("embedding").as("centroid_vec"))
+    val approx = Similarity.ivfTopKForQuery(assigned, centroids, "vec_id",
+        "embedding", Seq(1.0f, 0.0f), 3, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.topKForQuery(vecs, "vec_id", "embedding",
+        Seq(1.0f, 0.0f), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx == exact)
+  }
+
+  test("multimodal stub decode plumbing") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticMedia(spark, docs, "doc_id", "text")
+    val features = Multimodal.decodeFeatures(spark, media, partitions = 2)
+    val rows = features.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(f => f.width >= 16 && f.height >= 16 && f.byte_len > 0))
+    // identical payloads decode identically (deterministic stub)
+    val byId = rows.map(f => f.media_id -> f).toMap
+    assert(byId(1L).byte_len == byId(2L).byte_len)
+    assert(byId(1L).checksum == byId(2L).checksum)
+    // frame sampling metadata
+    val sampled = Multimodal.sampleFrames(features.toDF(), stride = 5)
+    assert(sampled.columns.contains("sampled_frames"))
+    assert(sampled.count() == 5)
+  }
+}

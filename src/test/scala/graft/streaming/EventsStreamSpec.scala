@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming extension tests: the same windowed aggregation must agree
+  * between batch and Structured Streaming execution, and stateful
+  * sessionization must agree with its batch window formulation.
+  */
+class EventsStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map {
+      case null => ""
+      case d: Double => f"$d%.2f" // sums accumulate in engine-dependent order
+      case v => v.toString
+    }.mkString("|")).toSet
+
+  test("windowed counts: streaming memory-sink result equals batch result") {
+    val batch = EventsStream.windowedCounts(
+      EventsStream.readEvents(spark, s"$dir/events.parquet"))
+    val streamed = EventsStream.runStreamingSmoke(spark, dir)
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
+  test("stateful sessionization equals batch gap-window formulation") {
+    val events = EventsStream.readEvents(spark, s"$dir/events.parquet")
+    val batch = EventsStream.sessionizeBatch(events)
+
+    // Drive flatMapGroupsWithState over the same data via a memory stream.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val rows = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventsStream.Event].collect()
+    mem.addData(rows.toSeq)
+    val sessions = EventsStream.sessionize(spark, mem.toDF())
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      // Push watermark far past the data so all sessions close, then finalize.
+      mem.addData(EventsStream.Event(-1L,
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sessions_out")
+      .filter($"user_id" =!= -1L)
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() > 0)
+  }
+}
