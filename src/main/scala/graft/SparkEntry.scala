@@ -191,6 +191,50 @@ object SparkEntry {
         .orderBy("patient_id", "physical_chromosome")
     }),
 
+    // R1/J2: genotype pairing on the hom fixture (pivot of haplotype calls)
+    "q26_hom_genotype" -> ((s, dir) => {
+      val stages = Pipeline.runJob(s, fixtureRefs(s), 1L,
+        variants = Some(fixtureVariantDf(s)))
+      stages("genotype")
+        .select("patient_id", "gene_name", "haplotype_name1", "haplotype_name2")
+        .orderBy("patient_id")
+    }),
+
+    // J2: genotype → phenotype equi join on the sorted haplotype pair
+    "q27_hom_gene_phenotype" -> ((s, dir) => {
+      val stages = Pipeline.runJob(s, fixtureRefs(s), 1L,
+        variants = Some(fixtureVariantDf(s)))
+      stages("genePhenotype")
+        .select("patient_id", "gene_name", "phenotype_name")
+        .orderBy("patient_id")
+    }),
+
+    // J4: phenotype-rule set-containment on the hom fixture
+    "q28_hom_phenotype_recommendation" -> ((s, dir) => {
+      val stages = Pipeline.runJob(s, fixtureRefs(s), 1L,
+        variants = Some(fixtureVariantDf(s)))
+      stages("phenotypeDrugRecommendation")
+        .select("patient_id", "drug_recommendation_id")
+        .orderBy("patient_id")
+    }),
+
+    // U2: het disambiguation (not SQL-expressible; golden-tested in
+    // ScalaTest — rows-only check here). Single-het and two-het patients.
+    "q29_het_variants" -> ((s, dir) => {
+      import s.implicits._
+      val hetVariants = Seq(
+        ("h1", null, "rs1", "A", "het"), ("h1", null, "rs1", "C", "het"),
+        ("h2", null, "rs1", "A", "het"), ("h2", null, "rs1", "G", "het"),
+        ("h2", null, "rs2", "G", "het"), ("h2", null, "rs2", "A", "het"))
+        .toDF("patient_id", "physical_chromosome", "snp_id", "allele", "zygosity")
+      val stages = Pipeline.runJob(s, fixtureRefs(s), 1L,
+        variants = Some(hetVariants))
+      stages("hetVariant")
+        .select("patient_id", "physical_chromosome", "het_combo", "het_combos",
+          "snp_id", "allele")
+        .orderBy("patient_id", "het_combo", "snp_id", "physical_chromosome")
+    }),
+
     // F: token counting (whitespace + BPE-ish estimate)
     "q10_token_stats" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -333,6 +377,50 @@ object SparkEntry {
   private val toks =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)"""
 
+  /** Shared oracle CTE chain for the hom-path genomics fixture: candidate
+    * haplotypes (U1 semantics), unambiguous calls, genotype pivot,
+    * phenotype join, and the rule tables.
+    */
+  private val fixtureCallChain =
+    s"""WITH ghv(gene_name, haplotype_name, snp_id, allele) AS (VALUES $fixtureGhvValues),
+       var(patient_id, physical_chromosome, snp_id, allele) AS (VALUES $fixtureVariantValues),
+       gene_snp AS (SELECT DISTINCT gene_name, snp_id FROM ghv),
+       pv AS (SELECT DISTINCT patient_id, physical_chromosome FROM var JOIN gene_snp USING (snp_id)),
+       cand AS (
+         SELECT v.patient_id, v.physical_chromosome, h.haplotype_name
+         FROM (SELECT DISTINCT haplotype_name FROM ghv) h CROSS JOIN pv v
+         WHERE NOT EXISTS (
+           SELECT 1 FROM var JOIN gene_snp USING (snp_id)
+           WHERE var.patient_id = v.patient_id
+             AND var.physical_chromosome = v.physical_chromosome
+             AND NOT EXISTS (
+               SELECT 1 FROM ghv
+               WHERE ghv.haplotype_name = h.haplotype_name
+                 AND ghv.snp_id = var.snp_id AND ghv.allele = var.allele))),
+       gh AS (
+         SELECT patient_id, physical_chromosome, 'g1' AS gene_name,
+                min(haplotype_name) AS haplotype_name
+         FROM cand GROUP BY patient_id, physical_chromosome HAVING count(*) = 1),
+       gt AS (
+         SELECT patient_id, gene_name,
+                max(CASE WHEN rn = 1 THEN haplotype_name END) AS haplotype_name1,
+                max(CASE WHEN rn = 2 THEN haplotype_name END) AS haplotype_name2
+         FROM (SELECT gh.*,
+                 row_number() OVER (PARTITION BY patient_id, gene_name
+                   ORDER BY haplotype_name, physical_chromosome) AS rn,
+                 count(*) OVER (PARTITION BY patient_id, gene_name) AS cnt
+               FROM gh) t
+         WHERE cnt <= 2 GROUP BY patient_id, gene_name),
+       gtp(gene_name, haplotype_name1, haplotype_name2, phenotype_name) AS
+         (VALUES ('g1', '*1', '*1', 'homozygote normal'),
+                 ('g1', '*2', '*2', 'nonfunctional')),
+       gp AS (
+         SELECT gt.patient_id, gt.gene_name, gtp.phenotype_name
+         FROM gt JOIN gtp USING (gene_name, haplotype_name1, haplotype_name2)),
+       gpdr(gene_name, phenotype_name, drug_recommendation_id) AS
+         (VALUES ('g1', 'homozygote normal', CAST(1 AS BIGINT)),
+                 ('g1', 'nonfunctional', CAST(2 AS BIGINT)))"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -461,6 +549,29 @@ object SparkEntry {
            WHERE c.patient_id = pv.patient_id
              AND c.physical_chromosome = pv.physical_chromosome)
          ORDER BY patient_id, physical_chromosome""",
+
+    "q26_hom_genotype" ->
+      s"""$fixtureCallChain
+         SELECT patient_id, gene_name, haplotype_name1, haplotype_name2
+         FROM gt ORDER BY patient_id""",
+
+    "q27_hom_gene_phenotype" ->
+      s"""$fixtureCallChain
+         SELECT patient_id, gene_name, phenotype_name
+         FROM gp ORDER BY patient_id""",
+
+    "q28_hom_phenotype_recommendation" ->
+      s"""$fixtureCallChain,
+         inter AS (
+           SELECT gpdr.drug_recommendation_id, gp.patient_id, count(*) AS gc
+           FROM gp JOIN gpdr USING (gene_name, phenotype_name)
+           GROUP BY gpdr.drug_recommendation_id, gp.patient_id),
+         sz AS (
+           SELECT drug_recommendation_id, count(*) AS sa
+           FROM gpdr GROUP BY drug_recommendation_id)
+         SELECT DISTINCT patient_id, drug_recommendation_id
+         FROM inter JOIN sz USING (drug_recommendation_id)
+         WHERE gc = sa ORDER BY patient_id""",
 
     "q10_token_stats" ->
       s"""SELECT doc_id,

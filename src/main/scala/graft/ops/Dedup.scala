@@ -63,7 +63,7 @@ object Dedup {
       shingleLen: Int): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     df.select(col(idCol),
-        array_distinct(shinglesFromTokens(tokens(col(textCol)), shingleLen)).as("sh"))
+        graft.functions.HashExpressions.shingleSet(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
       .repartition(p, col(idCol))
   }
@@ -94,16 +94,17 @@ object Dedup {
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Barrier after the signature computation: the band projection
-    // references `sig` once per band, and both self-join branches hang off
-    // the same exchange (deduplicated by ReuseExchange — no persist needed,
-    // so no cache accumulation across queries).
+    // Barrier after the signature computation (the band projection
+    // references `sig` once per band), and persist: self-join attribute
+    // deduplication defeats ReuseExchange, so without it the md5 signature
+    // pass runs once per join branch. Callers timing independent queries
+    // should clearCache between them.
     val p = sigs.sparkSession.sparkContext.defaultParallelism
     val banded = sigs.repartition(p, col(idCol)).select(
       col(idCol),
       posexplode(array((0 until bands).map { b =>
         concat_ws("|", slice(col("sig"), b * rows + 1, rows))
-      }: _*)).as(Seq("band", "band_sig")))
+      }: _*)).as(Seq("band", "band_sig"))).persist()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -126,10 +127,10 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       shingleLen: Int = 3): DataFrame = {
-    // Shingle sets computed once behind an exchange, shared by the signature
-    // pass and the verification joins (identical subtrees reuse the
-    // exchange).
-    val sets = shingleSets(df, idCol, textCol, shingleLen)
+    // Shingle sets computed once and persisted: they feed the signature
+    // pass and both verification joins, and self-join attribute dedup
+    // prevents exchange reuse across those branches.
+    val sets = shingleSets(df, idCol, textCol, shingleLen).persist()
     val sigs = sets
       .select(col(idCol), minHashOfShingles(col("sh"), numHashes).as("sig"))
     val candidates = bandedCandidates(sigs, idCol, numHashes, bands)
@@ -172,7 +173,7 @@ object Dedup {
     val chunked = sigs.select(col(idCol), col("sim"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("sim"), c * width).bitwiseAND((1L << width) - 1)
-      }: _*)).as(Seq("chunk", "chunk_val")))
+      }: _*)).as(Seq("chunk", "chunk_val"))).persist()
     val a = chunked.as("a")
     val b = chunked.as("b")
     val hamming = {
@@ -209,13 +210,16 @@ object Dedup {
       .select(col(idCol), normalized(col(textCol)).as("__norm"))
       .repartition(p, col(idCol))
       .select(col(idCol),
-        explode(array_distinct(ngramsFromNormalized(col("__norm"), n))).as("gram"))
+        explode(graft.functions.HashExpressions.ngramSet(col("__norm"), n)).as("gram"))
+      .persist()
     // Anti-join against the (small) stop-shingle list: broadcasting the few
     // over-frequent grams scales; broadcasting the full index would not.
     val stopGrams = grams.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("gram")
-    val pruned = grams.join(broadcast(stopGrams), Seq("gram"), "left_anti")
+    // Persisted: feeds the size aggregate and both sides of the gram
+    // self-join.
+    val pruned = grams.join(broadcast(stopGrams), Seq("gram"), "left_anti").persist()
     val sizes = pruned.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     val common = pruned.as("a")
       .join(pruned.as("b"),
