@@ -369,6 +369,37 @@ object SparkEntry {
         .select(col("window_start"), col("event_type"), col("n_events"),
           round(col("total_value"), 2).as("total_value"))
         .orderBy("window_start", "event_type")
+    }),
+
+    // BASELINE scenario 1: full pipeline over 100k generated variant rows
+    // (reference bound ≤ 10 s, PipelineLoadTest.groovy:65-75); the ingested
+    // variant stage is oracle-checked against the closed-form generator.
+    "q30_load_pipeline_100k" -> ((s, dir) => {
+      val stages = Pipeline.runJob(s, LoadBench.emptyRefs(s), 1L,
+        variants = Some(LoadBench.generateVariants(s, 5000, 10)))
+      stages.values.foreach(_.count()) // materialize every stage (full job)
+      stages("variant")
+        .select("patient_id", "physical_chromosome", "snp_id", "allele", "zygosity")
+        .orderBy("patient_id", "snp_id", "physical_chromosome")
+    }),
+
+    // BASELINE scenario 2: haplotype calling against a 1,993,200-row matrix
+    // (151 snps × 132 haplotypes × 100 genes) with 379×151 variants
+    // (reference bound ≤ 5 min, PipelineLoadTest.groovy:83-113). Expected
+    // calls have a closed form: samples 1..100 call *1 on both chromosomes.
+    "q31_load_gene_haplotype_2M" -> ((s, dir) => {
+      import s.implicits._
+      val refs = ReferenceTables(
+        LoadBench.emptyRefs(s).drugRecommendation,
+        LoadBench.emptyRefs(s).genePhenotypeDrugRecommendation,
+        LoadBench.generateGeneHaplotypeVariant(s, 151, 132, 100),
+        LoadBench.emptyRefs(s).genotypePhenotype,
+        LoadBench.emptyRefs(s).genotypeDrugRecommendation)
+      val stages = Pipeline.runJob(s, refs, 2L,
+        variants = Some(LoadBench.generateVariants(s, 151, 379)))
+      stages("geneHaplotype")
+        .select("patient_id", "physical_chromosome", "gene_name", "haplotype_name")
+        .orderBy("patient_id", "physical_chromosome")
     }))
 
   // ---- DuckDB oracles ----
@@ -751,5 +782,25 @@ object SparkEntry {
     "q25_streaming_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS n_events, round(sum(value), 2) AS total_value
-         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q30_load_pipeline_100k" ->
+      """SELECT 'sample' || CAST(s AS VARCHAR) AS patient_id,
+                chrom.physical_chromosome,
+                'rs' || CAST((s - 1) * 5000 + v AS VARCHAR) AS snp_id,
+                CASE WHEN v = 1 THEN '1' ELSE 'A' END AS allele,
+                'hom' AS zygosity
+         FROM generate_series(1, 10) AS samples(s),
+              generate_series(1, 5000) AS vars(v),
+              (VALUES ('A'), ('B')) AS chrom(physical_chromosome)
+         ORDER BY patient_id, snp_id, physical_chromosome""",
+
+    "q31_load_gene_haplotype_2M" ->
+      """SELECT 'sample' || CAST(s AS VARCHAR) AS patient_id,
+                chrom.physical_chromosome,
+                'g' || CAST(s AS VARCHAR) AS gene_name,
+                '*1' AS haplotype_name
+         FROM generate_series(1, 100) AS samples(s),
+              (VALUES ('A'), ('B')) AS chrom(physical_chromosome)
+         ORDER BY patient_id, physical_chromosome""")
 }

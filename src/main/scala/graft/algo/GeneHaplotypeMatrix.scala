@@ -9,48 +9,72 @@ case class Variant(snpId: String, allele: String)
   * identifies.
   *
   * Semantics match the reference implementation
-  * (`/root/reference/src/groovy/haplorec/util/data/GeneHaplotypeMatrix.groovy:36-249`),
-  * re-expressed as an immutable, serializable Scala value so the whole
-  * per-gene matrix collection can be broadcast to Spark executors and probed
-  * inside `flatMapGroups` without any per-group database round trips.
+  * (`/root/reference/src/groovy/haplorec/util/data/GeneHaplotypeMatrix.groovy:36-249`).
+  * Storage is dictionary-encoded (`cells(h * nSnps + s)` = allele index, -1
+  * for blank): at the reference's load-test scale (151 snps × 132 haplotypes
+  * × 100 genes ≈ 2M cells) the whole matrix set serializes to a few MB, so
+  * collecting and broadcasting it to every executor is cheap — the
+  * alternative (per-(gene, patient) lookups, as the reference does over JDBC)
+  * would shuffle the large side instead.
   *
-  * @param geneName          gene this matrix is for
-  * @param snpIds            the gene's SNPs, sorted ascending (matrix column order)
-  * @param haplotypeVariants long-form rows ordered by (haplotype_name, snp_id)
+  * @param geneName   gene this matrix is for
+  * @param snpIds     the gene's SNPs, sorted ascending (matrix column order)
+  * @param haplotypes known haplotype names in matrix row order
+  * @param alleleDict distinct alleles (cell values index into this)
+  * @param cells      row-major (haplotype × snp) allele indices, -1 = blank
   */
 final case class GeneHaplotypeMatrix(
     geneName: String,
     snpIds: Vector[String],
-    haplotypeVariants: Vector[(String, String, String)] // (haplotype, snp, allele)
+    haplotypes: Vector[String],
+    alleleDict: Vector[String],
+    cells: Array[Short]
 ) extends Serializable {
 
-  /** Known haplotype names in matrix row order (first-appearance order of the
-    * ordered long-form input, i.e. sorted by haplotype_name).
+  private def nSnps: Int = snpIds.length
+
+  /** Long-form rows ordered by (haplotype_name, snp_id) — the reference's
+    * canonical iteration order (`GeneHaplotypeMatrix.groovy:71-76`).
     */
-  @transient lazy val haplotypes: Vector[String] =
-    haplotypeVariants.map(_._1).distinct
+  def haplotypeVariants: Vector[(String, String, String)] =
+    (for {
+      h <- haplotypes.indices
+      s <- 0 until nSnps
+      a = cells(h * nSnps + s)
+      if a >= 0
+    } yield (haplotypes(h), snpIds(s), alleleDict(a))).toVector
 
   /** Inverted index (snp_id, allele) -> set of haplotypes containing that
-    * variant. Reference: `GeneHaplotypeMatrix.groovy:193-206`.
+    * variant. Reference: `GeneHaplotypeMatrix.groovy:193-206`. Built lazily
+    * once per JVM copy (executors pay it once per broadcast deserialize).
     */
-  @transient lazy val variantToHaplotypes: Map[(String, String), Set[String]] =
-    haplotypeVariants
-      .groupBy(v => (v._2, v._3))
-      .map { case (k, vs) => k -> vs.map(_._1).toSet }
-
-  /** snp -> (haplotype -> allele), for matrix-style iteration. */
-  @transient lazy val haplotypeAlleles: Map[String, Map[String, String]] =
-    haplotypeVariants.groupBy(_._1).map { case (h, vs) =>
-      h -> vs.map(v => v._2 -> v._3).toMap
+  @transient lazy val variantToHaplotypes: Map[(String, String), Set[String]] = {
+    val m = scala.collection.mutable.Map[(String, String), Set[String]]()
+    var h = 0
+    while (h < haplotypes.length) {
+      var s = 0
+      while (s < nSnps) {
+        val a = cells(h * nSnps + s)
+        if (a >= 0) {
+          val k = (snpIds(s), alleleDict(a))
+          m(k) = m.getOrElse(k, Set.empty) + haplotypes(h)
+        }
+        s += 1
+      }
+      h += 1
     }
+    m.toMap
+  }
 
   /** One matrix row: haplotype name plus alleles aligned to `snpIds`
     * (None for blank cells). Reference: `GeneHaplotypeMatrix.groovy:140-191`.
     */
   def rows: Vector[(String, Vector[Option[String]])] =
-    haplotypes.map { h =>
-      val cells = haplotypeAlleles.getOrElse(h, Map.empty)
-      h -> snpIds.map(cells.get)
+    haplotypes.zipWithIndex.map { case (hName, h) =>
+      hName -> (0 until nSnps).map { s =>
+        val a = cells(h * nSnps + s)
+        if (a >= 0) Some(alleleDict(a)) else None
+      }.toVector
     }
 
   /** Given variants on ONE physical chromosome, the set of known haplotypes
@@ -88,16 +112,35 @@ final case class GeneHaplotypeMatrix(
 
 object GeneHaplotypeMatrix {
 
+  /** Build one matrix from long-form `(haplotype, snp, allele)` rows (any
+    * order); SNP columns are sorted, haplotype rows ordered by name.
+    */
+  def apply(
+      geneName: String,
+      snpIds: Vector[String],
+      haplotypeVariants: Vector[(String, String, String)]): GeneHaplotypeMatrix = {
+    val haplotypes = haplotypeVariants.map(_._1).distinct.sorted
+    val snpIdx = snpIds.zipWithIndex.toMap
+    val hapIdx = haplotypes.zipWithIndex.toMap
+    val dict = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val cells = Array.fill[Short](haplotypes.length * snpIds.length)(-1)
+    haplotypeVariants.foreach { case (h, s, a) =>
+      val ai = dict.getOrElseUpdate(a, dict.size)
+      require(ai <= Short.MaxValue, "allele dictionary overflow")
+      cells(hapIdx(h) * snpIds.length + snpIdx(s)) = ai.toShort
+    }
+    GeneHaplotypeMatrix(geneName, snpIds, haplotypes, dict.keys.toVector, cells)
+  }
+
   /** Build per-gene matrices from long-form `gene_haplotype_variant` rows
-    * (any order). The result is small (largest real-world gene is a 133×151
-    * matrix) and meant to be broadcast.
+    * (any order). Small by construction; meant to be broadcast.
     */
   def fromLongRows(
       rows: Iterable[(String, String, String, String)] // (gene, haplotype, snp, allele)
   ): Map[String, GeneHaplotypeMatrix] =
     rows.toVector.groupBy(_._1).map { case (gene, rs) =>
-      val ordered = rs.map(r => (r._2, r._3, r._4)).sortBy(r => (r._1, r._2))
+      val long = rs.map(r => (r._2, r._3, r._4))
       val snps = rs.map(_._3).distinct.sorted.toVector
-      gene -> GeneHaplotypeMatrix(gene, snps, ordered)
+      gene -> apply(gene, snps, long)
     }
 }

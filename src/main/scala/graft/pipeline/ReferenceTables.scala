@@ -30,13 +30,34 @@ final class ReferenceTables(
   lazy val geneHaplotype: DataFrame =
     geneHaplotypeVariant.select("gene_name", "haplotype_name").distinct()
 
-  /** Collect + broadcast all per-gene matrices once per session. */
+  /** Collect + broadcast all per-gene matrices once per session. The
+    * per-gene grouping/sorting runs distributed (`groupByKey.mapGroups`) so
+    * the driver only assembles pre-built per-gene structures — at the
+    * reference's load-test scale (2M matrix rows) the driver-side build was
+    * the bottleneck.
+    */
   def broadcastMatrices(spark: SparkSession): Broadcast[Map[String, GeneHaplotypeMatrix]] = {
-    val rows = geneHaplotypeVariant
-      .select("gene_name", "haplotype_name", "snp_id", "allele")
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
-    spark.sparkContext.broadcast(GeneHaplotypeMatrix.fromLongRows(rows))
+    import spark.implicits._
+    // Executors build each gene's dictionary-encoded matrix; the driver only
+    // collects the compact form (a few MB at 2M matrix rows) and broadcasts.
+    val perGene: Array[(String, Seq[String], Seq[String], Seq[String], Array[Short])] =
+      geneHaplotypeVariant
+        .select("gene_name", "haplotype_name", "snp_id", "allele")
+        .as[(String, String, String, String)]
+        .groupByKey(_._1)
+        .mapGroups { (gene: String, it: Iterator[(String, String, String, String)]) =>
+          val rows = it.map(r => (r._2, r._3, r._4)).toVector
+          val snps = rows.map(_._2).distinct.sorted
+          val m = GeneHaplotypeMatrix(gene, snps, rows)
+          (gene, m.snpIds: Seq[String], m.haplotypes: Seq[String],
+            m.alleleDict: Seq[String], m.cells)
+        }
+        .collect()
+    val matrices = perGene.map { case (gene, snps, haps, dict, cells) =>
+      gene -> GeneHaplotypeMatrix(gene, snps.toVector, haps.toVector,
+        dict.toVector, cells)
+    }.toMap
+    spark.sparkContext.broadcast(matrices)
   }
 }
 
