@@ -371,6 +371,33 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // S14: collapse-by-key (scrape post-processing group-concat)
+    "q32_collapse_by_key" -> ((s, dir) => {
+      graft.ops.Ingest.collapseByKey(
+          t(s, dir, "documents").select("lang", "source"),
+          keyCols = Seq("lang"))
+        .orderBy("lang")
+    }),
+
+    // S11: surrogate-key resolution (dependency-ordered load FK rewrite)
+    "q33_fk_resolution" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val (_, resolved) = graft.ops.Ingest.resolveForeignKeys(
+        part.select("p_type"), part.select("p_partkey", "p_type"),
+        naturalKey = Seq("p_type"), idCol = "type_id")
+      resolved.select("p_partkey", "type_id").orderBy("p_partkey")
+    }),
+
+    // F6: PharmGKB phenotype-name normalization (regex port)
+    "q34_phenotype_normalize" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Poor Metabolizers (~"), col("doc_id") % 10, lit("-"),
+          col("doc_id") % 20, lit("% of patients).")).as("raw"))
+      raw.select(col("doc_id"),
+          graft.ops.Ingest.normalizePhenotypeName(col("raw")).as("phenotype_name"))
+        .orderBy("doc_id")
+    }),
+
     // BASELINE scenario 1: full pipeline over 100k generated variant rows
     // (reference bound ≤ 10 s, PipelineLoadTest.groovy:65-75); the ingested
     // variant stage is oracle-checked against the closed-form generator.
@@ -783,6 +810,26 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q32_collapse_by_key" ->
+      """SELECT lang, string_agg(DISTINCT source, '. ' ORDER BY source) AS source
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q33_fk_resolution" ->
+      """SELECT p_partkey, type_id FROM part
+         JOIN (SELECT p_type, CAST(row_number() OVER (ORDER BY p_type) AS BIGINT) AS type_id
+               FROM (SELECT DISTINCT p_type FROM part)) ids USING (p_type)
+         ORDER BY p_partkey""",
+
+    "q34_phenotype_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+             lower('Poor Metabolizers (~' || CAST(doc_id % 10 AS VARCHAR) || '-' ||
+                   CAST(doc_id % 20 AS VARCHAR) || '% of patients).'),
+             '\.+$', ''),
+             '\(~\d+(-\d+)?% *(of patients)?\)', ''),
+             '\s+', ' ', 'g')) AS phenotype_name
+         FROM documents ORDER BY doc_id""",
 
     "q30_load_pipeline_100k" ->
       """SELECT 'sample' || CAST(s AS VARCHAR) AS patient_id,

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingestion-side operators from the reference's scrape/load toolchain.
+  */
+object Ingest {
+
+  /** Collapse rows sharing a primary key by joining each non-key field's
+    * distinct (optionally processed) values with a separator.
+    *
+    * Reference: `collapse_by_key`
+    * (`/root/reference/src/python/pharmgkb/pipelines.py:100-151`). The
+    * reference joins Python-set order; here values are sorted for
+    * determinism. One hash aggregate — same shape at any scale.
+    *
+    * @param fieldProcessors per-column value transform applied before
+    *                        dedup (e.g. the phenotype trailing-'s' strip,
+    *                        `pipelines.py:120-132`)
+    */
+  def collapseByKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      sep: String = ". ",
+      fieldProcessors: Map[String, Column => Column] = Map.empty): DataFrame = {
+    val nonKey = df.columns.filterNot(keyCols.contains)
+    val aggs = nonKey.map { c =>
+      val processed = fieldProcessors.get(c).map(_(col(c))).getOrElse(col(c))
+      concat_ws(sep, sort_array(collect_set(processed))).as(c)
+    }
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Strip ALL trailing 's' characters (the reference's `rstrip('s')` for
+    * inconsistent "poor metabolizer(s)" phenotype names).
+    */
+  def stripTrailingS(c: Column): Column = regexp_replace(c, "s+$", "")
+
+  /** PharmGKB phenotype normalization (`process.py:10-44` regex port):
+    * lowercase, strip trailing periods, drop `(~2[-11]% [of patients])`
+    * parentheticals, collapse whitespace.
+    */
+  def normalizePhenotypeName(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(c), "\\.+$", ""),
+        "\\(~\\d+(-\\d+)?% *(of patients)?\\)", ""),
+      "\\s+", " "))
+
+  /** Surrogate-key resolution for dependency-ordered loads: assign
+    * deterministic ids to the parent's natural keys (dense row numbers in
+    * natural-key order, the analog of harvesting auto_increment ids), then
+    * resolve children by joining on the natural key.
+    *
+    * Reference: `load_dsv.py` (`/root/reference/script/load_dsv.py:66-134`),
+    * which inserts parents one at a time to capture `lastrowid`. Here id
+    * assignment is a window over the (small) parent dimension and resolution
+    * is a broadcast join — children never round-trip through the driver.
+    *
+    * @return (parent with `idCol`, child with `idCol` resolved)
+    */
+  def resolveForeignKeys(
+      parent: DataFrame,
+      child: DataFrame,
+      naturalKey: Seq[String],
+      idCol: String = "id"): (DataFrame, DataFrame) = {
+    val w = Window.orderBy(naturalKey.map(col): _*)
+    val withId = parent
+      .dropDuplicates(naturalKey)
+      .withColumn(idCol, row_number().over(w).cast("long"))
+    val resolved = child.join(broadcast(withId.select((naturalKey :+ idCol).map(col): _*)),
+      naturalKey)
+    (withId, resolved)
+  }
+}
