@@ -43,7 +43,16 @@ object Dsv {
       throw InvalidInputException(
         s"expected header '$headerLine' as first line of $path, saw '${firstLine.getOrElse("")}'")
 
-    val schema = StructType(header.map(StructField(_, StringType)))
+    // Duplicate header names (the reference's genotype header repeats
+    // HAPLOTYPE) are uniquified for the schema; detection above used the
+    // raw names.
+    val seen = scala.collection.mutable.Map[String, Int]()
+    val uniqueNames = header.map { h =>
+      val n = seen.getOrElse(h, 0)
+      seen(h) = n + 1
+      if (n == 0) h else s"$h$n"
+    }
+    val schema = StructType(uniqueNames.map(StructField(_, StringType)))
     val df = spark.read
       .option("sep", sep)
       .option("header", hasHeader.toString)
