@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys at cluster scale.
+  *
+  * AQE's skew-join splitting handles most cases at runtime; these are the
+  * explicit construction-time techniques for the two places it can't help:
+  * single-key aggregation hot spots (two-phase salted aggregation) and
+  * broadcast-ineligible skewed joins (key salting with replication).
+  *
+  * In this engine the natural use is gene-popularity skew in the
+  * per-(patient, gene) grouping (SURVEY §7.4 item 6): tiny groups, but a
+  * hot gene can own a partition at 1000× data.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: group by (keys, salt) first — spreading a
+    * hot key over `saltBuckets` partial groups — then merge partials by the
+    * real keys. `aggs` must be algebraic (re-aggregable): the caller supplies
+    * the partial aggregate and the merge aggregate per output column.
+    *
+    * Example (count):
+    * {{{
+    *   saltedAggregate(df, Seq("k"), 16,
+    *     partial = Seq(count(lit(1)).as("c")),
+    *     merge = Seq(sum(col("c")).as("c")))
+    * }}}
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int,
+      partial: Seq[Column],
+      merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+
+  /** Salted join against a skewed build side: the probe side's hot keys are
+    * split over `saltBuckets` sub-keys; the (smaller) build side is
+    * replicated once per bucket. Equi-join semantics preserved; shuffle
+    * partitions for a hot key shrink by `saltBuckets`.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val replicatedBuild = build.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    saltedProbe
+      .join(replicatedBuild, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salting utilities + SQL-surface registration of custom expressions. */
+class SkewFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-skew-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("salted aggregate equals plain aggregate") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "v")
+    val salted = Skew.saltedAggregate(df, Seq("k"), 8,
+      partial = Seq(count(lit(1)).as("c"), sum($"v").as("s")),
+      merge = Seq(sum($"c").as("c"), sum($"s").as("s")))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("c"), sum($"v").as("s"))
+    val a = salted.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = plain.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("salted join equals plain join") {
+    val probe = (1 to 500).map(i => (if (i % 5 == 0) "hot" else s"k$i", i)).toDF("k", "v")
+    val build = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(probe, build, Seq("k"), 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val plain = probe.join(build, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("custom expressions reachable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), "the quick brown fox jumps"))
+      .toDF("a", "b", "text").createOrReplaceTempView("vecs")
+    val row = spark.sql(
+      """SELECT vec_dot(a, b) AS d,
+                size(minhash_sig(shingle_set(text, 3), 4)) AS nsig,
+                simhash64(split(text, ' ')) AS sh,
+                size(ngram_set(text, 4)) AS ngrams
+         FROM vecs""").collect().head
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getInt(1) == 4)
+    assert(row.getLong(2) != 0L)
+    assert(row.getInt(3) > 0)
+  }
+}
