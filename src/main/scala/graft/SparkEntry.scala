@@ -811,6 +811,26 @@ object SparkEntry {
                 count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
 
+    // Hand-derived golden (U2 semantics, not a SQL reformulation): h1's
+    // single het splits arbitrarily with known sides on both strands
+    // (AKnownBKnown, A = lesser sequence); h2's two hets admit two combos
+    // ([A,A]/[G,G] then [A,G]/[G,A] in canonical order) — derived from
+    // Algorithm.groovy:139-253 against the fixture matrix.
+    "q29_het_variants" ->
+      """SELECT * FROM (VALUES
+           ('h1', 'A', 1, 1, 'rs1', 'A'),
+           ('h1', 'B', 1, 1, 'rs1', 'C'),
+           ('h2', 'A', 1, 2, 'rs1', 'A'),
+           ('h2', 'A', 1, 2, 'rs2', 'A'),
+           ('h2', 'B', 1, 2, 'rs1', 'G'),
+           ('h2', 'B', 1, 2, 'rs2', 'G'),
+           ('h2', 'A', 2, 2, 'rs1', 'A'),
+           ('h2', 'A', 2, 2, 'rs2', 'G'),
+           ('h2', 'B', 2, 2, 'rs1', 'G'),
+           ('h2', 'B', 2, 2, 'rs2', 'A'))
+         AS t(patient_id, physical_chromosome, het_combo, het_combos, snp_id, allele)
+         ORDER BY patient_id, het_combo, snp_id, physical_chromosome""",
+
     "q32_collapse_by_key" ->
       """SELECT lang, string_agg(DISTINCT source, '. ' ORDER BY source) AS source
          FROM documents GROUP BY lang ORDER BY lang""",

@@ -75,6 +75,21 @@ object Multimodal {
           size(sequence(lit(0), col("n_frames") - 1, lit(stride))))
           .otherwise(lit(0)))
 
+  /** Aspect-preserving resize to fit a bounding box (the usual pre-embedding
+    * normalization step): computes target dimensions per row; the pixel
+    * work is the decoder's job (STUBBED here), the dimension math and
+    * column contract are real.
+    */
+  def resizeToFit(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW).cast("double") / col("width"),
+      lit(maxH).cast("double") / col("height"),
+      lit(1.0))
+    features
+      .withColumn("resized_width", floor(col("width") * scale).cast("int"))
+      .withColumn("resized_height", floor(col("height") * scale).cast("int"))
+  }
+
   /** Synthetic media corpus derived from any table: payload bytes from a
     * string column. Lets the multimodal path run on the standard test data.
     */

@@ -119,5 +119,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val sampled = Multimodal.sampleFrames(features.toDF(), stride = 5)
     assert(sampled.columns.contains("sampled_frames"))
     assert(sampled.count() == 5)
+    // aspect-preserving resize fits the bounding box, never upscales
+    val resized = Multimodal.resizeToFit(features.toDF(), 224, 224).collect()
+    assert(resized.forall { r =>
+      val (w, h) = (r.getAs[Int]("resized_width"), r.getAs[Int]("resized_height"))
+      w <= 224 && h <= 224 && w <= r.getAs[Int]("width") && h <= r.getAs[Int]("height")
+    })
   }
 }
