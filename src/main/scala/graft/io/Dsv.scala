@@ -63,6 +63,25 @@ object Dsv {
     if (fields.nonEmpty) df.select(fields.map(col): _*) else df
   }
 
+  /** Eagerly validate per-line column counts, raising the reference's
+    * `InvalidInputException` (`Input.groovy:107-118` — "Expected N columns
+    * matching header ...") instead of a deferred task failure. One
+    * distributed pass over the raw lines.
+    */
+  def validate(spark: SparkSession, path: String, header: Seq[String],
+      sep: String = "\t"): Unit = {
+    import spark.implicits._
+    val n = header.size
+    val sepRegex = java.util.regex.Pattern.quote(sep)
+    val bad = spark.read.textFile(path)
+      .filter(line => line.nonEmpty && line.split(sepRegex, -1).length != n)
+      .take(1)
+    bad.headOption.foreach { line =>
+      throw InvalidInputException(
+        s"Expected $n columns matching header ${header.mkString(", ")}, but saw line: $line")
+    }
+  }
+
   private def firstLineOf(spark: SparkSession, path: String): Option[String] = {
     val src = scala.io.Source.fromFile(path)
     try src.getLines().nextOption()

@@ -30,10 +30,13 @@ object PipelineInputs {
     */
   def read(spark: SparkSession, tableAlias: String, path: String,
       sep: String = "\t"): DataFrame = tableAlias match {
-    case "variant" => VariantReader.read(spark, path, sep)
+    case "variant" =>
+      Dsv.validate(spark, path, VariantReader.rawHeader, sep)
+      VariantReader.read(spark, path, sep)
     case alias =>
       val header = inputHeaders.getOrElse(alias,
         throw new IllegalArgumentException(s"no input reader for table $alias"))
+      Dsv.validate(spark, path, header, sep)
       val out = outputColumns(alias)
       Dsv.read(spark, path, header, sep).toDF(out: _*)
   }

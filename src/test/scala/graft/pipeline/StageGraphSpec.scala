@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dependency-graph executor tests mirroring the reference's DependencyTest
+  * layer (`/root/reference/test/groovy/haplorec/test/util/dependency/DependencyTest.groovy`):
+  * build order, memoization, partial builds via overrides, cycle detection,
+  * levels.
+  */
+class StageGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-stagegraph-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def df(tag: String): DataFrame = {
+    import spark.implicits._
+    Seq(tag).toDF("tag")
+  }
+
+  def graph(log: scala.collection.mutable.Buffer[String]): StageGraph = {
+    def rule(name: String, deps: Seq[String] = Nil): (String, StageGraph.Stage) =
+      name -> StageGraph.Stage(deps, { _ => log += name; df(name) })
+    StageGraph(
+      rule("a"),
+      rule("b", Seq("a")),
+      rule("c", Seq("a")),
+      rule("d", Seq("b", "c")),
+      rule("e", Seq("d")))
+  }
+
+  test("post-order build runs each rule exactly once") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val built = graph(log).build()
+    assert(built.keySet == Set("a", "b", "c", "d", "e"))
+    assert(log.count(_ == "a") == 1) // memoized despite two dependants
+    assert(log.indexOf("a") < log.indexOf("b"))
+    assert(log.indexOf("d") < log.indexOf("e"))
+  }
+
+  test("input override short-circuits upstream rules") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val built = graph(log).build(
+      targets = Seq("e"),
+      overrides = Map("d" -> df("given-d")))
+    // providing d means a/b/c never run
+    assert(log.toList == List("e"))
+    assert(built("d").collect().head.getString(0) == "given-d")
+  }
+
+  test("partial build of an intermediate target") {
+    val log = scala.collection.mutable.Buffer[String]()
+    graph(log).build(targets = Seq("b"))
+    assert(log.toList == List("a", "b"))
+  }
+
+  test("cycle detection") {
+    val g = StageGraph(
+      "x" -> StageGraph.Stage(Seq("y"), _ => df("x")),
+      "y" -> StageGraph.Stage(Seq("x"), _ => df("y")))
+    intercept[IllegalStateException] { g.build(targets = Seq("x")) }
+  }
+
+  test("levels: shortest path to a leaf") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val levels = graph(log).levels
+    assert(levels("e") == 0)
+    assert(levels("d") == 1)
+    assert(levels("b") == 2 && levels("c") == 2)
+    assert(levels("a") == 3)
+  }
+}
