@@ -321,18 +321,21 @@ object SparkEntry {
         .orderBy(col("cosine_sim").desc, col("vec_id"))
     }),
 
-    // Similarity: IVF approximate top-k (scale path; rows-only check)
+    // Similarity: IVF approximate top-k. Centroids are the deterministic
+    // md5 hash-sample (fraction 1/16 -> threshold '100'), so the DuckDB
+    // oracle reproduces the full index build + probe exactly.
     "q20_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).collect()(0)
         .getSeq[Float](0)
-      // Persisted: the assignment feeds both the probe and the centroid
-      // extraction (IVF index build is one-time cost amortized over queries).
-      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", nlist = 16)
-        .persist()
-      val centroids = assigned.filter(col("vec_id") === col("centroid_id"))
-        .select(col("centroid_id"), col("embedding").as("centroid_vec"))
+      // Persisted: the assignment feeds the probe (IVF index build is a
+      // one-time cost amortized over queries).
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        centroidFraction = 1.0 / 16).persist()
+      val centroids = emb
+        .filter(Similarity.hashSample(col("vec_id"), 1.0 / 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       Similarity.ivfTopKForQuery(assigned, centroids, "vec_id", "embedding",
           q, 10, nprobe = 4)
         .select(col("vec_id"), round(col("cosine_sim"), 4).as("cosine_sim"))
@@ -780,6 +783,52 @@ object SparkEntry {
            FROM embeddings, q)
          SELECT vec_id, round(sim, 4) AS cosine_sim
          FROM s ORDER BY sim DESC, vec_id LIMIT 10""",
+
+    // Full IVF reproduction: same deterministic centroid sample (md5 prefix
+    // < '100' == fraction 1/16), same nearest-centroid assignment (ties by
+    // centroid_id), same nprobe=4 probe, same final top-10.
+    "q20_ivf_topk" ->
+      """WITH q AS (SELECT embedding AS qv,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+           FROM embeddings
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 3) < '100'),
+         v AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+           FROM embeddings),
+         scored AS (
+           SELECT v.vec_id, v.embedding, v.vn, c.centroid_id,
+             CASE WHEN v.vn * c.cn > 0 THEN
+               list_sum(list_transform(range(1, len(v.embedding) + 1),
+                 i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) / (v.vn * c.cn)
+             ELSE 0.0 END AS sim
+           FROM v CROSS JOIN c),
+         assigned AS (
+           SELECT vec_id, embedding, vn, centroid_id
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, centroid_id) AS r FROM scored)
+           WHERE r = 1),
+         probed AS (
+           SELECT centroid_id
+           FROM c, q
+           ORDER BY (CASE WHEN q.qn * c.cn > 0 THEN
+               list_sum(list_transform(range(1, len(c.cvec) + 1),
+                 i -> CAST(c.cvec[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) / (q.qn * c.cn)
+             ELSE 0.0 END) DESC, centroid_id
+           LIMIT 4)
+         SELECT a.vec_id,
+           round(CASE WHEN q.qn * a.vn > 0 THEN
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) / (q.qn * a.vn)
+             ELSE 0.0 END, 4) AS cosine_sim
+         FROM assigned a JOIN probed USING (centroid_id), q
+         ORDER BY CASE WHEN q.qn * a.vn > 0 THEN
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) / (q.qn * a.vn)
+             ELSE 0.0 END DESC, a.vec_id
+         LIMIT 10""",
 
     "q22_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -130,32 +130,93 @@ object Similarity {
       .distinct()
   }
 
-  /** IVF index: centroids are a deterministic sample (every `n/nlist`-th
-    * vector by id); each vector is assigned to its nearest centroid.
-    * Returns the assignment frame (id, vec, centroid_id).
+  /** Deterministic hash-sample predicate: true for ~`fraction` of ids.
+    * Compares the first 3 hex chars of `md5(id)` against a threshold
+    * (fraction in 4096ths) — a pure per-row expression, identical in any
+    * engine with md5 (so DuckDB oracles can reproduce the selection), with
+    * no global sort, no `count()` action, and no window.
     */
-  def ivfAssign(
-      embeddings: DataFrame,
+  def hashSample(idCol: Column, fraction: Double): Column = {
+    val thr = math.min(4096L, math.max(1L, math.round(fraction * 4096)))
+    substring(md5(idCol.cast("string")), 1, 3) < lit(f"$thr%03x")
+  }
+
+  /** Nearest-centroid assignment: broadcast the centroid set, score every
+    * (vector, centroid) pair, keep the argmax per vector. The window is
+    * PARTITIONED by vector id — each partition holds one vector's centroid
+    * scores, so the argmax parallelizes across the corpus.
+    */
+  private def assignToNearest(
+      base: DataFrame, // (idCol, vecCol, __norm)
+      centroids: DataFrame, // (centroid_id, centroid_vec, __cnorm)
       idCol: String,
-      vecCol: String,
-      nlist: Int): DataFrame = {
-    val w = Window.orderBy(col(idCol))
-    val numbered = embeddings.withColumn("__rn", row_number().over(w) - 1)
-    val total = numbered.count()
-    val step = math.max(1L, total / nlist)
-    val centroids = numbered.filter(col("__rn") % step === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"),
-        norm(col(vecCol)).as("__cnorm"))
-    val base = withNorm(numbered.drop("__rn"), idCol, vecCol)
-    val assigned = base
+      vecCol: String): DataFrame = {
+    val scored = base
       .crossJoin(broadcast(centroids))
       .withColumn("sim",
         when(col("__norm") * col("__cnorm") > 0,
           dot(col(vecCol), col("centroid_vec")) / (col("__norm") * col("__cnorm")))
           .otherwise(lit(0.0)))
     val best = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id").asc)
-    assigned.withColumn("__r", row_number().over(best)).filter(col("__r") === 1)
+    scored.withColumn("__r", row_number().over(best)).filter(col("__r") === 1)
       .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** IVF index: centroids are a deterministic md5 hash-sample of the corpus
+    * ([[hashSample]]); each vector is assigned to its nearest centroid.
+    * Returns the assignment frame (id, vec, centroid_id).
+    *
+    * Scale shape: centroid COUNT grows with the corpus while expected cell
+    * population stays constant at ~1/`centroidFraction` — the probe cost per
+    * query is flat no matter how big the corpus gets, and the index build is
+    * one broadcast-join pass (the sampled centroid set must fit in a
+    * broadcast, i.e. corpus × fraction × vector bytes; pick the fraction
+    * accordingly or refine with [[ivfKMeans]] from a coarser sample).
+    */
+  def ivfAssign(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidFraction: Double = 1.0 / 16): DataFrame = {
+    val centroids = embeddings
+      .filter(hashSample(col(idCol), centroidFraction))
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"),
+        norm(col(vecCol)).as("__cnorm"))
+    assignToNearest(withNorm(embeddings, idCol, vecCol), centroids, idCol, vecCol)
+  }
+
+  /** Lloyd-iteration refinement of the hash-sampled IVF centroids (k-means
+    * with deterministic seeding — the distributed analog of k-means||'s
+    * oversample-then-refine). Each iteration recomputes every centroid as the
+    * elementwise mean of its members (posexplode → per-(centroid, dim) avg —
+    * two shuffles of n×dim scalar rows, map-side combined) and reassigns.
+    *
+    * @return (assignment frame (id, vec, centroid_id),
+    *          centroid frame (centroid_id, centroid_vec))
+    */
+  def ivfKMeans(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidFraction: Double = 1.0 / 16,
+      iterations: Int = 2): (DataFrame, DataFrame) = {
+    val base = withNorm(embeddings, idCol, vecCol).persist()
+    var assigned = ivfAssign(embeddings, idCol, vecCol, centroidFraction)
+    var centroids: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      val members = assigned.select(col("centroid_id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      centroids = members
+        .groupBy("centroid_id", "__pos")
+        .agg(avg(col("__v")).as("__m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+        .select(col("centroid_id"),
+          transform(col("__pm"), x => x.getField("__m")).as("centroid_vec"))
+        .withColumn("__cnorm", norm(col("centroid_vec")))
+      assigned = assignToNearest(base, centroids, idCol, vecCol)
+    }
+    (assigned, centroids.select("centroid_id", "centroid_vec"))
   }
 
   /** IVF approximate top-k for one query: probe the `nprobe` nearest

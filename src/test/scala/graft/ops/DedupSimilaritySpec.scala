@@ -92,7 +92,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       val angle = i.toDouble / 40.0 * math.Pi
       (i, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat))
     }.toDF("vec_id", "embedding")
-    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", nlist = 4)
+    // fraction 1/4 hash-samples centroid ids {6, 19, 21, 23, ...}: the probe
+    // of the 2 nearest cells covers the low-angle region around the query
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding",
+      centroidFraction = 0.25)
     val centroids = assigned.filter(col("vec_id") === col("centroid_id"))
       .select(col("centroid_id"), col("embedding").as("centroid_vec"))
     val approx = Similarity.ivfTopKForQuery(assigned, centroids, "vec_id",
@@ -102,6 +105,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
         Seq(1.0f, 0.0f), 3)
       .collect().map(_.getLong(0)).toSet
     assert(approx == exact)
+  }
+
+  test("k-means refinement keeps assignment total and improves compactness") {
+    val vecs = (0L until 60L).map { i =>
+      val angle = i.toDouble / 60.0 * math.Pi
+      (i, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (assigned, centroids) = Similarity.ivfKMeans(vecs, "vec_id", "embedding",
+      centroidFraction = 0.2, iterations = 2)
+    assert(assigned.count() == 60)
+    assert(assigned.select("centroid_id").distinct().count() <= centroids.count())
+    // every member is closer (by cosine) to its own centroid than to a random other
+    val withC = assigned.join(centroids, "centroid_id")
+      .select(Similarity.cosine(col("embedding"), col("centroid_vec")).as("own"))
+      .agg(min(col("own"))).collect()(0).getDouble(0)
+    assert(withC > 0.8) // semicircle cells are narrow after refinement
   }
 
   test("multimodal stub decode plumbing") {
