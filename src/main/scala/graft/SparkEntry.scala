@@ -303,10 +303,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // Dedup: 64-bit SimHash near-dups (xxhash64-based; no SQL oracle)
+    // Dedup: 64-bit SimHash near-dups (md5-derived bits, engine-portable)
     "q18_simhash_pairs" -> ((s, dir) => {
       Dedup.simHashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 6, chunks = 4)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -447,6 +448,15 @@ object SparkEntry {
   /** DuckDB token list matching TextFunctions.tokens. */
   private val toks =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  /** The exact seeded hyperplanes q21 buckets with (dim 64, 4 bits, seed 42),
+    * rendered as DuckDB VALUES rows of (plane index, DOUBLE[] literal) —
+    * Double.toString round-trips bit-exactly through DuckDB's parser.
+    */
+  private val lshPlaneValues: String =
+    Similarity.hyperplanes(dim = 64, bits = 4, seed = 42L).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n           ")
 
   /** Shared oracle CTE chain for the hom-path genomics fixture: candidate
     * haplotypes (U1 semantics), unambiguous calls, genotype pivot,
@@ -772,6 +782,43 @@ object SparkEntry {
          WHERE CAST(c AS DOUBLE) / (sa.n_grams + sb.n_grams - c) >= 0.6
          ORDER BY id_a, id_b""",
 
+    // SimHash reproduction: bit b of a token's hash = bit (b%4) of hex digit
+    // b/4 of md5(token); per-doc fold sums ±1 weighted by token frequency;
+    // bit set when the sum is positive. Chunked (4×16-bit) candidate
+    // pigeonhole, then true hamming ≤ 6. Tokenless docs hash to all-zero.
+    "q18_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         tok AS (SELECT doc_id, tkn, count(*) AS w
+                 FROM (SELECT doc_id, unnest(tk) AS tkn FROM t) GROUP BY doc_id, tkn),
+         h AS (SELECT doc_id, w, substr(md5(tkn), 1, 16) AS hx FROM tok),
+         bits AS (
+           SELECT doc_id, b.b,
+             sum(CASE WHEN ((strpos('0123456789abcdef', substr(h.hx, CAST(b.b // 4 AS INTEGER) + 1, 1)) - 1)
+                            >> (b.b % 4)) & 1 = 1 THEN w ELSE -w END) AS s
+           FROM h, (SELECT unnest(range(64)) AS b) b
+           GROUP BY doc_id, b.b),
+         sig0 AS (
+           SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bitstr
+           FROM bits GROUP BY doc_id),
+         sig AS (
+           SELECT d.doc_id, coalesce(sig0.bitstr, repeat('0', 64)) AS bitstr
+           FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id),
+         chunked AS (
+           SELECT doc_id, bitstr, c.c, substr(bitstr, CAST(c.c * 16 + 1 AS INTEGER), 16) AS chunk_val
+           FROM sig, (SELECT unnest(range(4)) AS c) c),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.bitstr AS ba, b.bitstr AS bb
+           FROM chunked a JOIN chunked b
+             ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id),
+         ham AS (
+           SELECT id_a, id_b,
+             len(list_filter(range(1, 65),
+               i -> substr(ba, CAST(i AS INTEGER), 1) <> substr(bb, CAST(i AS INTEGER), 1))) AS hamming
+           FROM cand)
+         SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+         FROM ham WHERE hamming <= 6
+         ORDER BY id_a, id_b""",
+
     "q19_topk_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          s AS (
@@ -829,6 +876,33 @@ object SparkEntry {
                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) / (q.qn * a.vn)
              ELSE 0.0 END DESC, a.vec_id
          LIMIT 10""",
+
+    // LSH reproduction: identical seeded hyperplanes as literals; bucket =
+    // OR of sign bits; in-bucket pairs verified by exact cosine ≥ 0.3.
+    "q21_lsh_embedding_pairs" ->
+      s"""WITH planes(pi, pv) AS (VALUES
+           $lshPlaneValues),
+         e AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+           FROM embeddings),
+         bk AS (
+           SELECT e.vec_id,
+             sum(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * p.pv[i])) >= 0
+                 THEN (CAST(1 AS BIGINT) << p.pi) ELSE 0 END) AS bucket
+           FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+         bck AS (SELECT e.vec_id, e.embedding, e.vn, bk.bucket
+                 FROM e JOIN bk USING (vec_id)),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CASE WHEN a.vn * b.vn > 0 THEN
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.vn * b.vn)
+             ELSE 0.0 END AS cosine_sim
+           FROM bck a JOIN bck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT DISTINCT id_a, id_b, round(cosine_sim, 4) AS cosine_sim
+         FROM pairs WHERE cosine_sim >= 0.3
+         ORDER BY id_a, id_b""",
 
     "q22_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -68,10 +68,13 @@ object HashExpressions {
     sb.toString
   }
 
-  /** 64-bit SimHash over a token array: bit i set when the sum over tokens
-    * of ±1 (bit i of the token's 64-bit hash) is positive. Hash is the same
-    * xxhash64(seed 42) Spark's `xxhash64` function computes, so results
-    * match the composable formulation.
+  /** 64-bit SimHash over a token array: bit b set when the sum over tokens
+    * of ±1 (bit b of the token's 64-bit hash) is positive. The token hash is
+    * derived from the first 16 hex chars of md5(token): bit b = bit (b mod 4)
+    * of the hex digit at index b/4 — engine-portable (md5 of the same UTF-8
+    * string is identical everywhere), so a DuckDB oracle can reproduce the
+    * signature with `strpos('0123456789abcdef', substr(md5(t), b/4+1, 1))`
+    * arithmetic. Duplicate tokens weight the fold by frequency.
     */
   case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
@@ -81,14 +84,17 @@ object HashExpressions {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val counts = new Array[Int](64)
+      val md = MessageDigest.getInstance("MD5")
       var i = 0
       while (i < n) {
-        val s = arr.getUTF8String(i)
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(s, StringType, 42L)
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).toString.getBytes("UTF-8"))
         var b = 0
         while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          val nibIdx = b >> 2 // hex char index 0..15 over digest bytes 0..7
+          val byte = digest(nibIdx >> 1) & 0xff
+          val nib = if ((nibIdx & 1) == 0) byte >>> 4 else byte & 0xf
+          if (((nib >>> (b & 3)) & 1) == 1) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
         i += 1

@@ -84,8 +84,10 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic random hyperplanes (seeded) for LSH bucketing. */
-  private def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Seq[Double]] = {
+  /** Deterministic random hyperplanes (seeded) for LSH bucketing. Public so
+    * an external oracle can embed the exact plane values as literals.
+    */
+  def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
