@@ -127,23 +127,17 @@ object SparkEntry {
     ("x1", null, "rs1", "A", "het"), ("x1", null, "rs1", "G", "het"),
     ("x1", "A", "rs2", "G", "hom"), ("x1", "B", "rs2", "G", "hom"))
 
-  /** One memoized run feeds q29/q35/q36/q37 (same local-relation pinning as
-    * the hom fixture — results are ≤ 10 rows).
+  /** Het-patient slice of the single combined fixture run (q29/q35-q37).
+    * The pipeline is per-patient independent, so filtering the combined
+    * job's stages to the het patients is exactly the het-only run — without
+    * a second `Pipeline.runJob`.
     */
-  private val hetFixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
-
-  private def hetFixtureStages(s: SparkSession): Map[String, DataFrame] =
-    hetFixtureCache.computeIfAbsent(s, { s =>
-      import s.implicits._
-      val variants = hetFixtureVariants
-        .toDF("patient_id", "physical_chromosome", "snp_id", "allele", "zygosity")
-      Pipeline.runJob(s, fixtureRefs(s), 1L, variants = Some(variants))
-        .map { case (name, df) =>
-          name -> s.createDataFrame(
-            java.util.Arrays.asList(df.collect(): _*), df.schema)
-        }
-    })
+  private def hetFixtureStages(s: SparkSession): Map[String, DataFrame] = {
+    val het = hetFixtureVariants.map(_._1).distinct
+    allFixtureStages(s).map { case (n, df) =>
+      n -> df.filter(col("patient_id").isin(het: _*))
+    }
+  }
 
   // ---- flagship ----
 
@@ -394,9 +388,11 @@ object SparkEntry {
         .orderBy(col("cosine_sim").desc, col("vec_id"))
     }),
 
-    // Similarity: IVF approximate top-k. Centroids are the deterministic
-    // md5 hash-sample (fraction 1/16 -> threshold '100'), so the DuckDB
-    // oracle reproduces the full index build + probe exactly.
+    // Similarity: IVF approximate top-k. Centroids are a deterministic md5
+    // hash-sample of ~nlist=32 vectors — the threshold is integer-derived
+    // from the exact corpus count on both sides, so the DuckDB oracle
+    // reproduces the full index build + probe exactly at any scale factor,
+    // and the centroid broadcast stays bounded by nlist (not the corpus).
     "q20_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -405,9 +401,10 @@ object SparkEntry {
       // Persisted: the assignment feeds the probe (IVF index build is a
       // one-time cost amortized over queries).
       val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
-        centroidFraction = 1.0 / 16).persist()
+        nlist = 32).persist()
+      val thr = Similarity.sampleThreshold(32L, emb.count())
       val centroids = emb
-        .filter(Similarity.hashSample(col("vec_id"), 1.0 / 16))
+        .filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       Similarity.ivfTopKForQuery(assigned, centroids, "vec_id", "embedding",
           q, 10, nprobe = 4)
@@ -415,10 +412,15 @@ object SparkEntry {
         .orderBy(col("cosine_sim").desc, col("vec_id"))
     }),
 
-    // Similarity: LSH-bucketed embedding near-dup pairs (rows-only check)
+    // Similarity: LSH-bucketed embedding near-dup pairs. The hyperplane
+    // count grows with the corpus (expected bucket population ≤ 32, an
+    // integer-exact formula the oracle mirrors), so in-bucket verify cost
+    // stays linear in the corpus instead of O(n²/2^bits) at fixed bits.
     "q21_lsh_embedding_pairs" -> ((s, dir) => {
-      Similarity.lshNearNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, threshold = 0.3, bits = 4)
+      val emb = t(s, dir, "embeddings")
+      val bits = Similarity.lshBitsFor(emb.count(), targetBucketSize = 32)
+      Similarity.lshNearNeighbors(emb, "vec_id", "embedding",
+          dim = 64, threshold = 0.3, bits = bits)
         .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 4).as("cosine_sim"))
         .orderBy("id_a", "id_b")
     }),
@@ -521,12 +523,16 @@ object SparkEntry {
   private val toks =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)"""
 
-  /** The exact seeded hyperplanes q21 buckets with (dim 64, 4 bits, seed 42),
+  /** The exact seeded hyperplanes q21 buckets with (dim 64, seed 42),
     * rendered as DuckDB VALUES rows of (plane index, DOUBLE[] literal) —
     * Double.toString round-trips bit-exactly through DuckDB's parser.
+    * All 16 possible planes are emitted; because seeded hyperplanes for a
+    * smaller bit count are a prefix of those for a larger one, the oracle
+    * filters to `pi < nbits` with nbits computed from the corpus count by
+    * the same integer formula as [[Similarity.lshBitsFor]].
     */
   private val lshPlaneValues: String =
-    Similarity.hyperplanes(dim = 64, bits = 4, seed = 42L).zipWithIndex
+    Similarity.hyperplanes(dim = 64, bits = 16, seed = 42L).zipWithIndex
       .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[])" }
       .mkString(",\n           ")
 
@@ -879,8 +885,12 @@ object SparkEntry {
            SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bitstr
            FROM bits GROUP BY doc_id),
          sig AS (
+           -- Tokenless-but-non-null docs hash to all-zero (matching Spark's
+           -- empty-fold); NULL-text docs are excluded on both sides (Spark's
+           -- SimHash64 null-propagates, so they never enter the join).
            SELECT d.doc_id, coalesce(sig0.bitstr, repeat('0', 64)) AS bitstr
-           FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id),
+           FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id
+           WHERE d.text IS NOT NULL),
          chunked AS (
            SELECT doc_id, bitstr, c.c, substr(bitstr, CAST(c.c * 16 + 1 AS INTEGER), 16) AS chunk_val
            FROM sig, (SELECT unnest(range(4)) AS c) c),
@@ -897,6 +907,9 @@ object SparkEntry {
          FROM ham WHERE hamming <= 6
          ORDER BY id_a, id_b""",
 
+    // Top-10 SELECTION is by unrounded sim (mirrors Spark's limit before the
+    // rounded projection); the final presented ORDER is by the rounded value
+    // so 4-decimal ties sort identically on both sides.
     "q19_topk_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          s AS (
@@ -905,13 +918,19 @@ object SparkEntry {
                i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
              (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
               sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-           FROM embeddings, q)
-         SELECT vec_id, round(sim, 4) AS cosine_sim
-         FROM s ORDER BY sim DESC, vec_id LIMIT 10""",
+           FROM embeddings, q),
+         topk AS (
+           SELECT vec_id, round(sim, 4) AS cosine_sim
+           FROM s ORDER BY sim DESC, vec_id LIMIT 10)
+         SELECT vec_id, cosine_sim FROM topk
+         ORDER BY cosine_sim DESC, vec_id""",
 
-    // Full IVF reproduction: same deterministic centroid sample (md5 prefix
-    // < '100' == fraction 1/16), same nearest-centroid assignment (ties by
-    // centroid_id), same nprobe=4 probe, same final top-10.
+    // Full IVF reproduction: same deterministic centroid sample (md5-prefix
+    // threshold integer-derived from nlist=32 over the exact corpus count —
+    // identical arithmetic to Similarity.sampleThreshold), same
+    // nearest-centroid assignment (ties by centroid_id), same nprobe=4
+    // probe, same top-10 selection by unrounded sim, final order by the
+    // rounded value to match the Spark-side sort.
     "q20_ivf_topk" ->
       """WITH q AS (SELECT embedding AS qv,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
@@ -919,7 +938,10 @@ object SparkEntry {
          c AS (SELECT vec_id AS centroid_id, embedding AS cvec,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
            FROM embeddings
-           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 3) < '100'),
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 3) <
+             (SELECT lpad(to_hex(CAST(least(4095, greatest(1,
+                round(32 * 4096.0 / count(*)))) AS BIGINT)), 3, '0')
+              FROM embeddings)),
          v AS (SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
            FROM embeddings),
@@ -942,24 +964,32 @@ object SparkEntry {
                list_sum(list_transform(range(1, len(c.cvec) + 1),
                  i -> CAST(c.cvec[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) / (q.qn * c.cn)
              ELSE 0.0 END) DESC, centroid_id
-           LIMIT 4)
-         SELECT a.vec_id,
-           round(CASE WHEN q.qn * a.vn > 0 THEN
+           LIMIT 4),
+         topk AS (
+           SELECT a.vec_id,
+             CASE WHEN q.qn * a.vn > 0 THEN
                list_sum(list_transform(range(1, len(a.embedding) + 1),
                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) / (q.qn * a.vn)
-             ELSE 0.0 END, 4) AS cosine_sim
-         FROM assigned a JOIN probed USING (centroid_id), q
-         ORDER BY CASE WHEN q.qn * a.vn > 0 THEN
-               list_sum(list_transform(range(1, len(a.embedding) + 1),
-                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) / (q.qn * a.vn)
-             ELSE 0.0 END DESC, a.vec_id
-         LIMIT 10""",
+             ELSE 0.0 END AS sim
+           FROM assigned a JOIN probed USING (centroid_id), q
+           ORDER BY sim DESC, a.vec_id
+           LIMIT 10)
+         SELECT vec_id, round(sim, 4) AS cosine_sim FROM topk
+         ORDER BY round(sim, 4) DESC, vec_id""",
 
-    // LSH reproduction: identical seeded hyperplanes as literals; bucket =
-    // OR of sign bits; in-bucket pairs verified by exact cosine ≥ 0.3.
+    // LSH reproduction: identical seeded hyperplanes as literals (all 16;
+    // the prefix in use is selected by nbits, computed from the corpus
+    // count with the same integer formula as Similarity.lshBitsFor —
+    // smallest b in [4,16] with 2^b * 32 >= n); bucket = OR of sign bits;
+    // in-bucket pairs verified by exact cosine ≥ 0.3.
     "q21_lsh_embedding_pairs" ->
       s"""WITH planes(pi, pv) AS (VALUES
            $lshPlaneValues),
+         nb AS (
+           SELECT coalesce(min(b), 16) AS nbits
+           FROM (SELECT unnest(range(4, 17)) AS b),
+                (SELECT count(*) AS n FROM embeddings) c
+           WHERE (CAST(1 AS BIGINT) << b) * 32 >= c.n),
          e AS (SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
            FROM embeddings),
@@ -968,7 +998,8 @@ object SparkEntry {
              sum(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
                    i -> CAST(e.embedding[i] AS DOUBLE) * p.pv[i])) >= 0
                  THEN (CAST(1 AS BIGINT) << p.pi) ELSE 0 END) AS bucket
-           FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+           FROM e CROSS JOIN planes p, nb WHERE p.pi < nb.nbits
+           GROUP BY e.vec_id),
          bck AS (SELECT e.vec_id, e.embedding, e.vn, bk.bucket
                  FROM e JOIN bk USING (vec_id)),
          pairs AS (

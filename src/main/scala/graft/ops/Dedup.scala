@@ -144,9 +144,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash of the token stream: bit i is set when the sum over
-    * tokens of ±1 (according to bit i of xxhash64(token)) is positive.
-    * Pure column expressions (one aggregate over a 64-wide count array).
+  /** 64-bit SimHash of the token stream: bit b is set when the
+    * frequency-weighted sum over tokens of ±1 — according to bit (b%4) of
+    * hex digit b/4 of md5(token) — is positive. md5-derived bits keep the
+    * signature engine-portable (a SQL oracle reproduces it exactly); the
+    * fold itself is one tight row-level loop in
+    * [[graft.functions.HashExpressions.SimHash64]].
     */
   def simHash(text: Column): Column =
     graft.functions.HashExpressions.simHash64(tokens(text))

@@ -92,6 +92,24 @@ object Similarity {
     Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Hyperplane count that keeps expected LSH bucket population ≤
+    * `targetBucketSize`: the smallest `b` in [minBits, maxBits] with
+    * `2^b × targetBucketSize ≥ n` (⇔ `b ≥ log₂(n / target)`). Integer-exact
+    * — no floating log — so an external oracle computes the identical value:
+    * `min b FROM range(minBits, maxBits+1) WHERE (1 << b) * target >= n`.
+    * Because seeded [[hyperplanes]] for a smaller bit count are a prefix of
+    * those for a larger one, growing `bits` with the corpus only appends
+    * planes. In-bucket verify cost is then O(n × targetBucketSize) total,
+    * independent of corpus size, instead of O(n²/2^bits) for fixed bits.
+    */
+  def lshBitsFor(
+      n: Long,
+      targetBucketSize: Long = 64,
+      minBits: Int = 4,
+      maxBits: Int = 16): Int =
+    (minBits to maxBits).find(b => (1L << b) * targetBucketSize >= n)
+      .getOrElse(maxBits)
+
   /** Sign-bit LSH bucket id of a vector against `bits` seeded hyperplanes. */
   def lshBucket(vecCol: Column, dim: Int, bits: Int = 8, seed: Long = 42L): Column =
     hyperplanes(dim, bits, seed).zipWithIndex.map { case (h, i) =>
@@ -136,12 +154,32 @@ object Similarity {
     * Compares the first 3 hex chars of `md5(id)` against a threshold
     * (fraction in 4096ths) — a pure per-row expression, identical in any
     * engine with md5 (so DuckDB oracles can reproduce the selection), with
-    * no global sort, no `count()` action, and no window.
+    * no global sort, no `count()` action, and no window. A fraction high
+    * enough to round to 4096/4096 selects everything (the 3-char prefix
+    * comparison cannot express that, so it short-circuits to `true`).
     */
   def hashSample(idCol: Column, fraction: Double): Column = {
     val thr = math.min(4096L, math.max(1L, math.round(fraction * 4096)))
+    if (thr >= 4096L) lit(true)
+    else hashSampleByThreshold(idCol, thr)
+  }
+
+  /** md5-prefix predicate with an explicit threshold in 4096ths (valid range
+    * 1..4095). Exposed so callers deriving the threshold from a corpus count
+    * ([[sampleThreshold]]) use the exact same predicate an external oracle
+    * can reproduce: `substr(md5(id), 1, 3) < lpad(to_hex(thr), 3, '0')`.
+    */
+  def hashSampleByThreshold(idCol: Column, thr: Long): Column = {
+    require(thr >= 1 && thr <= 4095, s"threshold $thr outside 1..4095")
     substring(md5(idCol.cast("string")), 1, 3) < lit(f"$thr%03x")
   }
+
+  /** Threshold (in 4096ths) selecting ~`target` of `n` ids, clamped to
+    * [1, 4095]. Integer-exact: an oracle computes the identical value as
+    * `least(4095, greatest(1, round(target * 4096.0 / n)))`.
+    */
+  def sampleThreshold(target: Long, n: Long): Long =
+    math.min(4095L, math.max(1L, math.round(target.toDouble * 4096 / math.max(1L, n))))
 
   /** Nearest-centroid assignment: broadcast the centroid set, score every
     * (vector, centroid) pair, keep the argmax per vector. The window is
@@ -164,24 +202,30 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
-  /** IVF index: centroids are a deterministic md5 hash-sample of the corpus
-    * ([[hashSample]]); each vector is assigned to its nearest centroid.
-    * Returns the assignment frame (id, vec, centroid_id).
+  /** IVF index: centroids are a deterministic md5 hash-sample of ~`nlist`
+    * corpus vectors ([[sampleThreshold]] over an exact corpus count); each
+    * vector is assigned to its nearest centroid. Returns the assignment
+    * frame (id, vec, centroid_id).
     *
-    * Scale shape: centroid COUNT grows with the corpus while expected cell
-    * population stays constant at ~1/`centroidFraction` — the probe cost per
-    * query is flat no matter how big the corpus gets, and the index build is
-    * one broadcast-join pass (the sampled centroid set must fit in a
-    * broadcast, i.e. corpus × fraction × vector bytes; pick the fraction
-    * accordingly or refine with [[ivfKMeans]] from a coarser sample).
+    * Scale shape: the centroid COUNT is the parameter — the broadcast in
+    * [[assignToNearest]] is bounded by `nlist × vector bytes` no matter how
+    * big the corpus gets, and the build cost is one broadcast-join pass of
+    * `n × nlist` dot products (linear in the corpus, unlike a
+    * fraction-based sample whose centroid set — and therefore broadcast and
+    * build cost — would grow with the corpus). Cell population is
+    * `~n / nlist`; size `nlist` like any IVF index (≈√n for balanced
+    * build/probe cost) and refine with [[ivfKMeans]]. The one `count()`
+    * action is the index-build job's own (a columnar metadata count, paid
+    * once per index build, not per probe).
     */
   def ivfAssign(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      centroidFraction: Double = 1.0 / 16): DataFrame = {
+      nlist: Int = 1024): DataFrame = {
+    val thr = sampleThreshold(nlist.toLong, embeddings.count())
     val centroids = embeddings
-      .filter(hashSample(col(idCol), centroidFraction))
+      .filter(hashSampleByThreshold(col(idCol), thr))
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"),
         norm(col(vecCol)).as("__cnorm"))
     assignToNearest(withNorm(embeddings, idCol, vecCol), centroids, idCol, vecCol)
@@ -200,10 +244,11 @@ object Similarity {
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      centroidFraction: Double = 1.0 / 16,
+      nlist: Int = 1024,
       iterations: Int = 2): (DataFrame, DataFrame) = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val base = withNorm(embeddings, idCol, vecCol).persist()
-    var assigned = ivfAssign(embeddings, idCol, vecCol, centroidFraction)
+    var assigned = ivfAssign(embeddings, idCol, vecCol, nlist)
     var centroids: DataFrame = null
     (1 to iterations).foreach { _ =>
       val members = assigned.select(col("centroid_id"),
@@ -218,7 +263,12 @@ object Similarity {
         .withColumn("__cnorm", norm(col("centroid_vec")))
       assigned = assignToNearest(base, centroids, idCol, vecCol)
     }
-    (assigned, centroids.select("centroid_id", "centroid_vec"))
+    // Materialize the final assignment before dropping the cached base so
+    // the iterations' reuse is realized and no cached partitions leak.
+    val out = assigned.persist()
+    out.count()
+    base.unpersist()
+    (out, centroids.select("centroid_id", "centroid_vec"))
   }
 
   /** IVF approximate top-k for one query: probe the `nprobe` nearest

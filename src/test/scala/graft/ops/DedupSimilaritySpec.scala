@@ -92,10 +92,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
       val angle = i.toDouble / 40.0 * math.Pi
       (i, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat))
     }.toDF("vec_id", "embedding")
-    // fraction 1/4 hash-samples centroid ids {6, 19, 21, 23, ...}: the probe
-    // of the 2 nearest cells covers the low-angle region around the query
+    // nlist=10 of 40 (threshold 1024/4096) hash-samples centroid ids
+    // {6, 19, 21, 23, ...}: the probe of the 2 nearest cells covers the
+    // low-angle region around the query
     val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding",
-      centroidFraction = 0.25)
+      nlist = 10)
     val centroids = assigned.filter(col("vec_id") === col("centroid_id"))
       .select(col("centroid_id"), col("embedding").as("centroid_vec"))
     val approx = Similarity.ivfTopKForQuery(assigned, centroids, "vec_id",
@@ -113,7 +114,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (i, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat))
     }.toDF("vec_id", "embedding")
     val (assigned, centroids) = Similarity.ivfKMeans(vecs, "vec_id", "embedding",
-      centroidFraction = 0.2, iterations = 2)
+      nlist = 12, iterations = 2)
     assert(assigned.count() == 60)
     assert(assigned.select("centroid_id").distinct().count() <= centroids.count())
     // every member is closer (by cosine) to its own centroid than to a random other
