@@ -62,6 +62,21 @@ class OpsSpec extends AnyFunSuite {
     assert(badRows == Set((3, "x"), (3, "y"), (3, "z")))
   }
 
+  test("groupedRowsToColumns: caller-controlled fill order (SqlTest.groovy:86-96)") {
+    import GroupedRowsToColumns._
+    // Reference: columnMap ['x':'x', 'y':['y2','y1']] fills y2 BEFORE y1, so
+    // a size-1 group leaves y1 null over y2: [1] -> [1, null, 2].
+    val df = Seq((1, "2")).toDF("x", "y")
+    val (good, _) = GroupedRowsToColumns(
+      df,
+      groupBy = Seq("x"),
+      columnMap = Seq(Passthrough("x", "x"), Spread("y", Seq("y2", "y1"))),
+      orderRowsBy = Seq("y"))
+    assert(good.columns.toSeq == Seq("x", "y2", "y1"))
+    val r = good.collect()(0)
+    assert(r.getInt(0) == 1 && r.getString(1) == "2" && r.isNullAt(2))
+  }
+
   test("upsert discard keeps existing, update replaces") {
     val existing = Seq(("k1", "old1"), ("k2", "old2")).toDF("k", "v")
     val incoming = Seq(("k2", "new2"), ("k3", "new3")).toDF("k", "v")
@@ -71,6 +86,23 @@ class OpsSpec extends AnyFunSuite {
     val updated = Upsert.update(existing, incoming, Seq("k"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(updated == Set(("k1", "old1"), ("k2", "new2"), ("k3", "new3")))
+  }
+
+  test("upsert merge: caller-supplied update clause (Sql.groovy:399-408)") {
+    import org.apache.spark.sql.functions._
+    val existing = Seq(("k1", 10, "a"), ("k2", 20, "b")).toDF("k", "n", "tag")
+    val incoming = Seq(("k2", 5, "B"), ("k3", 7, "c")).toDF("k", "n", "tag")
+    // clause: n = old.n + new.n; tag keeps the existing value (not listed)
+    val got = Upsert.merge(existing, incoming, Seq("k"),
+        mergeCols = Map("n" -> ((old, nu) => old + nu)))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(("k1", 10, "a"), ("k2", 25, "b"), ("k3", 7, "c")))
+    // duplicate incoming keys collapse to one row before merging
+    val dupNew = Seq(("k1", 1, "x"), ("k1", 2, "y")).toDF("k", "n", "tag")
+    val merged = Upsert.merge(existing, dupNew, Seq("k"),
+        mergeCols = Map("n" -> ((old, nu) => nu)), tieBreak = Seq("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(merged == Set(("k1", 1), ("k2", 20)))
   }
 
   test("noDuplicates: multi-group blanking, shared columns survive via any group") {

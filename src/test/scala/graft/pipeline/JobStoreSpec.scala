@@ -40,6 +40,49 @@ class JobStoreSpec extends AnyFunSuite {
     assert(one == Set("p2"))
   }
 
+  test("appendJob adds rows without replacing the job's prior rows (selectAs 'existing')") {
+    val root = Files.createTempDirectory("graft-jobstore-app").toString
+    val store = new JobStore(root)
+    val j1 = Seq((1L, "p1", "g1", "*1")).toDF("job_id", "patient_id", "gene_name", "haplotype_name")
+    store.writeJob(j1, "job_patient_gene_haplotype", 1L)
+    val more = Seq((1L, "p1", "g1", "*2")).toDF("job_id", "patient_id", "gene_name", "haplotype_name")
+    store.appendJob(more, "job_patient_gene_haplotype", 1L)
+    val got = store.read(spark, "job_patient_gene_haplotype", Some(1L))
+      .select("haplotype_name").collect().map(_.getString(0)).toSet
+    assert(got == Set("*1", "*2"))
+  }
+
+  test("bucketed stage tables: groupBy/join on the bucket column shuffles nothing") {
+    val root = Files.createTempDirectory("graft-jobstore-bkt").toString
+    val store = new JobStore(root)
+    val gh = (1 to 100).map(i => (1L, s"p${i % 10}", "g1", s"*${i % 3}"))
+      .toDF("job_id", "patient_id", "gene_name", "haplotype_name")
+    store.writeJobBucketed(gh, "job_patient_gene_haplotype", 1L, Seq("patient_id"), 4)
+    val back = store.readBucketed(spark, "job_patient_gene_haplotype", 1L)
+    assert(back.count() == 100)
+
+    // Aggregation on the bucket column: the scan's HashPartitioning
+    // satisfies the agg's distribution — no Exchange in the plan.
+    val agg = back.groupBy("patient_id").count()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"), s"unexpected shuffle in:\n$aggPlan")
+    assert(agg.count() == 10)
+
+    // Bucketed-bucketed join on the bucket column: also exchange-free.
+    store.writeJobBucketed(
+      gh.select("job_id", "patient_id", "gene_name"),
+      "job_patient_genotype", 1L, Seq("patient_id"), 4)
+    val other = store.readBucketed(spark, "job_patient_genotype", 1L)
+      .select("patient_id").distinct()
+    val joined = back.join(other, "patient_id")
+    assert(joined.count() == 100)
+
+    // Re-running the job overwrites its own bucketed table idempotently.
+    store.writeJobBucketed(gh.limit(10), "job_patient_gene_haplotype", 1L,
+      Seq("patient_id"), 4)
+    assert(store.readBucketed(spark, "job_patient_gene_haplotype", 1L).count() == 10)
+  }
+
   test("direct-input readers: genotype header with duplicate HAPLOTYPE columns") {
     val f = Files.createTempFile("genotype", ".tsv")
     Files.writeString(f,
