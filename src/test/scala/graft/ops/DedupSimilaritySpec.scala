@@ -124,6 +124,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(withC > 0.8) // semicircle cells are narrow after refinement
   }
 
+  test("IVF recall@10 on the real embeddings table (hash-sampled and k-means centroids)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val exact = Similarity.topKForQuery(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+
+    def recall(assigned: org.apache.spark.sql.DataFrame,
+        centroids: org.apache.spark.sql.DataFrame, nprobe: Int): Double = {
+      val approx = Similarity.ivfTopKForQuery(assigned, centroids, "vec_id",
+          "embedding", q, 10, nprobe = nprobe)
+        .collect().map(_.getLong(0)).toSet
+      (approx intersect exact).size / 10.0
+    }
+
+    // q20's configuration: raw hash-sampled centroids, nlist=32, nprobe=4
+    val thr = Similarity.sampleThreshold(32L, emb.count())
+    val rawAssigned = Similarity.ivfAssign(emb, "vec_id", "embedding", nlist = 32)
+    val rawCentroids = emb
+      .filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val rawRecall = recall(rawAssigned, rawCentroids, 4)
+
+    // Lloyd-refined centroids from the same seed sample
+    val (kmAssigned, kmCentroids) =
+      Similarity.ivfKMeans(emb, "vec_id", "embedding", nlist = 32, iterations = 2)
+    val kmRecall = recall(kmAssigned, kmCentroids, 4)
+    val kmRecall8 = recall(kmAssigned, kmCentroids, 8)
+
+    // These embeddings are near-uniform (no cluster structure), the hard
+    // case for IVF: probing 4 of ~32 cells can't see most of the corpus.
+    // What must hold: k-means refinement does not hurt recall, and the
+    // nprobe dial buys recall monotonically. Values are deterministic
+    // (seeded sample, fixed data) — pinned as lower bounds.
+    info(f"recall@10 nlist=32: hash-sampled/nprobe4 $rawRecall%.2f, " +
+      f"k-means/nprobe4 $kmRecall%.2f, k-means/nprobe8 $kmRecall8%.2f")
+    assert(rawRecall >= 0.2, s"raw IVF recall@10 too low: $rawRecall")
+    assert(kmRecall >= rawRecall, "k-means refinement reduced recall")
+    assert(kmRecall8 >= kmRecall, "larger nprobe reduced recall")
+    kmAssigned.unpersist()
+  }
+
   test("multimodal stub decode plumbing") {
     import graft.multimodal.Multimodal
     val media = Multimodal.syntheticMedia(spark, docs, "doc_id", "text")
