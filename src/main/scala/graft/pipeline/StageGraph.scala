@@ -61,14 +61,57 @@ final class StageGraph(stages: Map[String, StageGraph.Stage]) {
     */
   def levels: Map[String, Int] = {
     val memo = scala.collection.mutable.Map[String, Int]()
-    val dependants = stages.keys.map { k =>
-      k -> stages.collect { case (n, s) if s.deps.contains(k) => n }.toSeq
-    }.toMap
+    val deps = dependants
     def lvl(name: String): Int = memo.getOrElseUpdate(name, {
-      val ds = dependants(name)
+      val ds = deps(name)
       if (ds.isEmpty) 0 else ds.map(lvl).min + 1
     })
     stages.keys.map(k => k -> lvl(k)).toMap
+  }
+
+  /** Stage -> the stages that depend on it (`Dependency.groovy:178-194`). */
+  def dependants: Map[String, Set[String]] =
+    stages.keys.map { k =>
+      k -> stages.collect { case (n, s) if s.deps.contains(k) => n }.toSet
+    }.toMap
+
+  /** 2-D layout row assignment within each column level
+    * (`Dependency.groovy:204-317` `rowLvls`/`numberNodes`, used by the
+    * reference GUI): per column, within-level roots (stages with no
+    * within-level dependency) are sorted by name and each DFS-numbers its
+    * within-level dependants (children visited name-sorted, later roots
+    * overwrite earlier assignments, exactly as the reference's unconditional
+    * re-assignment does); groups concatenate in root order, each sorted by
+    * DFS number; a stage's row is its position in that concatenation.
+    */
+  def rowLevels: Map[String, Int] = {
+    if (stages.isEmpty) return Map.empty
+    val colLvls = levels
+    val allDependants = dependants
+    val out = scala.collection.mutable.Map[String, Int]()
+    (0 to colLvls.values.max).foreach { n =>
+      val level = stages.keys.filter(colLvls(_) == n).toSeq.sorted
+      val levelSet = level.toSet
+      val within = level.map(k =>
+        k -> allDependants(k).filter(levelSet).toSeq.sorted).toMap
+      val roots = level.filter(k => !stages(k).deps.exists(levelSet)).sorted
+      val verNum = scala.collection.mutable.Map[String, Int]()
+      val verGrp = scala.collection.mutable.Map[String, Int]()
+      roots.zipWithIndex.foreach { case (r, g) => verNum(r) = 0; verGrp(r) = g }
+      roots.zipWithIndex.foreach { case (r, g) =>
+        var i = 0
+        def visit(d: String): Unit = {
+          verNum(d) = i; verGrp(d) = g; i += 1
+          within(d).foreach(visit)
+        }
+        visit(r)
+      }
+      val ordered = roots.indices.flatMap { g =>
+        level.filter(k => verGrp.get(k).contains(g)).sortBy(verNum)
+      }
+      ordered.zipWithIndex.foreach { case (k, idx) => out(k) = idx }
+    }
+    out.toMap
   }
 }
 

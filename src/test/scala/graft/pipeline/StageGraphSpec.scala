@@ -73,4 +73,53 @@ class StageGraphSpec extends AnyFunSuite {
     assert(levels("b") == 2 && levels("c") == 2)
     assert(levels("a") == 3)
   }
+
+  /** The haplorec pipeline shape (`Pipeline.groovy:484-525`), for the layout
+    * methods (`Dependency.groovy:178-317`).
+    */
+  private def pipelineShape: StageGraph = {
+    def s(name: String, deps: String*): (String, StageGraph.Stage) =
+      name -> StageGraph.Stage(deps, _ => df(name))
+    StageGraph(
+      s("variant"),
+      s("hetVariant", "variant"),
+      s("haplotypeCalls", "variant", "hetVariant"),
+      s("geneHaplotype", "haplotypeCalls"),
+      s("novelHaplotype", "haplotypeCalls"),
+      s("genotype", "geneHaplotype"),
+      s("genePhenotype", "genotype"),
+      s("genotypeDrugRecommendation", "genotype"),
+      s("phenotypeDrugRecommendation", "genePhenotype"))
+  }
+
+  test("dependants: reverse adjacency (Dependency.groovy:178-194)") {
+    val d = pipelineShape.dependants
+    assert(d("variant") == Set("hetVariant", "haplotypeCalls"))
+    assert(d("haplotypeCalls") == Set("geneHaplotype", "novelHaplotype"))
+    assert(d("genotype") == Set("genePhenotype", "genotypeDrugRecommendation"))
+    assert(d("phenotypeDrugRecommendation") == Set())
+  }
+
+  test("rowLevels: per-column 2-D layout rows (Dependency.groovy:204-317)") {
+    val g = pipelineShape
+    // column levels first (min distance to a no-dependant leaf)
+    val lv = g.levels
+    assert(Seq("novelHaplotype", "genotypeDrugRecommendation",
+      "phenotypeDrugRecommendation").forall(lv(_) == 0))
+    assert(Seq("genotype", "genePhenotype", "haplotypeCalls").forall(lv(_) <= 1))
+    val rows = g.rowLevels
+    // level 0: three leaves, no within-level deps -> name-sorted rows
+    assert(rows("genotypeDrugRecommendation") == 0)
+    assert(rows("novelHaplotype") == 1)
+    assert(rows("phenotypeDrugRecommendation") == 2)
+    // level 1: genotype chains to genePhenotype within the level; the
+    // haplotypeCalls root follows as its own group
+    assert(rows("genotype") == 0)
+    assert(rows("genePhenotype") == 1)
+    assert(rows("haplotypeCalls") == 2)
+    // level 2: geneHaplotype is a lone root; variant -> hetVariant chain
+    assert(rows("geneHaplotype") == 0)
+    assert(rows("variant") == 1)
+    assert(rows("hetVariant") == 2)
+  }
 }
