@@ -459,6 +459,32 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // Stream-stream join shape (batch form): click -> purchase within 30
+    // minutes per user. Same semantics as the watermarked streaming join
+    // (EventsStreamSpec proves batch ≡ stream).
+    "q38_interval_join" -> ((s, dir) => {
+      EventsStream.intervalJoinBatch(
+          EventsStream.readEvents(s, s"$dir/events.parquet"), "click", "purchase")
+        .select(col("left_id").as("click_id"), col("right_id").as("purchase_id"),
+          col("user_id"), col("left_ts").as("click_ts"),
+          col("right_ts").as("purchase_ts"),
+          round(col("right_value"), 2).as("purchase_value"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
+    // Bloom-pruned fact⋈dim join: sketch the selective order keys, prune
+    // lineitem before the shuffle. Result is exact (the join verifies), so
+    // the oracle is the plain join — what the sketch buys is shuffle volume.
+    "q39_bloom_pruned_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      val dim = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      graft.ops.Sketches.bloomPrunedJoin(fact, dim, "l_orderkey", "l_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // S14: collapse-by-key (scrape post-processing group-concat)
     "q32_collapse_by_key" -> ((s, dir) => {
       graft.ops.Ingest.collapseByKey(
@@ -1106,6 +1132,22 @@ object SparkEntry {
            ('x1', 1, 1, CAST(3 AS BIGINT)))
          AS t(patient_id, het_combo, het_combos, drug_recommendation_id)
          ORDER BY patient_id, het_combo""",
+
+    "q38_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                c.ts AS click_ts, p.ts AS purchase_ts,
+                round(p.value, 2) AS purchase_value
+         FROM events c JOIN events p ON c.user_id = p.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts > c.ts
+           AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+         ORDER BY click_id, purchase_id""",
+
+    "q39_bloom_pruned_join" ->
+      """SELECT l_orderkey, l_linenumber, round(o_totalprice, 2) AS o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 450000
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q32_collapse_by_key" ->
       """SELECT lang, string_agg(DISTINCT source, '. ' ORDER BY source) AS source

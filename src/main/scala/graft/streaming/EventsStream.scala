@@ -151,6 +151,59 @@ object EventsStream {
       .drop("session_seq")
   }
 
+  /** Batch interval join — the batch shape of a stream-stream join: for
+    * each `leftType` event, the `rightType` events of the same user with
+    * `right.ts ∈ (left.ts, left.ts + withinMs]`. Equi join on user_id with
+    * a time-range residual: one shuffle on user_id at any scale (AQE
+    * handles user skew); the range residual evaluates in micro-exact
+    * integer arithmetic so an external oracle using timestamp intervals
+    * agrees bit-for-bit.
+    */
+  def intervalJoinBatch(
+      events: DataFrame,
+      leftType: String,
+      rightType: String,
+      withinMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"), col("user_id"),
+        col("ts").as("left_ts"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"), col("user_id"),
+        col("ts").as("right_ts"), col("value").as("right_value"))
+    l.join(r, Seq("user_id"))
+      .filter(col("right_ts") > col("left_ts") &&
+        unix_micros(col("right_ts")) <= unix_micros(col("left_ts")) + withinMs * 1000L)
+  }
+
+  /** Stream-stream interval join with watermarks on both sides: the join
+    * condition bounds right relative to left, so state for either side is
+    * dropped once the watermark passes `withinMs` — bounded state at any
+    * input rate. Same semantics as [[intervalJoinBatch]] (proved
+    * batch ≡ stream in `EventsStreamSpec`).
+    */
+  def intervalJoinStream(
+      leftEvents: DataFrame,
+      rightEvents: DataFrame,
+      leftType: String,
+      rightType: String,
+      withinMs: Long = 30 * 60 * 1000L,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = leftEvents.filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"), col("user_id").as("left_user"),
+        col("ts").as("left_ts"))
+      .withWatermark("left_ts", watermark)
+    val r = rightEvents.filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"), col("user_id").as("right_user"),
+        col("ts").as("right_ts"), col("value").as("right_value"))
+      .withWatermark("right_ts", watermark)
+    l.join(r,
+        col("left_user") === col("right_user") &&
+          col("right_ts") > col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMs MILLISECONDS"))
+      .select(col("left_user").as("user_id"), col("left_id"), col("right_id"),
+        col("left_ts"), col("right_ts"), col("right_value"))
+  }
+
   /** Streaming smoke: drive the events parquet through readStream into a
     * memory sink; returns collected windowed counts.
     */

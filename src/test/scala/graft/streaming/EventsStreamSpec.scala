@@ -34,6 +34,32 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val events = EventsStream.readEvents(spark, s"$dir/events.parquet")
+    val batch = EventsStream.intervalJoinBatch(events, "click", "purchase")
+      .select("user_id", "left_id", "right_id", "left_ts", "right_ts", "right_value")
+
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventsStream.Event].collect().toSeq
+    val lMem = MemoryStream[EventsStream.Event]
+    val rMem = MemoryStream[EventsStream.Event]
+    lMem.addData(rows)
+    rMem.addData(rows)
+    val joined = EventsStream.intervalJoinStream(
+      lMem.toDF(), rMem.toDF(), "click", "purchase")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("interval_join_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("interval_join_out")
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
   test("stateful sessionization equals batch gap-window formulation") {
     val events = EventsStream.readEvents(spark, s"$dir/events.parquet")
     val batch = EventsStream.sessionizeBatch(events)
