@@ -38,6 +38,26 @@ class SkewFunctionsSpec extends AnyFunSuite {
     assert(salted == plain && salted.nonEmpty)
   }
 
+  test("GraftExtensions injects the same functions via SparkSessionExtensions") {
+    // A fresh session (same SparkContext) constructed with the extensions
+    // entry point — the spark.sql.extensions deployment path.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions()(_))
+        .getOrCreate()
+      val row = extended.sql(
+        "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect().head
+      assert(row.getDouble(0) == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("custom expressions reachable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), "the quick brown fox jumps"))
