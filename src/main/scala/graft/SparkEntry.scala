@@ -25,8 +25,9 @@ object SparkEntry {
     import spark.implicits._
     ReferenceTables(
       drugRecommendation =
-        Seq((1L, "drug"), (2L, "some drug"), (3L, "drug3"), (4L, "drug4"),
-          (5L, "drug5")).toDF("id", "recommendation"),
+        Seq((1L, "drugA", "drug"), (2L, "drugB", "some drug"),
+          (3L, "drugC", "drug3"), (4L, "drugD", "drug4"),
+          (5L, "drugE", "drug5")).toDF("id", "drug_name", "recommendation"),
       genePhenotypeDrugRecommendation = Seq(
         ("g1", "homozygote normal", 1L),
         ("g1", "nonfunctional", 2L),
@@ -485,6 +486,97 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // J7/O6: the condensed-join report engine on TPC-H dimensions — ordered
+    // multi-way left joins, per-table duplicate-key blanking (region and
+    // nation names appear once per first occurrence in report order), SQL
+    // oracle reproduces the window blanking exactly.
+    "q40_condensed_report" -> ((s, dir) => {
+      import graft.report.CondensedJoin._
+      val tables = Map(
+        "region" -> t(s, dir, "region").select("r_regionkey", "r_name"),
+        "nation" -> t(s, dir, "nation").select("n_regionkey", "n_nationkey", "n_name"),
+        "customer" -> t(s, dir, "customer").select("c_nationkey", "c_name", "c_acctbal"))
+      val spec = Spec(
+        select = Seq("region" -> Seq("r_name"), "nation" -> Seq("n_name"),
+          "customer" -> Seq("c_name", "c_acctbal")),
+        root = "region",
+        joins = Seq(
+          Join("nation", "left", _ =>
+            col2("region", "r_regionkey") === col2("nation", "n_regionkey")),
+          Join("customer", "left", _ =>
+            col2("nation", "n_nationkey") === col2("customer", "c_nationkey"))),
+        duplicateKey = Map(
+          "region" -> Seq(Own("r_name")),
+          "nation" -> Seq(Own("n_name")),
+          "customer" -> Seq(Own("c_name"))))
+      condensed(spec, tables)
+        .select(col("region__r_name").as("r_name"), col("nation__n_name").as("n_name"),
+          col("customer__c_name").as("c_name"), col("customer__c_acctbal").as("c_acctbal"))
+        .orderBy(col("c_name").asc_nulls_first, col("r_name").asc_nulls_first)
+    }),
+
+    // S10/F5: distributed DSV line rendering with the reference's null
+    // encoding ('' — concat_ws alone would SKIP nulls and shift fields).
+    "q42_dsv_render" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.select(col("c_custkey"),
+          graft.io.DsvWriter.dsvLine(Seq(
+            col("c_name"),
+            when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")),
+            col("c_nationkey"), col("c_custkey")), sep = "|").as("dsv_line"))
+        .orderBy("c_custkey")
+    }),
+
+    // R3/J8/R4: novel-haplotype matrix report — long→wide pivot of the known
+    // matrix plus one row per (patient, chromosome, combo) novel call.
+    "q43_novel_matrix" -> ((s, dir) => {
+      val mats = graft.report.Reports.novelHaplotypeReport(
+        s, fixtureStages(s), fixtureRefs(s), 1L)
+      mats("g1").orderBy("row_name")
+    }),
+
+    // U4: dependency-graph layout parity (levels, 2-D row assignment,
+    // dependants — Dependency.groovy:136-317) over the real pipeline shape.
+    "q44_stage_graph_layout" -> ((s, _) => {
+      import s.implicits._
+      val g = graft.pipeline.Pipeline.graphShape
+      val (lv, rl, dp) = (g.levels, g.rowLevels, g.dependants)
+      lv.keys.toSeq.sorted
+        .map(k => (k, lv(k), rl(k), dp(k).size))
+        .toDF("stage", "col_level", "row_level", "n_dependants")
+        .orderBy("stage")
+    }),
+
+    // Skew path: two-phase salted aggregation — identical result to the
+    // plain aggregate (the oracle), hot keys spread over 16 partial groups.
+    "q45_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedAggregate(
+          t(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+          Seq("l_returnflag"), saltBuckets = 16,
+          partial = Seq(count(lit(1)).as("c"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("q")),
+          merge = Seq(sum(col("c")).as("n_rows"),
+            sum(col("q")).cast("double").as("sum_qty")))
+        .orderBy("l_returnflag")
+    }),
+
+    // Streaming exact-dedup: the q14 aggregate through readStream (state =
+    // one (count, min) pair per fingerprint), complete-mode memory sink.
+    "q46_streaming_dedup" -> ((s, dir) => {
+      Dedup.streamingExactGroups(s, dir, "documents.parquet", "doc_id", "text")
+        .orderBy("fingerprint")
+    }),
+
+    // Embedding near-dup pairs via IVF cells (data-adaptive complement to
+    // q21's hyperplane LSH): same deterministic index build as q20, exact
+    // cosine verified within cells only.
+    "q47_ivf_cell_pairs" -> ((s, dir) => {
+      Similarity.ivfCellNearNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nlist = 32, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 4).as("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // S14: collapse-by-key (scrape post-processing group-concat)
     "q32_collapse_by_key" -> ((s, dir) => {
       graft.ops.Ingest.collapseByKey(
@@ -561,6 +653,35 @@ object SparkEntry {
     Similarity.hyperplanes(dim = 64, bits = 16, seed = 42L).zipWithIndex
       .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[])" }
       .mkString(",\n           ")
+
+  /** Shared oracle CTE chain reproducing the deterministic IVF index build
+    * (q20 probe / q47 cell pairs): hash-sampled centroids at nlist=32
+    * ([[graft.ops.Similarity.sampleThreshold]] arithmetic), per-vector norms,
+    * nearest-centroid assignment with ties by centroid_id.
+    */
+  private val ivfAssignCtes: String =
+    """c AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+           FROM embeddings
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 3) <
+             (SELECT lpad(to_hex(CAST(least(4095, greatest(1,
+                round(32 * 4096.0 / count(*)))) AS BIGINT)), 3, '0')
+              FROM embeddings)),
+         v AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+           FROM embeddings),
+         scored AS (
+           SELECT v.vec_id, v.embedding, v.vn, c.centroid_id,
+             CASE WHEN v.vn * c.cn > 0 THEN
+               list_sum(list_transform(range(1, len(v.embedding) + 1),
+                 i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) / (v.vn * c.cn)
+             ELSE 0.0 END AS sim
+           FROM v CROSS JOIN c),
+         assigned AS (
+           SELECT vec_id, embedding, vn, centroid_id
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, centroid_id) AS r FROM scored)
+           WHERE r = 1)"""
 
   /** Shared oracle CTE chain for the hom-path genomics fixture: candidate
     * haplotypes (U1 semantics), unambiguous calls, genotype pivot,
@@ -958,31 +1079,10 @@ object SparkEntry {
     // probe, same top-10 selection by unrounded sim, final order by the
     // rounded value to match the Spark-side sort.
     "q20_ivf_topk" ->
-      """WITH q AS (SELECT embedding AS qv,
+      s"""WITH q AS (SELECT embedding AS qv,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
            FROM embeddings WHERE vec_id = 0),
-         c AS (SELECT vec_id AS centroid_id, embedding AS cvec,
-             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
-           FROM embeddings
-           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 3) <
-             (SELECT lpad(to_hex(CAST(least(4095, greatest(1,
-                round(32 * 4096.0 / count(*)))) AS BIGINT)), 3, '0')
-              FROM embeddings)),
-         v AS (SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
-           FROM embeddings),
-         scored AS (
-           SELECT v.vec_id, v.embedding, v.vn, c.centroid_id,
-             CASE WHEN v.vn * c.cn > 0 THEN
-               list_sum(list_transform(range(1, len(v.embedding) + 1),
-                 i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) / (v.vn * c.cn)
-             ELSE 0.0 END AS sim
-           FROM v CROSS JOIN c),
-         assigned AS (
-           SELECT vec_id, embedding, vn, centroid_id
-           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY sim DESC, centroid_id) AS r FROM scored)
-           WHERE r = 1),
+         $ivfAssignCtes,
          probed AS (
            SELECT centroid_id
            FROM c, q
@@ -1148,6 +1248,104 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 450000
          ORDER BY l_orderkey, l_linenumber""",
+
+    // Window-blanking reproduction of the condensed join: same total order
+    // (__ord), same per-dup-key first-occurrence test.
+    "q40_condensed_report" ->
+      """WITH j AS (
+           SELECT r_name, n_name, c_name, c_acctbal
+           FROM region
+           LEFT JOIN nation ON n_regionkey = r_regionkey
+           LEFT JOIN customer ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT *, row_number() OVER (ORDER BY r_name ASC NULLS FIRST,
+             n_name ASC NULLS FIRST, c_name ASC NULLS FIRST,
+             c_acctbal ASC NULLS FIRST) AS ord
+           FROM j),
+         f AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY r_name ORDER BY ord) AS rr,
+             row_number() OVER (PARTITION BY n_name ORDER BY ord) AS rn
+           FROM o)
+         SELECT CASE WHEN rr = 1 THEN r_name END AS r_name,
+                CASE WHEN rn = 1 THEN n_name END AS n_name,
+                c_name, c_acctbal
+         FROM f ORDER BY c_name ASC NULLS FIRST, r_name ASC NULLS FIRST""",
+
+    "q42_dsv_render" ->
+      """SELECT c_custkey,
+           concat_ws('|',
+             coalesce(CAST(c_name AS VARCHAR), ''),
+             coalesce(CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                           ELSE c_mktsegment END AS VARCHAR), ''),
+             coalesce(CAST(c_nationkey AS VARCHAR), ''),
+             coalesce(CAST(c_custkey AS VARCHAR), '')) AS dsv_line
+         FROM customer ORDER BY c_custkey""",
+
+    // Hand-derived golden from the fixture matrix (*1..*5 known rows) plus
+    // the two novel hom patients: p4 = unseen combination (rs1 C + rs2 G),
+    // p5 = unseen allele (rs1 X, no rs2 call → NULL cell). Combo fields are
+    // the hom defaults (1/1).
+    "q43_novel_matrix" ->
+      """SELECT * FROM (VALUES
+           ('*1', 'A', 'G'),
+           ('*2', 'C', 'T'),
+           ('*3', 'G', 'G'),
+           ('*4', 'G', 'A'),
+           ('*5', 'A', 'A'),
+           ('Sample p4, chrA (1/1)', 'C', 'G'),
+           ('Sample p4, chrB (1/1)', 'C', 'G'),
+           ('Sample p5, chrA (1/1)', 'X', CAST(NULL AS VARCHAR)),
+           ('Sample p5, chrB (1/1)', 'X', CAST(NULL AS VARCHAR)))
+         AS t(row_name, rs1, rs2)
+         ORDER BY row_name""",
+
+    // Hand-derived from Dependency.groovy:136-317 over the pipeline shape:
+    // col_level = shortest path to a leaf via dependants; row_level = the
+    // per-column 2-D assignment (within-level roots sorted by name, each
+    // DFS-numbering its within-level dependants, groups concatenated in
+    // root order); n_dependants = direct dependant count.
+    "q44_stage_graph_layout" ->
+      """SELECT * FROM (VALUES
+           ('geneHaplotype', 2, 0, 1),
+           ('genePhenotype', 1, 1, 1),
+           ('genotype', 1, 0, 2),
+           ('genotypeDrugRecommendation', 0, 0, 0),
+           ('haplotypeCalls', 1, 2, 2),
+           ('hetVariant', 2, 2, 1),
+           ('novelHaplotype', 0, 1, 0),
+           ('phenotypeDrugRecommendation', 0, 2, 0),
+           ('variant', 2, 1, 2))
+         AS t(stage, col_level, row_level, n_dependants)
+         ORDER BY stage""",
+
+    // The salted two-phase aggregate must equal the plain aggregate exactly
+    // (decimal partials make the re-aggregation order-insensitive).
+    "q45_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Streaming exact-dedup ≡ the batch q14 aggregate.
+    "q46_streaming_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+                count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 ORDER BY fingerprint""",
+
+    // Same IVF index build as q20; exact cosine within cells only.
+    "q47_ivf_cell_pairs" ->
+      s"""WITH $ivfAssignCtes,
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CASE WHEN a.vn * b.vn > 0 THEN
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.vn * b.vn)
+             ELSE 0.0 END AS cosine_sim
+           FROM assigned a JOIN assigned b
+             ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(cosine_sim, 4) AS cosine_sim
+         FROM pairs WHERE cosine_sim >= 0.3
+         ORDER BY id_a, id_b""",
 
     "q32_collapse_by_key" ->
       """SELECT lang, string_agg(DISTINCT source, '. ' ORDER BY source) AS source

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** DSV serialization, the reference's output format
@@ -23,6 +23,16 @@ object DsvWriter {
       .mode("overwrite")
       .csv(path)
   }
+
+  /** Render projected columns as one DSV line per row, fully distributed
+    * (the engine-side form of `Row.asDSV`, `Row.groovy:235-305`): values
+    * cast to string, nulls encoded as `''` (the reference's null encoding),
+    * joined by `sep`. Each value is null-coalesced BEFORE `concat_ws` —
+    * `concat_ws` alone SKIPS null elements, which would shift later fields
+    * left and break field positions.
+    */
+  def dsvLine(cols: Seq[Column], sep: String = "\t"): Column =
+    concat_ws(sep, cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
 
   /** Render a small frame to a DSV string on the driver (reports). */
   def renderString(df: DataFrame, sep: String = "\t"): String = {

@@ -26,6 +26,37 @@ object Dedup {
     df.groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Streaming form of [[exactGroups]]: the identical fingerprint
+    * aggregation as a Structured Streaming query over a parquet directory,
+    * complete-mode into a memory sink (batch ≡ stream by construction —
+    * same deterministic aggregate). At cluster scale the memory sink
+    * becomes a parquet/Delta sink in update mode and the streaming state is
+    * one (count, min) pair per distinct fingerprint — the continuous-ingest
+    * path for corpus dedup, where each micro-batch folds new documents into
+    * the running duplicate groups instead of re-scanning the corpus.
+    */
+  def streamingExactGroups(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String,
+      idCol: String,
+      textCol: String,
+      queryName: String = "graft_streaming_exact_groups"): DataFrame = {
+    // The streaming file source watches a DIRECTORY; the glob selects the
+    // table's files within it.
+    val schema = spark.read.parquet(s"$dir/$glob").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    val agg = stream
+      .groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Exact dedup keeping whole rows: first row (by `idCol`) per identical
     * normalized text.
     */

@@ -271,6 +271,41 @@ object Similarity {
     (out, centroids.select("centroid_id", "centroid_vec"))
   }
 
+  /** Embedding-cosine near-duplicate pairs at scale via IVF cells: assign
+    * every vector to its nearest of `nlist` hash-sampled centroids (one
+    * broadcast pass, [[ivfAssign]]), then verify exact cosine only WITHIN
+    * cells. Complements [[lshNearNeighbors]]: centroids are data-adaptive
+    * (they follow corpus density) where hyperplane buckets are oblivious.
+    * One shuffle on `centroid_id`; in-cell verify cost is
+    * O(n × n/nlist) dot products total — size `nlist ≈ n / targetCellSize`
+    * to hold per-cell work constant. Approximate by construction: a pair
+    * straddling a cell boundary is missed (the standard IVF recall trade —
+    * raise `nlist` less aggressively, or union with [[lshNearNeighbors]]).
+    */
+  def ivfCellNearNeighbors(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 1024,
+      threshold: Double = 0.8): DataFrame = {
+    // Persisted: the assignment feeds both self-join branches, and the
+    // self-join's attribute deduplication defeats ReuseExchange.
+    val assigned = ivfAssign(embeddings, idCol, vecCol, nlist)
+      .withColumn("__norm", norm(col(vecCol)))
+      .persist()
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("__norm").as("na"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("__norm").as("nb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("na") * col("nb") > 0,
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
   /** IVF approximate top-k for one query: probe the `nprobe` nearest
     * centroids' cells only. Candidate set is the probed cells, not the
     * corpus — the standard recall/cost dial.

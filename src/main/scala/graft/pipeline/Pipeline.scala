@@ -100,17 +100,29 @@ object Pipeline {
       materialize = (_, df) => df.persist(persistLevel))
   }
 
+  /** The fixed stage dependency shape (`Pipeline.groovy:484-525`). */
+  val stageDeps: Map[String, Seq[String]] = Map(
+    "variant" -> Nil,
+    "hetVariant" -> Seq("variant"),
+    "haplotypeCalls" -> Seq("variant", "hetVariant"),
+    "geneHaplotype" -> Seq("haplotypeCalls"),
+    "novelHaplotype" -> Seq("haplotypeCalls"),
+    "genotype" -> Seq("geneHaplotype"),
+    "genePhenotype" -> Seq("genotype"),
+    "genotypeDrugRecommendation" -> Seq("genotype"),
+    "phenotypeDrugRecommendation" -> Seq("genePhenotype"))
+
+  /** The pipeline graph with introspection-only rules — for layout/levels/
+    * dependants queries (`Dependency.groovy:136-317` parity) without a job.
+    */
+  def graphShape: StageGraph = new StageGraph(stageDeps.map { case (name, ds) =>
+    name -> StageGraph.Stage(ds, _ =>
+      throw new UnsupportedOperationException(s"shape-only graph: $name"))
+  })
+
   /** Downstream closure of the provided stages over the fixed graph shape. */
   private def reachableTargets(provided: Set[String]): Seq[String] = {
-    val deps: Map[String, Seq[String]] = Map(
-      "hetVariant" -> Seq("variant"),
-      "haplotypeCalls" -> Seq("variant", "hetVariant"),
-      "geneHaplotype" -> Seq("haplotypeCalls"),
-      "novelHaplotype" -> Seq("haplotypeCalls"),
-      "genotype" -> Seq("geneHaplotype"),
-      "genePhenotype" -> Seq("genotype"),
-      "genotypeDrugRecommendation" -> Seq("genotype"),
-      "phenotypeDrugRecommendation" -> Seq("genePhenotype"))
+    val deps = stageDeps.filter(_._2.nonEmpty)
     val buildable = scala.collection.mutable.Set[String](provided.toSeq: _*)
     var changed = true
     while (changed) {

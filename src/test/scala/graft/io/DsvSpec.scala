@@ -101,4 +101,15 @@ class DsvSpec extends AnyFunSuite {
     val got = Dsv.read(spark, dir.toString, header = Seq("x", "y")).collect()
     assert(got.length == 1 && got(0).getString(0) == "1")
   }
+
+  test("dsvLine keeps null field positions with '' encoding (Row.groovy:235-305)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", Some("b"), 1), ("x", None, 2)).toDF("c1", "c2", "c3")
+    val got = df.select(DsvWriter.dsvLine(
+        Seq(col("c1"), col("c2"), col("c3")), sep = "|").as("l"))
+      .collect().map(_.getString(0)).toSet
+    // A plain concat_ws would render the null row as "x|2" — field shift.
+    assert(got == Set("a|b|1", "x||2"))
+  }
 }

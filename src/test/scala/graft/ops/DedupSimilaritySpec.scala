@@ -108,6 +108,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx == exact)
   }
 
+  test("IVF-cell near-dup pairs: subset of brute-force pairs, finds in-cell dups") {
+    val vecs = (0L until 40L).map { i =>
+      val angle = i.toDouble / 40.0 * math.Pi
+      (i, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val threshold = 0.95
+    val got = Similarity.ivfCellNearNeighbors(vecs, "vec_id", "embedding",
+        nlist = 8, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Every reported pair is a true near-dup (exact verification in-cell)…
+    val all = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 39)
+      .filter(col("cosine_sim") >= threshold)
+      .filter(col("id_a") < col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(all))
+    // …and adjacent angles sharing a cell are found (non-trivial recall).
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b) => a < b })
+  }
+
+  test("streaming exact-dedup equals the batch aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Here documents.parquet is a directory of part files (Spark's write
+    // layout); the glob selects the parts. The sf testdata layout — a
+    // single file inside the sf dir — is instead (sfDir, "documents.parquet").
+    val stream = Dedup.streamingExactGroups(spark, s"$dir/documents.parquet",
+        "*.parquet", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
+
   test("k-means refinement keeps assignment total and improves compactness") {
     val vecs = (0L until 60L).map { i =>
       val angle = i.toDouble / 60.0 * math.Pi
