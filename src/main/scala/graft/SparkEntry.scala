@@ -430,6 +430,34 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Data mixing: per-stratum deterministic down-sampling (md5 predicate —
+    // no RNG state, no count; the oracle reproduces the exact row set).
+    "q50_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedHashSample(t(s, dir, "documents"),
+          "doc_id", "lang", Seq("en" -> 0.5, "de" -> 0.25))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Cluster-level dedup: connected components over the q16 verified
+    // near-dup pairs — transitive duplicates collapse to one survivor
+    // (cluster_id = component minimum).
+    "q51_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minHashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, numHashes = 8, bands = 4, shingleLen = 3)
+      Dedup.duplicateClusters(pairs).orderBy("id")
+    }),
+
+    // Data mixing: integer up-weighting (repeat high-priority strata N×
+    // with a copy index) — codegen'd explode in the scan stage.
+    "q52_weighted_repeat" -> ((s, dir) => {
+      graft.ops.Sampling.weightedRepeat(
+          t(s, dir, "documents").select("doc_id", "lang"), "lang",
+          Seq("de" -> 3, "fr" -> 2))
+        .withColumn("copy", col("copy").cast("long"))
+        .orderBy("doc_id", "copy")
+    }),
+
     // Streaming-shape: tumbling-window aggregation (batch form)
     "q22_events_hourly" -> ((s, dir) => {
       EventsStream.windowedCounts(EventsStream.readEvents(s, s"$dir/events.parquet"), "1 hour")
@@ -699,6 +727,42 @@ object SparkEntry {
     Similarity.hyperplanes(dim = 64, bits = 16, seed = 42L).zipWithIndex
       .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[])" }
       .mkString(",\n           ")
+
+  /** Shared oracle CTE chain for the MinHash+LSH path (q16 pairs, q51
+    * clusters): shingles → 8-hash md5-min signature → 4-band bucketing →
+    * candidate pairs → exact-Jaccard verification.
+    */
+  private lazy val minhashVerifiedCtes: String =
+    s"""t AS (SELECT doc_id, $toks AS tk FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(tk) - 3 + 2),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS sh
+               FROM t WHERE len(tk) >= 3),
+         sig AS (SELECT doc_id, sh,
+             [list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min'),
+              list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min'),
+              list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min'),
+              list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min'),
+              list_aggregate(list_transform(sh, x -> md5('4:' || x)), 'min'),
+              list_aggregate(list_transform(sh, x -> md5('5:' || x)), 'min'),
+              list_aggregate(list_transform(sh, x -> md5('6:' || x)), 'min'),
+              list_aggregate(list_transform(sh, x -> md5('7:' || x)), 'min')] AS sg
+           FROM s),
+         banded AS (
+           SELECT doc_id, sh, b.band,
+                  sg[b.band * 2 + 1] || '|' || sg[b.band * 2 + 2] AS band_sig
+           FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+         verified AS (
+           SELECT c.id_a, c.id_b,
+                  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+           FROM cand c
+           JOIN s sa ON sa.doc_id = c.id_a
+           JOIN s sb ON sb.doc_id = c.id_b)"""
 
   /** Shared oracle CTE chain reproducing the deterministic IVF index build
     * (q20 probe / q47 cell pairs): hash-sampled centroids at nlist=32
@@ -999,39 +1063,41 @@ object SparkEntry {
          FROM s ORDER BY doc_id""",
 
     "q16_minhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-         s AS (SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(tk) - 3 + 2),
-                   i -> array_to_string(tk[i:i+2], ' '))) AS sh
-               FROM t WHERE len(tk) >= 3),
-         sig AS (SELECT doc_id, sh,
-             [list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min'),
-              list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min'),
-              list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min'),
-              list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min'),
-              list_aggregate(list_transform(sh, x -> md5('4:' || x)), 'min'),
-              list_aggregate(list_transform(sh, x -> md5('5:' || x)), 'min'),
-              list_aggregate(list_transform(sh, x -> md5('6:' || x)), 'min'),
-              list_aggregate(list_transform(sh, x -> md5('7:' || x)), 'min')] AS sg
-           FROM s),
-         banded AS (
-           SELECT doc_id, sh, b.band,
-                  sg[b.band * 2 + 1] || '|' || sg[b.band * 2 + 2] AS band_sig
-           FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM banded a JOIN banded b
-             ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-         verified AS (
-           SELECT c.id_a, c.id_b,
-                  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                  len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-           FROM cand c
-           JOIN s sa ON sa.doc_id = c.id_a
-           JOIN s sb ON sb.doc_id = c.id_b)
+      s"""WITH $minhashVerifiedCtes
          SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          FROM verified WHERE jaccard >= 0.5
          ORDER BY id_a, id_b""",
+
+    // q16's verified pairs → connected components, as a DuckDB recursive
+    // closure (reach = all nodes reachable from id; cluster = min reached).
+    "q51_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+         SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+         ORDER BY id""",
+
+    "q50_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CASE
+           WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '800'
+           WHEN lang = 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '400'
+           ELSE TRUE END
+         ORDER BY doc_id""",
+
+    "q52_weighted_repeat" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             CASE WHEN lang = 'de' THEN 3 WHEN lang = 'fr' THEN 2 ELSE 1 END AS n
+           FROM documents)
+         SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
+         FROM w ORDER BY doc_id, copy""",
 
     "q17_ngram_jaccard" ->
       """WITH norm AS (

@@ -65,6 +65,57 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Connected components over a near-duplicate PAIR list: (id, cluster_id)
+    * where cluster_id is the minimum id in the component. The post-pass
+    * that turns pairwise near-dup output ([[minHashNearDuplicates]],
+    * [[simHashNearDuplicates]], …) into keep/drop decisions — keep each
+    * cluster's minimum, drop the rest — so transitive duplicates
+    * (A≈B, B≈C, A̸≈C) collapse to ONE survivor, not two.
+    *
+    * Alternating min-label propagation: each iteration joins labels across
+    * edges and keeps the per-node minimum; converges in O(component
+    * diameter) iterations — near-dup components are dense (threshold
+    * graphs ≈ cliques), so diameter is small. Each iteration is one hash
+    * join + one aggregate of the EDGE list (no corpus-sized state), the
+    * distributed shape of large-star/small-star. The per-iteration
+    * `count()` is the convergence check of an offline index-build job.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIterations: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("minn"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("minn"), col("label"))).as("label"))
+        .persist()
+      converged = updated
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") < col("old")).isEmpty
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** MinHash signature: `numHashes` per-document minima of hashed shingles.
     * Hash family j is `md5(j || ':' || shingle)` and the minimum is
     * lexicographic — engine-portable (md5 strings compare identically

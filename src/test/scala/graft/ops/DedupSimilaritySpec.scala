@@ -128,6 +128,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("duplicateClusters: transitive pairs collapse to one component") {
+    // 1≈2, 2≈3 (1 and 3 never compared) and a separate 5≈6 component.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("stratified hash-sample: deterministic per-stratum selection") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val once = Sampling.stratifiedHashSample(df, "doc_id", "lang",
+      Seq("en" -> 0.5, "de" -> 0.25)).collect().map(_.getLong(0)).toSet
+    val again = Sampling.stratifiedHashSample(df, "doc_id", "lang",
+      Seq("en" -> 0.5, "de" -> 0.25)).collect().map(_.getLong(0)).toSet
+    assert(once == again) // no RNG state
+    val en = once.count(_ % 2 == 0)
+    val de = once.count(_ % 2 == 1)
+    assert(en > 60 && en < 140) // ~100 of 200
+    assert(de > 20 && de < 80) // ~50 of 200
+    // fraction 1.0 (default stratum) keeps everything
+    val full = Sampling.stratifiedHashSample(df, "doc_id", "lang", Nil)
+    assert(full.count() == 400)
+  }
+
+  test("weightedRepeat: per-stratum copies with a 1-based index") {
+    val df = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val got = Sampling.weightedRepeat(df, "lang", Seq("de" -> 3))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(got == Set((1L, 1), (2L, 1), (2L, 2), (2L, 3)))
+  }
+
   test("streaming exact-dedup equals the batch aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
