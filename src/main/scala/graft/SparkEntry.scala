@@ -458,6 +458,30 @@ object SparkEntry {
         .orderBy("doc_id", "copy")
     }),
 
+    // Batch k-NN join (retrieval eval / hard-negative mining): exact top-5
+    // corpus neighbours for each of 5 query vectors — one corpus scan,
+    // two-phase partial top-k (shuffle carries k×partitions rows per query).
+    "q53_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.topKJoin(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine_sim"), 4).as("cosine_sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // End-to-end dedup deliverable: the kept corpus after dropping every
+    // non-minimum member of each near-dup cluster (q16 pairs → q51
+    // components → anti join).
+    "q54_dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.5, numHashes = 8, bands = 4, shingleLen = 3)
+      Dedup.keepList(docs.select("doc_id", "lang"), "doc_id",
+          Dedup.duplicateClusters(pairs))
+        .orderBy("doc_id")
+    }),
+
     // Streaming-shape: tumbling-window aggregation (batch form)
     "q22_events_hourly" -> ((s, dir) => {
       EventsStream.windowedCounts(EventsStream.readEvents(s, s"$dir/events.parquet"), "1 hour")
@@ -1082,6 +1106,48 @@ object SparkEntry {
            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
          SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
          ORDER BY id""",
+
+    // Per-query exact top-k: selection by unrounded sim (ties by vec_id),
+    // presented rounded; rank is the per-query row_number.
+    "q53_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM embeddings WHERE vec_id < 5),
+         e AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+           FROM embeddings),
+         s AS (
+           SELECT q.query_id, e.vec_id,
+             CASE WHEN e.vn * q.qn > 0 THEN
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) / (e.vn * q.qn)
+             ELSE 0.0 END AS sim
+           FROM e CROSS JOIN q),
+         r AS (
+           SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+           FROM s)
+         SELECT query_id, vec_id, round(sim, 4) AS cosine_sim,
+                CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // Kept corpus = documents minus every clustered non-minimum (recursive
+    // closure over the q16 verified pairs, as in q51).
+    "q54_dedup_keep" ->
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+         ORDER BY doc_id""",
 
     "q50_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

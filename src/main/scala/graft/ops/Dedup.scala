@@ -116,6 +116,16 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** The final dedup decision over [[duplicateClusters]] output: drop every
+    * non-minimum member of each near-dup cluster; rows in no cluster pass
+    * through. One broadcast-able anti join (the drop list is the clustered
+    * non-minima — near-dup clusters are a small fraction of a corpus).
+    */
+  def keepList(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(
+      clusters.filter(col("id") =!= col("cluster_id")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** MinHash signature: `numHashes` per-document minima of hashed shingles.
     * Hash family j is `md5(j || ':' || shingle)` and the minimum is
     * lexicographic — engine-portable (md5 strings compare identically

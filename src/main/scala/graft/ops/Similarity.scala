@@ -271,6 +271,42 @@ object Similarity {
     (out, centroids.select("centroid_id", "centroid_vec"))
   }
 
+  /** Batch k-NN join: exact top-k corpus neighbours for EVERY query row —
+    * the retrieval-eval / hard-negative-mining shape. The query side is
+    * broadcast (queries ≪ corpus); the corpus scans ONCE; top-k is
+    * two-phase — a per-(query, partition) partial top-k behind the map-side
+    * aggregate, then a k×partitions merge per query — so the shuffle
+    * carries `k × partitions` rows per query, never the scored corpus.
+    * Rank ties break by ascending neighbour id on both phases (struct sort
+    * on (-sim, id)).
+    */
+  def topKJoin(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int): DataFrame = {
+    val e = withNorm(embeddings, idCol, vecCol)
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+      norm(col(qVecCol)).as("__qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        when(col("__norm") * col("__qn") > 0,
+          dot(col(vecCol), col("__qv")) / (col("__norm") * col("__qn")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
+    val item = struct((-col("cosine_sim")).as("negsim"), col(idCol).as("nid"))
+    scored
+      .groupBy(col("query_id"), spark_partition_id().as("__p"))
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("__top"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(flatten(collect_list(col("__top")))), 1, k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__t")))
+      .select(col("query_id"), col("__t.nid").as(idCol),
+        (-col("__t.negsim")).as("cosine_sim"), (col("__i") + 1).as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs at scale via IVF cells: assign
     * every vector to its nearest of `nlist` hash-sampled centroids (one
     * broadcast pass, [[ivfAssign]]), then verify exact cosine only WITHIN

@@ -128,6 +128,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("topKJoin: per-query results equal single-query exact search") {
+    val vecs = (0L until 30L).map { i =>
+      val angle = i.toDouble / 30.0 * math.Pi
+      (i, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val joined = Similarity.topKJoin(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") < 3), "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val expected = (0L until 3L).flatMap { qid =>
+      val q = Seq(math.cos(qid / 30.0 * math.Pi).toFloat,
+        math.sin(qid / 30.0 * math.Pi).toFloat)
+      Similarity.topKForQuery(vecs, "vec_id", "embedding", q, 4)
+        .collect().zipWithIndex.map { case (r, i) => (qid, i + 1, r.getLong(0)) }
+    }.toSet
+    assert(joined == expected)
+  }
+
+  test("keepList drops clustered non-minima only") {
+    val docs2 = Seq((1L, "a"), (2L, "a"), (3L, "a"), (5L, "b"), (6L, "b"),
+      (9L, "c")).toDF("doc_id", "lang")
+    val clusters = Dedup.duplicateClusters(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b"))
+    val kept = Dedup.keepList(docs2, "doc_id", clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 9L)) // cluster minima + unclustered 9
+  }
+
   test("duplicateClusters: transitive pairs collapse to one component") {
     // 1≈2, 2≈3 (1 and 3 never compared) and a separate 5≈6 component.
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
