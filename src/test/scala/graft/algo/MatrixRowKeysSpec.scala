@@ -73,4 +73,37 @@ class MatrixRowKeysSpec extends AnyFunSuite {
     assert(keys("B (wildtype)").contains(Set("rs1050829" -> "T")))
     assert(keys("A-202A_376G").contains(Set("rs1050828" -> "T")))
   }
+
+  test("matrix row iteration: full G6PD fixture (ReportTest.groovy:92-155)") {
+    // The reference iterates known-haplotype rows with per-SNP allele
+    // vectors; cells the haplotype doesn't define come back blank. Our
+    // canonical row order is by haplotype name (the reference uses map
+    // insertion order — an order the engine makes deterministic instead).
+    val snps = Vector("rs1050828", "rs1050829", "rs5030868", "rs137852328",
+      "rs76723693", "rs2230037")
+    val fixture = Vector(
+      "B (wildtype)" -> Vector("C", "T", "G", "C", "A", "G"),
+      "A-202A_376G" -> Vector("T", "C", "G", "C", "A", "G"),
+      "A- 680T_376G" -> Vector("C", "C", "G", "A", "A", "G"),
+      "A-968C_376G" -> Vector("C", "C", "G", "C", "G", "G"),
+      "Mediterranean Haplotype" -> Vector("C", "T", "A", "C", "A", "A"))
+    val long = for {
+      (h, alleles) <- fixture
+      (s, a) <- snps.zip(alleles)
+    } yield (h, s, a)
+    val m = GeneHaplotypeMatrix("G6PD", snps, long)
+    assert(m.rows.map(_._1) == Vector("A- 680T_376G", "A-202A_376G",
+      "A-968C_376G", "B (wildtype)", "Mediterranean Haplotype"))
+    val byName = m.rows.toMap
+    fixture.foreach { case (h, alleles) =>
+      assert(byName(h) == alleles.map(Option(_)), h)
+    }
+    // A haplotype defined on a subset of SNPs leaves the rest blank (the
+    // NovelHaplotype null-padding in ReportTest's expected rows).
+    val partial = GeneHaplotypeMatrix("G6PD", snps,
+      Vector(("p1-A", "rs1050828", "T"), ("p1-A", "rs1050829", "T"),
+        ("p1-A", "rs5030868", "G")))
+    assert(partial.rows.head._2 == Vector(Some("T"), Some("T"), Some("G"),
+      None, None, None))
+  }
 }
