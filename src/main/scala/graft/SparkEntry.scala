@@ -482,6 +482,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Stream-static enrichment join (batch form; EventsStreamSpec proves
+    // batch ≡ stream): dimension attributes onto the event stream with NO
+    // streaming state — the static side re-plans per micro-batch.
+    "q55_stream_static_enrich" -> ((s, dir) => {
+      EventsStream.enrichWithDim(
+          EventsStream.readEvents(s, s"$dir/events.parquet"),
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+        .orderBy("event_id")
+    }),
+
     // Streaming-shape: tumbling-window aggregation (batch form)
     "q22_events_hourly" -> ((s, dir) => {
       EventsStream.windowedCounts(EventsStream.readEvents(s, s"$dir/events.parquet"), "1 hour")
@@ -1316,6 +1328,11 @@ object SparkEntry {
          SELECT DISTINCT id_a, id_b, round(cosine_sim, 4) AS cosine_sim
          FROM pairs WHERE cosine_sim >= 0.3
          ORDER BY id_a, id_b""",
+
+    "q55_stream_static_enrich" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment
+         FROM events LEFT JOIN customer ON user_id = c_custkey
+         ORDER BY event_id""",
 
     "q22_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

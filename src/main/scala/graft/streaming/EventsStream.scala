@@ -204,6 +204,21 @@ object EventsStream {
         col("left_ts"), col("right_ts"), col("right_value"))
   }
 
+  /** Stream-static enrichment join: the events stream against a static
+    * dimension frame. Works identically on a batch frame (the kappa
+    * posture); in streaming mode Spark re-plans the static side per
+    * micro-batch and broadcasts it when small — no streaming state at all
+    * (unlike stream-stream joins), so this is the scale-free way to attach
+    * dimension attributes to a 100 TB/day event stream.
+    */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(dim, events(eventKey) === dim(dimKey), "left")
+      .drop(dimKey)
+
   /** Streaming smoke: drive the events parquet through readStream into a
     * memory sink; returns collected windowed counts.
     */

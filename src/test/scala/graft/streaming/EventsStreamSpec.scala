@@ -60,6 +60,31 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    val events = EventsStream.readEvents(spark, s"$dir/events.parquet")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+    val cols = Seq("event_id", "user_id", "event_type", "c_mktsegment")
+    val batch = EventsStream.enrichWithDim(events, dim, "user_id", "c_custkey")
+      .select(cols.head, cols.tail: _*)
+
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    mem.addData(events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventsStream.Event].collect().toSeq)
+    val q = EventsStream.enrichWithDim(mem.toDF(), dim, "user_id", "c_custkey")
+      .select(cols.head, cols.tail: _*)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(canon(spark.table("enrich_out")) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
   test("stateful sessionization equals batch gap-window formulation") {
     val events = EventsStream.readEvents(spark, s"$dir/events.parquet")
     val batch = EventsStream.sessionizeBatch(events)
