@@ -1,0 +1,68 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the similarity/dedup operators beyond the sf0.1 test
+  * data: a deterministic synthetic embedding corpus (sines of the row id —
+  * no RNG, so runs are comparable) at 20×–100× the sf0.1 row count.
+  * Prints per-operator wall times; PLANS.md cites a run.
+  *
+  * Usage: sbt "runMain graft.examples.ScaleProbe [nRows] [dim]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val dim = args.lift(1).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.Similarity
+
+    val emb = spark.range(n.toLong).select(col("id").as("vec_id"),
+        array((1 to dim).map(i => sin(col("id") * i).cast("float")): _*)
+          .as("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
+    emb.count()
+    println(s"corpus: $n vectors x $dim dims")
+
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val q = (1 to dim).map(i => math.sin(7.0 * i).toFloat)
+    timed("exact top-10, one query (full scan)") {
+      Similarity.topKForQuery(emb, "vec_id", "embedding", q, 10).collect()
+    }
+    timed("k-NN join, 8 queries x top-10 (one scan, partial top-k)") {
+      Similarity.topKJoin(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10).collect()
+    }
+    val nlist = math.max(32, math.sqrt(n.toDouble).toInt)
+    timed(s"IVF build (nlist=$nlist) + probe") {
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", nlist).persist()
+      assigned.count()
+      val thr = Similarity.sampleThreshold(nlist.toLong, n.toLong)
+      val centroids = emb.filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      Similarity.ivfTopKForQuery(assigned, centroids, "vec_id", "embedding",
+        q, 10, nprobe = 8).collect()
+      assigned.unpersist()
+    }
+    val bits = Similarity.lshBitsFor(n.toLong, targetBucketSize = 32)
+    timed(s"LSH near-dup pairs (bits=$bits, threshold=0.9)") {
+      Similarity.lshNearNeighbors(emb, "vec_id", "embedding", dim,
+        threshold = 0.9, bits = bits).count()
+    }
+    spark.stop()
+  }
+}

@@ -342,6 +342,24 @@ object Similarity {
       .filter(col("cosine_sim") >= threshold)
   }
 
+  /** Persist an IVF index for reuse across sessions — the build cost
+    * amortizes over probes. The assignment is PARTITIONED BY centroid_id,
+    * so a probe's `join(broadcast(probed), "centroid_id")` prunes the scan
+    * to the `nprobe` probed cell directories: at 100 TB the probe reads
+    * `nprobe/nlist` of the index bytes, not the corpus.
+    */
+  def saveIvfIndex(assigned: DataFrame, centroids: DataFrame, path: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/assigned")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index: (assignment, centroids). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(s"$path/centroids"))
+
   /** IVF approximate top-k for one query: probe the `nprobe` nearest
     * centroids' cells only. Candidate set is the probed cells, not the
     * corpus — the standard recall/cost dial.

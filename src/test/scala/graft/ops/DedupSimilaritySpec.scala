@@ -108,6 +108,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx == exact)
   }
 
+  test("persisted IVF index: probe equals direct probe; scan prunes to probed cells") {
+    val vecs = (0L until 40L).map { i =>
+      val angle = i.toDouble / 40.0 * math.Pi
+      (i, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", nlist = 10)
+    val centroids = assigned.filter(col("vec_id") === col("centroid_id"))
+      .select(col("centroid_id"), col("embedding").as("centroid_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.saveIvfIndex(assigned, centroids, dir)
+    val (a2, c2) = Similarity.loadIvfIndex(spark, dir)
+    val q = Seq(1.0f, 0.0f)
+    val direct = Similarity.ivfTopKForQuery(assigned, centroids,
+      "vec_id", "embedding", q, 3, nprobe = 2).collect().map(_.getLong(0)).toSeq
+    val probe = Similarity.ivfTopKForQuery(a2, c2,
+      "vec_id", "embedding", q, 3, nprobe = 2)
+    assert(probe.collect().map(_.getLong(0)).toSeq == direct)
+    // The probed join prunes the partitioned index scan to nprobe cells.
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
+      s"expected partition pruning in plan:\n$plan")
+  }
+
   test("IVF-cell near-dup pairs: subset of brute-force pairs, finds in-cell dups") {
     val vecs = (0L until 40L).map { i =>
       val angle = i.toDouble / 40.0 * math.Pi
