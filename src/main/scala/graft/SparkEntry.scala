@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.ops.{Dedup, GroupedRowsToColumns, RowOps, SetContainment, Similarity, Upsert}
+import graft.ops.{Curation, Dedup, GroupedRowsToColumns, RowOps, SetContainment, Similarity, Upsert}
 import graft.pipeline.{Pipeline, ReferenceTables}
 import graft.streaming.EventsStream
 
@@ -492,6 +492,41 @@ object SparkEntry {
           "user_id", "c_custkey")
         .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
         .orderBy("event_id")
+    }),
+
+    // Benchmark decontamination: word-6-gram overlap of the corpus
+    // (doc_id >= 25) against an eval benchmark (doc_id < 25) — the
+    // pre-training n-gram contamination check. Benchmark gram fingerprints
+    // broadcast; the only shuffle is the per-doc match count.
+    "q56_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contaminationReport(
+          docs.filter(col("doc_id") >= 25), "doc_id", "text",
+          docs.filter(col("doc_id") < 25), "text", n = 6)
+        .select(col("doc_id"), col("n_grams"), col("matched_grams"),
+          col("contaminated").cast("long").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // Cross-document boilerplate removal: segments repeating in >= 400
+    // distinct docs (headers/footers at corpus scale; with the synthetic
+    // space-separated corpus, segment = word) are dropped everywhere,
+    // preserving within-document order. Boilerplate list broadcast back as
+    // an anti-join (stop-list shape).
+    "q57_strip_boilerplate" -> ((s, dir) => {
+      Curation.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+          separator = " ", minDocs = 400)
+        .orderBy("doc_id")
+    }),
+
+    // Concat-and-chunk sequence packing: per-shard (source) prefix sums cut
+    // into 64-token training sequences; one row per document × overlapped
+    // sequence. The window is per shard — no global sort.
+    "q58_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.packSequences(docs, "doc_id",
+          TextFunctions.tokenCount(col("text")), "source", seqLen = 64)
+        .orderBy("source", "doc_id", "seq_id")
     }),
 
     // Streaming-shape: tumbling-window aggregation (batch form)
@@ -1333,6 +1368,86 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, c_mktsegment
          FROM events LEFT JOIN customer ON user_id = c_custkey
          ORDER BY event_id""",
+
+    // Word-6-gram contamination of corpus docs (doc_id >= 25) against the
+    // benchmark docs (doc_id < 25); distinct grams per document, as the
+    // Spark side's array_distinct does.
+    "q56_decontamination" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, $toks AS tk FROM documents WHERE doc_id >= 25),
+         benchd AS (
+           SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 25),
+         cg AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6 + 2),
+               i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                 CAST(i + 5 AS INTEGER)), ' '))) AS gram
+             FROM corpus WHERE len(tk) >= 6)),
+         bg AS (
+           SELECT DISTINCT gram FROM (
+             SELECT unnest(list_transform(range(1, len(tk) - 6 + 2),
+               i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                 CAST(i + 5 AS INTEGER)), ' '))) AS gram
+             FROM benchd WHERE len(tk) >= 6)),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+         m AS (
+           SELECT doc_id, count(*) AS matched FROM cg
+           JOIN bg USING (gram) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(m.matched, 0) AS BIGINT) AS matched_grams,
+                CAST(CASE WHEN coalesce(m.matched, 0) >= 1 THEN 1 ELSE 0 END
+                  AS BIGINT) AS contaminated
+         FROM documents d
+         LEFT JOIN sizes s USING (doc_id)
+         LEFT JOIN m USING (doc_id)
+         WHERE d.doc_id >= 25
+         ORDER BY doc_id""",
+
+    // Segments (split on ' ') occurring in >= 400 distinct docs are
+    // boilerplate; surviving segments rejoin in position order. Zipped
+    // unnest pairs each segment with its 1-based position.
+    "q57_strip_boilerplate" ->
+      """WITH segs AS (
+           SELECT doc_id,
+                  unnest(parts) AS seg,
+                  unnest(range(1, len(parts) + 1)) AS pos
+           FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                 FROM documents)),
+         boiler AS (
+           SELECT seg FROM (
+             SELECT seg, count(*) AS df
+             FROM (SELECT DISTINCT doc_id, seg FROM segs)
+             GROUP BY seg)
+           WHERE df >= 400),
+         clean AS (
+           SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean
+           FROM segs
+           WHERE seg NOT IN (SELECT seg FROM boiler)
+           GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(c.text_clean, '') AS text_clean
+         FROM documents d LEFT JOIN clean c USING (doc_id)
+         ORDER BY doc_id""",
+
+    // Per-shard prefix sums of token counts; a doc spanning [start, end)
+    // lands in sequences start//64 .. (end-1)//64.
+    "q58_pack_sequences" ->
+      s"""WITH base AS (
+           SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n
+           FROM documents),
+         cum AS (
+           SELECT source, doc_id, n,
+                  CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS end_tok
+           FROM base),
+         spans AS (
+           SELECT source, doc_id, end_tok - n AS start_tok, end_tok
+           FROM cum WHERE n > 0)
+         SELECT source, doc_id, start_tok, end_tok,
+                unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
+         FROM spans
+         ORDER BY source, doc_id, seq_id""",
 
     "q22_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

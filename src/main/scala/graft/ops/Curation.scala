@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: benchmark decontamination, cross-document
+  * boilerplate removal, and sequence packing.
+  *
+  * Scale posture mirrors [[Dedup]]: no O(n²) joins, shuffle keys are
+  * 16-byte md5 fingerprints (never document bodies), small derived sets
+  * (benchmark n-grams, boilerplate segments) are broadcast, and everything
+  * stays inside whole-stage codegen (built-in functions only, no UDFs).
+  */
+object Curation {
+
+  /** Per-document benchmark-overlap report: how many distinct word n-grams
+    * of each document also occur in an evaluation benchmark — the standard
+    * "n-gram decontamination" check run before training (matching the
+    * published recipes: exact word-13-gram collision against the eval set;
+    * `n` is the dial).
+    *
+    * Returns (idCol, n_grams, matched_grams, contaminated) — one row per
+    * input document, `contaminated = matched_grams >= minMatches` (docs
+    * shorter than `n` tokens have n_grams = 0 and are never contaminated).
+    *
+    * Scale shape: the benchmark's distinct-gram fingerprint set is tiny
+    * relative to the corpus (eval sets are MBs where the corpus is TBs), so
+    * it is BROADCAST and the corpus-side gram explosion is consumed by a
+    * map-side semi-join — the only shuffle is the per-document count
+    * aggregation, keyed by document id. Grams join on md5 fingerprints:
+    * 16-byte keys instead of n-word strings.
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      minMatches: Int = 1): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    // Distinct gram fingerprints per document, behind a barrier so the
+    // tokenizer+shingle expression is evaluated once per row (interpreted
+    // higher-order lambdas re-evaluate embedded expressions per element).
+    val docGrams = docs
+      .select(col(idCol), array_distinct(wordShingles(col(textCol), n)).as("__sh"))
+      .repartition(p, col(idCol))
+      .select(col(idCol), explode(col("__sh")).as("__gram"))
+      .select(col(idCol), md5(col("__gram")).as("__fp"))
+    val benchGrams = bench
+      .select(explode(array_distinct(wordShingles(col(benchTextCol), n))).as("__gram"))
+      .select(md5(col("__gram")).as("__fp"))
+      .distinct()
+    val perDoc = docGrams
+      .join(broadcast(benchGrams), Seq("__fp"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched_grams"))
+    docs
+      .select(col(idCol),
+        coalesce(size(array_distinct(wordShingles(col(textCol), n))), lit(0))
+          .cast("long").as("n_grams"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
+        (coalesce(col("matched_grams"), lit(0L)) >= minMatches).as("contaminated"))
+  }
+
+  /** Drop benchmark-contaminated documents: rows of `docs` whose
+    * [[contaminationReport]] flag is false. The report's broadcast-semi-join
+    * shape carries over; the final filter is a join back on the id.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      minMatches: Int = 1): DataFrame = {
+    val contaminated = contaminationReport(docs, idCol, textCol, bench, benchTextCol, n, minMatches)
+      .filter(col("contaminated"))
+      .select(col(idCol))
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Remove boilerplate segments — segments (split on a literal separator)
+    * that repeat across ≥ `minDocs` DISTINCT documents (headers, footers,
+    * cookie banners, license blurbs). Per-document repetition is preserved;
+    * only corpus-wide repeats are dropped. Returns (idCol, cleaned text) for
+    * EVERY input document — a document made entirely of boilerplate keeps an
+    * empty string.
+    *
+    * Scale shape: segments shuffle as md5 fingerprints for the
+    * document-frequency count; the boilerplate list (df ≥ minDocs) is by
+    * construction small — a segment must literally repeat across many
+    * documents to qualify — so it is BROADCAST back as an anti-join, the
+    * same stop-list shape as [[Dedup.ngramJaccardPairs]]'s df-pruning.
+    * Reassembly is one groupBy(id) of (position, segment) structs; group
+    * size is bounded by segments-per-document, not the corpus.
+    */
+  def stripBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      separator: String = "\n",
+      minDocs: Long = 10): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val segs = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(separator)))
+          .as(Seq("__pos", "__seg")))
+      .repartition(p, col(idCol))
+      .withColumn("__fp", md5(col("__seg")))
+      .persist()
+    // Document frequency over DISTINCT (doc, segment) — a segment repeated
+    // within one document counts once.
+    val boiler = segs.select(col(idCol), col("__fp")).distinct()
+      .groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__fp")
+    val kept = segs.join(broadcast(boiler), Seq("__fp"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+          x => x.getField("__seg")),
+        separator).as("__clean"))
+    val out = docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__clean"), lit("")).as("text_clean"))
+    segs.unpersist()
+    out
+  }
+
+  /** Concat-and-chunk sequence packing: documents are concatenated in
+    * `idCol` order WITHIN each shard and cut into fixed `seqLen`-token
+    * training sequences; a document token-interval [start, end) overlaps
+    * sequences floor(start/L) … floor((end-1)/L). Returns one row per
+    * (document × overlapped sequence): (shardCol, idCol, start_tok,
+    * end_tok, seq_id) with offsets and sequence ids local to the shard.
+    * Zero-token documents contribute nothing and are omitted.
+    *
+    * Scale shape: packing needs a prefix sum, which needs an order — the
+    * scale-honest design is per-SHARD packing (shard = source file / dump /
+    * partition key), one window per shard rather than one global window: the
+    * sort is distributed across shards and no single partition sees more
+    * than a shard's rows. This is how production packing runs — global
+    * document order across a 100 TB corpus is neither needed nor meaningful
+    * for training; determinism within a shard is.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      nTokensCol: Column,
+      shardCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(shardCol), col(idCol), nTokensCol.cast("long").as("__n"))
+      .withColumn("end_tok", sum(col("__n")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("__n"))
+      .filter(col("__n") > 0)
+      .select(col(shardCol), col(idCol), col("start_tok"), col("end_tok"),
+        explode(sequence(
+          floor(col("start_tok") / seqLen),
+          floor((col("end_tok") - 1) / seqLen))).as("seq_id"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-derived scenarios for the corpus-curation operators: benchmark
+  * decontamination, boilerplate-segment removal, and sequence packing.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-curation-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("contaminationReport: word-2-gram overlap, short docs never flagged") {
+    val docs = Seq((1L, "a b c d"), (2L, "x y z"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e")).toDF("bench_id", "text")
+    val got = Curation.contaminationReport(docs, "doc_id", "text", bench, "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    // doc 1 grams {a b, b c, c d}; bench grams {b c, c d, d e} -> 2 matches.
+    // doc 3 has < 2 tokens -> 0 grams, never contaminated.
+    assert(got == Set((1L, 3L, 2L, true), (2L, 2L, 0L, false), (3L, 0L, 0L, false)))
+  }
+
+  test("decontaminate drops exactly the flagged documents") {
+    val docs = Seq((1L, "a b c d"), (2L, "x y z"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e")).toDF("bench_id", "text")
+    val kept = Curation.decontaminate(docs, "doc_id", "text", bench, "text", n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("stripBoilerplate: corpus-wide repeats drop, in-doc repetition stays") {
+    val docs = Seq(
+      (1L, "h a b"), (2L, "h c"), (3L, "h a"), (4L, "h"), (5L, "q q"))
+      .toDF("doc_id", "text")
+    // df: h=4 docs, a=2, b=c=q=1; minDocs=3 drops only "h".
+    val got = Curation.stripBoilerplate(docs, "doc_id", "text",
+        separator = " ", minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "a b"), (2L, "c"), (3L, "a"), (4L, ""), (5L, "q q")))
+  }
+
+  test("packSequences: per-shard prefix sums, straddling docs span sequences") {
+    val docs = Seq(
+      ("s1", 1L, 3L), ("s1", 2L, 4L), ("s1", 3L, 2L), ("s1", 4L, 0L),
+      ("s2", 5L, 5L))
+      .toDF("source", "doc_id", "n")
+    val got = Curation.packSequences(docs, "doc_id", col("n"), "source", seqLen = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // s1: doc1 [0,3) -> seq 0; doc2 [3,7) -> seqs 0,1; doc3 [7,9) -> seqs 1,2;
+    // doc4 has 0 tokens -> omitted. s2 restarts offsets: doc5 [0,5) -> seqs 0,1.
+    assert(got == Set(
+      ("s1", 1L, 0L, 3L, 0L),
+      ("s1", 2L, 3L, 7L, 0L), ("s1", 2L, 3L, 7L, 1L),
+      ("s1", 3L, 7L, 9L, 1L), ("s1", 3L, 7L, 9L, 2L),
+      ("s2", 5L, 0L, 5L, 0L), ("s2", 5L, 0L, 5L, 1L)))
+  }
+
+  test("packSequences: every sequence's token budget is respected") {
+    // Randomized-ish check: token interval of each (doc, seq) row must
+    // overlap [seq*L, (seq+1)*L), and per-shard intervals must tile
+    // [0, total) contiguously in doc order.
+    val docs = (1L to 50L).map(i => ("s" + (i % 3), i, (i * 7 % 11)))
+      .toDF("source", "doc_id", "n")
+    val L = 16L
+    val rows = Curation.packSequences(docs, "doc_id", col("n"), "source", L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.foreach { case (_, _, s, e, q) =>
+      assert(s < e)
+      assert(math.max(s, q * L) < math.min(e, (q + 1) * L),
+        s"doc interval [$s,$e) must overlap seq $q")
+    }
+    rows.groupBy(_._1).foreach { case (_, shard) =>
+      val spans = shard.map(t => (t._2, t._3, t._4)).distinct.sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(e1 == s2)
+        case _ =>
+      }
+      assert(spans.head._2 == 0L)
+    }
+  }
+}
