@@ -529,6 +529,31 @@ object SparkEntry {
         .orderBy("source", "doc_id", "seq_id")
     }),
 
+    // Gopher-style repetition signals: duplicate-segment fraction and
+    // most-common-word-bigram fraction, via explode + per-(doc, gram)
+    // aggregation (linear in corpus tokens; no per-row quadratic lambda).
+    "q59_repetition_signals" -> ((s, dir) => {
+      Curation.repetitionReport(t(s, dir, "documents"), "doc_id", "text",
+          separator = " ")
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: email/IPv4/phone scrub as a codegen'd regexp_replace
+    // chain (patterns in the Java∩RE2 regex subset so the oracle applies
+    // the identical rewrite). Deterministic synthetic PII is appended per
+    // row so the rewrite is actually exercised on this corpus.
+    "q60_pii_redaction" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 tel +1 (555) 010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      withPii
+        .select(col("doc_id"), Curation.redactPii(col("text")).as("text_redacted"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming-shape: tumbling-window aggregation (batch form)
     "q22_events_hourly" -> ((s, dir) => {
       EventsStream.windowedCounts(EventsStream.readEvents(s, s"$dir/events.parquet"), "1 hour")
@@ -1427,6 +1452,64 @@ object SparkEntry {
            GROUP BY doc_id)
          SELECT d.doc_id, coalesce(c.text_clean, '') AS text_clean
          FROM documents d LEFT JOIN clean c USING (doc_id)
+         ORDER BY doc_id""",
+
+    // Segment stats on the raw split; bigram stats on lowercased tokens
+    // (mirroring the Spark side's raw-segment / tokens() split).
+    "q59_repetition_signals" ->
+      s"""WITH segs AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS seg
+           FROM documents),
+         segstats AS (
+           SELECT doc_id, count(*) AS n_segments,
+                  count(DISTINCT seg) AS n_distinct_segments
+           FROM segs GROUP BY doc_id),
+         tk AS (SELECT doc_id, $toks AS tk FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+             i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+               CAST(i + 1 AS INTEGER)), ' '))) AS g
+           FROM tk WHERE len(tk) >= 2),
+         bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         bgstats AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  CAST(max(c) AS BIGINT) AS top_bigram_count
+           FROM bgc GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
+                CAST(coalesce(s.n_distinct_segments, 0) AS BIGINT) AS n_distinct_segments,
+                CASE WHEN coalesce(s.n_segments, 0) > 0
+                     THEN round(1.0 - CAST(s.n_distinct_segments AS DOUBLE) / s.n_segments, 6)
+                     ELSE 0.0 END AS dup_segment_frac,
+                CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(b.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+                CASE WHEN coalesce(b.n_bigrams, 0) > 0
+                     THEN round(CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams, 6)
+                     ELSE 0.0 END AS top_bigram_frac
+         FROM documents d
+         LEFT JOIN segstats s USING (doc_id)
+         LEFT JOIN bgstats b USING (doc_id)
+         ORDER BY doc_id""",
+
+    // Same synthetic-PII append, then the identical three-step
+    // regexp_replace chain (email -> IPv4 -> phone, 'g' flag).
+    "q60_pii_redaction" ->
+      """WITH withpii AS (
+           SELECT doc_id,
+                  text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com ip 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 tel +1 (555) 010-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                  '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted
+         FROM withpii
          ORDER BY doc_id""",
 
     // Per-shard prefix sums of token counts; a doc spanning [start, end)

@@ -134,6 +134,76 @@ object Curation {
     out
   }
 
+  /** Per-document repetition signals (the Gopher-recipe repetition filters):
+    * duplicate-segment fraction and most-common-word-bigram fraction.
+    * Returns (idCol, n_segments, n_distinct_segments, dup_segment_frac,
+    * n_bigrams, top_bigram_count, top_bigram_frac); documents with no
+    * segments/bigrams report 0 counts and 0.0 fractions.
+    *
+    * Scale shape: both signals are computed by EXPLODING segments/bigrams to
+    * rows and aggregating per (doc, gram) — linear in corpus tokens, keyed
+    * by (doc, md5(gram)) — rather than per-row interpreted lambda passes,
+    * whose cost would be quadratic in document length for the mode
+    * computation. Group sizes are bounded by document length, never corpus
+    * size.
+    */
+  def repetitionReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      separator: String = "\n"): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs
+      .select(col(idCol),
+        split(col(textCol), java.util.regex.Pattern.quote(separator)).as("__segs"),
+        tokens(col(textCol)).as("__toks"))
+      .repartition(p, col(idCol))
+      .persist()
+    val segStats = base
+      .select(col(idCol), explode(col("__segs")).as("__seg"))
+      .select(col(idCol), md5(col("__seg")).as("__fp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_segments"),
+        countDistinct(col("__fp")).as("n_distinct_segments"))
+    val bigramStats = base
+      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), 2)).as("__bg"))
+      .groupBy(col(idCol), md5(col("__bg")).as("__fp"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(sum(col("__c")).as("n_bigrams"), max(col("__c")).as("top_bigram_count"))
+    val out = docs.select(col(idCol))
+      .join(segStats, Seq(idCol), "left")
+      .join(bigramStats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_distinct_segments"), lit(0L)).as("n_distinct_segments"),
+        when(coalesce(col("n_segments"), lit(0L)) > 0,
+          round(lit(1.0) - col("n_distinct_segments").cast("double") /
+            col("n_segments"), 6))
+          .otherwise(lit(0.0)).as("dup_segment_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          round(col("top_bigram_count").cast("double") / col("n_bigrams"), 6))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+    base.unpersist()
+    out
+  }
+
+  /** Scrub common PII shapes (emails, long digit runs / phone numbers, IPv4
+    * addresses) from a text column, replacing each with a typed placeholder.
+    * A pure per-row codegen'd `regexp_replace` chain — no shuffle, no UDF;
+    * patterns stay within the regex subset shared by Java and RE2 so an
+    * external SQL oracle applies the identical rewrite.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
+    regexp_replace(ip, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
+  }
+
   /** Concat-and-chunk sequence packing: documents are concatenated in
     * `idCol` order WITHIN each shard and cut into fixed `seqLen`-token
     * training sequences; a document token-interval [start, end) overlaps

@@ -51,6 +51,34 @@ class CurationSpec extends AnyFunSuite {
       (1L, "a b"), (2L, "c"), (3L, "a"), (4L, ""), (5L, "q q")))
   }
 
+  test("repetitionReport: duplicate-segment and top-bigram fractions") {
+    val docs = Seq((1L, "a a b"), (2L, "x"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val got = Curation.repetitionReport(docs, "doc_id", "text", separator = " ")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toSet
+    assert(got == Set(
+      // doc 1: segs {a,a,b} -> 3/2 distinct; bigrams {"a a","a b"} -> top 1/2
+      (1L, 3L, 2L, 0.333333, 2L, 1L, 0.5),
+      // doc 2: one segment, no bigrams
+      (2L, 1L, 1L, 0.0, 0L, 0L, 0.0),
+      // doc 3: 4 segs 1 distinct; bigrams "c c" x3
+      (3L, 4L, 1L, 0.75, 3L, 3L, 1.0)))
+  }
+
+  test("redactPii: email, IPv4, phone each replaced; clean text untouched") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@mail.example.org or 192.168.0.1 tel +44 20 7946 0958 ok"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id", Curation.redactPii($"text").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "mail <EMAIL> or <IP> tel <PHONE> ok")
+    assert(got(2L) == "no pii here at all")
+  }
+
   test("packSequences: per-shard prefix sums, straddling docs span sequences") {
     val docs = Seq(
       ("s1", 1L, 3L), ("s1", 2L, 4L), ("s1", 3L, 2L), ("s1", 4L, 0L),
