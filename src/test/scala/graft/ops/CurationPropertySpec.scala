@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized differential checks for the curation operators against naive
+  * in-memory Scala reimplementations on seeded random corpora — evidence
+  * independent of the DuckDB oracles and the hand-picked spec fixtures.
+  * Seeds are fixed, so failures reproduce.
+  */
+class CurationPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-curation-property-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def trials(n: Int)(body: scala.util.Random => Unit): Unit =
+    (1 to n).foreach(seed => body(new scala.util.Random(seed)))
+
+  private def randText(rnd: scala.util.Random, maxWords: Int): String =
+    List.fill(rnd.nextInt(maxWords + 1))("w" + rnd.nextInt(8)).mkString(" ")
+
+  private def wordGrams(text: String, n: Int): Set[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("contaminationReport ≡ naive n-gram set intersection") {
+    trials(10) { rnd =>
+      val docs = (1L to 20L).map(i => (i, randText(rnd, 12)))
+      val bench = (1L to 3L).map(i => (i, randText(rnd, 12)))
+      val n = 1 + rnd.nextInt(3)
+      val got = Curation.contaminationReport(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          bench.toDF("bench_id", "text"), "text", n)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      val benchSet = bench.flatMap(b => wordGrams(b._2, n)).toSet
+      docs.foreach { case (id, text) =>
+        val grams = wordGrams(text, n)
+        val matched = (grams intersect benchSet).size.toLong
+        assert(got(id) == ((grams.size.toLong, matched, matched >= 1)),
+          s"doc $id text='$text' n=$n bench=$bench")
+      }
+    }
+  }
+
+  test("stripBoilerplate ≡ naive document-frequency cut") {
+    trials(10) { rnd =>
+      val docs = (1L to 15L).map(i => (i, randText(rnd, 10)))
+      val minDocs = 1 + rnd.nextInt(6)
+      val got = Curation.stripBoilerplate(docs.toDF("doc_id", "text"),
+          "doc_id", "text", separator = " ", minDocs = minDocs)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      // split(" ") on "" yields one empty segment, as Spark's split does
+      val segsOf = (t: String) => t.split(" ", -1).toList
+      val df = docs.flatMap(d => segsOf(d._2).distinct.map(_ -> d._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      docs.foreach { case (id, text) =>
+        val expected = segsOf(text).filter(s => df(s) < minDocs).mkString(" ")
+        assert(got(id) == expected, s"doc $id text='$text' minDocs=$minDocs df=$df")
+      }
+    }
+  }
+
+  test("repetitionReport ≡ naive duplicate/top-bigram fractions") {
+    trials(10) { rnd =>
+      val docs = (1L to 15L).map(i => (i, randText(rnd, 10)))
+      val got = Curation.repetitionReport(docs.toDF("doc_id", "text"),
+          "doc_id", "text", separator = " ")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))))
+        .toMap
+      def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+      docs.foreach { case (id, text) =>
+        val segs = text.split(" ", -1).toList
+        val nSegs = segs.size.toLong
+        val nDistinct = segs.distinct.size.toLong
+        val dupFrac = if (nSegs > 0) round6(1.0 - nDistinct.toDouble / nSegs) else 0.0
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+        val bigrams = if (toks.length < 2) Nil else toks.sliding(2).map(_.mkString(" ")).toList
+        val nBg = bigrams.size.toLong
+        val topBg = if (bigrams.isEmpty) 0L
+          else bigrams.groupBy(identity).values.map(_.size).max.toLong
+        val topFrac = if (nBg > 0) round6(topBg.toDouble / nBg) else 0.0
+        assert(got(id) == ((nSegs, nDistinct, dupFrac, nBg, topBg, topFrac)),
+          s"doc $id text='$text'")
+      }
+    }
+  }
+
+  test("packSequences ≡ naive per-shard concat-and-chunk") {
+    trials(10) { rnd =>
+      val docs = (1L to 30L).map(i =>
+        ("s" + rnd.nextInt(4), i, rnd.nextInt(6).toLong))
+      val seqLen = 2L + rnd.nextInt(6)
+      val got = Curation.packSequences(docs.toDF("source", "doc_id", "n"),
+          "doc_id", col("n"), "source", seqLen)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val expected = docs.groupBy(_._1).toList.flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy(_._2).flatMap { case (_, id, n) =>
+          val start = cum
+          cum += n
+          if (n == 0) Nil
+          else (start / seqLen to (cum - 1) / seqLen)
+            .map(q => (shard, id, start, cum, q))
+        }
+      }.toSet
+      assert(got == expected, s"seqLen=$seqLen docs=$docs")
+    }
+  }
+}
