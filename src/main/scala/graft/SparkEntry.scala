@@ -529,6 +529,18 @@ object SparkEntry {
         .orderBy("source", "doc_id", "seq_id")
     }),
 
+    // Streaming contamination blocklist: q56's gram-collision count with
+    // the corpus arriving through readStream — stateless stream-static
+    // broadcast join per micro-batch, one running count per matched doc
+    // (complete mode). Oracle is the batch formulation.
+    "q61_streaming_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.streamingContaminationBlocklist(s, dir, "documents.parquet",
+          "doc_id", "text", docs.filter(col("doc_id") < 25), "text",
+          n = 6, streamFilter = col("doc_id") >= 25)
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals: duplicate-segment fraction and
     // most-common-word-bigram fraction, via explode + per-(doc, gram)
     // aggregation (linear in corpus tokens; no per-row quadratic lambda).
@@ -1452,6 +1464,30 @@ object SparkEntry {
            GROUP BY doc_id)
          SELECT d.doc_id, coalesce(c.text_clean, '') AS text_clean
          FROM documents d LEFT JOIN clean c USING (doc_id)
+         ORDER BY doc_id""",
+
+    // Streaming ≡ batch: the q56 match count, contaminated docs only.
+    "q61_streaming_contamination" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, $toks AS tk FROM documents WHERE doc_id >= 25),
+         benchd AS (
+           SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 25),
+         cg AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6 + 2),
+               i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                 CAST(i + 5 AS INTEGER)), ' '))) AS gram
+             FROM corpus WHERE len(tk) >= 6)),
+         bg AS (
+           SELECT DISTINCT gram FROM (
+             SELECT unnest(list_transform(range(1, len(tk) - 6 + 2),
+               i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                 CAST(i + 5 AS INTEGER)), ' '))) AS gram
+             FROM benchd WHERE len(tk) >= 6))
+         SELECT doc_id, count(*) AS matched_grams
+         FROM cg JOIN bg USING (gram)
+         GROUP BY doc_id
+         HAVING count(*) >= 1
          ORDER BY doc_id""",
 
     // Segment stats on the raw split; bigram stats on lowercased tokens

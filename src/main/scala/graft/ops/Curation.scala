@@ -75,6 +75,54 @@ object Curation {
     out
   }
 
+  /** Streaming form of the contamination check: the same gram-collision
+    * count over documents arriving through `readStream`, returning the
+    * BLOCKLIST (doc_id, matched_grams) of contaminated documents — the
+    * frame a continuous-ingest pipeline anti-joins at write time. The
+    * benchmark side is STATIC: its gram fingerprints broadcast into a
+    * stateless stream-static join inside each micro-batch; the only
+    * streaming state is one running count per matched document
+    * (complete-mode aggregate, same shape as
+    * [[Dedup.streamingExactGroups]]). Batch ≡ stream by construction —
+    * the aggregate is deterministic — and the result is oracle-gated
+    * against the batch formulation.
+    */
+  def streamingContaminationBlocklist(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      minMatches: Int = 1,
+      streamFilter: Column = lit(true),
+      queryName: String = "graft_streaming_contamination"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$glob").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .filter(streamFilter)
+    val benchGrams = bench
+      .select(graft.functions.HashExpressions.shingleSet(col(benchTextCol), n).as("__sh"))
+      .select(explode(col("__sh")).as("__gram"))
+      .select(md5(col("__gram")).as("__fp"))
+      .distinct()
+    val agg = stream
+      .select(col(idCol),
+        graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
+      .select(col(idCol), explode(col("__sh")).as("__gram"))
+      .select(col(idCol), md5(col("__gram")).as("__fp"))
+      .join(broadcast(benchGrams), Seq("__fp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched_grams"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName).filter(col("matched_grams") >= minMatches)
+  }
+
   /** Drop benchmark-contaminated documents: rows of `docs` whose
     * [[contaminationReport]] flag is false. The report's broadcast-semi-join
     * shape carries over; the final filter is a join back on the id.

@@ -79,6 +79,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == "no pii here at all")
   }
 
+  test("streamingContaminationBlocklist ≡ batch contaminationReport") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter($"doc_id" < 10)
+    val streamed = Curation.streamingContaminationBlocklist(
+        spark, dir, "documents.parquet", "doc_id", "text", bench, "text",
+        n = 6, streamFilter = $"doc_id" >= 10,
+        queryName = "curation_spec_stream_contam")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Curation.contaminationReport(
+        docs.filter($"doc_id" >= 10), "doc_id", "text", bench, "text", n = 6)
+      .filter($"contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("packSequences: per-shard prefix sums, straddling docs span sequences") {
     val docs = Seq(
       ("s1", 1L, 3L), ("s1", 2L, 4L), ("s1", 3L, 2L), ("s1", 4L, 0L),
