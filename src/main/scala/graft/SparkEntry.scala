@@ -541,6 +541,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus vocabulary: top-100 tokens by frequency (tie-broken by token)
+    // — one hash aggregate + TakeOrderedAndProject, no global sort.
+    "q62_vocabulary" -> ((s, dir) => {
+      Curation.vocabulary(t(s, dir, "documents"), "text", k = 100)
+    }),
+
     // Gopher-style repetition signals: duplicate-segment fraction and
     // most-common-word-bigram fraction, via explode + per-(doc, gram)
     // aggregation (linear in corpus tokens; no per-row quadratic lambda).
@@ -1489,6 +1495,13 @@ object SparkEntry {
          GROUP BY doc_id
          HAVING count(*) >= 1
          ORDER BY doc_id""",
+
+    "q62_vocabulary" ->
+      s"""SELECT token, count(*) AS n_occurrences
+         FROM (SELECT unnest($toks) AS token FROM documents)
+         GROUP BY token
+         ORDER BY n_occurrences DESC, token
+         LIMIT 100""",
 
     // Segment stats on the raw split; bigram stats on lowercased tokens
     // (mirroring the Spark side's raw-segment / tokens() split).

@@ -259,6 +259,24 @@ object Curation {
     regexp_replace(ip, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
   }
 
+  /** Corpus vocabulary: the `k` most frequent tokens with counts,
+    * deterministically tie-broken by token — the frequency table a
+    * tokenizer-training / vocab-pruning step starts from. One map-side
+    * combined hash aggregate over exploded tokens, then a partial top-k
+    * per partition merged on the driver (Spark plans orderBy+limit as
+    * TakeOrderedAndProject — no global sort shuffle of the vocabulary).
+    */
+  def vocabulary(
+      docs: DataFrame,
+      textCol: String,
+      k: Int = 100): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+
   /** Concat-and-chunk sequence packing: documents are concatenated in
     * `idCol` order WITHIN each shard and cut into fixed `seqLen`-token
     * training sequences; a document token-interval [start, end) overlaps

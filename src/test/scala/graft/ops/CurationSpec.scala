@@ -79,6 +79,14 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == "no pii here at all")
   }
 
+  test("vocabulary: frequency-ordered top-k with token tie-break") {
+    val docs = Seq((1L, "a B a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Curation.vocabulary(docs, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // lowercased: a=2, b=2, c=1; ties break by token ascending
+    assert(got == Seq(("a", 2L), ("b", 2L)))
+  }
+
   test("streamingContaminationBlocklist ≡ batch contaminationReport") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
