@@ -547,6 +547,25 @@ object SparkEntry {
       Curation.vocabulary(t(s, dir, "documents"), "text", k = 100)
     }),
 
+    // Capstone curation-pipeline composition, oracle-gated END TO END:
+    // boilerplate strip -> exact dedup on the cleaned text -> benchmark
+    // decontamination -> per-shard sequence packing. Each operator is
+    // individually gated (q57/q14/q56/q58); this gates their COMPOSITION.
+    "q63_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cleaned = Curation.stripBoilerplate(docs, "doc_id", "text",
+        separator = " ", minDocs = 400)
+      val deduped = Dedup.exactDedup(cleaned, "doc_id", "text_clean")
+      val decon = Curation.decontaminate(
+        deduped.filter(col("doc_id") >= 25), "doc_id", "text_clean",
+        docs.filter(col("doc_id") < 25), "text", n = 6)
+      Curation.packSequences(
+          decon.join(docs.select("doc_id", "source"), "doc_id"),
+          "doc_id", TextFunctions.tokenCount(col("text_clean")),
+          "source", seqLen = 64)
+        .orderBy("source", "doc_id", "seq_id")
+    }),
+
     // Gopher-style repetition signals: duplicate-segment fraction and
     // most-common-word-bigram fraction, via explode + per-(doc, gram)
     // aggregation (linear in corpus tokens; no per-row quadratic lambda).
@@ -1495,6 +1514,77 @@ object SparkEntry {
          GROUP BY doc_id
          HAVING count(*) >= 1
          ORDER BY doc_id""",
+
+    // The full composition re-derived in SQL: q57's clean -> q14-style
+    // fingerprint dedup (min doc_id survives) -> q56's gram collision on
+    // the CLEANED text vs the raw benchmark -> q58's per-shard packing.
+    "q63_curation_pipeline" ->
+      s"""WITH segs AS (
+           SELECT doc_id,
+                  unnest(parts) AS seg,
+                  unnest(range(1, len(parts) + 1)) AS pos
+           FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                 FROM documents)),
+         boiler AS (
+           SELECT seg FROM (
+             SELECT seg, count(*) AS df
+             FROM (SELECT DISTINCT doc_id, seg FROM segs)
+             GROUP BY seg)
+           WHERE df >= 400),
+         clean AS (
+           SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean
+           FROM segs
+           WHERE seg NOT IN (SELECT seg FROM boiler)
+           GROUP BY doc_id),
+         cleaned AS (
+           SELECT d.doc_id, coalesce(c.text_clean, '') AS text_clean
+           FROM documents d LEFT JOIN clean c USING (doc_id)),
+         dedup AS (
+           SELECT doc_id, text_clean FROM cleaned
+           QUALIFY row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text_clean), '\\s+', ' ', 'g')))
+             ORDER BY doc_id) = 1),
+         corpus AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text_clean), '\\s+'),
+                    x -> len(x) > 0) AS tk
+           FROM dedup WHERE doc_id >= 25),
+         benchd AS (
+           SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 25),
+         cg AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6 + 2),
+               i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                 CAST(i + 5 AS INTEGER)), ' '))) AS gram
+             FROM corpus WHERE len(tk) >= 6)),
+         bg AS (
+           SELECT DISTINCT gram FROM (
+             SELECT unnest(list_transform(range(1, len(tk) - 6 + 2),
+               i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                 CAST(i + 5 AS INTEGER)), ' '))) AS gram
+             FROM benchd WHERE len(tk) >= 6)),
+         contaminated AS (
+           SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+         survivors AS (
+           SELECT c.doc_id, CAST(len(c.tk) AS BIGINT) AS n
+           FROM corpus c
+           WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         wsrc AS (
+           SELECT d.source, s.doc_id, s.n
+           FROM survivors s JOIN documents d USING (doc_id)),
+         cum AS (
+           SELECT source, doc_id, n,
+                  CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS end_tok
+           FROM wsrc),
+         spans AS (
+           SELECT source, doc_id, end_tok - n AS start_tok, end_tok
+           FROM cum WHERE n > 0)
+         SELECT source, doc_id, start_tok, end_tok,
+                unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
+         FROM spans
+         ORDER BY source, doc_id, seq_id""",
 
     "q62_vocabulary" ->
       s"""SELECT token, count(*) AS n_occurrences
