@@ -182,11 +182,13 @@ object Curation {
         transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
           x => x.getField("__seg")),
         separator).as("__clean"))
-    val out = docs.select(col(idCol))
+    // segs stays persisted — it feeds both the df count and the anti-join
+    // branch, and an eager unpersist here would fire at plan-construction
+    // time, before any action realizes the reuse. Callers timing
+    // independent queries clearCache between them.
+    docs.select(col(idCol))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__clean"), lit("")).as("text_clean"))
-    segs.unpersist()
-    out
   }
 
   /** Per-document repetition signals (the Gopher-recipe repetition filters):
@@ -226,7 +228,11 @@ object Curation {
       .agg(count(lit(1)).as("__c"))
       .groupBy(idCol)
       .agg(sum(col("__c")).as("n_bigrams"), max(col("__c")).as("top_bigram_count"))
-    val out = docs.select(col(idCol))
+    // base stays persisted — it feeds both stat branches, and an eager
+    // unpersist would fire at plan-construction time, before any action
+    // realizes the reuse (the ivfKMeans lesson). Callers clearCache
+    // between independent timed queries.
+    docs.select(col(idCol))
       .join(segStats, Seq(idCol), "left")
       .join(bigramStats, Seq(idCol), "left")
       .select(col(idCol),
@@ -241,8 +247,6 @@ object Curation {
         when(coalesce(col("n_bigrams"), lit(0L)) > 0,
           round(col("top_bigram_count").cast("double") / col("n_bigrams"), 6))
           .otherwise(lit(0.0)).as("top_bigram_frac"))
-    base.unpersist()
-    out
   }
 
   /** Scrub common PII shapes (emails, long digit runs / phone numbers, IPv4
