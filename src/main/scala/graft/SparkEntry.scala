@@ -508,14 +508,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Cross-document boilerplate removal: segments repeating in >= 400
+    // Cross-document boilerplate removal: segments repeating in >= 80% of
     // distinct docs (headers/footers at corpus scale; with the synthetic
     // space-separated corpus, segment = word) are dropped everywhere,
-    // preserving within-document order. Boilerplate list broadcast back as
-    // an anti-join (stop-list shape).
+    // preserving within-document order. The threshold derives from the
+    // corpus count on both sides (integer floor), so the semantics hold at
+    // every scale factor. Boilerplate list broadcast back as an anti-join.
     "q57_strip_boilerplate" -> ((s, dir) => {
-      Curation.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
-          separator = " ", minDocs = 400)
+      val docs = t(s, dir, "documents")
+      Curation.stripBoilerplate(docs, "doc_id", "text",
+          separator = " ", minDocs = docs.count() * 8 / 10)
         .orderBy("doc_id")
     }),
 
@@ -554,7 +556,7 @@ object SparkEntry {
     "q63_curation_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cleaned = Curation.stripBoilerplate(docs, "doc_id", "text",
-        separator = " ", minDocs = 400)
+        separator = " ", minDocs = docs.count() * 8 / 10)
       val deduped = Dedup.exactDedup(cleaned, "doc_id", "text_clean")
       val decon = Curation.decontaminate(
         deduped.filter(col("doc_id") >= 25), "doc_id", "text_clean",
@@ -1481,7 +1483,7 @@ object SparkEntry {
              SELECT seg, count(*) AS df
              FROM (SELECT DISTINCT doc_id, seg FROM segs)
              GROUP BY seg)
-           WHERE df >= 400),
+           WHERE df >= (SELECT count(*) * 8 / 10 FROM documents)),
          clean AS (
            SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean
            FROM segs
@@ -1530,7 +1532,7 @@ object SparkEntry {
              SELECT seg, count(*) AS df
              FROM (SELECT DISTINCT doc_id, seg FROM segs)
              GROUP BY seg)
-           WHERE df >= 400),
+           WHERE df >= (SELECT count(*) * 8 / 10 FROM documents)),
          clean AS (
            SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean
            FROM segs
