@@ -543,6 +543,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Near-containment pairs: overlap coefficient |∩|/min(|A|,|B|) over
+    // the same pruned n-gram inverted index as q17 — catches embedded/
+    // quoted documents whose size asymmetry dilutes Jaccard.
+    "q64_ngram_containment" -> ((s, dir) => {
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 8, threshold = 0.8, maxDocFreq = 100)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Corpus vocabulary: top-100 tokens by frequency (tie-broken by token)
     // — one hash aggregate + TakeOrderedAndProject, no global sort.
     "q62_vocabulary" -> ((s, dir) => {
@@ -1587,6 +1596,33 @@ object SparkEntry {
                 unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
          FROM spans
          ORDER BY source, doc_id, seq_id""",
+
+    // q17's inverted-index chain with the overlap-coefficient metric.
+    "q64_ngram_containment" ->
+      """WITH norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+           FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(nt) - 8 + 2),
+               i -> substr(nt, CAST(i AS INTEGER), 8))) AS gram
+             FROM norm WHERE len(nt) >= 8)),
+         pruned AS (
+           SELECT g.doc_id, g.gram FROM grams g
+           JOIN (SELECT gram, count(*) AS df FROM grams GROUP BY gram) d USING (gram)
+           WHERE d.df <= 100),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM pruned GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM pruned a JOIN pruned b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b,
+                round(CAST(c AS DOUBLE) / least(sa.n_grams, sb.n_grams), 6) AS overlap
+         FROM common
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(c AS DOUBLE) / least(sa.n_grams, sb.n_grams) >= 0.8
+         ORDER BY id_a, id_b""",
 
     "q62_vocabulary" ->
       s"""SELECT token, count(*) AS n_occurrences

@@ -296,7 +296,34 @@ object Dedup {
       textCol: String,
       n: Int = 8,
       threshold: Double = 0.5,
-      maxDocFreq: Long = 1000): DataFrame = {
+      maxDocFreq: Long = 1000): DataFrame =
+    ngramIndexPairs(df, idCol, textCol, n, threshold, maxDocFreq,
+      jaccard = true)
+
+  /** Near-CONTAINMENT pairs: overlap coefficient |∩| / min(|A|, |B|) ≥
+    * threshold over character n-gram sets. Catches a document embedded
+    * inside a larger one (quote pages, wrapper boilerplate around a copied
+    * article) — pairs Jaccard misses because the size asymmetry dilutes
+    * |∪|. Same inverted-index + df-pruning shape as [[ngramJaccardPairs]].
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = 1000): DataFrame =
+    ngramIndexPairs(df, idCol, textCol, n, threshold, maxDocFreq,
+      jaccard = false)
+
+  private def ngramIndexPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Long,
+      jaccard: Boolean): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // Normalize once per row behind a barrier, then explode the grams; no
     // md5/regex work remains below the barrier, so branch recomputation of
@@ -321,12 +348,18 @@ object Dedup {
         col("a.gram") === col("b.gram") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    common
+    val joined = common
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_grams", "na"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val (metric, name) =
+      if (jaccard)
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")),
+          "jaccard")
+      else
+        (col("common").cast("double") / least(col("na"), col("nb")), "overlap")
+    joined
+      .withColumn(name, metric)
+      .filter(col(name) >= threshold)
+      .select(col("id_a"), col("id_b"), round(col(name), 6).as(name))
   }
 }

@@ -65,6 +65,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram containment finds an embedded doc that jaccard misses") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "quick brown fox"), // embedded in doc 1: overlap 1.0, jaccard low
+      (3L, "completely different content with no shared substrings at all"))
+      .toDF("doc_id", "text")
+    val contained = Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+        n = 8, threshold = 0.99, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(contained.contains((1L, 2L, 1.0)))
+    assert(!contained.exists(p => p._1 == 3L || p._2 == 3L))
+    val jacc = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 8, threshold = 0.5, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacc.contains((1L, 2L)))
+  }
+
   test("cosine top-k: exact query search") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
