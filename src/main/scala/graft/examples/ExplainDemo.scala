@@ -11,7 +11,8 @@ object ExplainDemo {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_agg_pricing", "q02_containment_subset", "q40_condensed_report",
-        "q45_salted_agg", "q47_ivf_cell_pairs", "q50_stratified_sample")
+        "q45_salted_agg", "q47_ivf_cell_pairs", "q50_stratified_sample",
+        "q56_decontamination", "q63_curation_pipeline")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -98,6 +98,37 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngramContainmentPairs ≡ naive overlap with df pruning") {
+    trials(8) { rnd =>
+      val alpha = "abcd"
+      val docs = (1L to 12L).map { i =>
+        (i, List.fill(6 + rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length))).mkString)
+      }
+      val n = 3
+      val maxDf = 1 + rnd.nextInt(8)
+      val got = Dedup.ngramContainmentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = n, threshold = 0.5, maxDocFreq = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      def grams(t: String): Set[String] = {
+        val norm = t.toLowerCase.replaceAll("\\s+", " ").trim
+        if (norm.length < n) Set.empty
+        else norm.sliding(n).toSet
+      }
+      val g = docs.map { case (id, t) => id -> grams(t) }.toMap
+      val df = g.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val pruned = g.view.mapValues(_.filter(x => df(x) <= maxDf)).toMap
+      def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        ga = pruned(a); gb = pruned(b)
+        if ga.nonEmpty && gb.nonEmpty
+        ov = (ga intersect gb).size.toDouble / math.min(ga.size, gb.size)
+        if ov >= 0.5
+      } yield (a, b, round6(ov))).toSet
+      assert(got == expected, s"docs=$docs maxDf=$maxDf")
+    }
+  }
+
   test("packSequences ≡ naive per-shard concat-and-chunk") {
     trials(10) { rnd =>
       val docs = (1L to 30L).map(i =>

@@ -79,6 +79,24 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == "no pii here at all")
   }
 
+  test("plan shapes: benchmark/stop-list joins broadcast; top-k avoids global sort") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u t s"))
+      .toDF("doc_id", "text")
+    val contamPlan = Curation.contaminationReport(docs, "doc_id", "text",
+        docs.limit(1), "text", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(contamPlan.contains("BroadcastHashJoin") && contamPlan.contains("LeftSemi"),
+      s"benchmark gram set must broadcast into a semi-join:\n$contamPlan")
+    val stripPlan = Curation.stripBoilerplate(docs, "doc_id", "text", " ", 2)
+      .queryExecution.executedPlan.toString
+    assert(stripPlan.contains("BroadcastHashJoin") && stripPlan.contains("LeftAnti"),
+      s"boilerplate stop-list must broadcast into an anti-join:\n$stripPlan")
+    val vocabPlan = Curation.vocabulary(docs, "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject, not a global sort:\n$vocabPlan")
+  }
+
   test("vocabulary: frequency-ordered top-k with token tie-break") {
     val docs = Seq((1L, "a B a"), (2L, "b c")).toDF("doc_id", "text")
     val got = Curation.vocabulary(docs, "text", k = 2)
