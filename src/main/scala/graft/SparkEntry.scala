@@ -543,6 +543,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Within-document segment dedup: repeated segments keep first
+    // occurrence only — a pure per-row rewrite inside the scan stage.
+    "q65_dedupe_segments" -> ((s, dir) => {
+      Curation.dedupeSegments(t(s, dir, "documents"), "doc_id", "text",
+          separator = " ")
+        .orderBy("doc_id")
+    }),
+
     // Near-containment pairs: overlap coefficient |∩|/min(|A|,|B|) over
     // the same pruned n-gram inverted index as q17 — catches embedded/
     // quoted documents whose size asymmetry dilutes Jaccard.
@@ -1596,6 +1604,20 @@ object SparkEntry {
                 unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
          FROM spans
          ORDER BY source, doc_id, seq_id""",
+
+    // First-occurrence filter by position; list_position finds the first
+    // index of each segment, exactly as Spark's array_position does.
+    "q65_dedupe_segments" ->
+      """SELECT doc_id,
+                array_to_string(
+                  list_transform(
+                    list_filter(range(1, len(parts) + 1),
+                      i -> list_position(parts,
+                             list_extract(parts, CAST(i AS INTEGER))) = i),
+                    i -> list_extract(parts, CAST(i AS INTEGER))),
+                  ' ') AS text_clean
+         FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+         ORDER BY doc_id""",
 
     // q17's inverted-index chain with the overlap-coefficient metric.
     "q64_ngram_containment" ->

@@ -191,6 +191,35 @@ object Curation {
       .select(col(idCol), coalesce(col("__clean"), lit("")).as("text_clean"))
   }
 
+  /** Remove WITHIN-document repetition: segments repeated inside one
+    * document keep only their first occurrence (the per-document
+    * complement of [[stripBoilerplate]]'s corpus-wide cut — dedupe a
+    * page's repeated nav rows without touching cross-document content).
+    * Returns (idCol, text_clean) for every input document.
+    *
+    * Scale shape: a pure per-row rewrite — split, first-occurrence filter,
+    * rejoin — entirely inside the scan stage via built-in higher-order
+    * functions (array_position finds the first index of each segment), no
+    * shuffle at all.
+    */
+  def dedupeSegments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      separator: String = "\n"): DataFrame = {
+    val segs = split(col(textCol), java.util.regex.Pattern.quote(separator))
+    // Keep segs(i) when its first occurrence index is i (array_position is
+    // 1-based). The zip carries each element's own position.
+    val kept = filter(
+      zip_with(segs, sequence(lit(1), size(segs)),
+        (s, i) => struct(s.as("s"), i.as("i"))),
+      x => array_position(segs, x.getField("s")) === x.getField("i"))
+    docs.select(col(idCol),
+      when(col(textCol).isNull, lit(null))
+        .otherwise(array_join(transform(kept, x => x.getField("s")), separator))
+        .as("text_clean"))
+  }
+
   /** Per-document repetition signals (the Gopher-recipe repetition filters):
     * duplicate-segment fraction and most-common-word-bigram fraction.
     * Returns (idCol, n_segments, n_distinct_segments, dup_segment_frac,

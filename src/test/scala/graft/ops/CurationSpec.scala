@@ -51,6 +51,19 @@ class CurationSpec extends AnyFunSuite {
       (1L, "a b"), (2L, "c"), (3L, "a"), (4L, ""), (5L, "q q")))
   }
 
+  test("dedupeSegments: in-doc repeats keep first occurrence; cross-doc untouched") {
+    val docs = Seq(
+      (1L, "nav home nav about nav home end"), // repeated "nav" and "home"
+      (2L, "nav unique"), // "nav" here must survive (per-doc semantics)
+      (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = Curation.dedupeSegments(docs, "doc_id", "text", separator = " ")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "nav home about end")
+    assert(got(2L) == "nav unique")
+    assert(got(3L) == "x")
+  }
+
   test("repetitionReport: duplicate-segment and top-bigram fractions") {
     val docs = Seq((1L, "a a b"), (2L, "x"), (3L, "c c c c"))
       .toDF("doc_id", "text")
