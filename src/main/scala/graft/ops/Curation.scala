@@ -11,8 +11,9 @@ import graft.functions.TextFunctions._
   *
   * Scale posture mirrors [[Dedup]]: no O(n²) joins, shuffle keys are
   * 16-byte md5 fingerprints (never document bodies), small derived sets
-  * (benchmark n-grams, boilerplate segments) are broadcast, and everything
-  * stays inside whole-stage codegen (built-in functions only, no UDFs).
+  * (benchmark n-grams, boilerplate segments) are broadcast, and row-level
+  * work is either codegen'd built-ins or the tight-loop expressions from
+  * [[graft.functions.HashExpressions]] — no UDFs anywhere.
   */
 object Curation {
 
