@@ -71,6 +71,12 @@ object CurationScaleProbe {
       Curation.packSequences(docs, "doc_id",
         TextFunctions.tokenCount(col("text")), "source", seqLen = 2048).count()
     }
+    timed("in-doc segment dedup (per-row rewrite, no shuffle)") {
+      Curation.dedupeSegments(docs, "doc_id", "text", separator = " ").count()
+    }
+    timed("vocabulary top-100 (hash agg + TakeOrderedAndProject)") {
+      Curation.vocabulary(docs, "text", k = 100).count()
+    }
     spark.stop()
   }
 }
