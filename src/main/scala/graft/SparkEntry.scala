@@ -543,6 +543,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // One-row corpus card: doc/token/unique-content counts in a single
+    // map-side-combined aggregate pass.
+    "q66_corpus_stats" -> ((s, dir) => {
+      Curation.corpusStats(t(s, dir, "documents"), "text")
+    }),
+
     // Within-document segment dedup: repeated segments keep first
     // occurrence only — a pure per-row rewrite inside the scan stage.
     "q65_dedupe_segments" -> ((s, dir) => {
@@ -1604,6 +1610,15 @@ object SparkEntry {
                 unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
          FROM spans
          ORDER BY source, doc_id, seq_id""",
+
+    "q66_corpus_stats" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
+                CAST(sum(list_sum(list_transform($toks,
+                  w -> CAST(ceil(len(w) / 4.0) AS BIGINT)))) AS BIGINT) AS n_bpe_tokens,
+                CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                  AS BIGINT) AS n_unique_docs
+         FROM documents""",
 
     // First-occurrence filter by position; list_position finds the first
     // index of each segment, exactly as Spark's array_position does.

@@ -311,6 +311,19 @@ object Curation {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** One-row corpus card: document count, token counts (whitespace + BPE
+    * estimate), and distinct-content count — the summary block a dataset
+    * release publishes. A single map-side-combined aggregate pass; the
+    * distinct-content term aggregates over 16-byte fingerprints, not
+    * bodies.
+    */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol))).as("n_tokens"),
+      sum(bpeTokenCountEstimate(col(textCol))).as("n_bpe_tokens"),
+      countDistinct(contentFingerprint(col(textCol))).as("n_unique_docs"))
+
   /** Concat-and-chunk sequence packing: documents are concatenated in
     * `idCol` order WITHIN each shard and cut into fixed `seqLen`-token
     * training sequences; a document token-interval [start, end) overlaps

@@ -110,6 +110,14 @@ class CurationSpec extends AnyFunSuite {
       s"top-k must plan as TakeOrderedAndProject, not a global sort:\n$vocabPlan")
   }
 
+  test("corpusStats: one-row card with distinct-content count") {
+    val docs = Seq((1L, "a b"), (2L, "A  b"), (3L, "cdefg")).toDF("doc_id", "text")
+    val r = Curation.corpusStats(docs, "text").collect()(0)
+    // docs 1 and 2 normalize identically; "cdefg" is ceil(5/4)=2 BPE units
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 5L, 6L, 2L)))
+  }
+
   test("vocabulary: frequency-ordered top-k with token tie-break") {
     val docs = Seq((1L, "a B a"), (2L, "b c")).toDF("doc_id", "text")
     val got = Curation.vocabulary(docs, "text", k = 2)
