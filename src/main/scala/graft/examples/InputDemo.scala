@@ -10,9 +10,14 @@ object InputDemo {
       "/root/reference/test/in/2_samples.txt")
     println(s"=== good file: ${good.count()} exploded variant rows, " +
       s"${good.select("patient_id").distinct().count()} patients")
-    // bad path: truncated line
+    // bad path: truncated line (fixture written here so the demo is
+    // self-contained)
+    val bad = java.io.File.createTempFile("graft_bad_input", ".txt")
+    bad.deleteOnExit()
+    java.nio.file.Files.write(bad.toPath,
+      "patient1\tchr1\tsnp1\n".getBytes("UTF-8"))
     try {
-      graft.io.PipelineInputs.read(spark, "variant", "/tmp/bad_input.txt")
+      graft.io.PipelineInputs.read(spark, "variant", bad.getAbsolutePath)
       println("=== bad file: NO ERROR (unexpected)")
     } catch {
       case e: graft.io.Dsv.InvalidInputException =>
