@@ -31,7 +31,10 @@ object CorpusCurationDemo {
       TextFunctions.langId(col("text")).as("lang_pred"),
       TextFunctions.qualityScore(col("text")).as("quality"),
       col("top_bigram_frac"))
+    // Stage results are persisted: each stage feeds both the next stage and
+    // a progress count, and the later stages (cluster dedup) iterate.
     val kept1 = scored.filter(col("quality") >= 0.5 && col("top_bigram_frac") < 0.9)
+      .persist()
     println(s"after quality+repetition gate: ${kept1.count()}")
 
     // 2. Boilerplate strip + PII scrub (text rewrite steps compose before
@@ -41,6 +44,7 @@ object CorpusCurationDemo {
       .withColumn("text", Curation.redactPii(col("text_clean")))
       .drop("text_clean")
       .join(kept1.drop("text"), "doc_id")
+      .persist()
     println(s"after boilerplate strip + pii scrub: ${stripped.count()}")
 
     // 3. Near-dup removal at cluster level (MinHash+LSH pairs → connected
@@ -48,7 +52,7 @@ object CorpusCurationDemo {
     val pairs = Dedup.minHashNearDuplicates(stripped, "doc_id", "text",
       threshold = 0.5, numHashes = 8, bands = 4, shingleLen = 3)
     val clusters = Dedup.duplicateClusters(pairs)
-    val deduped = Dedup.keepList(stripped, "doc_id", clusters)
+    val deduped = Dedup.keepList(stripped, "doc_id", clusters).persist()
     println(s"near-dup pairs: ${pairs.count()}, clusters drop " +
       s"${stripped.count() - deduped.count()} docs -> ${deduped.count()}")
 
@@ -56,14 +60,14 @@ object CorpusCurationDemo {
     //    held-out eval set (here: doc_id < 25 stands in for the benchmark).
     val decon = Curation.decontaminate(
       deduped.filter(col("doc_id") >= 25), "doc_id", "text",
-      docs.filter(col("doc_id") < 25), "text", n = 6)
+      docs.filter(col("doc_id") < 25), "text", n = 6).persist()
     println(s"after decontamination: ${decon.count()}")
 
     // 5. Mixture: down-sample dominant strata, up-weight scarce ones.
     val mixed = Sampling.weightedRepeat(
       Sampling.stratifiedHashSample(decon, "doc_id", "lang",
         Seq("en" -> 0.5)),
-      "lang", Seq("de" -> 2))
+      "lang", Seq("de" -> 2)).persist()
     println("mixture by lang (rows after sample+repeat):")
     mixed.groupBy("lang").count().orderBy("lang").show()
 

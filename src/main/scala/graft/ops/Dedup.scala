@@ -79,6 +79,17 @@ object Dedup {
     * join + one aggregate of the EDGE list (no corpus-sized state), the
     * distributed shape of large-star/small-star. The per-iteration
     * `count()` is the convergence check of an offline index-build job.
+    *
+    * Each iteration's labels are `localCheckpoint`ed: the update plan
+    * references the previous labels TWICE (propagation join + convergence
+    * check), so without lineage truncation the logical plan doubles per
+    * iteration — planning cost, not data, becomes the bottleneck (and the
+    * driver can OOM just materializing the plan string when a downstream
+    * operator builds on the result). Checkpointed partitions make each
+    * iteration's plan O(1) deep. Local (executor-storage) checkpoints are
+    * the right durability class for an offline index build; a
+    * fault-tolerant cluster run would set a reliable checkpoint dir and
+    * use `checkpoint()`.
     */
   def duplicateClusters(
       pairs: DataFrame,
@@ -89,10 +100,10 @@ object Dedup {
       .select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
@@ -104,15 +115,13 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("minn"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint()
       converged = updated
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") < col("old")).isEmpty
-      labels.unpersist()
       labels = updated
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
