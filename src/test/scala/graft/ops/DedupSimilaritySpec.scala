@@ -65,6 +65,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("duplicateClusters converges on a path graph (worst-case diameter)") {
+    // 1-2-3-…-20: label 1 must propagate the full diameter, exercising the
+    // localCheckpoint'ed iteration loop well past the clique-typical 1-2
+    // rounds.
+    val edges = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L to 20L).map(i => (i, 1L)).toSet)
+  }
+
   test("ngram containment finds an embedded doc that jaccard misses") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
