@@ -543,6 +543,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic exact-size sample: the 50 smallest md5(doc_id) rows —
+    // TakeOrderedAndProject, no global sort shuffle.
+    "q67_exact_sample" -> ((s, dir) => {
+      graft.ops.Sampling.hashSampleExact(t(s, dir, "documents"), "doc_id", 50)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic train/validation/test assignment from md5(doc_id)
+    // range cuts — a pure per-row expression the oracle reproduces.
+    "q68_split_assign" -> ((s, dir) => {
+      graft.ops.Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("test" -> 0.1, "validation" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // One-row corpus card: doc/token/unique-content counts in a single
     // map-side-combined aggregate pass.
     "q66_corpus_stats" -> ((s, dir) => {
@@ -1610,6 +1627,23 @@ object SparkEntry {
                 unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
          FROM spans
          ORDER BY source, doc_id, seq_id""",
+
+    "q67_exact_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang FROM documents
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50)
+         ORDER BY doc_id""",
+
+    // Cumulative md5-prefix cuts: 0.1 -> 410/4096 = 0x19a, 0.2 -> 820 =
+    // 0x334 (same integer rounding as Sampling.assignSplit).
+    "q68_split_assign" ->
+      """SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '19a'
+                       THEN 'test'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '334'
+                       THEN 'validation'
+                     ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id""",
 
     "q66_corpus_stats" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,

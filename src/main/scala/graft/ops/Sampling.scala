@@ -38,6 +38,48 @@ object Sampling {
     df.filter(pred)
   }
 
+  /** Deterministic EXACT-size sample: the `n` rows with the smallest
+    * `md5(id)` — order is a pure function of ids, so the same rows are
+    * selected on any cluster size or engine (eval-split construction needs
+    * exact counts, where [[stratifiedHashSample]] gives expected counts).
+    * Plans as TakeOrderedAndProject: per-partition partial top-n, merge of
+    * n×partitions rows — no global sort shuffle.
+    */
+  def hashSampleExact(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+
+  /** Deterministic train/validation/test assignment: a `split` column
+    * derived from the md5 of the id, with fractions in 4096ths exactly as
+    * [[Similarity.hashSample]] (so an external oracle reproduces the
+    * assignment). Fractions are (name, fraction) in priority order; ids
+    * falling past the cumulative fractions get `defaultSplit`. A pure
+    * per-row expression — rows never shuffle, the split survives
+    * re-partitioning, re-runs, and engine changes.
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      defaultSplit: String = "train",
+      splitCol: String = "split"): DataFrame = {
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val prefix = substring(md5(col(idCol).cast("string")), 1, 3)
+    // Cumulative thresholds in 4096ths, then a foldRight so the when-chain
+    // tests them in ASCENDING order: [0, t1) -> split 1, [t1, t2) ->
+    // split 2, …, remainder -> defaultSplit. A cumulative threshold of
+    // 4096 cannot be expressed as a 3-hex-char compare (it formats to 4
+    // chars), so it short-circuits to an always-true branch.
+    val cums = fractions.scanLeft(0L) { case (c, (_, f)) =>
+      c + math.round(f * 4096)
+    }.tail
+    val expr = fractions.zip(cums).foldRight(lit(defaultSplit): Column) {
+      case (((name, _), thr), rest) =>
+        val cond = if (thr >= 4096L) lit(true) else prefix < lit(f"$thr%03x")
+        when(cond, lit(name)).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
   /** Integer up-weighting: repeat each row `weight(stratum)` times (default
     * 1), adding a 1-based `copyCol` so downstream shuffles and dedup keys
     * can distinguish copies. `explode(sequence(...))` is codegen'd and

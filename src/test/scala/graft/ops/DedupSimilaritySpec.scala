@@ -230,6 +230,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full.count() == 400)
   }
 
+  test("hashSampleExact: exact size, deterministic, nested prefixes") {
+    val df = (1L to 300L).toDF("doc_id")
+    val top50 = Sampling.hashSampleExact(df, "doc_id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(top50.size == 50)
+    val again = Sampling.hashSampleExact(df, "doc_id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(top50 == again)
+    // a smaller exact sample is a prefix of a larger one (same md5 order)
+    val top25 = Sampling.hashSampleExact(df, "doc_id", 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(top25.subsetOf(top50))
+  }
+
+  test("assignSplit: cuts agree with hashSample thresholds; total coverage") {
+    val df = (1L to 500L).toDF("doc_id")
+    val splits = Sampling.assignSplit(df, "doc_id",
+        Seq("test" -> 0.1, "validation" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(splits.size == 500 && splits.values.toSet == Set("test", "validation", "train"))
+    // the first cut is exactly Similarity.hashSample at the same fraction
+    val sampled = df.filter(Similarity.hashSample(col("doc_id"), 0.1))
+      .collect().map(_.getLong(0)).toSet
+    assert(splits.filter(_._2 == "test").keySet == sampled)
+    // fractions sum to 1 -> the always-true final branch leaves no default
+    val all = Sampling.assignSplit(df, "doc_id",
+        Seq("a" -> 0.5, "b" -> 0.5), defaultSplit = "NONE")
+      .collect().map(_.getString(1)).toSet
+    assert(all == Set("a", "b"))
+  }
+
   test("weightedRepeat: per-stratum copies with a 1-based index") {
     val df = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
     val got = Sampling.weightedRepeat(df, "lang", Seq("de" -> 3))
