@@ -251,6 +251,10 @@ object Similarity {
     var assigned = ivfAssign(embeddings, idCol, vecCol, nlist)
     var centroids: DataFrame = null
     (1 to iterations).foreach { _ =>
+      // Lineage truncation per Lloyd iteration: the chain grows linearly
+      // (single reference), but truncating keeps plan depth O(1) for any
+      // iteration count (same discipline as duplicateClusters).
+      assigned = assigned.localCheckpoint()
       val members = assigned.select(col("centroid_id"),
         posexplode(col(vecCol)).as(Seq("__pos", "__v")))
       centroids = members

@@ -98,6 +98,61 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupeSegments ≡ naive first-occurrence filter") {
+    trials(10) { rnd =>
+      val docs = (1L to 15L).map(i => (i, randText(rnd, 10)))
+      val got = Curation.dedupeSegments(docs.toDF("doc_id", "text"),
+          "doc_id", "text", separator = " ")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      docs.foreach { case (id, text) =>
+        val segs = text.split(" ", -1).toList
+        val expected = segs.zipWithIndex
+          .filter { case (s, i) => segs.indexOf(s) == i }
+          .map(_._1).mkString(" ")
+        assert(got(id) == expected, s"doc $id text='$text'")
+      }
+    }
+  }
+
+  test("vocabulary ≡ naive frequency ranking") {
+    trials(10) { rnd =>
+      val docs = (1L to 15L).map(i => (i, randText(rnd, 12)))
+      val k = 1 + rnd.nextInt(6)
+      val got = Curation.vocabulary(docs.toDF("doc_id", "text"), "text", k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val counts = docs.flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val expected = counts.sortBy { case (t, c) => (-c, t) }.take(k)
+      assert(got == expected, s"k=$k docs=$docs")
+    }
+  }
+
+  test("corpusStats ≡ naive aggregate") {
+    trials(10) { rnd =>
+      val docs = (1L to 12L).map(i => (i, randText(rnd, 8)))
+      val r = Curation.corpusStats(docs.toDF("doc_id", "text"), "text").collect()(0)
+      val toks = docs.map(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty).toList)
+      val nTokens = toks.map(_.size.toLong).sum
+      val nBpe = toks.flatten.map(w => math.ceil(w.length / 4.0).toLong).sum
+      val nUnique = docs.map(_._2.toLowerCase.replaceAll("\\s+", " ").trim).distinct.size
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((docs.size.toLong, nTokens, nBpe, nUnique.toLong)), s"docs=$docs")
+    }
+  }
+
+  test("assignSplit partitions every row into exactly one split") {
+    trials(6) { rnd =>
+      val n = 100 + rnd.nextInt(200)
+      val df = (1L to n.toLong).toDF("doc_id")
+      val fr = Seq("a" -> rnd.nextDouble() * 0.4, "b" -> rnd.nextDouble() * 0.4)
+      val rows = Sampling.assignSplit(df, "doc_id", fr)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.length == n)
+      assert(rows.map(_._1).distinct.length == n)
+      assert(rows.forall(r => Set("a", "b", "train").contains(r._2)))
+    }
+  }
+
   test("ngramContainmentPairs ≡ naive overlap with df pruning") {
     trials(8) { rnd =>
       val alpha = "abcd"
