@@ -543,6 +543,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Overlapping token-window chunking (retrieval-corpus shape): 32-token
+    // chunks at stride 24 — a generator inside the scan stage, no shuffle.
+    "q69_chunk_documents" -> ((s, dir) => {
+      Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Deterministic exact-size sample: the 50 smallest md5(doc_id) rows —
     // TakeOrderedAndProject, no global sort shuffle.
     "q67_exact_sample" -> ((s, dir) => {
@@ -1627,6 +1635,22 @@ object SparkEntry {
                 unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
          FROM spans
          ORDER BY source, doc_id, seq_id""",
+
+    // Stride positions via range(0, n, stride); chunk text is a token
+    // slice, n_tokens the clamped remainder.
+    "q69_chunk_documents" ->
+      s"""WITH tk AS (
+           SELECT doc_id, $toks AS tk FROM documents),
+         starts AS (
+           SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS s
+           FROM tk WHERE len(tk) > 0)
+         SELECT doc_id,
+                CAST(s // 24 AS BIGINT) AS chunk_id,
+                array_to_string(list_slice(tk, CAST(s + 1 AS INTEGER),
+                  CAST(s + 32 AS INTEGER)), ' ') AS chunk_text,
+                CAST(least(32, len(tk) - s) AS BIGINT) AS n_tokens
+         FROM starts
+         ORDER BY doc_id, chunk_id""",
 
     "q67_exact_sample" ->
       """SELECT doc_id, lang FROM (

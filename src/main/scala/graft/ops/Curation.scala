@@ -311,6 +311,38 @@ object Curation {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** Overlapping token-window chunks (the retrieval-corpus shape: embed
+    * chunks, not documents). Chunk `i` covers tokens
+    * `[i·stride, i·stride + chunkTokens)`; `stride < chunkTokens` gives
+    * overlap so no span falls on a chunk boundary unseen. Returns
+    * (idCol, chunk_id, chunk_text, n_tokens); empty/null documents yield
+    * no chunks.
+    *
+    * Scale shape: a generator inside the scan stage — `explode` of the
+    * stride positions, then a cheap array slice per chunk (the token
+    * array is computed once per document, carried as an attribute through
+    * the generate). No shuffle.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 256,
+      stride: Int = 192): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be >= 1")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("__toks")) - col("__start"))
+          .cast("long").as("n_tokens"))
+  }
+
   /** One-row corpus card: document count, token counts (whitespace + BPE
     * estimate), and distinct-content count — the summary block a dataset
     * release publishes. A single map-side-combined aggregate pass; the

@@ -110,6 +110,24 @@ class CurationSpec extends AnyFunSuite {
       s"top-k must plan as TakeOrderedAndProject, not a global sort:\n$vocabPlan")
   }
 
+  test("chunkDocuments: overlap, tail clamping, empty docs skipped") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 tokens: chunks at 0, 3, 6
+      (2L, "a b"), // shorter than one chunk
+      (3L, "")) // no tokens -> no chunks
+      .toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L), // overlap of 1 token with chunk 0
+      (1L, 2L, "t7", 1L), // clamped tail
+      (2L, 0L, "a b", 2L)))
+  }
+
   test("corpusStats: one-row card with distinct-content count") {
     val docs = Seq((1L, "a b"), (2L, "A  b"), (3L, "cdefg")).toDF("doc_id", "text")
     val r = Curation.corpusStats(docs, "text").collect()(0)
