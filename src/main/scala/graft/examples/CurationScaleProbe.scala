@@ -77,6 +77,10 @@ object CurationScaleProbe {
     timed("vocabulary top-100 (hash agg + TakeOrderedAndProject)") {
       Curation.vocabulary(docs, "text", k = 100).count()
     }
+    timed("chunking 32/24 (scan-stage generator, no shuffle)") {
+      Curation.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 32, stride = 24).count()
+    }
     spark.stop()
   }
 }
