@@ -543,6 +543,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF keyword extraction: top-3 characteristic terms per document;
+    // two shuffles (term frequency, document frequency) + a per-doc
+    // ranking window.
+    "q70_tfidf_terms" -> ((s, dir) => {
+      Curation.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // Overlapping token-window chunking (retrieval-corpus shape): 32-token
     // chunks at stride 24 — a generator inside the scan stage, no shuffle.
     "q69_chunk_documents" -> ((s, dir) => {
@@ -1635,6 +1643,27 @@ object SparkEntry {
                 unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
          FROM spans
          ORDER BY source, doc_id, seq_id""",
+
+    // Same tf/df/idf arithmetic; ln is IEEE-identical in both engines and
+    // the product rounds to 6 decimals on both sides.
+    "q70_tfidf_terms" ->
+      s"""WITH terms AS (
+           SELECT doc_id, token, count(*) AS tf FROM (
+             SELECT doc_id, unnest($toks) AS token FROM documents)
+           GROUP BY doc_id, token),
+         dfreq AS (
+           SELECT token, count(*) AS df FROM terms GROUP BY token),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT t.doc_id, t.token,
+                  t.tf * ln(CAST(n.n + 1 AS DOUBLE) / (d.df + 1)) AS tfidf
+           FROM terms t JOIN dfreq d USING (token) CROSS JOIN n)
+         SELECT doc_id, token, round(tfidf, 6) AS tfidf,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+         FROM scored
+         QUALIFY rank <= 3
+         ORDER BY doc_id, rank""",
 
     // Stride positions via range(0, n, stride); chunk text is a token
     // slice, n_tokens the clamped remainder.

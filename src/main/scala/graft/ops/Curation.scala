@@ -343,6 +343,42 @@ object Curation {
           .cast("long").as("n_tokens"))
   }
 
+  /** Top-k characteristic terms per document by TF-IDF (keyword
+    * extraction / topic hints). `idf = ln((N+1)/(df+1))` with N the corpus
+    * document count and df the term's document frequency; ties break by
+    * token ascending. Returns (idCol, token, tfidf, rank).
+    *
+    * Scale shape: one shuffle for per-(doc, token) term frequencies, one
+    * for document frequencies; the df side is a token-keyed aggregate
+    * JOINED back on the token (at web scale the df table is still tiny
+    * next to the corpus — vocabulary, not corpus, sized). The per-doc
+    * top-k window partitions by document id, so ranking parallelizes
+    * across the corpus. The one `count()` is the corpus size N, a
+    * columnar metadata read.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val terms = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token")
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = terms.groupBy("token")
+      .agg(count(lit(1)).as("__df"))
+    val scored = terms.join(dfreq, "token")
+      .withColumn("tfidf",
+        col("__tf") * log((lit(n) + 1).cast("double") / (col("__df") + 1)))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), round(col("tfidf"), 6).as("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** One-row corpus card: document count, token counts (whitespace + BPE
     * estimate), and distinct-content count — the summary block a dataset
     * release publishes. A single map-side-combined aggregate pass; the

@@ -128,6 +128,22 @@ class CurationSpec extends AnyFunSuite {
       (2L, 0L, "a b", 2L)))
   }
 
+  test("tfidfTopTerms: hand-computed scores, rank tie-break by token") {
+    val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z")).toDF("doc_id", "text")
+    val got = Curation.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // N=3; df: x=1, y=2, z=2; idf_x=ln(4/2), idf_y=idf_z=ln(4/3)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got == Set(
+      (1L, "x", r6(2 * math.log(2.0)), 1L),
+      (1L, "y", r6(math.log(4.0 / 3)), 2L),
+      (2L, "y", r6(math.log(4.0 / 3)), 1L), // tie with z broken by token
+      (2L, "z", r6(math.log(4.0 / 3)), 2L),
+      (3L, "z", r6(3 * math.log(4.0 / 3)), 1L)))
+  }
+
   test("corpusStats: one-row card with distinct-content count") {
     val docs = Seq((1L, "a b"), (2L, "A  b"), (3L, "cdefg")).toDF("doc_id", "text")
     val r = Curation.corpusStats(docs, "text").collect()(0)
