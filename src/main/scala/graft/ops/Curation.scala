@@ -76,6 +76,60 @@ object Curation {
     out
   }
 
+  /** Persist a benchmark's distinct gram fingerprints — the
+    * decontamination index. Building it scans the benchmark once; probing
+    * ([[contaminationReportWithIndex]]) then costs one broadcast of the
+    * stored fingerprints per ingest batch, never re-shingling the
+    * benchmark. Mirrors [[Similarity.saveIvfIndex]]: build once, amortize
+    * over every batch/probe.
+    */
+  def saveBenchmarkIndex(
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      path: String): Unit =
+    bench
+      .select(graft.functions.HashExpressions.shingleSet(col(benchTextCol), n).as("__sh"))
+      .select(explode(col("__sh")).as("__gram"))
+      .select(md5(col("__gram")).as("__fp"))
+      .distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** [[contaminationReport]] against a persisted benchmark index
+    * ([[saveBenchmarkIndex]]) instead of raw benchmark text. Same result
+    * frame; the benchmark side is a parquet scan of fingerprints.
+    */
+  def contaminationReportWithIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      n: Int = 13,
+      minMatches: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val docGrams = docs
+      .select(col(idCol),
+        graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
+      .repartition(p, col(idCol))
+      .select(col(idCol), explode(col("__sh")).as("__gram"))
+      .select(col(idCol), md5(col("__gram")).as("__fp"))
+      .persist()
+    val benchGrams = spark.read.parquet(indexPath)
+    val sizes = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val perDoc = docGrams
+      .join(broadcast(benchGrams), Seq("__fp"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched_grams"))
+    docs.select(col(idCol))
+      .join(sizes, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
+        (coalesce(col("matched_grams"), lit(0L)) >= minMatches).as("contaminated"))
+  }
+
   /** Streaming form of the contamination check: the same gram-collision
     * count over documents arriving through `readStream`, returning the
     * BLOCKLIST (doc_id, matched_grams) of contaminated documents — the

@@ -160,6 +160,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq(("a", 2L), ("b", 2L)))
   }
 
+  test("persisted benchmark index ≡ direct contaminationReport") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter($"doc_id" < 10)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bench_idx").toString + "/grams"
+    Curation.saveBenchmarkIndex(bench, "text", n = 6, idx)
+    val direct = Curation.contaminationReport(
+        docs.filter($"doc_id" >= 10), "doc_id", "text", bench, "text", n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val indexed = Curation.contaminationReportWithIndex(
+        docs.filter($"doc_id" >= 10), "doc_id", "text", idx, n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(indexed == direct)
+    assert(indexed.exists(_._4)) // the fixture does contain collisions
+  }
+
   test("streamingContaminationBlocklist ≡ batch contaminationReport") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
