@@ -543,6 +543,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Data-mixture card: per-(source, lang) doc/token counts with corpus
+    // fractions — one hash aggregate + a broadcast of the stratum totals.
+    "q71_mixture_report" -> ((s, dir) => {
+      Curation.mixtureReport(t(s, dir, "documents"), "text", Seq("source", "lang"))
+        .orderBy("source", "lang")
+    }),
+
     // TF-IDF keyword extraction: top-3 characteristic terms per document;
     // two shuffles (term frequency, document frequency) + a per-doc
     // ranking window.
@@ -1643,6 +1650,21 @@ object SparkEntry {
                 unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
          FROM spans
          ORDER BY source, doc_id, seq_id""",
+
+    "q71_mixture_report" ->
+      s"""WITH per AS (
+           SELECT source, lang, count(*) AS n_docs,
+                  CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source, lang),
+         tot AS (
+           SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                  CAST(sum(n_tokens) AS BIGINT) AS tt
+           FROM per)
+         SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+                round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_frac,
+                round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_frac
+         FROM per CROSS JOIN tot
+         ORDER BY source, lang""",
 
     // Same tf/df/idf arithmetic; ln is IEEE-identical in both engines and
     // the product rounds to 6 decimals on both sides.

@@ -397,6 +397,30 @@ object Curation {
           .cast("long").as("n_tokens"))
   }
 
+  /** Data-mixture card: document and token counts per stratum (e.g.
+    * source × language) with corpus fractions — the table a dataset
+    * release publishes and a mixing step ([[Sampling.stratifiedHashSample]]
+    * / [[Sampling.weightedRepeat]]) is tuned against. One hash aggregate;
+    * the grand totals for the fractions ride a broadcast of the (tiny)
+    * stratum aggregate, never a second corpus scan.
+    */
+  def mixtureReport(
+      docs: DataFrame,
+      textCol: String,
+      strataCols: Seq[String]): DataFrame = {
+    val perStratum = docs
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).as("n_tokens"))
+    val totals = perStratum.agg(
+      sum(col("n_docs")).as("__td"), sum(col("n_tokens")).as("__tt"))
+    perStratum.crossJoin(broadcast(totals))
+      .select(strataCols.map(col) ++ Seq(
+        col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / col("__td"), 6).as("doc_frac"),
+        round(col("n_tokens") / col("__tt"), 6).as("token_frac")): _*)
+  }
+
   /** Top-k characteristic terms per document by TF-IDF (keyword
     * extraction / topic hints). `idf = ln((N+1)/(df+1))` with N the corpus
     * document count and df the term's document frequency; ties break by
