@@ -128,6 +128,23 @@ class CurationSpec extends AnyFunSuite {
       (2L, 0L, "a b", 2L)))
   }
 
+  test("mixtureReport: per-stratum counts and fractions sum to 1") {
+    val docs = Seq(
+      ("s1", "en", "a b c"), ("s1", "en", "d e"), ("s1", "de", "f"),
+      ("s2", "en", "g h i j"))
+      .toDF("source", "lang", "text")
+    val rows = Curation.mixtureReport(docs, "text", Seq("source", "lang"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(rows(("s1", "en")) == ((2L, 5L, 0.5, 0.5)))
+    assert(rows(("s1", "de")) == ((1L, 1L, 0.25, 0.1)))
+    assert(rows(("s2", "en")) == ((1L, 4L, 0.25, 0.4)))
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.values.map(_._4).sum - 1.0) < 1e-9)
+  }
+
   test("tfidfTopTerms: hand-computed scores, rank tie-break by token") {
     val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z")).toDF("doc_id", "text")
     val got = Curation.tfidfTopTerms(docs, "doc_id", "text", k = 2)
