@@ -153,6 +153,27 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments ≡ naive stride windows") {
+    trials(10) { rnd =>
+      val docs = (1L to 12L).map(i => (i, randText(rnd, 15)))
+      val chunk = 2 + rnd.nextInt(5)
+      val stride = 1 + rnd.nextInt(chunk)
+      val got = Curation.chunkDocuments(docs.toDF("doc_id", "text"),
+          "doc_id", "text", chunkTokens = chunk, stride = stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+        (0 until toks.length by stride).map { start =>
+          val slice = toks.slice(start, start + chunk)
+          (id, (start / stride).toLong, slice.mkString(" "), slice.length.toLong)
+        }
+      }.toSet
+      assert(got == expected, s"chunk=$chunk stride=$stride docs=$docs")
+    }
+  }
+
   test("ngramContainmentPairs ≡ naive overlap with df pruning") {
     trials(8) { rnd =>
       val alpha = "abcd"
