@@ -426,10 +426,17 @@ object Curation {
     * document count and df the term's document frequency; ties break by
     * token ascending. Returns (idCol, token, tfidf, rank).
     *
-    * Scale shape: one shuffle for per-(doc, token) term frequencies, one
-    * for document frequencies; the df side is a token-keyed aggregate
-    * JOINED back on the token (at web scale the df table is still tiny
-    * next to the corpus — vocabulary, not corpus, sized). The per-doc
+    * Scale shape: one shuffle for per-(doc, token) term frequencies; the
+    * df count map-side-combines down to vocabulary size per partition and
+    * the resulting vocabulary-sized df table is BROADCAST into the scoring
+    * join — the corpus-sized (doc, token) frame never shuffles on the
+    * skewed token key (stop words appear in every document). An optional
+    * df-cut (`maxDfShare`, the [[graft.ops.Dedup.ngramJaccardPairs]]
+    * stop-list pattern) drops tokens present in more than that share of
+    * documents BEFORE scoring; the cut is never silent — use
+    * [[tfidfTopTermsWithStopList]] to get the dropped tokens alongside the
+    * scores. Set `broadcastDf = false` to fall back to the shuffle join
+    * when the vocabulary itself is too large to broadcast. The per-doc
     * top-k window partitions by document id, so ranking parallelizes
     * across the corpus. The one `count()` is the corpus size N, a
     * columnar metadata read.
@@ -438,23 +445,46 @@ object Curation {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      maxDfShare: Double = 1.0,
+      broadcastDf: Boolean = true): DataFrame =
+    tfidfTopTermsWithStopList(docs, idCol, textCol, k, maxDfShare, broadcastDf)._1
+
+  /** [[tfidfTopTerms]] plus the df-cut report: returns (top-k terms,
+    * stop list) where the stop list is every (token, df) the `maxDfShare`
+    * cut removed from scoring — empty at the default share of 1.0.
+    */
+  def tfidfTopTermsWithStopList(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      maxDfShare: Double = 1.0,
+      broadcastDf: Boolean = true): (DataFrame, DataFrame) = {
     val n = docs.count()
     val terms = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token")
       .agg(count(lit(1)).as("__tf"))
-    val dfreq = terms.groupBy("token")
+    val dfreqAll = terms.groupBy("token")
       .agg(count(lit(1)).as("__df"))
-    val scored = terms.join(dfreq, "token")
+    val dfCut = lit(maxDfShare) * lit(n.toDouble)
+    val stopList = dfreqAll.filter(col("__df") > dfCut)
+      .select(col("token"), col("__df").as("df"))
+    val dfreq = dfreqAll.filter(col("__df") <= dfCut)
+    // Inner join on the (possibly cut) df table both scores and drops stop
+    // tokens in one pass; the broadcast keeps the corpus side in place.
+    val dfSide = if (broadcastDf) broadcast(dfreq) else dfreq
+    val scored = terms.join(dfSide, "token")
       .withColumn("tfidf",
         col("__tf") * log((lit(n) + 1).cast("double") / (col("__df") + 1)))
     val w = Window.partitionBy(idCol)
       .orderBy(col("tfidf").desc, col("token").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val top = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("token"), round(col("tfidf"), 6).as("tfidf"),
         col("rank").cast("long").as("rank"))
+    (top, stopList)
   }
 
   /** One-row corpus card: document count, token counts (whitespace + BPE

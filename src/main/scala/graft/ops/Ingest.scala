@@ -91,4 +91,83 @@ object Ingest {
       naturalKey)
     (withId, resolved)
   }
+
+  /** A parsed `--map` entry from the reference loader's config DSL:
+    * `"child: k1, k2 => parent"` — insert `parent` first, then resolve the
+    * child's natural-key columns (k1, k2) to the parent's surrogate id.
+    * Reference: `load_dsv.py` mapping dict
+    * (`/root/reference/script/load_dsv.py:244-259`).
+    */
+  case class FkMapping(table: String, columns: Seq[String], autoIncrementTable: String)
+
+  private val DslToken = "=>|[:,.]|[A-Za-z][A-Za-z0-9_]*".r
+
+  private def tokenizeDsl(s: String): Vector[String] = {
+    val leftover = DslToken.replaceAllIn(s, "").trim
+    require(leftover.isEmpty, s"unparseable characters '$leftover' in mapping: $s")
+    DslToken.findAllIn(s).toVector
+  }
+
+  /** Parser for the `load_dsv.py --map` mapping DSL
+    * (`/root/reference/script/load_dsv.py:225-260`): grammar
+    * `identifier ':' identifier (',' identifier)* [','] '=>' identifier`,
+    * identifiers `[A-Za-z][A-Za-z0-9_]*`. A trailing comma before `=>` is
+    * tolerated, matching the reference's own docstring example
+    * (`"R_1: x, => T"`).
+    */
+  def parseMapDsl(s: String): FkMapping = tokenizeDsl(s) match {
+    case table +: ":" +: rest =>
+      val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      var expectIdent = true
+      while (i < rest.length && rest(i) != "=>") {
+        rest(i) match {
+          case "," if !expectIdent => expectIdent = true
+          case ident if expectIdent && ident.matches("[A-Za-z][A-Za-z0-9_]*") =>
+            cols += ident; expectIdent = false
+          case t => throw new IllegalArgumentException(
+            s"unexpected token '$t' in column list of mapping: $s")
+        }
+        i += 1
+      }
+      require(cols.nonEmpty, s"empty column list in mapping: $s")
+      rest.drop(i) match {
+        case Vector("=>", parent) => FkMapping(table, cols.toSeq, parent)
+        case _ => throw new IllegalArgumentException(s"expected '=> parent' in mapping: $s")
+      }
+    case _ => throw new IllegalArgumentException(s"expected 'table: ...' in mapping: $s")
+  }
+
+  /** Parser for the `load_dsv.py --ignore` DSL (`load_dsv.py:262-264`):
+    * `"table.column"` — drop that column before inserting the table.
+    */
+  def parseIgnoreDsl(s: String): (String, String) = tokenizeDsl(s) match {
+    case Vector(table, ".", column) => (table, column)
+    case _ => throw new IllegalArgumentException(s"expected 'table.column': $s")
+  }
+
+  /** Apply one parsed `--map` entry against loaded tables: assign surrogate
+    * ids to the parent over the mapping's natural-key columns and resolve
+    * the child — the Spark form of the reference's insert-parents-first,
+    * harvest-lastrowid, substitute-in-children loop (`load_dsv.py:66-134`).
+    * Matching the reference exactly: resolution reads the RAW column values
+    * (ignored fields included, `load_dsv.py:112-117` reads the unfiltered
+    * csv row), the child's new fk column is named `<parent>_id`
+    * (`load_dsv.py:113`), and `--ignore`d columns drop from the OUTPUT
+    * (insert) side only, after resolution.
+    */
+  def applyMapDsl(
+      tables: Map[String, DataFrame],
+      mapping: FkMapping,
+      ignores: Seq[(String, String)] = Nil): (DataFrame, DataFrame) = {
+    val idCol = mapping.autoIncrementTable + "_id"
+    val (parent, child) = resolveForeignKeys(
+      tables(mapping.autoIncrementTable), tables(mapping.table),
+      mapping.columns, idCol)
+    def dropIgnored(name: String, df: DataFrame): DataFrame =
+      ignores.collect { case (t, c) if t == name => c }
+        .foldLeft(df)(_.drop(_))
+    (dropIgnored(mapping.autoIncrementTable, parent),
+      dropIgnored(mapping.table, child))
+  }
 }

@@ -161,6 +161,22 @@ class CurationSpec extends AnyFunSuite {
       (3L, "z", r6(3 * math.log(4.0 / 3)), 1L)))
   }
 
+  test("tfidf df-cut: stop list reported, cut tokens excluded, broadcast plan") {
+    val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z")).toDF("doc_id", "text")
+    // maxDfShare=0.5 with N=3 cuts tokens in more than 1.5 docs: y and z (df=2).
+    val (top, stop) = Curation.tfidfTopTermsWithStopList(
+      docs, "doc_id", "text", k = 2, maxDfShare = 0.5)
+    val stopGot = stop.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stopGot == Set(("y", 2L), ("z", 2L)))
+    val topGot = top.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(topGot == Set((1L, "x"))) // only x (df=1) survives the cut
+    // The scoring join must broadcast the vocabulary-sized df table.
+    assert(top.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // Default share of 1.0 cuts nothing and matches the original contract.
+    val (_, stopDefault) = Curation.tfidfTopTermsWithStopList(docs, "doc_id", "text", k = 2)
+    assert(stopDefault.count() == 0L)
+  }
+
   test("corpusStats: one-row card with distinct-content count") {
     val docs = Seq((1L, "a b"), (2L, "A  b"), (3L, "cdefg")).toDF("doc_id", "text")
     val r = Curation.corpusStats(docs, "text").collect()(0)
