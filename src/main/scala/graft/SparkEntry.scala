@@ -672,11 +672,16 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
-    // Multimodal plumbing: binary payload + partition-batched stub decode
+    // Multimodal: binary payloads with REAL PNG/GIF/BMP header decoding —
+    // image dimensions are parsed out of actual container bytes
+    // (MediaCodec.decodeImage), and the oracle re-derives them from the
+    // fixture's generation rule, so a decoder that misreads the header
+    // hash-mismatches. Audio/video stay on the labeled stub path.
     "q24_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeFeatures(s, media)
-        .select(col("media_id"), col("kind"), col("byte_len").cast("long").as("byte_len"),
+        .select(col("media_id"), col("kind"), col("format"),
+          col("byte_len").cast("long").as("byte_len"),
           col("width").cast("long").as("width"), col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"))
         .orderBy("media_id")
@@ -1878,16 +1883,29 @@ object SparkEntry {
          FROM s GROUP BY user_id, session_seq
          ORDER BY user_id, session_start""",
 
+    // Image rows: the Spark side decodes width/height from real container
+    // header BYTES; the oracle re-derives them from the fixture generation
+    // rule (dims and format are fixed functions of doc_id, header length a
+    // per-format constant) — an incorrect header parse cannot hash-match.
     "q24_media_features" ->
       """WITH m AS (
            SELECT doc_id AS media_id,
                   ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+                  ['png','gif','bmp'][CAST((doc_id // 3) % 3 AS INTEGER) + 1] AS img_format,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS body_len
            FROM documents)
-         SELECT media_id, kind, byte_len,
-                16 + (byte_len * 7919) % 1024 AS width,
-                16 + (byte_len * 104729) % 1024 AS height,
-                CASE WHEN kind = 'video' THEN 1 + byte_len % 300 ELSE 1 END AS n_frames
+         SELECT media_id, kind,
+                CASE WHEN kind = 'image' THEN img_format ELSE 'raw' END AS format,
+                CASE WHEN kind = 'image'
+                     THEN body_len + CASE img_format WHEN 'png' THEN 45
+                                                     WHEN 'gif' THEN 13
+                                                     ELSE 54 END
+                     ELSE body_len END AS byte_len,
+                CASE WHEN kind = 'image' THEN 16 + (media_id * 7919) % 1024
+                     ELSE 16 + (body_len * 7919) % 1024 END AS width,
+                CASE WHEN kind = 'image' THEN 16 + (media_id * 104729) % 1024
+                     ELSE 16 + (body_len * 104729) % 1024 END AS height,
+                CASE WHEN kind = 'video' THEN 1 + body_len % 300 ELSE 1 END AS n_frames
          FROM m ORDER BY media_id""",
 
     "q25_streaming_window" ->

@@ -1,0 +1,135 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.util.zip.CRC32
+
+/** Real image container encode/decode for the multimodal path — pure JVM
+  * byte-level readers/writers for the PNG, GIF, and BMP headers (no
+  * external codec libraries needed). The DECODE side is what the pipeline
+  * uses: [[Multimodal.decodeFeatures]] parses actual payload bytes to
+  * recover dimensions, so the q24 oracle gates real header decoding, not a
+  * fabricated stand-in. The ENCODE side exists to build
+  * synthetic-but-structurally-valid fixtures ([[Multimodal.syntheticMedia]])
+  * whose dimensions an oracle can re-derive independently.
+  *
+  * Formats follow the public container specs:
+  *  - PNG: 8-byte signature, then chunks of (len u32 BE, type, data,
+  *    CRC32 over type+data); IHDR carries width/height as u32 BE.
+  *  - GIF: "GIF87a"/"GIF89a", then logical-screen width/height as u16 LE.
+  *  - BMP: "BM" file header (14 bytes), then BITMAPINFOHEADER with
+  *    width/height as i32 LE at offsets 18/22.
+  */
+object MediaCodec {
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG header byte count produced by [[encodePng]]: signature (8) +
+    * IHDR chunk (8 + 13 + 4) + IEND chunk (8 + 0 + 4).
+    */
+  val PngHeaderLen = 45
+
+  /** GIF header byte count: signature (6) + logical screen descriptor (7). */
+  val GifHeaderLen = 13
+
+  /** BMP header byte count: file header (14) + BITMAPINFOHEADER (40). */
+  val BmpHeaderLen = 54
+
+  private def u32be(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  private def u32le(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def u16le(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+
+  private def chunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val tag = chunkType.getBytes(US_ASCII)
+    val crc = new CRC32
+    crc.update(tag)
+    crc.update(data)
+    u32be(data.length.toLong) ++ tag ++ data ++ u32be(crc.getValue)
+  }
+
+  /** A structurally valid PNG prefix: signature + IHDR (8-bit truecolor,
+    * real CRC32s) + IEND. Callers append arbitrary trailing bytes as fake
+    * pixel data; header parsers — this one, `javax.imageio`, DuckDB blob
+    * slicing — all recover the dimensions.
+    */
+  def encodePng(width: Int, height: Int): Array[Byte] = {
+    val ihdr = u32be(width.toLong) ++ u32be(height.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0) // bit depth, truecolor, deflate, none, none
+    PngSignature ++ chunk("IHDR", ihdr) ++ chunk("IEND", Array.empty)
+  }
+
+  /** "GIF89a" + logical screen descriptor (dims are u16 LE; no GCT). */
+  def encodeGif(width: Int, height: Int): Array[Byte] = {
+    require(width <= 0xffff && height <= 0xffff, "GIF dims are u16")
+    "GIF89a".getBytes(US_ASCII) ++ u16le(width) ++ u16le(height) ++
+      Array[Byte](0, 0, 0) // no GCT, bg index, aspect
+  }
+
+  /** "BM" file header + BITMAPINFOHEADER (24bpp, uncompressed). */
+  def encodeBmp(width: Int, height: Int): Array[Byte] = {
+    "BM".getBytes(US_ASCII) ++
+      u32le(BmpHeaderLen.toLong) ++ // file size (header only; data appended)
+      u32le(0L) ++ // reserved
+      u32le(BmpHeaderLen.toLong) ++ // pixel data offset
+      u32le(40L) ++ // DIB header size
+      u32le(width.toLong) ++ u32le(height.toLong) ++
+      u16le(1) ++ u16le(24) ++ // planes, bits per pixel
+      u32le(0L) ++ u32le(0L) ++ // compression, image size
+      u32le(0L) ++ u32le(0L) ++ // x/y pixels per meter
+      u32le(0L) ++ u32le(0L) // colors used / important
+  }
+
+  def encodeHeader(format: String, width: Int, height: Int): Array[Byte] =
+    format match {
+      case "png" => encodePng(width, height)
+      case "gif" => encodeGif(width, height)
+      case "bmp" => encodeBmp(width, height)
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+
+  def headerLen(format: String): Int = format match {
+    case "png" => PngHeaderLen
+    case "gif" => GifHeaderLen
+    case "bmp" => BmpHeaderLen
+    case other => throw new IllegalArgumentException(s"unknown format: $other")
+  }
+
+  private def readU32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def readU32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def readU16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def startsWith(b: Array[Byte], prefix: Array[Byte]): Boolean =
+    b.length >= prefix.length && {
+      var i = 0
+      while (i < prefix.length && b(i) == prefix(i)) i += 1
+      i == prefix.length
+    }
+
+  /** Sniff the container by magic bytes and read the dimensions out of the
+    * header. Returns (format, width, height); None when the payload is not
+    * a recognized image container (callers route those to the non-image
+    * path or an undecodable bucket — never a fabricated size).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (startsWith(bytes, PngSignature) && bytes.length >= 24 &&
+        bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+      Some(("png", readU32be(bytes, 16).toInt, readU32be(bytes, 20).toInt))
+    else if ((startsWith(bytes, "GIF87a".getBytes(US_ASCII)) ||
+        startsWith(bytes, "GIF89a".getBytes(US_ASCII))) && bytes.length >= 10)
+      Some(("gif", readU16le(bytes, 6), readU16le(bytes, 8)))
+    else if (startsWith(bytes, "BM".getBytes(US_ASCII)) && bytes.length >= 26)
+      Some(("bmp", readU32le(bytes, 18).toInt, readU32le(bytes, 22).toInt))
+    else None
+  }
+}

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * Scala analogue of arrow-batched pandas UDFs: one JVM closure per
   * partition, amortized setup, bounded memory per batch).
   *
-  * The actual codec work is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic fake dimensions from the
-  * byte payload. The Spark-side contract — schema, partitioning, batch
-  * iteration shape — is real and tested; swap `decodeStub` for a JNI/opencv
-  * call at deployment.
+  * IMAGE decoding is REAL: [[MediaCodec.decodeImage]] sniffs PNG/GIF/BMP
+  * magic bytes and reads width/height out of the actual container header
+  * (pure JVM byte parsing, no external codec libraries). Only AUDIO/VIDEO
+  * feature extraction remains a clearly-labeled deterministic STUB (this
+  * container ships no audio/video codecs); the Spark-side contract —
+  * schema, partitioning, batch iteration shape — is identical for both, so
+  * swapping the stub for a JNI/ffmpeg call at deployment changes one
+  * function.
   */
 object Multimodal {
 
@@ -24,44 +27,65 @@ object Multimodal {
       payload: Array[Byte],
       source: String)
 
-  /** Decoded media features (stub: would be codec output in production). */
+  /** Decoded media features. For images, `format`/`width`/`height` come
+    * from real header parsing; for audio/video they are the stub's
+    * deterministic stand-ins ("raw").
+    */
   case class MediaFeatures(
       media_id: Long,
       kind: String,
+      format: String,
       byte_len: Int,
       width: Int,
       height: Int,
       n_frames: Int,
       checksum: Long)
 
-  /** Deterministic fake decode: dimensions derived from the payload bytes.
-    * Stands in for `???` / a real codec — STUB, clearly marked.
-    */
-  def decodeStub(r: MediaRow): MediaFeatures = {
-    val len = r.payload.length
-    // "Decoded" dimensions are simple deterministic functions of the payload
-    // length so the plumbing is externally checkable; checksum is a real
-    // byte-level rolling hash (what a codec's frame hash would be).
+  private def rollingChecksum(bytes: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0
-    while (i < len) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
-    val w = 16 + (len.toLong * 7919L % 1024L).toInt
-    val ht = 16 + (len.toLong * 104729L % 1024L).toInt
-    val frames = r.kind match {
-      case "video" => 1 + (len % 300)
-      case _ => 1
-    }
-    MediaFeatures(r.media_id, r.kind, len, w, ht, frames, h)
+    while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+    h
   }
 
-  /** Partition-batched decode: the real plumbing (schema in, schema out,
-    * executor-local batch loop). Repartitions to spread large payloads.
+  /** Decode one media row. Images: REAL header decode via
+    * [[MediaCodec.decodeImage]] — dimensions are read out of the payload
+    * bytes; unrecognized containers surface as format "undecodable" with
+    * zero dimensions, never a fabricated size. Audio/video: deterministic
+    * STUB dimensions derived from the payload length (no codecs in this
+    * container); the checksum is a real byte-level rolling hash either way.
+    */
+  def decodeMedia(r: MediaRow): MediaFeatures = {
+    val len = r.payload.length
+    val checksum = rollingChecksum(r.payload)
+    r.kind match {
+      case "image" =>
+        MediaCodec.decodeImage(r.payload) match {
+          case Some((format, w, h)) =>
+            MediaFeatures(r.media_id, r.kind, format, len, w, h, 1, checksum)
+          case None =>
+            MediaFeatures(r.media_id, r.kind, "undecodable", len, 0, 0, 0, checksum)
+        }
+      case _ =>
+        // STUB: audio duration / video frame geometry need real codecs.
+        val w = 16 + (len.toLong * 7919L % 1024L).toInt
+        val h = 16 + (len.toLong * 104729L % 1024L).toInt
+        val frames = r.kind match {
+          case "video" => 1 + (len % 300)
+          case _ => 1
+        }
+        MediaFeatures(r.media_id, r.kind, "raw", len, w, h, frames, checksum)
+    }
+  }
+
+  /** Partition-batched decode: schema in, schema out, executor-local batch
+    * loop. Repartitions to spread large payloads.
     */
   def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow],
       partitions: Int = 0): Dataset[MediaFeatures] = {
     import spark.implicits._
     val parted = if (partitions > 0) media.repartition(partitions) else media
-    parted.mapPartitions(_.map(decodeStub))
+    parted.mapPartitions(_.map(decodeMedia))
   }
 
   /** Deterministic frame sampling for video rows: every `stride`-th frame
@@ -77,8 +101,8 @@ object Multimodal {
 
   /** Aspect-preserving resize to fit a bounding box (the usual pre-embedding
     * normalization step): computes target dimensions per row; the pixel
-    * work is the decoder's job (STUBBED here), the dimension math and
-    * column contract are real.
+    * work is the decoder's job, the dimension math and column contract are
+    * real.
     */
   def resizeToFit(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val scale = least(
@@ -90,18 +114,39 @@ object Multimodal {
       .withColumn("resized_height", floor(col("height") * scale).cast("int"))
   }
 
-  /** Synthetic media corpus derived from any table: payload bytes from a
-    * string column. Lets the multimodal path run on the standard test data.
+  /** Synthetic media corpus derived from any table: every third row is an
+    * image whose payload is a STRUCTURALLY VALID PNG/GIF/BMP header
+    * (cycling by id, dimensions a fixed function of the id) followed by the
+    * string column's bytes as fake pixel data — so the decode path must
+    * parse real container bytes to recover the dimensions, and an external
+    * oracle can re-derive them from the id alone. Audio/video rows carry
+    * the raw string bytes.
     */
   def syntheticMedia(spark: SparkSession, df: DataFrame, idCol: String,
       payloadFrom: String): Dataset[MediaRow] = {
     import spark.implicits._
-    df.select(
-        col(idCol).cast("long").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("kind"),
-        encode(col(payloadFrom), "UTF-8").as("payload"),
-        lit("synthetic").as("source"))
-      .as[MediaRow]
+    df.select(col(idCol).cast("long").as("_1"),
+        col(payloadFrom).cast("string").as("_2"))
+      .as[(Long, String)]
+      .map { case (id, body) =>
+        val bodyBytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val payload =
+          if (kind == "image") {
+            val format = ((id / 3) % 3) match {
+              case 0 => "png"
+              case 1 => "gif"
+              case _ => "bmp"
+            }
+            val w = 16 + (id * 7919L % 1024L).toInt
+            val h = 16 + (id * 104729L % 1024L).toInt
+            MediaCodec.encodeHeader(format, w, h) ++ bodyBytes
+          } else bodyBytes
+        MediaRow(id, kind, payload, "synthetic")
+      }
   }
 }

@@ -340,15 +340,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     kmAssigned.unpersist()
   }
 
-  test("multimodal stub decode plumbing") {
-    import graft.multimodal.Multimodal
+  test("multimodal decode: real image headers parsed, stub only for audio/video") {
+    import graft.multimodal.{MediaCodec, Multimodal}
     val media = Multimodal.syntheticMedia(spark, docs, "doc_id", "text")
     val features = Multimodal.decodeFeatures(spark, media, partitions = 2)
     val rows = features.collect()
     assert(rows.length == 5)
     assert(rows.forall(f => f.width >= 16 && f.height >= 16 && f.byte_len > 0))
-    // identical payloads decode identically (deterministic stub)
     val byId = rows.map(f => f.media_id -> f).toMap
+    // id 3 is the one image row (3 % 3 == 0), cycling to GIF ((3/3) % 3 == 1):
+    // its dimensions must be READ BACK out of the encoded container header.
+    assert(byId(3L).kind == "image" && byId(3L).format == "gif")
+    assert(byId(3L).width == 16 + (3 * 7919) % 1024)
+    assert(byId(3L).height == 16 + (3 * 104729) % 1024)
+    assert(byId(3L).byte_len ==
+      MediaCodec.GifHeaderLen + docs.collect()(2).getString(1).getBytes("UTF-8").length)
+    // audio/video rows stay on the labeled stub path
+    assert(byId(1L).format == "raw" && byId(2L).format == "raw")
+    // identical payloads decode identically (deterministic either way)
     assert(byId(1L).byte_len == byId(2L).byte_len)
     assert(byId(1L).checksum == byId(2L).checksum)
     // frame sampling metadata
@@ -361,5 +370,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       val (w, h) = (r.getAs[Int]("resized_width"), r.getAs[Int]("resized_height"))
       w <= 224 && h <= 224 && w <= r.getAs[Int]("width") && h <= r.getAs[Int]("height")
     })
+  }
+
+  test("MediaCodec: encode/decode round-trips every format; garbage is None") {
+    import graft.multimodal.MediaCodec
+    for ((fmt, w, h) <- Seq(("png", 640, 480), ("gif", 1, 65535), ("bmp", 1039, 17))) {
+      val header = MediaCodec.encodeHeader(fmt, w, h)
+      assert(header.length == MediaCodec.headerLen(fmt))
+      // trailing fake pixel bytes must not confuse the header parse
+      assert(MediaCodec.decodeImage(header ++ Array[Byte](1, 2, 3)) ==
+        Some((fmt, w, h)))
+    }
+    // javax.imageio agrees with our PNG byte-level parse (independent
+    // JDK-built-in decoder reading the same header bytes).
+    val png = MediaCodec.encodePng(123, 45)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(png))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    assert(readers.hasNext, "JDK PNG reader did not recognize the container")
+    val reader = readers.next()
+    reader.setInput(iis)
+    assert((reader.getWidth(0), reader.getHeight(0)) == ((123, 45)))
+    reader.dispose()
+    // non-image bytes: no fabricated dimensions
+    assert(MediaCodec.decodeImage("plain text".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.decodeImage(Array.empty[Byte]).isEmpty)
   }
 }
