@@ -178,6 +178,59 @@ object Curation {
     spark.table(queryName).filter(col("matched_grams") >= minMatches)
   }
 
+  /** Production-shape variant of [[streamingContaminationBlocklist]]: the
+    * same broadcast-benchmark match aggregate in UPDATE output mode,
+    * written through `foreachBatch` into a keyed parquet sink
+    * ([[graft.ops.Upsert.upsertKeyedParquet]]) — each micro-batch merges
+    * only the document ids whose match counts CHANGED, instead of
+    * complete mode's full-state re-emission. The `minMatches` cut applies
+    * on read-back (the sink keeps raw counts, so a later batch can raise a
+    * document over the threshold). Returns the blocklist after draining
+    * available input.
+    */
+  def streamingContaminationBlocklistUpdate(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      sinkDir: String,
+      checkpointDir: String,
+      n: Int = 13,
+      minMatches: Int = 1,
+      nBuckets: Int = 64,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$glob").schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    val benchGrams = bench
+      .select(graft.functions.HashExpressions.shingleSet(col(benchTextCol), n).as("__sh"))
+      .select(explode(col("__sh")).as("__gram"))
+      .select(md5(col("__gram")).as("__fp"))
+      .distinct()
+    val agg = tuned.parquet(dir)
+      .select(col(idCol),
+        graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
+      .select(col(idCol), explode(col("__sh")).as("__gram"))
+      .select(col(idCol), md5(col("__gram")).as("__fp"))
+      .join(broadcast(benchGrams), Seq("__fp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched_grams"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Upsert.upsertKeyedParquet(batch, sinkDir, Seq(idCol), nBuckets)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ops.Upsert.readKeyedParquet(spark, sinkDir)
+      .filter(col("matched_grams") >= minMatches)
+  }
+
   /** Drop benchmark-contaminated documents: rows of `docs` whose
     * [[contaminationReport]] flag is false. The report's broadcast-semi-join
     * shape carries over; the final filter is a join back on the id.

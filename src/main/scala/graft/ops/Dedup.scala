@@ -57,6 +57,46 @@ object Dedup {
     spark.table(queryName)
   }
 
+  /** Production-shape streaming dedup sink: the [[streamingExactGroups]]
+    * aggregate in UPDATE output mode, writing through `foreachBatch` into a
+    * keyed parquet sink ([[Upsert.upsertKeyedParquet]]). Update mode emits
+    * only the fingerprints a micro-batch CHANGED — per-batch sink work is
+    * proportional to changed keys and their hash buckets, not the full
+    * running state that complete mode re-emits every trigger; streaming
+    * state stays one (count, min) pair per distinct fingerprint. This is
+    * the 100 TB continuous-ingest contract; the complete-mode memory-sink
+    * form remains the oracle/test harness. Returns the sink contents after
+    * draining available input. `maxFilesPerTrigger` > 0 bounds each
+    * micro-batch (and lets tests prove multi-batch behavior).
+    */
+  def streamingExactGroupsUpdate(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String,
+      idCol: String,
+      textCol: String,
+      sinkDir: String,
+      checkpointDir: String,
+      nBuckets: Int = 64,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$glob").schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    val agg = tuned.parquet(dir)
+      .groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.upsertKeyedParquet(batch, sinkDir, Seq("fingerprint"), nBuckets)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    Upsert.readKeyedParquet(spark, sinkDir)
+  }
+
   /** Exact dedup keeping whole rows: first row (by `idCol`) per identical
     * normalized text.
     */

@@ -90,4 +90,53 @@ object Upsert {
     val inserts = dedupedNew.join(existing, keys, "left_anti")
     updated.unionByName(inserts.select(existing.columns.map(col): _*))
   }
+
+  /** Replace-by-key into a bucket-partitioned parquet directory — the
+    * keyed sink a `foreachBatch` streaming query in UPDATE output mode
+    * writes through (plain parquet has no native merge). The sink is
+    * partitioned by `pmod(xxhash64(keys), nBuckets)`; each call reads ONLY
+    * the hash buckets the incoming keys touch, anti-joins out superseded
+    * rows, and dynamically overwrites just those bucket partitions. Per-call
+    * work is proportional to touched-bucket size, not sink size; size
+    * `nBuckets` so one bucket ≪ executor memory at the target scale. The
+    * `localCheckpoint` materializes the merged rows before the overwrite
+    * (the sink path is also the read path) — bounded by the touched
+    * buckets, not the corpus.
+    */
+  def upsertKeyedParquet(
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String],
+      nBuckets: Int = 64): Unit = {
+    val spark = updates.sparkSession
+    // A batch with no updates must be a no-op: writing an empty frame would
+    // leave a schema-less parquet directory the next batch can't read.
+    if (updates.isEmpty) return
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+    val withBucket = updates.withColumn("__bucket", bucketOf)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) withBucket
+      else {
+        val affected = withBucket.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq // ≤ nBuckets values
+        val existing = spark.read.parquet(path)
+          .filter(col("__bucket").isin(affected: _*))
+        existing
+          .join(withBucket.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(withBucket.select(existing.columns.map(col): _*))
+      }
+    val out = merged.localCheckpoint(true)
+    try
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(path)
+    finally out.unpersist()
+  }
+
+  /** Read a [[upsertKeyedParquet]] sink back as a plain table. */
+  def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__bucket")
 }

@@ -229,6 +229,33 @@ class CurationSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("update-mode contamination sink ≡ complete-mode ≡ batch on multi-batch input") {
+    val base = java.nio.file.Files.createTempDirectory("graft-contam-upd").toString
+    val docs = Seq((1L, "a b c d"), (2L, "x y z"), (3L, "a"), (4L, "c d e f"))
+      .toDF("doc_id", "text")
+    // Several part files + maxFilesPerTrigger=1 -> genuinely multi-batch.
+    docs.repartition(3).write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val bench = Seq((100L, "b c d e")).toDF("bench_id", "text")
+    val updated = Curation.streamingContaminationBlocklistUpdate(
+        spark, s"$base/documents.parquet", "*.parquet", "doc_id", "text",
+        bench, "text", sinkDir = s"$base/sink", checkpointDir = s"$base/ckpt",
+        n = 2, nBuckets = 4, maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val complete = Curation.streamingContaminationBlocklist(
+        spark, s"$base/documents.parquet", "*.parquet", "doc_id", "text",
+        bench, "text", n = 2, queryName = "curation_spec_upd_vs_complete")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Curation.contaminationReport(docs, "doc_id", "text", bench, "text", n = 2)
+      .filter($"contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(updated == batch)
+    assert(complete == batch)
+    assert(updated.nonEmpty)
+    // The sink is keyed: one row per document id.
+    val sink = graft.ops.Upsert.readKeyedParquet(spark, s"$base/sink")
+    assert(sink.count() == sink.select("doc_id").distinct().count())
+  }
+
   test("packSequences: per-shard prefix sums, straddling docs span sequences") {
     val docs = Seq(
       ("s1", 1L, 3L), ("s1", 2L, 4L), ("s1", 3L, 2L), ("s1", 4L, 0L),

@@ -282,6 +282,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("update-mode streaming dedup sink ≡ batch aggregate on multi-batch input") {
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-upd").toString
+    // Several part files + maxFilesPerTrigger=1 -> multiple micro-batches,
+    // so duplicate groups split across batches exercise the keyed upsert
+    // (a later batch must REPLACE the fingerprint's earlier count).
+    docs.repartition(3).write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val got = Dedup.streamingExactGroupsUpdate(spark, s"$base/documents.parquet",
+        "*.parquet", "doc_id", "text",
+        sinkDir = s"$base/sink", checkpointDir = s"$base/ckpt",
+        nBuckets = 4, maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+  }
+
   test("k-means refinement keeps assignment total and improves compactness") {
     val vecs = (0L until 60L).map { i =>
       val angle = i.toDouble / 60.0 * math.Pi
