@@ -190,7 +190,8 @@ object Similarity {
       base: DataFrame, // (idCol, vecCol, __norm)
       centroids: DataFrame, // (centroid_id, centroid_vec, __cnorm)
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      replicas: Int = 1): DataFrame = {
     val scored = base
       .crossJoin(broadcast(centroids))
       .withColumn("sim",
@@ -198,7 +199,7 @@ object Similarity {
           dot(col(vecCol), col("centroid_vec")) / (col("__norm") * col("__cnorm")))
           .otherwise(lit(0.0)))
     val best = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id").asc)
-    scored.withColumn("__r", row_number().over(best)).filter(col("__r") === 1)
+    scored.withColumn("__r", row_number().over(best)).filter(col("__r") <= replicas)
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
@@ -222,20 +223,116 @@ object Similarity {
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      nlist: Int = 1024): DataFrame = {
+      nlist: Int = 1024,
+      replicas: Int = 1): DataFrame = {
     val thr = sampleThreshold(nlist.toLong, embeddings.count())
     val centroids = embeddings
       .filter(hashSampleByThreshold(col(idCol), thr))
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"),
         norm(col(vecCol)).as("__cnorm"))
-    assignToNearest(withNorm(embeddings, idCol, vecCol), centroids, idCol, vecCol)
+    assignToNearest(withNorm(embeddings, idCol, vecCol), centroids, idCol, vecCol,
+      replicas)
   }
 
-  /** Lloyd-iteration refinement of the hash-sampled IVF centroids (k-means
-    * with deterministic seeding — the distributed analog of k-means||'s
-    * oversample-then-refine). Each iteration recomputes every centroid as the
-    * elementwise mean of its members (posexplode → per-(centroid, dim) avg —
-    * two shuffles of n×dim scalar rows, map-side combined) and reassigns.
+  /** k-means||-style seeding: hash-sample an OVERSAMPLED candidate set
+    * (`oversample × nlist` vectors — a configuration constant, never
+    * corpus-proportional), weight each candidate by its corpus member count
+    * (ONE linear broadcast-assign pass), then reduce the candidates to
+    * `nlist` seeds with a LOCAL weighted spherical k-means on the driver —
+    * the same shape MLlib's k-means|| uses: corpus touched only by linear
+    * passes, the quadratic seeding work confined to the candidate set.
+    * Deterministic throughout (md5 sampling, farthest-point init by
+    * weighted distance, fixed local iteration count).
+    *
+    * Returns a centroid frame (centroid_id = 0..nlist-1, centroid_vec,
+    * __cnorm) ready for [[assignToNearest]].
+    */
+  private def kmeansParallelSeeds(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      oversample: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val thr = sampleThreshold(oversample.toLong * nlist, embeddings.count())
+    val candFrame = embeddings
+      .filter(hashSampleByThreshold(col(idCol), thr))
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"),
+        norm(col(vecCol)).as("__cnorm"))
+    // Candidate member counts: one linear corpus pass against the
+    // broadcast candidate set.
+    val weights = assignToNearest(withNorm(embeddings, idCol, vecCol),
+        candFrame, idCol, vecCol)
+      .groupBy("centroid_id").agg(count(lit(1)).as("__w"))
+    val cands: Array[(Array[Double], Double)] = candFrame
+      .join(weights, Seq("centroid_id"), "left")
+      .orderBy("centroid_id")
+      .collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray,
+        if (r.isNullAt(3)) 0.0 else r.getLong(3).toDouble))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den > 0) d / den else 0.0
+    }
+    val k = math.min(nlist, cands.length)
+    // Farthest-point init, weighted: start from the heaviest candidate,
+    // then greedily add the candidate maximizing weight × (1 - nearest cos).
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      cands.maxBy(_._2)._1.clone())
+    val minDist = cands.map(c => 1.0 - cos(c._1, seeds(0)))
+    while (seeds.length < k) {
+      var best = -1; var bestScore = -1.0
+      var i = 0
+      while (i < cands.length) {
+        val s = cands(i)._2 * minDist(i)
+        if (s > bestScore) { bestScore = s; best = i }
+        i += 1
+      }
+      seeds += cands(best)._1.clone()
+      var j = 0
+      while (j < cands.length) {
+        val d = 1.0 - cos(cands(j)._1, seeds.last)
+        if (d < minDist(j)) minDist(j) = d
+        j += 1
+      }
+    }
+    // Local weighted Lloyd over the candidates (spherical: cosine argmax,
+    // weighted-mean recompute; cosine is centroid-scale-invariant).
+    var centers = seeds.toArray
+    for (_ <- 1 to 10) {
+      val sums = Array.fill(centers.length)(new Array[Double](centers(0).length))
+      val ws = new Array[Double](centers.length)
+      cands.foreach { case (v, w) =>
+        var bi = 0; var bs = -2.0
+        var ci = 0
+        while (ci < centers.length) {
+          val s = cos(v, centers(ci)); if (s > bs) { bs = s; bi = ci }; ci += 1
+        }
+        var d = 0
+        while (d < v.length) { sums(bi)(d) += w * v(d); d += 1 }
+        ws(bi) += w
+      }
+      centers = centers.indices.map { ci =>
+        if (ws(ci) > 0) sums(ci).map(_ / ws(ci)) else centers(ci)
+      }.toArray
+    }
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }
+      .toSeq.toDF("centroid_id", "centroid_vec")
+      .withColumn("__cnorm", norm(col("centroid_vec")))
+  }
+
+  /** Lloyd-iteration refinement of seeded IVF centroids. Seeding is either
+    * the deterministic hash-sample ([[ivfAssign]]'s, `oversample = 1`) or
+    * the k-means||-style oversampled local reduction
+    * ([[kmeansParallelSeeds]], `oversample > 1` — better-spread seeds,
+    * measurably higher probe recall on near-uniform corpora). Each
+    * iteration recomputes every centroid as the elementwise mean of its
+    * members (posexplode → per-(centroid, dim) avg — two shuffles of n×dim
+    * scalar rows, map-side combined) and reassigns.
     *
     * @return (assignment frame (id, vec, centroid_id),
     *          centroid frame (centroid_id, centroid_vec))
@@ -245,10 +342,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nlist: Int = 1024,
-      iterations: Int = 2): (DataFrame, DataFrame) = {
+      iterations: Int = 2,
+      oversample: Int = 1,
+      replicas: Int = 1): (DataFrame, DataFrame) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val base = withNorm(embeddings, idCol, vecCol).persist()
-    var assigned = ivfAssign(embeddings, idCol, vecCol, nlist)
+    var assigned =
+      if (oversample <= 1) ivfAssign(embeddings, idCol, vecCol, nlist)
+      else assignToNearest(base,
+        kmeansParallelSeeds(embeddings, idCol, vecCol, nlist, oversample),
+        idCol, vecCol)
     var centroids: DataFrame = null
     (1 to iterations).foreach { _ =>
       // Lineage truncation per Lloyd iteration: the chain grows linearly
@@ -267,6 +370,14 @@ object Similarity {
         .withColumn("__cnorm", norm(col("centroid_vec")))
       assigned = assignToNearest(base, centroids, idCol, vecCol)
     }
+    // Multi-assignment ("spilled"/replica indexing, the standard IVF
+    // recall lever): after refinement, index each vector under its top
+    // `replicas` centroids. A neighbour is then found when ANY of its
+    // cells is probed — recall rises steeply at fixed nprobe for
+    // `replicas ×` index bytes (still nlist-bounded, never quadratic).
+    // Lloyd means above always use the primary assignment only.
+    if (replicas > 1)
+      assigned = assignToNearest(base, centroids, idCol, vecCol, replicas)
     // Materialize the final assignment before dropping the cached base so
     // the iterations' reuse is realized and no cached partitions leak.
     val out = assigned.persist()
@@ -389,6 +500,9 @@ object Similarity {
       .select("centroid_id")
     assigned.join(broadcast(probed), "centroid_id")
       .select(col(idCol), cosTo(col(vecCol)).as("cosine_sim"))
+      // Replica-assigned indexes list a vector in several cells; collapse
+      // to one candidate row per id (same score — max is a no-op dedupe).
+      .groupBy(idCol).agg(max(col("cosine_sim")).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
   }
