@@ -470,6 +470,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-probed k-NN join: the scale path for query sets too big to
+    // broadcast — only the nlist-bounded centroid set broadcasts (query
+    // routing), and the routed queries join the assignment on centroid_id
+    // (never a BroadcastNestedLoopJoin of the corpus side). Same
+    // deterministic index build as q20, so the oracle reproduces
+    // routing + probe + dedupe + ranking exactly.
+    "q72_ivf_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        nlist = 32).persist()
+      val thr = Similarity.sampleThreshold(32L, emb.count())
+      val centroids = emb
+        .filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      Similarity.topKJoinIvf(assigned, centroids, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine_sim"), 4).as("cosine_sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // End-to-end dedup deliverable: the kept corpus after dropping every
     // non-minimum member of each near-dup cluster (q16 pairs → q51
     // components → anti join).
@@ -1309,6 +1330,42 @@ object SparkEntry {
          SELECT query_id, vec_id, round(sim, 4) AS cosine_sim,
                 CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // IVF k-NN join reproduction: same index CTEs as q20, per-query
+    // top-nprobe routing (ties by centroid_id), candidate dedupe by
+    // (query, vector) max, per-query row_number ranking by unrounded sim
+    // with ties by vec_id — identical arithmetic to topKJoinIvf.
+    "q72_ivf_knn_join" ->
+      s"""WITH $ivfAssignCtes,
+         qs AS (SELECT vec_id AS query_id, embedding AS qv,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM embeddings WHERE vec_id < 5),
+         routed AS (
+           SELECT query_id, qv, qn, centroid_id FROM (
+             SELECT qs.query_id, qs.qv, qs.qn, c.centroid_id,
+               row_number() OVER (PARTITION BY qs.query_id ORDER BY
+                 (CASE WHEN qs.qn * c.cn > 0 THEN
+                    list_sum(list_transform(range(1, len(c.cvec) + 1),
+                      i -> CAST(c.cvec[i] AS DOUBLE) * CAST(qs.qv[i] AS DOUBLE))) / (qs.qn * c.cn)
+                  ELSE 0.0 END) DESC, c.centroid_id) AS r
+             FROM qs CROSS JOIN c)
+           WHERE r <= 4),
+         cand AS (
+           SELECT rt.query_id, a.vec_id,
+             max(CASE WHEN rt.qn * a.vn > 0 THEN
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(rt.qv[i] AS DOUBLE))) / (rt.qn * a.vn)
+             ELSE 0.0 END) AS sim
+           FROM assigned a JOIN routed rt USING (centroid_id)
+           GROUP BY rt.query_id, a.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+           FROM cand)
+         SELECT query_id, vec_id, round(sim, 4) AS cosine_sim,
+                CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5
          ORDER BY query_id, rank""",
 
     // Kept corpus = documents minus every clustered non-minimum (recursive

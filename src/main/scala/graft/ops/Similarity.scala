@@ -422,6 +422,68 @@ object Similarity {
         (-col("__t.negsim")).as("cosine_sim"), (col("__i") + 1).as("rank"))
   }
 
+  /** IVF-probed batch k-NN join — the scale path for query sets too big to
+    * broadcast ([[topKJoin]] broadcasts the query side; here only the
+    * nlist-BOUNDED centroid set is broadcast). Each query routes to its
+    * `nprobe` nearest cells (per-query top-nprobe over the broadcast
+    * centroids — the routing table is queries × nprobe rows), then the
+    * routed queries join the assignment on `centroid_id`: a key-equi join
+    * two shuffled sides co-partition on, never a BroadcastNestedLoopJoin
+    * of a corpus-sized side — and against a [[saveIvfIndex]]
+    * cell-partitioned index the scan prunes to the probed cells. Per-query
+    * top-k reuses [[topKJoin]]'s two-phase partial top-k (the shuffle
+    * carries k × partitions rows per query, not the scored candidates).
+    * Approximate with the standard IVF dials: `nprobe`, and replica
+    * assignment at build time ([[ivfKMeans]]'s `replicas` — replica
+    * candidates collapse to one row per (query, id) before ranking).
+    */
+  def topKJoinIvf(
+      assigned: DataFrame,
+      centroids: DataFrame, // (centroid_id, centroid_vec)
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+      norm(col(qVecCol)).as("__qn"))
+    val c = centroids.select(col("centroid_id"), col("centroid_vec"),
+      norm(col("centroid_vec")).as("__cnorm"))
+    val routeW = Window.partitionBy("query_id")
+      .orderBy(col("__csim").desc, col("centroid_id").asc)
+    val routed = q.crossJoin(broadcast(c))
+      .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"),
+        when(col("__qn") * col("__cnorm") > 0,
+          dot(col("__qv"), col("centroid_vec")) / (col("__qn") * col("__cnorm")))
+          .otherwise(lit(0.0)).as("__csim"))
+      .withColumn("__r", row_number().over(routeW))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"))
+    val members = assigned.select(col("centroid_id"), col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__norm"))
+    val candidates = members.join(routed, Seq("centroid_id"))
+      .select(col("query_id"), col(idCol),
+        when(col("__norm") * col("__qn") > 0,
+          dot(col(vecCol), col("__qv")) / (col("__norm") * col("__qn")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
+      // Replica-assigned vectors can sit in several probed cells of the
+      // same query; collapse before ranking (max is a no-op dedupe —
+      // the score is identical).
+      .groupBy(col("query_id"), col(idCol))
+      .agg(max(col("cosine_sim")).as("cosine_sim"))
+    val item = struct((-col("cosine_sim")).as("negsim"), col(idCol).as("nid"))
+    candidates
+      .groupBy(col("query_id"), spark_partition_id().as("__p"))
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("__top"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(flatten(collect_list(col("__top")))), 1, k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__t")))
+      .select(col("query_id"), col("__t.nid").as(idCol),
+        (-col("__t.negsim")).as("cosine_sim"), (col("__i") + 1).as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs at scale via IVF cells: assign
     * every vector to its nearest of `nlist` hash-sampled centroids (one
     * broadcast pass, [[ivfAssign]]), then verify exact cosine only WITHIN

@@ -195,6 +195,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(joined == expected)
   }
 
+  test("topKJoinIvf: probing every cell equals exact topKJoin; no BNLJ; k rows per query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // Index built once and materialized (the saveIvfIndex usage shape).
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", nlist = 8).persist()
+    assigned.count()
+    val thr = Similarity.sampleThreshold(8L, emb.count())
+    val centroids = emb.filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val queries = emb.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9, r.getInt(3))).toSet
+    // nprobe >= nlist probes every cell -> candidate set is the whole
+    // corpus -> must equal the exact broadcast-query k-NN join.
+    val ivf = Similarity.topKJoinIvf(assigned, centroids, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nprobe = 1000)
+    val exact = Similarity.topKJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+    assert(key(ivf) == key(exact))
+    // The corpus joins by KEY on centroid_id (hash or sort-merge equi-join);
+    // the only nested-loop broadcast allowed is the query-routing cross
+    // join against the nlist-BOUNDED centroid set.
+    val plan = ivf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE prints the pre-adaptive plan too
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[centroid_id".r
+      .findFirstIn(plan).nonEmpty, s"corpus join is not a centroid_id equi-join:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"unexpected nested-loop join beyond centroid routing:\n$plan")
+    // Pruned probe still returns k ranked rows per query.
+    val approx = Similarity.topKJoinIvf(assigned, centroids, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(approx.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
   test("keepList drops clustered non-minima only") {
     val docs2 = Seq((1L, "a"), (2L, "a"), (3L, "a"), (5L, "b"), (6L, "b"),
       (9L, "c")).toDF("doc_id", "lang")
