@@ -25,13 +25,23 @@ object CurationScaleProbe {
     import graft.functions.TextFunctions
     import graft.ops.{Curation, Dedup}
 
-    // ~1000-word vocabulary, word sequence a deterministic function of the
-    // doc id; ~6 bytes/word ⇒ ~300 B/doc at the default 50 words.
+    // Hash-derived base-36 words (deterministic, no RNG). Two properties a
+    // linear-congruential pattern lacks, both needed for honest probes:
+    // character n-gram diversity comparable to natural text (the digit-only
+    // variant concentrated dfs mid-range — the worst case for the inverted
+    // gram index, which natural zipfian text never exhibits), and no
+    // degenerate shingle collisions that would quadratically blow up LSH
+    // buckets with pairs no real corpus has. Every 100th doc duplicates its
+    // predecessor, so the dedup paths see a realistic ~1% dup rate.
+    // ~6 bytes/word ⇒ ~300 B/doc at the default 50 words.
+    val contentId = when(pmod(col("id"), lit(100)) === 99, col("id") - 1)
+      .otherwise(col("id"))
     val docs = spark.range(n.toLong).select(
         col("id").as("doc_id"),
         (col("id") % 64).cast("string").as("source"),
         array_join(transform(sequence(lit(1), lit(wpd)),
-          i => concat(lit("w"), pmod(col("id") * i + i * i, lit(997)))), " ")
+          i => conv(pmod(xxhash64(contentId * lit(1000003L) + i),
+            lit(60466176L)).cast("string"), 10, 36)), " ")
           .as("text"))
       .repartition(spark.sparkContext.defaultParallelism)
       .persist()
@@ -50,6 +60,14 @@ object CurationScaleProbe {
     }
     timed("minhash signatures (row-level expression)") {
       Dedup.minHashSignatures(docs, "doc_id", "text").count()
+    }
+    timed("minhash near-dup pairs (banded LSH buckets + in-bucket verify)") {
+      Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.8, numHashes = 16, bands = 4, shingleLen = 3).count()
+    }
+    timed("ngram jaccard pairs (df-pruned inverted index self-join)") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 8, threshold = 0.8, maxDocFreq = 100).count()
     }
     timed("contamination vs 1k-doc benchmark (broadcast semi-join)") {
       Curation.contaminationReport(
@@ -80,6 +98,17 @@ object CurationScaleProbe {
     timed("chunking 32/24 (scan-stage generator, no shuffle)") {
       Curation.chunkDocuments(docs, "doc_id", "text",
         chunkTokens = 32, stride = 24).count()
+    }
+    timed("composed chain: strip -> exact dedup -> decontaminate -> pack (q63 shape)") {
+      val stripped = Curation.stripBoilerplate(docs, "doc_id", "text",
+        separator = " ", minDocs = n.toLong / 10)
+      val deduped = Dedup.exactDedup(stripped, "doc_id", "text_clean")
+      val clean = Curation.decontaminate(
+        deduped.filter(col("doc_id") >= 1000), "doc_id", "text_clean",
+        docs.filter(col("doc_id") < 1000), "text", n = 6)
+      Curation.packSequences(
+        clean.join(docs.select("doc_id", "source"), "doc_id"), "doc_id",
+        TextFunctions.tokenCount(col("text_clean")), "source", seqLen = 2048).count()
     }
     spark.stop()
   }

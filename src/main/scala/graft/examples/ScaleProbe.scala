@@ -47,7 +47,11 @@ object ScaleProbe {
       Similarity.topKJoin(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10).collect()
     }
-    val nlist = math.max(32, math.sqrt(n.toDouble).toInt)
+    // nlist grows ~√n then plateaus at a realistic index parameter: past
+    // ~1M vectors the centroid set is a FIXED configuration (the broadcast
+    // bound), and build cost becomes linear in n at constant nlist — the
+    // slope the 1M→4M probe points measure.
+    val nlist = math.min(1024, math.max(32, math.sqrt(n.toDouble).toInt))
     timed(s"IVF build (nlist=$nlist) + probe") {
       val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", nlist).persist()
       assigned.count()
