@@ -693,18 +693,21 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
-    // Multimodal: binary payloads with REAL PNG/GIF/BMP header decoding —
-    // image dimensions are parsed out of actual container bytes
-    // (MediaCodec.decodeImage), and the oracle re-derives them from the
-    // fixture's generation rule, so a decoder that misreads the header
-    // hash-mismatches. Audio/video stay on the labeled stub path.
+    // Multimodal: binary payloads with REAL header decoding — image
+    // dimensions are parsed out of actual PNG/GIF/BMP container bytes
+    // (MediaCodec.decodeImage) and audio geometry out of a real RIFF/WAVE
+    // chunk walk (MediaCodec.decodeWav); the oracle re-derives both from
+    // the fixture's generation rule, so a decoder that misreads either
+    // header hash-mismatches. Only video stays on the labeled stub path.
     "q24_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeFeatures(s, media)
         .select(col("media_id"), col("kind"), col("format"),
           col("byte_len").cast("long").as("byte_len"),
           col("width").cast("long").as("width"), col("height").cast("long").as("height"),
-          col("n_frames").cast("long").as("n_frames"))
+          col("n_frames").cast("long").as("n_frames"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"))
         .orderBy("media_id")
     }),
 
@@ -1941,28 +1944,41 @@ object SparkEntry {
          ORDER BY user_id, session_start""",
 
     // Image rows: the Spark side decodes width/height from real container
-    // header BYTES; the oracle re-derives them from the fixture generation
-    // rule (dims and format are fixed functions of doc_id, header length a
-    // per-format constant) — an incorrect header parse cannot hash-match.
+    // header BYTES, audio rows sample rate / channels / PCM frames from a
+    // real RIFF chunk walk; the oracle re-derives both from the fixture
+    // generation rule (geometry and format are fixed functions of doc_id,
+    // header length a per-format constant) — an incorrect header parse
+    // cannot hash-match.
     "q24_media_features" ->
       """WITH m AS (
            SELECT doc_id AS media_id,
                   ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
                   ['png','gif','bmp'][CAST((doc_id // 3) % 3 AS INTEGER) + 1] AS img_format,
+                  [8000,16000,44100][CAST((doc_id // 3) % 3 AS INTEGER) + 1] AS wav_rate,
+                  1 + (doc_id // 3) % 2 AS wav_channels,
                   CAST(octet_length(encode(text)) AS BIGINT) AS body_len
            FROM documents)
          SELECT media_id, kind,
-                CASE WHEN kind = 'image' THEN img_format ELSE 'raw' END AS format,
-                CASE WHEN kind = 'image'
+                CASE kind WHEN 'image' THEN img_format
+                          WHEN 'audio' THEN 'wav'
+                          ELSE 'raw' END AS format,
+                CASE kind WHEN 'image'
                      THEN body_len + CASE img_format WHEN 'png' THEN 45
                                                      WHEN 'gif' THEN 13
                                                      ELSE 54 END
+                          WHEN 'audio' THEN body_len + 44
                      ELSE body_len END AS byte_len,
-                CASE WHEN kind = 'image' THEN 16 + (media_id * 7919) % 1024
+                CASE kind WHEN 'image' THEN 16 + (media_id * 7919) % 1024
+                          WHEN 'audio' THEN 0
                      ELSE 16 + (body_len * 7919) % 1024 END AS width,
-                CASE WHEN kind = 'image' THEN 16 + (media_id * 104729) % 1024
+                CASE kind WHEN 'image' THEN 16 + (media_id * 104729) % 1024
+                          WHEN 'audio' THEN 0
                      ELSE 16 + (body_len * 104729) % 1024 END AS height,
-                CASE WHEN kind = 'video' THEN 1 + body_len % 300 ELSE 1 END AS n_frames
+                CASE kind WHEN 'video' THEN 1 + body_len % 300
+                          WHEN 'audio' THEN body_len // (wav_channels * 2)
+                     ELSE 1 END AS n_frames,
+                CASE kind WHEN 'audio' THEN wav_rate ELSE 0 END AS sample_rate,
+                CASE kind WHEN 'audio' THEN wav_channels ELSE 0 END AS channels
          FROM m ORDER BY media_id""",
 
     "q25_streaming_window" ->

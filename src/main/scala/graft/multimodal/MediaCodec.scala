@@ -3,14 +3,15 @@ package graft.multimodal
 import java.nio.charset.StandardCharsets.US_ASCII
 import java.util.zip.CRC32
 
-/** Real image container encode/decode for the multimodal path — pure JVM
-  * byte-level readers/writers for the PNG, GIF, and BMP headers (no
-  * external codec libraries needed). The DECODE side is what the pipeline
-  * uses: [[Multimodal.decodeFeatures]] parses actual payload bytes to
-  * recover dimensions, so the q24 oracle gates real header decoding, not a
-  * fabricated stand-in. The ENCODE side exists to build
-  * synthetic-but-structurally-valid fixtures ([[Multimodal.syntheticMedia]])
-  * whose dimensions an oracle can re-derive independently.
+/** Real media container encode/decode for the multimodal path — pure JVM
+  * byte-level readers/writers for the PNG, GIF, and BMP image headers and
+  * the RIFF/WAVE audio header (no external codec libraries needed). The
+  * DECODE side is what the pipeline uses: [[Multimodal.decodeFeatures]]
+  * parses actual payload bytes to recover dimensions / audio geometry, so
+  * the q24 oracle gates real header decoding, not a fabricated stand-in.
+  * The ENCODE side exists to build synthetic-but-structurally-valid
+  * fixtures ([[Multimodal.syntheticMedia]]) whose properties an oracle can
+  * re-derive independently.
   *
   * Formats follow the public container specs:
   *  - PNG: 8-byte signature, then chunks of (len u32 BE, type, data,
@@ -18,6 +19,10 @@ import java.util.zip.CRC32
   *  - GIF: "GIF87a"/"GIF89a", then logical-screen width/height as u16 LE.
   *  - BMP: "BM" file header (14 bytes), then BITMAPINFOHEADER with
   *    width/height as i32 LE at offsets 18/22.
+  *  - WAV: "RIFF"<size>"WAVE", then chunks of (tag, len u32 LE, data);
+  *    the "fmt " chunk carries channels (u16 LE @+2), sample rate
+  *    (u32 LE @+4) and bits per sample (u16 LE @+14); the "data" chunk's
+  *    declared length gives the PCM byte count.
   */
 object MediaCodec {
 
@@ -34,6 +39,11 @@ object MediaCodec {
 
   /** BMP header byte count: file header (14) + BITMAPINFOHEADER (40). */
   val BmpHeaderLen = 54
+
+  /** Canonical PCM WAV header byte count: RIFF descriptor (12) +
+    * "fmt " chunk (8 + 16) + "data" chunk header (8).
+    */
+  val WavHeaderLen = 44
 
   private def u32be(v: Long): Array[Byte] =
     Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
@@ -81,6 +91,28 @@ object MediaCodec {
       u32le(0L) ++ u32le(0L) ++ // compression, image size
       u32le(0L) ++ u32le(0L) ++ // x/y pixels per meter
       u32le(0L) ++ u32le(0L) // colors used / important
+  }
+
+  /** Canonical 44-byte PCM WAV header declaring `dataLen` bytes of sample
+    * data to follow. Callers append `dataLen` arbitrary bytes as fake PCM;
+    * any spec-conforming reader recovers (rate, channels, bits, frames).
+    */
+  def encodeWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      dataLen: Int): Array[Byte] = {
+    require(channels > 0 && bitsPerSample % 8 == 0, "PCM geometry")
+    val blockAlign = channels * bitsPerSample / 8
+    "RIFF".getBytes(US_ASCII) ++
+      u32le(36L + dataLen) ++ // RIFF chunk size: 4 ("WAVE") + 24 (fmt) + 8 + data
+      "WAVEfmt ".getBytes(US_ASCII) ++
+      u32le(16L) ++ // fmt chunk length (PCM)
+      u16le(1) ++ // audio format: PCM
+      u16le(channels) ++
+      u32le(sampleRate.toLong) ++
+      u32le(sampleRate.toLong * blockAlign) ++ // byte rate
+      u16le(blockAlign) ++
+      u16le(bitsPerSample) ++
+      "data".getBytes(US_ASCII) ++
+      u32le(dataLen.toLong)
   }
 
   def encodeHeader(format: String, width: Int, height: Int): Array[Byte] =
@@ -131,5 +163,51 @@ object MediaCodec {
     else if (startsWith(bytes, "BM".getBytes(US_ASCII)) && bytes.length >= 26)
       Some(("bmp", readU32le(bytes, 18).toInt, readU32le(bytes, 22).toInt))
     else None
+  }
+
+  /** Decoded WAV geometry: sample rate, channel count, bits per sample, and
+    * PCM frame count (data bytes / block align — "frame" = one sample
+    * across all channels).
+    */
+  final case class WavInfo(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, frames: Long)
+
+  private def tagAt(b: Array[Byte], off: Int, tag: String): Boolean = {
+    val t = tag.getBytes(US_ASCII)
+    off + t.length <= b.length && {
+      var i = 0
+      while (i < t.length && b(off + i) == t(i)) i += 1
+      i == t.length
+    }
+  }
+
+  /** Sniff RIFF/WAVE magic and walk the chunk list for "fmt " and "data".
+    * Chunks may appear in any order with vendor chunks interleaved (the
+    * spec allows e.g. LIST before data), so this is a real walk, not a
+    * fixed-offset read. None when the payload is not a parseable WAV —
+    * callers route those to an undecodable bucket, never a fabricated
+    * geometry.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (!tagAt(bytes, 0, "RIFF") || bytes.length < 12 || !tagAt(bytes, 8, "WAVE"))
+      return None
+    var off = 12L
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var dataLen = -1L
+    while (off + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      val o = off.toInt
+      val len = readU32le(bytes, o + 4)
+      if (tagAt(bytes, o, "fmt ") && len >= 16 && o + 8 + 16 <= bytes.length)
+        fmt = Some((readU16le(bytes, o + 10), readU32le(bytes, o + 12).toInt,
+          readU16le(bytes, o + 22)))
+      else if (tagAt(bytes, o, "data"))
+        dataLen = len
+      // chunks are word-aligned (odd lengths carry a pad byte); a declared
+      // length that runs past the buffer just terminates the walk
+      off += 8 + len + (len & 1)
+    }
+    fmt.collect { case (ch, rate, bits) if ch > 0 && bits >= 8 && dataLen >= 0 =>
+      WavInfo(rate, ch, bits, dataLen / (ch.toLong * bits / 8))
+    }
   }
 }

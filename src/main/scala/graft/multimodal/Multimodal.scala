@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * Scala analogue of arrow-batched pandas UDFs: one JVM closure per
   * partition, amortized setup, bounded memory per batch).
   *
-  * IMAGE decoding is REAL: [[MediaCodec.decodeImage]] sniffs PNG/GIF/BMP
-  * magic bytes and reads width/height out of the actual container header
-  * (pure JVM byte parsing, no external codec libraries). Only AUDIO/VIDEO
-  * feature extraction remains a clearly-labeled deterministic STUB (this
-  * container ships no audio/video codecs); the Spark-side contract —
-  * schema, partitioning, batch iteration shape — is identical for both, so
-  * swapping the stub for a JNI/ffmpeg call at deployment changes one
-  * function.
+  * IMAGE and AUDIO decoding are REAL: [[MediaCodec.decodeImage]] sniffs
+  * PNG/GIF/BMP magic bytes and reads width/height out of the actual
+  * container header, and [[MediaCodec.decodeWav]] walks the RIFF chunk
+  * list for sample rate / channels / bits / PCM frame count (pure JVM
+  * byte parsing, no external codec libraries). Only VIDEO feature
+  * extraction remains a clearly-labeled deterministic STUB (this container
+  * ships no video codecs); the Spark-side contract — schema, partitioning,
+  * batch iteration shape — is identical for all three kinds, so swapping
+  * the stub for a JNI/ffmpeg call at deployment changes one function.
   */
 object Multimodal {
 
@@ -28,8 +29,9 @@ object Multimodal {
       source: String)
 
   /** Decoded media features. For images, `format`/`width`/`height` come
-    * from real header parsing; for audio/video they are the stub's
-    * deterministic stand-ins ("raw").
+    * from real header parsing; for audio, `sample_rate`/`channels`/
+    * `n_frames` (PCM frames) come from the real WAV chunk walk; only video
+    * carries the stub's deterministic stand-ins ("raw").
     */
   case class MediaFeatures(
       media_id: Long,
@@ -38,7 +40,9 @@ object Multimodal {
       byte_len: Int,
       width: Int,
       height: Int,
-      n_frames: Int,
+      n_frames: Long,
+      sample_rate: Int,
+      channels: Int,
       checksum: Long)
 
   private def rollingChecksum(bytes: Array[Byte]): Long = {
@@ -50,9 +54,11 @@ object Multimodal {
 
   /** Decode one media row. Images: REAL header decode via
     * [[MediaCodec.decodeImage]] — dimensions are read out of the payload
-    * bytes; unrecognized containers surface as format "undecodable" with
-    * zero dimensions, never a fabricated size. Audio/video: deterministic
-    * STUB dimensions derived from the payload length (no codecs in this
+    * bytes. Audio: REAL RIFF/WAVE chunk walk via [[MediaCodec.decodeWav]] —
+    * sample rate, channels and PCM frame count are read out of the header.
+    * Unrecognized containers surface as format "undecodable" with zero
+    * geometry, never a fabricated value. Video: deterministic STUB
+    * dimensions derived from the payload length (no video codecs in this
     * container); the checksum is a real byte-level rolling hash either way.
     */
   def decodeMedia(r: MediaRow): MediaFeatures = {
@@ -62,19 +68,24 @@ object Multimodal {
       case "image" =>
         MediaCodec.decodeImage(r.payload) match {
           case Some((format, w, h)) =>
-            MediaFeatures(r.media_id, r.kind, format, len, w, h, 1, checksum)
+            MediaFeatures(r.media_id, r.kind, format, len, w, h, 1L, 0, 0, checksum)
           case None =>
-            MediaFeatures(r.media_id, r.kind, "undecodable", len, 0, 0, 0, checksum)
+            MediaFeatures(r.media_id, r.kind, "undecodable", len, 0, 0, 0L, 0, 0, checksum)
+        }
+      case "audio" =>
+        MediaCodec.decodeWav(r.payload) match {
+          case Some(info) =>
+            MediaFeatures(r.media_id, r.kind, "wav", len, 0, 0, info.frames,
+              info.sampleRate, info.channels, checksum)
+          case None =>
+            MediaFeatures(r.media_id, r.kind, "undecodable", len, 0, 0, 0L, 0, 0, checksum)
         }
       case _ =>
-        // STUB: audio duration / video frame geometry need real codecs.
+        // STUB: video frame geometry needs real codecs.
         val w = 16 + (len.toLong * 7919L % 1024L).toInt
         val h = 16 + (len.toLong * 104729L % 1024L).toInt
-        val frames = r.kind match {
-          case "video" => 1 + (len % 300)
-          case _ => 1
-        }
-        MediaFeatures(r.media_id, r.kind, "raw", len, w, h, frames, checksum)
+        val frames = 1L + (len % 300)
+        MediaFeatures(r.media_id, r.kind, "raw", len, w, h, frames, 0, 0, checksum)
     }
   }
 
@@ -105,10 +116,13 @@ object Multimodal {
     * real.
     */
   def resizeToFit(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
-    val scale = least(
-      lit(maxW).cast("double") / col("width"),
-      lit(maxH).cast("double") / col("height"),
-      lit(1.0))
+    // Dimensionless rows (audio, undecodable) pass through at 0×0; guarding
+    // here also keeps ANSI mode from throwing on the 0-width division.
+    val scale = when(col("width") > 0 && col("height") > 0,
+      least(
+        lit(maxW).cast("double") / col("width"),
+        lit(maxH).cast("double") / col("height"),
+        lit(1.0))).otherwise(lit(0.0))
     features
       .withColumn("resized_width", floor(col("width") * scale).cast("int"))
       .withColumn("resized_height", floor(col("height") * scale).cast("int"))
@@ -119,8 +133,11 @@ object Multimodal {
     * (cycling by id, dimensions a fixed function of the id) followed by the
     * string column's bytes as fake pixel data — so the decode path must
     * parse real container bytes to recover the dimensions, and an external
-    * oracle can re-derive them from the id alone. Audio/video rows carry
-    * the raw string bytes.
+    * oracle can re-derive them from the id alone. Audio rows likewise carry
+    * a STRUCTURALLY VALID 44-byte WAV header (rate cycling 8000/16000/44100
+    * and channels 1/2 by id, data length = the body bytes) followed by the
+    * body as fake PCM, so frame count must be read back out of the header.
+    * Video rows carry the raw string bytes (stub path).
     */
   def syntheticMedia(spark: SparkSession, df: DataFrame, idCol: String,
       payloadFrom: String): Dataset[MediaRow] = {
@@ -145,6 +162,14 @@ object Multimodal {
             val w = 16 + (id * 7919L % 1024L).toInt
             val h = 16 + (id * 104729L % 1024L).toInt
             MediaCodec.encodeHeader(format, w, h) ++ bodyBytes
+          } else if (kind == "audio") {
+            val rate = ((id / 3) % 3) match {
+              case 0 => 8000
+              case 1 => 16000
+              case _ => 44100
+            }
+            val channels = 1 + ((id / 3) % 2).toInt
+            MediaCodec.encodeWav(rate, channels, 16, bodyBytes.length) ++ bodyBytes
           } else bodyBytes
         MediaRow(id, kind, payload, "synthetic")
       }

@@ -404,13 +404,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     repAssigned.unpersist()
   }
 
-  test("multimodal decode: real image headers parsed, stub only for audio/video") {
+  test("multimodal decode: real image+audio headers parsed, stub only for video") {
     import graft.multimodal.{MediaCodec, Multimodal}
     val media = Multimodal.syntheticMedia(spark, docs, "doc_id", "text")
     val features = Multimodal.decodeFeatures(spark, media, partitions = 2)
     val rows = features.collect()
     assert(rows.length == 5)
-    assert(rows.forall(f => f.width >= 16 && f.height >= 16 && f.byte_len > 0))
+    assert(rows.forall(f => f.byte_len > 0))
     val byId = rows.map(f => f.media_id -> f).toMap
     // id 3 is the one image row (3 % 3 == 0), cycling to GIF ((3/3) % 3 == 1):
     // its dimensions must be READ BACK out of the encoded container header.
@@ -419,11 +419,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byId(3L).height == 16 + (3 * 104729) % 1024)
     assert(byId(3L).byte_len ==
       MediaCodec.GifHeaderLen + docs.collect()(2).getString(1).getBytes("UTF-8").length)
-    // audio/video rows stay on the labeled stub path
-    assert(byId(1L).format == "raw" && byId(2L).format == "raw")
-    // identical payloads decode identically (deterministic either way)
-    assert(byId(1L).byte_len == byId(2L).byte_len)
-    assert(byId(1L).checksum == byId(2L).checksum)
+    // audio rows decode through the real RIFF walk: id 1 and 4 (% 3 == 1)
+    // carry WAV headers with rate/channels cycling by id/3 and frame count
+    // = body bytes / block align, all read back out of the header bytes.
+    val body1 = docs.collect()(0).getString(1).getBytes("UTF-8").length
+    assert(byId(1L).format == "wav" && byId(1L).sample_rate == 8000 &&
+      byId(1L).channels == 1 && byId(1L).n_frames == body1 / 2)
+    assert(byId(4L).format == "wav" && byId(4L).sample_rate == 16000 &&
+      byId(4L).channels == 2)
+    assert(byId(1L).byte_len == body1 + MediaCodec.WavHeaderLen)
+    // video rows stay on the labeled stub path
+    assert(byId(2L).format == "raw" && byId(2L).sample_rate == 0)
+    assert(byId(2L).width >= 16 && byId(2L).height >= 16)
     // frame sampling metadata
     val sampled = Multimodal.sampleFrames(features.toDF(), stride = 5)
     assert(sampled.columns.contains("sampled_frames"))
@@ -459,5 +466,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // non-image bytes: no fabricated dimensions
     assert(MediaCodec.decodeImage("plain text".getBytes("UTF-8")).isEmpty)
     assert(MediaCodec.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
+  test("MediaCodec: WAV encode/decode round-trips; chunk walk skips vendor chunks") {
+    import graft.multimodal.MediaCodec
+    val hdr = MediaCodec.encodeWav(44100, 2, 16, 400)
+    assert(hdr.length == MediaCodec.WavHeaderLen)
+    val decoded = MediaCodec.decodeWav(hdr ++ Array.fill(400)(7.toByte))
+    assert(decoded == Some(MediaCodec.WavInfo(44100, 2, 16, 100))) // 400 / (2ch × 2B)
+    // truncated PCM data must not change the header-declared geometry
+    assert(MediaCodec.decodeWav(hdr) == Some(MediaCodec.WavInfo(44100, 2, 16, 100)))
+    // a LIST vendor chunk (odd length → pad byte) before fmt/data: the walk
+    // must skip it, not assume fixed offsets
+    val vendor = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0)
+    val shuffled = hdr.slice(0, 12) ++ vendor ++ hdr.slice(12, 44)
+    assert(MediaCodec.decodeWav(shuffled) == Some(MediaCodec.WavInfo(44100, 2, 16, 100)))
+    // mono 8-bit: block align 1 → frames = data bytes
+    assert(MediaCodec.decodeWav(MediaCodec.encodeWav(8000, 1, 8, 55)) ==
+      Some(MediaCodec.WavInfo(8000, 1, 8, 55)))
+    // not RIFF / RIFF-but-not-WAVE / empty → None, never fabricated
+    assert(MediaCodec.decodeWav("RIFFxxxxAVI ".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodec.decodeWav("plain text".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.decodeWav(Array.empty[Byte]).isEmpty)
   }
 }
