@@ -491,6 +491,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Semantic (embedding-cosine) dedup end-to-end: IVF-celled cosine
+    // pairs (q47) → connected components (q51's operator) → kept vector
+    // list. The SemDeDup shape: candidate generation is cell-bounded
+    // (never all-pairs), clustering is edge-sized, and the deliverable is
+    // the surviving corpus — all three stages one composed plan.
+    "q73_semantic_dedup_keep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.ivfCellNearNeighbors(emb, "vec_id", "embedding",
+        nlist = 32, threshold = 0.3)
+      Dedup.keepList(emb.select("vec_id"), "vec_id",
+          Dedup.duplicateClusters(pairs))
+        .orderBy("vec_id")
+    }),
+
     // End-to-end dedup deliverable: the kept corpus after dropping every
     // non-minimum member of each near-dup cluster (q16 pairs → q51
     // components → anti join).
@@ -1370,6 +1384,30 @@ object SparkEntry {
                 CAST(rank AS INTEGER) AS rank
          FROM ranked WHERE rank <= 5
          ORDER BY query_id, rank""",
+
+    // Semantic dedup reproduction: q47's cell-bounded cosine pairs feed
+    // the q51 recursive closure; kept vectors are the non-dropped ids.
+    "q73_semantic_dedup_keep" ->
+      s"""WITH RECURSIVE $ivfAssignCtes,
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM assigned a JOIN assigned b
+             ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+           WHERE (CASE WHEN a.vn * b.vn > 0 THEN
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.vn * b.vn)
+             ELSE 0.0 END) >= 0.3),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+         ORDER BY vec_id""",
 
     // Kept corpus = documents minus every clustered non-minimum (recursive
     // closure over the q16 verified pairs, as in q51).

@@ -1,12 +1,18 @@
 package graft.examples
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 
 /** Scale probe for the similarity/dedup operators beyond the sf0.1 test
-  * data: a deterministic synthetic embedding corpus (sines of the row id —
-  * no RNG, so runs are comparable) at 20×–100× the sf0.1 row count.
-  * Prints per-operator wall times; PLANS.md cites a run.
+  * data: a deterministic synthetic embedding corpus (hash-derived floats of
+  * the row id — no RNG, so runs are comparable) at 20×–800× the sf0.1 row
+  * count. Hash-derived components are near-uniform in [-1, 1], so the
+  * hyperplane sign bits distribute buckets the way the n/2^bits sizing
+  * assumes — the earlier sin(id·i) corpus was strongly correlated across
+  * rows and collapsed most of the corpus into a few LSH buckets, probing
+  * the skew guard rather than the operator. Prints per-operator wall
+  * times; PLANS.md cites a run.
   *
   * Usage: sbt "runMain graft.examples.ScaleProbe [nRows] [dim]"
   */
@@ -24,8 +30,14 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.Similarity
 
+    // Every 100th vector duplicates its predecessor — the near-dup paths
+    // see a realistic ~1% duplicate rate instead of zero pairs.
+    val contentId = when(pmod(col("id"), lit(100)) === 99, col("id") - 1)
+      .otherwise(col("id"))
     val emb = spark.range(n.toLong).select(col("id").as("vec_id"),
-        array((1 to dim).map(i => sin(col("id") * i).cast("float")): _*)
+        array((1 to dim).map(i =>
+          ((pmod(xxhash64(contentId * lit(1000003L) + lit(i)), lit(2001L)) -
+            lit(1000L)) / lit(1000.0)).cast("float")): _*)
           .as("embedding"))
       .repartition(spark.sparkContext.defaultParallelism)
       .persist()
@@ -39,7 +51,10 @@ object ScaleProbe {
       r
     }
 
-    val q = (1 to dim).map(i => math.sin(7.0 * i).toFloat)
+    // The query is corpus row 7's generation rule — guaranteed in-distribution.
+    val q = (1 to dim).map(i =>
+      ((Math.floorMod(XXH64.hashLong(7L * 1000003L + i, 42L), 2001L) - 1000L)
+        / 1000.0).toFloat)
     timed("exact top-10, one query (full scan)") {
       Similarity.topKForQuery(emb, "vec_id", "embedding", q, 10).collect()
     }
@@ -63,9 +78,9 @@ object ScaleProbe {
       assigned.unpersist()
     }
     val bits = Similarity.lshBitsFor(n.toLong, targetBucketSize = 32)
-    timed(s"LSH near-dup pairs (bits=$bits, threshold=0.9)") {
+    timed(s"LSH near-dup pairs (bits=$bits, threshold=0.9, maxBucket=256)") {
       Similarity.lshNearNeighbors(emb, "vec_id", "embedding", dim,
-        threshold = 0.9, bits = bits).count()
+        threshold = 0.9, bits = bits, maxBucket = 256).count()
     }
     spark.stop()
   }

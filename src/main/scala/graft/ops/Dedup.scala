@@ -117,8 +117,11 @@ object Dedup {
     * diameter) iterations — near-dup components are dense (threshold
     * graphs ≈ cliques), so diameter is small. Each iteration is one hash
     * join + one aggregate of the EDGE list (no corpus-sized state), the
-    * distributed shape of large-star/small-star. The per-iteration
-    * `count()` is the convergence check of an offline index-build job.
+    * distributed shape of large-star/small-star. The convergence check
+    * rides the iteration's own checkpoint: each update carries its
+    * previous label, so "any label changed?" is a filter over the
+    * just-materialized partitions — no extra join or recompute per
+    * iteration, one cheap scan action (offline index-build cadence).
     *
     * Each iteration's labels are `localCheckpoint`ed: the update plan
     * references the previous labels TWICE (propagation join + convergence
@@ -154,12 +157,11 @@ object Dedup {
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("minn"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("minn"), col("label"))).as("label"),
+          col("label").as("old"))
         .localCheckpoint()
-      converged = updated
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") < col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("label") < col("old")).isEmpty
+      labels = updated.select("id", "label")
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))

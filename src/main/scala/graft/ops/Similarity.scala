@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.functions.VecDot
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -35,6 +36,22 @@ object Similarity {
 
   private def parallelism(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
+
+  /** Bounded per-group top-k over `(negsim, id)` structs via Spark's
+    * `CollectTopK` typed aggregate: every aggregation level — map-side
+    * partials included — holds a k-element bounded priority queue, so
+    * memory per group is O(k) and the shuffle carries ≤ k rows per
+    * partition per group. (The previous `collect_list`-then-sort shape
+    * buffered the WHOLE partition per group before truncating — memory
+    * linear in partition size, the kind of buffer that works at test scale
+    * and OOMs an executor at 100 TB.) `reverse = true` keeps the smallest
+    * elements under the struct's natural (negsim, id) ordering = highest
+    * similarity with ascending-id tie-break; the k-element result is
+    * re-sorted ascending so downstream `posexplode` ranks identically to
+    * the old sort-based path.
+    */
+  private def boundedTopK(item: Column, k: Int): Column =
+    array_sort(ColumnBridge.collectTopK(item, k, reverse = true))
 
   /** Project (id, vec, norm) behind a repartition barrier: spreads the work
     * of a single-file scan and stops downstream plans from re-inlining the
@@ -122,6 +139,19 @@ object Similarity {
     * on the bucket id; bucket population ~n/2^bits keeps the in-bucket
     * quadratic term bounded; the bucketed projection sits behind an exchange
     * so both self-join branches reuse one computation (ReuseExchange).
+    *
+    * `maxBucket` (0 = unlimited) is the skew guard: the n/2^bits expected
+    * population assumes near-uniform sign bits, but a CORRELATED corpus
+    * (embeddings cluster — that is why near-dup search works at all) can
+    * concentrate a large fraction of vectors into a handful of buckets,
+    * and one overfull bucket turns the in-bucket self-join quadratic (a
+    * single straggler task sorting billions of pairs). Capping drops
+    * buckets above the population cap from PAIR GENERATION entirely — the
+    * same move as the ngram index's stop-gram df-cut: an overfull bucket
+    * is the hyperplane family failing to discriminate, so its pairs are
+    * dominated by low-similarity noise; the documented recall trade is
+    * that true pairs whose every shared bucket is overfull are missed
+    * (raise `bits` or union with [[ivfCellNearNeighbors]]).
     */
   def lshNearNeighbors(
       embeddings: DataFrame,
@@ -130,12 +160,23 @@ object Similarity {
       dim: Int,
       threshold: Double = 0.8,
       bits: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val bucketed = embeddings
+      seed: Long = 42L,
+      maxBucket: Long = 0L): DataFrame = {
+    val all = embeddings
       .select(col(idCol), col(vecCol),
         lshBucket(col(vecCol), dim, bits, seed).as("bucket"),
         norm(col(vecCol)).as("__norm"))
       .repartition(parallelism(embeddings), col("bucket"))
+    val bucketed =
+      if (maxBucket <= 0L) all
+      else {
+        // One extra aggregate on the SAME partitioning (no added shuffle);
+        // the population frame is bucket-count-sized, broadcast for the
+        // semi filter.
+        val small = all.groupBy("bucket").agg(count(lit(1)).as("__pop"))
+          .filter(col("__pop") <= maxBucket).select("bucket")
+        all.join(broadcast(small), Seq("bucket"))
+      }
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("__norm").as("na"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
@@ -388,12 +429,12 @@ object Similarity {
 
   /** Batch k-NN join: exact top-k corpus neighbours for EVERY query row —
     * the retrieval-eval / hard-negative-mining shape. The query side is
-    * broadcast (queries ≪ corpus); the corpus scans ONCE; top-k is
-    * two-phase — a per-(query, partition) partial top-k behind the map-side
-    * aggregate, then a k×partitions merge per query — so the shuffle
-    * carries `k × partitions` rows per query, never the scored corpus.
-    * Rank ties break by ascending neighbour id on both phases (struct sort
-    * on (-sim, id)).
+    * broadcast (queries ≪ corpus); the corpus scans ONCE; top-k is the
+    * [[boundedTopK]] aggregate — map-side partials hold a k-element
+    * bounded queue per query, so executor memory is O(k × queries) and the
+    * shuffle carries ≤ `k × partitions` rows per query, never the scored
+    * corpus. Rank ties break by ascending neighbour id at every level
+    * (the queue orders on (-sim, id)).
     */
   def topKJoin(
       embeddings: DataFrame,
@@ -413,10 +454,8 @@ object Similarity {
           .otherwise(lit(0.0)).as("cosine_sim"))
     val item = struct((-col("cosine_sim")).as("negsim"), col(idCol).as("nid"))
     scored
-      .groupBy(col("query_id"), spark_partition_id().as("__p"))
-      .agg(slice(array_sort(collect_list(item)), 1, k).as("__top"))
       .groupBy("query_id")
-      .agg(slice(array_sort(flatten(collect_list(col("__top")))), 1, k).as("__top"))
+      .agg(boundedTopK(item, k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__t")))
       .select(col("query_id"), col("__t.nid").as(idCol),
         (-col("__t.negsim")).as("cosine_sim"), (col("__i") + 1).as("rank"))
@@ -431,8 +470,9 @@ object Similarity {
     * two shuffled sides co-partition on, never a BroadcastNestedLoopJoin
     * of a corpus-sized side — and against a [[saveIvfIndex]]
     * cell-partitioned index the scan prunes to the probed cells. Per-query
-    * top-k reuses [[topKJoin]]'s two-phase partial top-k (the shuffle
-    * carries k × partitions rows per query, not the scored candidates).
+    * top-k reuses [[topKJoin]]'s [[boundedTopK]] aggregate (O(k) memory
+    * per query at every level; the shuffle carries ≤ k × partitions rows
+    * per query, not the scored candidates).
     * Approximate with the standard IVF dials: `nprobe`, and replica
     * assignment at build time ([[ivfKMeans]]'s `replicas` — replica
     * candidates collapse to one row per (query, id) before ranking).
@@ -475,10 +515,8 @@ object Similarity {
       .agg(max(col("cosine_sim")).as("cosine_sim"))
     val item = struct((-col("cosine_sim")).as("negsim"), col(idCol).as("nid"))
     candidates
-      .groupBy(col("query_id"), spark_partition_id().as("__p"))
-      .agg(slice(array_sort(collect_list(item)), 1, k).as("__top"))
       .groupBy("query_id")
-      .agg(slice(array_sort(flatten(collect_list(col("__top")))), 1, k).as("__top"))
+      .agg(boundedTopK(item, k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__t")))
       .select(col("query_id"), col("__t.nid").as(idCol),
         (-col("__t.negsim")).as("cosine_sim"), (col("__i") + 1).as("rank"))

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `CollectTopK(item, k)` as a Column aggregate: a bounded k-element
+    * priority queue at every aggregation level (map-side partials
+    * included). `reverse = true` keeps the k SMALLEST items under the
+    * item type's natural ordering. The expression is `private[sql]`, hence
+    * this bridge.
+    */
+  def collectTopK(item: Column, k: Int, reverse: Boolean): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectBridge
+        .collectTopK(ExpressionUtils.expression(item), k, reverse)
+        .toAggregateExpression())
 }

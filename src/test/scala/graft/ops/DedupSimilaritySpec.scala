@@ -229,6 +229,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
   }
 
+  test("lshNearNeighbors maxBucket: cap drops only overfull buckets' pairs") {
+    // 60 IDENTICAL vectors collapse into one sign-bit bucket (the
+    // correlated-corpus worst case: the in-bucket self-join would emit
+    // 60·59/2 pairs) + 6 distinct vectors spread across other buckets.
+    val rows = (0L until 60L).map(i => (i, Seq(1.0f, 0.5f, 0.25f))) ++
+      (60L until 66L).map { i =>
+        val a = (i - 60L).toDouble / 6.0 * 2.0 * math.Pi
+        (i, Seq(math.cos(a).toFloat, math.sin(a).toFloat, 0.0f))
+      }
+    val vecs = rows.toDF("vec_id", "embedding")
+    def pairs(cap: Long) = Similarity.lshNearNeighbors(
+      vecs, "vec_id", "embedding", dim = 3, threshold = 0.99, bits = 4,
+      maxBucket = cap).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(0L)
+    assert(uncapped.size >= 60 * 59 / 2, "identical vectors must all pair uncapped")
+    // Cap below the giant bucket's population: its quadratic pair set is
+    // gone; pairs from buckets within the cap are untouched.
+    val capped = pairs(32L)
+    assert(capped.intersect(uncapped).size == capped.size, "cap must only remove pairs")
+    assert(!capped.exists { case (a, b) => a < 60L && b < 60L },
+      "overfull bucket's pairs must be dropped")
+    // Cap above every population: identical to uncapped.
+    assert(pairs(1000L) == uncapped)
+  }
+
   test("keepList drops clustered non-minima only") {
     val docs2 = Seq((1L, "a"), (2L, "a"), (3L, "a"), (5L, "b"), (6L, "b"),
       (9L, "c")).toDF("doc_id", "lang")
