@@ -227,6 +227,25 @@ object Similarity {
     * PARTITIONED by vector id — each partition holds one vector's centroid
     * scores, so the argmax parallelizes across the corpus.
     */
+  /** Nearest-centroid assignment over the `n × nlist` scored stream.
+    *
+    * `replicas = 1` (the standard build) aggregates with `max_by` — a
+    * streaming hash aggregate that collapses each vector's nlist candidate
+    * rows on the fly. `base` is already hash-partitioned on `idCol`
+    * ([[withNorm]]) and the broadcast cross join preserves that, so the
+    * plan is scan → broadcast join → hash agg with NO exchange and — the
+    * part that matters at corpus scale — NO sort: the previous
+    * `row_number()` window had to externally sort all n × nlist scored
+    * rows (vector payloads included) per partition, a measured
+    * spill-everything straggler at 1M × 1024 and a guaranteed one at
+    * 100 TB. Ties break identically to the window (highest sim, then
+    * lowest centroid_id, via max_by on `(sim, -centroid_id)`).
+    *
+    * `replicas > 1` (multi-assignment recall lever) keeps the window path:
+    * it runs at index-BUILD time over the oversample-bounded candidate
+    * stream, and a bounded top-k aggregate would hit the object-hash-agg
+    * sort fallback at these group counts anyway.
+    */
   private def assignToNearest(
       base: DataFrame, // (idCol, vecCol, __norm)
       centroids: DataFrame, // (centroid_id, centroid_vec, __cnorm)
@@ -239,9 +258,18 @@ object Similarity {
         when(col("__norm") * col("__cnorm") > 0,
           dot(col(vecCol), col("centroid_vec")) / (col("__norm") * col("__cnorm")))
           .otherwise(lit(0.0)))
-    val best = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id").asc)
-    scored.withColumn("__r", row_number().over(best)).filter(col("__r") <= replicas)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+    if (replicas == 1)
+      scored
+        .groupBy(col(idCol))
+        .agg(first(col(vecCol)).as(vecCol),
+          max_by(col("centroid_id"),
+            struct(col("sim"), (-col("centroid_id")).as("__nc"))).as("centroid_id"))
+        .select(col(idCol), col(vecCol), col("centroid_id"))
+    else {
+      val best = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id").asc)
+      scored.withColumn("__r", row_number().over(best)).filter(col("__r") <= replicas)
+        .select(col(idCol), col(vecCol), col("centroid_id"))
+    }
   }
 
   /** IVF index: centroids are a deterministic md5 hash-sample of ~`nlist`
