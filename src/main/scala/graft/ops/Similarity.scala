@@ -227,24 +227,24 @@ object Similarity {
     * PARTITIONED by vector id — each partition holds one vector's centroid
     * scores, so the argmax parallelizes across the corpus.
     */
-  /** Nearest-centroid assignment over the `n × nlist` scored stream.
+  /** Nearest-centroid assignment.
     *
-    * `replicas = 1` (the standard build) aggregates with `max_by` — a
-    * streaming hash aggregate that collapses each vector's nlist candidate
-    * rows on the fly. `base` is already hash-partitioned on `idCol`
-    * ([[withNorm]]) and the broadcast cross join preserves that, so the
-    * plan is scan → broadcast join → hash agg with NO exchange and — the
-    * part that matters at corpus scale — NO sort: the previous
-    * `row_number()` window had to externally sort all n × nlist scored
-    * rows (vector payloads included) per partition, a measured
-    * spill-everything straggler at 1M × 1024 and a guaranteed one at
-    * 100 TB. Ties break identically to the window (highest sim, then
-    * lowest centroid_id, via max_by on `(sim, -centroid_id)`).
+    * `replicas = 1` (the standard build): the centroid table is
+    * nlist-BOUNDED by construction, so it rides INSIDE the plan — the
+    * [[graft.functions.NearestCentroid]] codegen expression computes the
+    * argmax-cosine id in one tight-loop projection. No cross join, no
+    * aggregate, no sort, no extra rows: the declarative alternatives all
+    * degrade at corpus scale (a `row_number` window externally sorts the
+    * n × nlist scored stream — a measured spill-everything straggler at
+    * 1M × 1024 — and `max_by` keyed by a `(sim, -cid)` struct has a
+    * non-mutable buffer, so HashAggregateExec rejects it and the plan
+    * falls back to sort-based aggregation of the same stream). The
+    * nlist-row `collect` here is the same bounded materialization the
+    * broadcast performed, one step earlier.
     *
-    * `replicas > 1` (multi-assignment recall lever) keeps the window path:
-    * it runs at index-BUILD time over the oversample-bounded candidate
-    * stream, and a bounded top-k aggregate would hit the object-hash-agg
-    * sort fallback at these group counts anyway.
+    * `replicas > 1` (multi-assignment recall lever) keeps the broadcast
+    * cross join + window path: it runs at index-BUILD time and needs the
+    * top-`replicas` rows, not one value per row.
     */
   private def assignToNearest(
       base: DataFrame, // (idCol, vecCol, __norm)
@@ -252,20 +252,26 @@ object Similarity {
       idCol: String,
       vecCol: String,
       replicas: Int = 1): DataFrame = {
-    val scored = base
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim",
-        when(col("__norm") * col("__cnorm") > 0,
-          dot(col(vecCol), col("centroid_vec")) / (col("__norm") * col("__cnorm")))
-          .otherwise(lit(0.0)))
-    if (replicas == 1)
-      scored
-        .groupBy(col(idCol))
-        .agg(first(col(vecCol)).as(vecCol),
-          max_by(col("centroid_id"),
-            struct(col("sim"), (-col("centroid_id")).as("__nc"))).as("centroid_id"))
-        .select(col(idCol), col(vecCol), col("centroid_id"))
-    else {
+    if (replicas == 1) {
+      val cents = centroids.select(col("centroid_id").cast("long"), col("centroid_vec"))
+        .collect()
+        .map { r =>
+          val vs = r.getSeq[Any](1).map {
+            case f: java.lang.Float => f.toDouble
+            case d: java.lang.Double => d.doubleValue
+          }.toArray
+          (r.getLong(0), vs)
+        }
+      base.select(col(idCol), col(vecCol),
+        graft.functions.NearestCentroid.assign(col(vecCol), cents.toSeq)
+          .as("centroid_id"))
+    } else {
+      val scored = base
+        .crossJoin(broadcast(centroids))
+        .withColumn("sim",
+          when(col("__norm") * col("__cnorm") > 0,
+            dot(col(vecCol), col("centroid_vec")) / (col("__norm") * col("__cnorm")))
+            .otherwise(lit(0.0)))
       val best = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id").asc)
       scored.withColumn("__r", row_number().over(best)).filter(col("__r") <= replicas)
         .select(col(idCol), col(vecCol), col("centroid_id"))
