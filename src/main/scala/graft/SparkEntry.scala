@@ -1558,17 +1558,18 @@ object SparkEntry {
          SELECT vec_id, round(sim, 4) AS cosine_sim FROM topk
          ORDER BY round(sim, 4) DESC, vec_id""",
 
-    // LSH reproduction: identical seeded hyperplanes as literals (all 16;
-    // the prefix in use is selected by nbits, computed from the corpus
-    // count with the same integer formula as Similarity.lshBitsFor —
-    // smallest b in [4,16] with 2^b * 32 >= n); bucket = OR of sign bits;
-    // in-bucket pairs verified by exact cosine ≥ 0.3.
+    // LSH reproduction: identical seeded hyperplanes as literals (16 —
+    // enough for any verify-scale corpus; the prefix in use is selected by
+    // nbits, computed from the corpus count with the same integer formula
+    // as Similarity.lshBitsFor — smallest b in [4,24] with 2^b * 32 >= n);
+    // bucket = OR of sign bits; in-bucket pairs verified by exact cosine
+    // ≥ 0.3.
     "q21_lsh_embedding_pairs" ->
       s"""WITH planes(pi, pv) AS (VALUES
            $lshPlaneValues),
          nb AS (
-           SELECT coalesce(min(b), 16) AS nbits
-           FROM (SELECT unnest(range(4, 17)) AS b),
+           SELECT coalesce(min(b), 24) AS nbits
+           FROM (SELECT unnest(range(4, 25)) AS b),
                 (SELECT count(*) AS n FROM embeddings) c
            WHERE (CAST(1 AS BIGINT) << b) * 32 >= c.n),
          e AS (SELECT vec_id, embedding,

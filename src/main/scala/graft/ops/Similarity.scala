@@ -123,7 +123,7 @@ object Similarity {
       n: Long,
       targetBucketSize: Long = 64,
       minBits: Int = 4,
-      maxBits: Int = 16): Int =
+      maxBits: Int = 24): Int =
     (minBits to maxBits).find(b => (1L << b) * targetBucketSize >= n)
       .getOrElse(maxBits)
 
