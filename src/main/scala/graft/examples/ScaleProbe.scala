@@ -48,6 +48,10 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val r = body
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // Block isolation (the Bench discipline): drop any operator-persisted
+      // intermediates, keep only the corpus cached.
+      spark.catalog.clearCache()
+      emb.persist(); emb.count()
       r
     }
 

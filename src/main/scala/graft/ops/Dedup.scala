@@ -340,6 +340,19 @@ object Dedup {
     * distinct n-grams, self-join on the n-gram, count shared grams, compute
     * |∩| / (|A| + |B| - |∩|). `maxDocFreq` prunes stop-shingles that would
     * otherwise blow up the index join (standard df-cut).
+    *
+    * `gramFraction` (default 1.0 = every gram) is the index-size dial for
+    * corpus scale: keep only grams whose md5 prefix falls under the
+    * fraction — the deterministic hash-sample from [[Sampling]], applied
+    * to the GRAM value, so the same grams survive in every document and
+    * the similarity is computed consistently over the sampled gram
+    * universe (identical documents still score 1.0 at any fraction; the
+    * metric becomes an estimate of the full-universe value with variance
+    * ~1/(fraction × grams-per-doc)). The char-8-gram index is ~6–7× the
+    * word-gram index per byte of text — this is the documented way to buy
+    * it back (fraction 0.25 ⇒ a quarter of the index, shuffle, and join
+    * work). External engines reproduce the selection exactly (md5 prefix
+    * compare — the q50 oracle pattern).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -347,9 +360,10 @@ object Dedup {
       textCol: String,
       n: Int = 8,
       threshold: Double = 0.5,
-      maxDocFreq: Long = 1000): DataFrame =
+      maxDocFreq: Long = 1000,
+      gramFraction: Double = 1.0): DataFrame =
     ngramIndexPairs(df, idCol, textCol, n, threshold, maxDocFreq,
-      jaccard = true)
+      jaccard = true, gramFraction = gramFraction)
 
   /** Near-CONTAINMENT pairs: overlap coefficient |∩| / min(|A|, |B|) ≥
     * threshold over character n-gram sets. Catches a document embedded
@@ -363,9 +377,10 @@ object Dedup {
       textCol: String,
       n: Int = 8,
       threshold: Double = 0.8,
-      maxDocFreq: Long = 1000): DataFrame =
+      maxDocFreq: Long = 1000,
+      gramFraction: Double = 1.0): DataFrame =
     ngramIndexPairs(df, idCol, textCol, n, threshold, maxDocFreq,
-      jaccard = false)
+      jaccard = false, gramFraction = gramFraction)
 
   private def ngramIndexPairs(
       df: DataFrame,
@@ -374,16 +389,22 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDocFreq: Long,
-      jaccard: Boolean): DataFrame = {
+      jaccard: Boolean,
+      gramFraction: Double = 1.0): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // Normalize once per row behind a barrier, then explode the grams; no
     // md5/regex work remains below the barrier, so branch recomputation of
     // the exploded index is cheap and ReuseExchange shares the shuffles.
-    val grams = df
+    val allGrams = df
       .select(col(idCol), normalized(col(textCol)).as("__norm"))
       .repartition(p, col(idCol))
       .select(col(idCol),
         explode(graft.functions.HashExpressions.ngramSet(col("__norm"), n)).as("gram"))
+    // Gram-hash sampling BEFORE the persist/df/self-join: the whole
+    // downstream (index bytes, stop-cut aggregate, both join sides)
+    // shrinks by the fraction.
+    val grams = (if (gramFraction >= 1.0) allGrams
+      else allGrams.filter(Similarity.hashSample(col("gram"), gramFraction)))
       .persist()
     // Anti-join against the (small) stop-shingle list: broadcasting the few
     // over-frequent grams scales; broadcasting the full index would not.

@@ -65,6 +65,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram gramFraction: full fraction is exact; sampling keeps exact dups at 1.0") {
+    def run(frac: Double) = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 4, threshold = 0.5, maxDocFreq = 100, gramFraction = frac)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // fraction >= 1 must be byte-identical to the default path
+    assert(run(1.0) == run(2.0))
+    // The sampled index selects grams by their VALUE, so identical texts
+    // sample identically: docs 1 and 2 (normalized-identical) must still
+    // pair with jaccard exactly 1.0 at a quarter of the index.
+    val sampled = run(0.25)
+    assert(sampled.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
   test("duplicateClusters converges on a path graph (worst-case diameter)") {
     // 1-2-3-…-20: label 1 must propagate the full diameter, exercising the
     // localCheckpoint'ed iteration loop well past the clique-typical 1-2
