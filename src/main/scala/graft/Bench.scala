@@ -29,12 +29,18 @@ object Bench {
       spark.catalog.clearCache()
       (name, dt, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Keep the JSON line SHORT: the driver captures only the tail of the
+    // run output, and a 73-query line with full names + 9-decimal values
+    // overflows that capture (round-4 bench parsed as null). qNN keys +
+    // millisecond precision keep the whole line well under the budget.
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def short(name: String): String = name.split("_")(0)
+    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + short(k) + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -505,6 +505,32 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Gopher-style rule-based quality gate: row-local signals + repetition
+    // signals -> keep verdict + first-failed-rule reason. The oracle
+    // re-derives every signal AND the when-chain audit order.
+    "q74_quality_filter" -> ((s, dir) => {
+      Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text",
+          separator = " ")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("mean_word_len"), col("punct_ratio"), col("stopword_ratio"),
+          col("dup_segment_frac"), col("top_bigram_frac"),
+          col("reason"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget mixture sampling: per-source keep fractions derived from
+    // the corpus's own token totals (8k-char budget at 40/30/20/10% across
+    // src0-3; src4 over-weighted to exercise the keep-whole branch; other
+    // sources dropped), then the md5-cut per-row selection.
+    "q75_token_budget_mix" -> ((s, dir) => {
+      graft.ops.Sampling.sampleToTokenBudget(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "doc_id", "source", "n_chars", budget = 8000L,
+          weights = Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+            "src3" -> 0.1, "src4" -> 5.0))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end dedup deliverable: the kept corpus after dropping every
     // non-minimum member of each near-dup cluster (q16 pairs → q51
     // components → anti join).
@@ -715,10 +741,11 @@ object SparkEntry {
 
     // Multimodal: binary payloads with REAL header decoding — image
     // dimensions are parsed out of actual PNG/GIF/BMP container bytes
-    // (MediaCodec.decodeImage) and audio geometry out of a real RIFF/WAVE
-    // chunk walk (MediaCodec.decodeWav); the oracle re-derives both from
-    // the fixture's generation rule, so a decoder that misreads either
-    // header hash-mismatches. Only video stays on the labeled stub path.
+    // (MediaCodec.decodeImage), audio geometry out of a real RIFF/WAVE
+    // chunk walk (MediaCodec.decodeWav), and video geometry out of a real
+    // ISO-BMFF box walk (MediaCodec.decodeMp4: tkhd dims, stsz samples);
+    // the oracle re-derives all three from the fixture's generation rule,
+    // so a decoder that misreads any header hash-mismatches.
     "q24_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeFeatures(s, media)
@@ -1415,6 +1442,84 @@ object SparkEntry {
          WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
          ORDER BY vec_id""",
 
+    // Every signal re-derived (q11's row-local formulas + q59's repetition
+    // CTEs), then the same first-failed-rule when-chain.
+    "q74_quality_filter" ->
+      s"""WITH base AS (
+           SELECT doc_id, text, $toks AS tk,
+                  len(text) AS n_chars_raw,
+                  len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_nopunct
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             round(CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS mean_word_len,
+             round(CASE WHEN n_chars_raw > 0 THEN CAST(n_chars_raw - n_nopunct AS DOUBLE) / n_chars_raw ELSE 0.0 END, 6) AS punct_ratio,
+             round(CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that','be','from'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS stopword_ratio
+           FROM base),
+         segs AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS seg
+           FROM documents),
+         segstats AS (
+           SELECT doc_id, count(*) AS n_segments,
+                  count(DISTINCT seg) AS n_distinct_segments
+           FROM segs GROUP BY doc_id),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+             i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+               CAST(i + 1 AS INTEGER)), ' '))) AS g
+           FROM base WHERE len(tk) >= 2),
+         bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         bgstats AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  CAST(max(c) AS BIGINT) AS top_bigram_count
+           FROM bgc GROUP BY doc_id),
+         rep AS (
+           SELECT d.doc_id,
+                  CASE WHEN coalesce(s.n_segments, 0) > 0
+                       THEN round(1.0 - CAST(s.n_distinct_segments AS DOUBLE) / s.n_segments, 6)
+                       ELSE 0.0 END AS dup_segment_frac,
+                  CASE WHEN coalesce(b.n_bigrams, 0) > 0
+                       THEN round(CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams, 6)
+                       ELSE 0.0 END AS top_bigram_frac
+           FROM documents d
+           LEFT JOIN segstats s USING (doc_id)
+           LEFT JOIN bgstats b USING (doc_id)),
+         f AS (
+           SELECT m.doc_id, m.n_tokens, m.mean_word_len, m.punct_ratio,
+                  m.stopword_ratio, rep.dup_segment_frac, rep.top_bigram_frac,
+                  CASE WHEN m.n_tokens < 16 THEN 'too_few_tokens'
+                       WHEN m.n_tokens > 100000 THEN 'too_many_tokens'
+                       WHEN m.mean_word_len < 2.0 OR m.mean_word_len > 12.0 THEN 'word_length'
+                       WHEN m.punct_ratio > 0.25 THEN 'punctuation'
+                       WHEN m.stopword_ratio < 0.01 THEN 'stopwords'
+                       WHEN rep.dup_segment_frac > 0.30 THEN 'repeated_segments'
+                       WHEN rep.top_bigram_frac > 0.18 THEN 'repeated_bigrams'
+                       ELSE NULL END AS reason
+           FROM m JOIN rep USING (doc_id))
+         SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
+                dup_segment_frac, top_bigram_frac, reason,
+                reason IS NULL AS keep
+         FROM f ORDER BY doc_id""",
+
+    // Same integer-exact cut arithmetic: floor(budget*weight*4096/tokens)
+    // in 4096ths, md5-prefix compare, keep-whole when cut >= 4096.
+    "q75_token_budget_mix" ->
+      """WITH tot AS (
+           SELECT source, CAST(sum(n_chars) AS DOUBLE) AS st
+           FROM documents GROUP BY source),
+         w AS (SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+             ('src2', 0.2), ('src3', 0.1), ('src4', 5.0)) AS t(source, wt)),
+         c AS (
+           SELECT tot.source,
+                  CAST(floor(8000.0 * w.wt * 4096.0 / tot.st) AS BIGINT) AS cut
+           FROM tot JOIN w USING (source))
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN c USING (source)
+         WHERE cut >= 4096
+            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) < lpad(lower(to_hex(cut)), 3, '0')
+         ORDER BY d.doc_id""",
+
     // Kept corpus = documents minus every clustered non-minimum (recursive
     // closure over the q16 verified pairs, as in q51).
     "q54_dedup_keep" ->
@@ -2006,20 +2111,18 @@ object SparkEntry {
          SELECT media_id, kind,
                 CASE kind WHEN 'image' THEN img_format
                           WHEN 'audio' THEN 'wav'
-                          ELSE 'raw' END AS format,
+                          ELSE 'mp4' END AS format,
                 CASE kind WHEN 'image'
                      THEN body_len + CASE img_format WHEN 'png' THEN 45
                                                      WHEN 'gif' THEN 13
                                                      ELSE 54 END
                           WHEN 'audio' THEN body_len + 44
-                     ELSE body_len END AS byte_len,
-                CASE kind WHEN 'image' THEN 16 + (media_id * 7919) % 1024
-                          WHEN 'audio' THEN 0
-                     ELSE 16 + (body_len * 7919) % 1024 END AS width,
-                CASE kind WHEN 'image' THEN 16 + (media_id * 104729) % 1024
-                          WHEN 'audio' THEN 0
-                     ELSE 16 + (body_len * 104729) % 1024 END AS height,
-                CASE kind WHEN 'video' THEN 1 + body_len % 300
+                     ELSE body_len + 292 END AS byte_len,
+                CASE kind WHEN 'audio' THEN 0
+                     ELSE 16 + (media_id * 7919) % 1024 END AS width,
+                CASE kind WHEN 'audio' THEN 0
+                     ELSE 16 + (media_id * 104729) % 1024 END AS height,
+                CASE kind WHEN 'video' THEN 1 + media_id % 300
                           WHEN 'audio' THEN body_len // (wav_channels * 2)
                      ELSE 1 END AS n_frames,
                 CASE kind WHEN 'audio' THEN wav_rate ELSE 0 END AS sample_rate,

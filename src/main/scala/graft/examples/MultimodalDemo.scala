@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import graft.multimodal.Multimodal
 
 /** Drives the multimodal plumbing end-to-end: synthetic binary payloads →
-  * partition-batched stub decode → frame sampling → aspect-fit resize.
+  * partition-batched real header decode (PNG/GIF/BMP, WAV, MP4) → frame
+  * sampling → aspect-fit resize.
   */
 object MultimodalDemo {
   def main(args: Array[String]): Unit = {

@@ -45,6 +45,13 @@ object MediaCodec {
     */
   val WavHeaderLen = 44
 
+  /** MP4 header byte count produced by [[encodeMp4]]: ftyp (24) +
+    * moov { mvhd (108) + trak { tkhd (92) + mdia { minf { stbl {
+    * stsz (20) } } } } } (260 with container headers) + mdat box
+    * header (8). Body bytes appended by callers live inside mdat.
+    */
+  val Mp4HeaderLen = 292
+
   private def u32be(v: Long): Array[Byte] =
     Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
 
@@ -113,6 +120,118 @@ object MediaCodec {
       u16le(bitsPerSample) ++
       "data".getBytes(US_ASCII) ++
       u32le(dataLen.toLong)
+  }
+
+  private def u16be(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+
+  /** An ISO-BMFF box: u32 BE size (including the 8-byte header) + 4cc tag. */
+  private def box(tag: String, payload: Array[Byte]): Array[Byte] =
+    u32be(8L + payload.length) ++ tag.getBytes(US_ASCII) ++ payload
+
+  // The identity transformation matrix every mvhd/tkhd carries
+  // (ISO 14496-12 §8.2.2.2): fixed-point 16.16 / 2.30 values.
+  private val IsoIdentityMatrix: Array[Byte] =
+    u32be(0x00010000L) ++ u32be(0L) ++ u32be(0L) ++
+      u32be(0L) ++ u32be(0x00010000L) ++ u32be(0L) ++
+      u32be(0L) ++ u32be(0L) ++ u32be(0x40000000L)
+
+  /** A structurally valid MP4 prefix: ftyp + moov{mvhd, trak{tkhd,
+    * mdia{minf{stbl{stsz}}}}} + an mdat box header. Callers append
+    * arbitrary trailing bytes as fake mdat payload; a spec-conforming
+    * box walk recovers (width, height) from tkhd (16.16 fixed point),
+    * (timescale, duration) from mvhd, and the sample count from stsz.
+    * The synthetic encoder sets timescale = 30 (ticks = 1/30 s) and
+    * duration = frames ticks, i.e. a 30 fps clip of `frames` samples.
+    */
+  def encodeMp4(width: Int, height: Int, frames: Int, mdatLen: Int): Array[Byte] = {
+    val timescale = 30L
+    val ftyp = box("ftyp",
+      "isom".getBytes(US_ASCII) ++ u32be(0x200L) ++
+        "isommp42".getBytes(US_ASCII))
+    val mvhd = box("mvhd",
+      u32be(0L) ++ // version 0 + flags
+        u32be(0L) ++ u32be(0L) ++ // creation / modification time
+        u32be(timescale) ++ u32be(frames.toLong) ++ // timescale, duration
+        u32be(0x00010000L) ++ // rate 1.0
+        u16be(0x0100) ++ u16be(0) ++ // volume 1.0, reserved
+        u32be(0L) ++ u32be(0L) ++ // reserved
+        IsoIdentityMatrix ++
+        Array.fill[Byte](24)(0) ++ // pre_defined
+        u32be(2L)) // next_track_ID
+    val tkhd = box("tkhd",
+      u32be(7L) ++ // version 0 + flags (enabled | in movie | in preview)
+        u32be(0L) ++ u32be(0L) ++ // creation / modification time
+        u32be(1L) ++ u32be(0L) ++ // track_ID, reserved
+        u32be(frames.toLong) ++ // duration (movie timescale ticks)
+        u32be(0L) ++ u32be(0L) ++ // reserved
+        u16be(0) ++ u16be(0) ++ u16be(0) ++ u16be(0) ++ // layer, group, volume, reserved
+        IsoIdentityMatrix ++
+        u32be(width.toLong << 16) ++ u32be(height.toLong << 16)) // 16.16 fixed
+    val stsz = box("stsz",
+      u32be(0L) ++ // version + flags
+        u32be(0L) ++ // sample_size 0 = per-sample table (elided: header-only fixture)
+        u32be(frames.toLong)) // sample_count
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++
+      box("mdia", box("minf", box("stbl", stsz)))))
+    ftyp ++ moov ++ u32be(8L + mdatLen) ++ "mdat".getBytes(US_ASCII)
+  }
+
+  /** Decoded MP4 geometry: display dimensions (tkhd), movie timescale and
+    * duration in ticks (mvhd), and the track's sample count (stsz).
+    */
+  final case class Mp4Info(width: Int, height: Int, timescale: Long,
+      duration: Long, samples: Long)
+
+  /** Sniff the ftyp magic and walk the ISO-BMFF box tree for mvhd, tkhd
+    * and stsz. Pure containers (moov, trak, mdia, minf, stbl) are recursed
+    * into; version-1 full boxes (64-bit times) shift the field offsets and
+    * are handled; unknown boxes are skipped by declared size. None when the
+    * payload is not a parseable MP4 — callers route those to an
+    * undecodable bucket, never a fabricated geometry.
+    */
+  def decodeMp4(bytes: Array[Byte]): Option[Mp4Info] = {
+    if (bytes.length < 12 || !tagAt(bytes, 4, "ftyp")) return None
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var wh: Option[(Int, Int)] = None
+    var ts: Option[(Long, Long)] = None // (timescale, duration)
+    var samples = -1L
+
+    def readU64be(off: Int): Long = (readU32be(bytes, off) << 32) | readU32be(bytes, off + 4)
+
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val o = off.toInt
+        var size = readU32be(bytes, o)
+        var payload = off + 8
+        if (size == 1 && off + 16 <= end) { // 64-bit largesize
+          size = readU64be(o + 8); payload = off + 16
+        } else if (size == 0) size = end - off // box extends to end of enclosure
+        if (size < 8 || off + size > end) return // malformed: stop the walk
+        val tag = new String(bytes, o + 4, 4, US_ASCII)
+        val p = payload.toInt
+        if (containers(tag)) walk(payload, off + size)
+        else if (tag == "mvhd" && payload + 4 <= end) {
+          val version = bytes(p) & 0xff
+          if (version == 1 && payload + 32 <= end)
+            ts = Some((readU32be(bytes, p + 20), readU64be(p + 24)))
+          else if (version == 0 && payload + 20 <= end)
+            ts = Some((readU32be(bytes, p + 12), readU32be(bytes, p + 16)))
+        } else if (tag == "tkhd" && payload + 4 <= end) {
+          val version = bytes(p) & 0xff
+          val whOff = if (version == 1) 88 else 76
+          if (payload + whOff + 8 <= end)
+            wh = Some(((readU32be(bytes, p + whOff) >> 16).toInt,
+              (readU32be(bytes, p + whOff + 4) >> 16).toInt))
+        } else if (tag == "stsz" && payload + 12 <= end)
+          samples = readU32be(bytes, p + 8)
+        off += size
+      }
+    }
+
+    walk(0L, bytes.length.toLong)
+    for ((w, h) <- wh; (timescale, duration) <- ts)
+      yield Mp4Info(w, h, timescale, duration, math.max(samples, 0L))
   }
 
   def encodeHeader(format: String, width: Int, height: Int): Array[Byte] =

@@ -9,15 +9,17 @@ import org.apache.spark.sql.functions._
   * Scala analogue of arrow-batched pandas UDFs: one JVM closure per
   * partition, amortized setup, bounded memory per batch).
   *
-  * IMAGE and AUDIO decoding are REAL: [[MediaCodec.decodeImage]] sniffs
-  * PNG/GIF/BMP magic bytes and reads width/height out of the actual
-  * container header, and [[MediaCodec.decodeWav]] walks the RIFF chunk
-  * list for sample rate / channels / bits / PCM frame count (pure JVM
-  * byte parsing, no external codec libraries). Only VIDEO feature
-  * extraction remains a clearly-labeled deterministic STUB (this container
-  * ships no video codecs); the Spark-side contract — schema, partitioning,
-  * batch iteration shape — is identical for all three kinds, so swapping
-  * the stub for a JNI/ffmpeg call at deployment changes one function.
+  * IMAGE, AUDIO and VIDEO decoding are all REAL header-level parsing:
+  * [[MediaCodec.decodeImage]] sniffs PNG/GIF/BMP magic bytes and reads
+  * width/height out of the actual container header,
+  * [[MediaCodec.decodeWav]] walks the RIFF chunk list for sample rate /
+  * channels / bits / PCM frame count, and [[MediaCodec.decodeMp4]] walks
+  * the ISO-BMFF box tree (ftyp → moov{mvhd, trak{tkhd, …stsz}}) for
+  * display dimensions, timescale/duration and sample count — pure JVM
+  * byte parsing, no external codec libraries. Pixel/sample-level work
+  * (full frame decode, spectrograms) would need real codecs at
+  * deployment; the container-level geometry the pipeline partitions and
+  * filters on is decoded from real bytes for all three kinds.
   */
 object Multimodal {
 
@@ -30,8 +32,9 @@ object Multimodal {
 
   /** Decoded media features. For images, `format`/`width`/`height` come
     * from real header parsing; for audio, `sample_rate`/`channels`/
-    * `n_frames` (PCM frames) come from the real WAV chunk walk; only video
-    * carries the stub's deterministic stand-ins ("raw").
+    * `n_frames` (PCM frames) come from the real WAV chunk walk; for video,
+    * `width`/`height`/`n_frames` come from the real MP4 box walk (tkhd
+    * dimensions, stsz sample count).
     */
   case class MediaFeatures(
       media_id: Long,
@@ -56,10 +59,11 @@ object Multimodal {
     * [[MediaCodec.decodeImage]] — dimensions are read out of the payload
     * bytes. Audio: REAL RIFF/WAVE chunk walk via [[MediaCodec.decodeWav]] —
     * sample rate, channels and PCM frame count are read out of the header.
+    * Video: REAL ISO-BMFF box walk via [[MediaCodec.decodeMp4]] — display
+    * dimensions and sample count are read out of tkhd/stsz.
     * Unrecognized containers surface as format "undecodable" with zero
-    * geometry, never a fabricated value. Video: deterministic STUB
-    * dimensions derived from the payload length (no video codecs in this
-    * container); the checksum is a real byte-level rolling hash either way.
+    * geometry, never a fabricated value; the checksum is a real byte-level
+    * rolling hash in every case.
     */
   def decodeMedia(r: MediaRow): MediaFeatures = {
     val len = r.payload.length
@@ -81,11 +85,13 @@ object Multimodal {
             MediaFeatures(r.media_id, r.kind, "undecodable", len, 0, 0, 0L, 0, 0, checksum)
         }
       case _ =>
-        // STUB: video frame geometry needs real codecs.
-        val w = 16 + (len.toLong * 7919L % 1024L).toInt
-        val h = 16 + (len.toLong * 104729L % 1024L).toInt
-        val frames = 1L + (len % 300)
-        MediaFeatures(r.media_id, r.kind, "raw", len, w, h, frames, 0, 0, checksum)
+        MediaCodec.decodeMp4(r.payload) match {
+          case Some(info) =>
+            MediaFeatures(r.media_id, r.kind, "mp4", len, info.width, info.height,
+              info.samples, 0, 0, checksum)
+          case None =>
+            MediaFeatures(r.media_id, r.kind, "undecodable", len, 0, 0, 0L, 0, 0, checksum)
+        }
     }
   }
 
@@ -137,7 +143,10 @@ object Multimodal {
     * a STRUCTURALLY VALID 44-byte WAV header (rate cycling 8000/16000/44100
     * and channels 1/2 by id, data length = the body bytes) followed by the
     * body as fake PCM, so frame count must be read back out of the header.
-    * Video rows carry the raw string bytes (stub path).
+    * Video rows carry a STRUCTURALLY VALID ISO-BMFF prefix (ftyp + moov
+    * with mvhd/tkhd/stsz, dimensions and frame count fixed functions of the
+    * id) followed by the body as fake mdat payload, so the decode path must
+    * walk the real box tree.
     */
   def syntheticMedia(spark: SparkSession, df: DataFrame, idCol: String,
       payloadFrom: String): Dataset[MediaRow] = {
@@ -170,7 +179,12 @@ object Multimodal {
             }
             val channels = 1 + ((id / 3) % 2).toInt
             MediaCodec.encodeWav(rate, channels, 16, bodyBytes.length) ++ bodyBytes
-          } else bodyBytes
+          } else {
+            val w = 16 + (id * 7919L % 1024L).toInt
+            val h = 16 + (id * 104729L % 1024L).toInt
+            val frames = 1 + (id % 300).toInt
+            MediaCodec.encodeMp4(w, h, frames, bodyBytes.length) ++ bodyBytes
+          }
         MediaRow(id, kind, payload, "synthetic")
       }
   }

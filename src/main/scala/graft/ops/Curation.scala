@@ -386,6 +386,58 @@ object Curation {
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Gopher-style rule-based document filter (Rae et al. 2021 §A1.1.2, the
+    * standard pre-training quality gate): each document gets its row-local
+    * signals (token count, mean word length, punctuation and stopword
+    * ratios) plus the corpus-free repetition signals from
+    * [[repetitionReport]], a `keep` verdict, and the FIRST failed rule's
+    * name as `reason` (null when kept) — so the drop ledger is auditable
+    * per rule, not a silent row count.
+    *
+    * Plan shape at scale: the row-local signals are codegen'd expressions
+    * in the scan stage; the repetition signals join is 1:1 on the id
+    * (`repetitionReport` already aggregates per document). Thresholds are
+    * compared against the ROUNDED (6-dp) signal values that the output
+    * itself carries, so an external oracle reproduces keep/reason exactly
+    * from the published columns.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Long = 16L,
+      maxTokens: Long = 100000L,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxPunctRatio: Double = 0.25,
+      minStopwordRatio: Double = 0.01,
+      maxDupSegmentFrac: Double = 0.30,
+      maxTopBigramFrac: Double = 0.18,
+      separator: String = "\n"): DataFrame = {
+    val signals = docs
+      .select(col(idCol),
+        tokenCount(col(textCol)).as("n_tokens"),
+        round(meanWordLen(col(textCol)), 6).as("mean_word_len"),
+        round(punctRatio(col(textCol)), 6).as("punct_ratio"),
+        round(stopwordRatio(col(textCol)), 6).as("stopword_ratio"))
+      .join(repetitionReport(docs, idCol, textCol, separator)
+        .select(col(idCol), col("dup_segment_frac"), col("top_bigram_frac")),
+        Seq(idCol))
+    // First-failed-rule semantics: the when-chain order IS the audit order.
+    val reason = when(col("n_tokens") < minTokens, lit("too_few_tokens"))
+      .when(col("n_tokens") > maxTokens, lit("too_many_tokens"))
+      .when(col("mean_word_len") < minMeanWordLen ||
+        col("mean_word_len") > maxMeanWordLen, lit("word_length"))
+      .when(col("punct_ratio") > maxPunctRatio, lit("punctuation"))
+      .when(col("stopword_ratio") < minStopwordRatio, lit("stopwords"))
+      .when(col("dup_segment_frac") > maxDupSegmentFrac, lit("repeated_segments"))
+      .when(col("top_bigram_frac") > maxTopBigramFrac, lit("repeated_bigrams"))
+      .otherwise(lit(null).cast("string"))
+    signals
+      .withColumn("reason", reason)
+      .withColumn("keep", col("reason").isNull)
+  }
+
   /** Scrub common PII shapes (emails, long digit runs / phone numbers, IPv4
     * addresses) from a text column, replacing each with a typed placeholder.
     * A pure per-row codegen'd `regexp_replace` chain — no shuffle, no UDF;

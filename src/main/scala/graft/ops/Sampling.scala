@@ -80,6 +80,48 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Down-sample each stratum to a TOKEN budget: stratum `s` keeps
+    * ~`budget × weight(s)` tokens, selected deterministically by `md5(id)`.
+    * This is the "mix to a target composition" step of training-corpus
+    * assembly — e.g. "2 T tokens total: 60% web, 30% code, 10% books" —
+    * expressed as data: the per-stratum keep fraction is derived from the
+    * corpus's own token totals, not hand-tuned per run.
+    *
+    * Plan shape at scale: one map-side-combined aggregate over the stratum
+    * column (output is strata-sized, i.e. tiny), broadcast back onto the
+    * corpus, then a pure per-row md5 predicate — the corpus itself never
+    * shuffles. The cut is integer-exact in 4096ths
+    * (`floor(budget × weight × 4096 / stratum_tokens)` with the comparison
+    * `substr(md5(id),1,3) < lpad(hex(cut),3,'0')`), so an external oracle
+    * reproduces the exact row selection. Strata absent from `weights` are
+    * dropped; a stratum under budget (cut ≥ 4096) is kept whole.
+    */
+  def sampleToTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      tokenCol: String,
+      budget: Long,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(weights.forall(_._2 >= 0), "weights must be >= 0")
+    val totals = df.groupBy(strataCol)
+      .agg(sum(col(tokenCol).cast("long")).as("__stratum_tokens"))
+    val weightExpr = weights.foldRight(lit(null).cast("double")) {
+      case ((stratum, w), rest) =>
+        when(col(strataCol) === stratum, lit(w)).otherwise(rest)
+    }
+    val cut = floor(lit(budget.toDouble) * weightExpr * lit(4096.0) /
+      col("__stratum_tokens").cast("double")).cast("long")
+    val keep = when(cut >= 4096L, lit(true))
+      .otherwise(substring(md5(col(idCol).cast("string")), 1, 3) <
+        lpad(lower(hex(cut)), 3, "0"))
+    df.join(broadcast(totals), strataCol)
+      .filter(weightExpr.isNotNull && keep)
+      .drop("__stratum_tokens")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Integer up-weighting: repeat each row `weight(stratum)` times (default
     * 1), adding a 1-based `copyCol` so downstream shuffles and dedup keys
     * can distinguish copies. `explode(sequence(...))` is codegen'd and

@@ -298,4 +298,52 @@ class CurationSpec extends AnyFunSuite {
       assert(spans.head._2 == 0L)
     }
   }
+
+  test("qualityFilter: first-failed-rule audit order, clean docs kept") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river where it rests in the shade of an old tree for a while"
+    val docs = Seq(
+      (1L, clean), // passes every rule
+      (2L, "short text"), // too_few_tokens fires first
+      // 20 tokens but each is punctuation-heavy: too_few passes, then
+      // word_length (mean len 1.0 < 2.0) outranks punctuation in the chain
+      (3L, Seq.fill(20)("!").mkString(" ")),
+      // enough tokens, sane words, no English stopwords -> 'stopwords'
+      (4L, (1 to 20).map(i => s"wort$i").mkString(" ")),
+      // stopword-bearing but one segment repeated -> 'repeated_segments'
+      (5L, Seq.fill(20)("the cat").mkString(" ") + " extra words here"))
+      .toDF("doc_id", "text")
+    val byId = Curation.qualityFilter(docs, "doc_id", "text", separator = " ")
+      .select("doc_id", "keep", "reason")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(byId(1L) == ((true, None)))
+    assert(byId(2L) == ((false, Some("too_few_tokens"))))
+    assert(byId(3L) == ((false, Some("word_length"))))
+    assert(byId(4L) == ((false, Some("stopwords"))))
+    assert(byId(5L) == ((false, Some("repeated_segments"))))
+  }
+
+  test("sampleToTokenBudget: keep-whole, proportional cut, absent strata dropped") {
+    val docs = (1L to 400L).map { i =>
+      (i, "s" + (i % 4), 10L) // 4 strata × 100 docs × 10 tokens = 1000 each
+    }.toDF("doc_id", "source", "n_tok")
+    val out = Sampling.sampleToTokenBudget(docs, "doc_id", "source", "n_tok",
+      budget = 1000L, weights = Seq("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.05))
+      .select("doc_id", "source").collect()
+    val bySrc = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // s0: cut = 1000*2*4096/1000 = 8192 >= 4096 -> all 100 kept
+    assert(bySrc("s0") == 100)
+    // s1: cut 2048/4096 -> ~half kept, deterministically by md5(doc_id)
+    assert(bySrc("s1") > 25 && bySrc("s1") < 75)
+    // s2: cut 204/4096 -> ~5% kept
+    assert(bySrc.getOrElse("s2", 0) < 25)
+    // s3 has no weight -> dropped entirely
+    assert(!bySrc.contains("s3"))
+    // deterministic: the same call selects the identical row set
+    val again = Sampling.sampleToTokenBudget(docs, "doc_id", "source", "n_tok",
+      budget = 1000L, weights = Seq("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.05))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_.getLong(0)).toSet)
+  }
 }

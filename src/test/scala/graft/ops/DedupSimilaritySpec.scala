@@ -442,7 +442,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     repAssigned.unpersist()
   }
 
-  test("multimodal decode: real image+audio headers parsed, stub only for video") {
+  test("multimodal decode: real image+audio+video headers parsed") {
     import graft.multimodal.{MediaCodec, Multimodal}
     val media = Multimodal.syntheticMedia(spark, docs, "doc_id", "text")
     val features = Multimodal.decodeFeatures(spark, media, partitions = 2)
@@ -466,9 +466,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byId(4L).format == "wav" && byId(4L).sample_rate == 16000 &&
       byId(4L).channels == 2)
     assert(byId(1L).byte_len == body1 + MediaCodec.WavHeaderLen)
-    // video rows stay on the labeled stub path
-    assert(byId(2L).format == "raw" && byId(2L).sample_rate == 0)
-    assert(byId(2L).width >= 16 && byId(2L).height >= 16)
+    // video rows decode through the real ISO-BMFF box walk: id 2 carries an
+    // MP4 header whose tkhd dimensions and stsz sample count must be read
+    // back out of the box tree (not derived from the payload length).
+    val body2 = docs.collect()(1).getString(1).getBytes("UTF-8").length
+    assert(byId(2L).format == "mp4" && byId(2L).sample_rate == 0)
+    assert(byId(2L).width == 16 + (2 * 7919) % 1024)
+    assert(byId(2L).height == 16 + (2 * 104729) % 1024)
+    assert(byId(2L).n_frames == 1 + 2 % 300)
+    assert(byId(2L).byte_len == body2 + MediaCodec.Mp4HeaderLen)
     // frame sampling metadata
     val sampled = Multimodal.sampleFrames(features.toDF(), stride = 5)
     assert(sampled.columns.contains("sampled_frames"))
@@ -527,5 +533,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(MediaCodec.decodeWav("RIFFxxxxAVI ".getBytes("US-ASCII")).isEmpty)
     assert(MediaCodec.decodeWav("plain text".getBytes("UTF-8")).isEmpty)
     assert(MediaCodec.decodeWav(Array.empty[Byte]).isEmpty)
+  }
+
+  test("MediaCodec: MP4 encode/decode walks the real box tree") {
+    import graft.multimodal.MediaCodec
+    val hdr = MediaCodec.encodeMp4(1920, 1080, 240, 500)
+    assert(hdr.length == MediaCodec.Mp4HeaderLen)
+    // trailing fake mdat payload must not confuse the walk
+    val decoded = MediaCodec.decodeMp4(hdr ++ Array.fill(500)(9.toByte))
+    assert(decoded == Some(MediaCodec.Mp4Info(1920, 1080, 30L, 240L, 240L)))
+    // truncated mdat: geometry still comes from the header boxes
+    assert(MediaCodec.decodeMp4(hdr).map(i => (i.width, i.height, i.samples)) ==
+      Some((1920, 1080, 240L)))
+    // an unknown top-level box (e.g. 'free') before moov must be skipped by
+    // declared size, not assumed away — splice one in after ftyp (24 bytes)
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4)
+    val spliced = hdr.slice(0, 24) ++ free ++ hdr.slice(24, hdr.length)
+    assert(MediaCodec.decodeMp4(spliced).map(i => (i.width, i.height)) ==
+      Some((1920, 1080)))
+    // not ISO-BMFF / empty → None, never fabricated
+    assert(MediaCodec.decodeMp4("plain text".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.decodeMp4(Array.empty[Byte]).isEmpty)
   }
 }
