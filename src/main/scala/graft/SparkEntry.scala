@@ -531,6 +531,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic global shuffle into training shards: md5-bucket shard +
+    // within-shard rank. The window partitions by shard (bounded state),
+    // never a global sort.
+    "q76_shuffled_shards" -> ((s, dir) => {
+      graft.ops.Sampling.shuffledShards(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", numShards = 8, seed = 7L)
+        .orderBy("shard", "shard_pos")
+    }),
+
+    // Composed training-mix assembly: quality gate -> token-budget mixture
+    // over the KEPT docs (fractions derive from the kept totals, not the
+    // raw corpus) -> fixed-length sequence packing, as ONE plan. The
+    // stopword rule is disabled (multilingual mix; the en stop list would
+    // drop every non-English doc) and the dup-segment threshold relaxed to
+    // 0.95 (separator " " makes segments = words, where ordinary prose
+    // repeats) so the budget cut actually engages. The oracle re-derives
+    // the whole chain.
+    "q77_training_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = Curation.qualityFilter(docs, "doc_id", "text",
+          minStopwordRatio = 0.0, maxDupSegmentFrac = 0.95, separator = " ")
+        .filter(col("keep"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tokens")
+      val mixed = graft.ops.Sampling.sampleToTokenBudget(kept, "doc_id",
+        "source", "n_tokens", budget = 800L,
+        weights = Seq("src0" -> 0.25, "src1" -> 0.25, "src2" -> 0.25,
+          "src3" -> 0.25))
+      Curation.packSequences(mixed, "doc_id", col("n_tokens"), "source",
+          seqLen = 64)
+        .orderBy("source", "doc_id", "seq_id")
+    }),
+
     // End-to-end dedup deliverable: the kept corpus after dropping every
     // non-minimum member of each near-dup cluster (q16 pairs → q51
     // components → anti join).
@@ -1519,6 +1553,107 @@ object SparkEntry {
          WHERE cut >= 4096
             OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) < lpad(lower(to_hex(cut)), 3, '0')
          ORDER BY d.doc_id""",
+
+    // Same salted-md5 bucket + within-shard rank arithmetic.
+    "q76_shuffled_shards" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  md5('7:' || CAST(doc_id AS VARCHAR)) AS hh
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang, hh,
+                  CAST(CAST(concat('0x', substr(hh, 1, 4)) AS BIGINT) % 8
+                    AS INTEGER) AS shard
+           FROM h)
+         SELECT doc_id, lang, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+                  AS INTEGER) AS shard_pos
+         FROM s ORDER BY shard, shard_pos""",
+
+    // The full chain: q74's signal/when-chain CTEs -> kept docs -> q75's
+    // budget-cut arithmetic over the KEPT totals -> q58's packing spans.
+    "q77_training_mix" ->
+      s"""WITH base AS (
+           SELECT doc_id, text, $toks AS tk,
+                  len(text) AS n_chars_raw,
+                  len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_nopunct
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             round(CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS mean_word_len,
+             round(CASE WHEN n_chars_raw > 0 THEN CAST(n_chars_raw - n_nopunct AS DOUBLE) / n_chars_raw ELSE 0.0 END, 6) AS punct_ratio,
+             round(CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that','be','from'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS stopword_ratio
+           FROM base),
+         segs AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS seg
+           FROM documents),
+         segstats AS (
+           SELECT doc_id, count(*) AS n_segments,
+                  count(DISTINCT seg) AS n_distinct_segments
+           FROM segs GROUP BY doc_id),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+             i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+               CAST(i + 1 AS INTEGER)), ' '))) AS g
+           FROM base WHERE len(tk) >= 2),
+         bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         bgstats AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  CAST(max(c) AS BIGINT) AS top_bigram_count
+           FROM bgc GROUP BY doc_id),
+         rep AS (
+           SELECT d.doc_id,
+                  CASE WHEN coalesce(s.n_segments, 0) > 0
+                       THEN round(1.0 - CAST(s.n_distinct_segments AS DOUBLE) / s.n_segments, 6)
+                       ELSE 0.0 END AS dup_segment_frac,
+                  CASE WHEN coalesce(b.n_bigrams, 0) > 0
+                       THEN round(CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams, 6)
+                       ELSE 0.0 END AS top_bigram_frac
+           FROM documents d
+           LEFT JOIN segstats s USING (doc_id)
+           LEFT JOIN bgstats b USING (doc_id)),
+         f AS (
+           SELECT m.doc_id, m.n_tokens,
+                  CASE WHEN m.n_tokens < 16 THEN 'too_few_tokens'
+                       WHEN m.n_tokens > 100000 THEN 'too_many_tokens'
+                       WHEN m.mean_word_len < 2.0 OR m.mean_word_len > 12.0 THEN 'word_length'
+                       WHEN m.punct_ratio > 0.25 THEN 'punctuation'
+                       WHEN rep.dup_segment_frac > 0.95 THEN 'repeated_segments'
+                       WHEN rep.top_bigram_frac > 0.18 THEN 'repeated_bigrams'
+                       ELSE NULL END AS reason
+           FROM m JOIN rep USING (doc_id)),
+         kept AS (
+           SELECT f.doc_id, d.source, f.n_tokens
+           FROM f JOIN documents d USING (doc_id)
+           WHERE f.reason IS NULL),
+         tot AS (
+           SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS st
+           FROM kept GROUP BY source),
+         w AS (SELECT * FROM (VALUES ('src0', 0.25), ('src1', 0.25),
+             ('src2', 0.25), ('src3', 0.25)) AS t(source, wt)),
+         c AS (
+           SELECT tot.source,
+                  CAST(floor(800.0 * w.wt * 4096.0 / tot.st) AS BIGINT) AS cut
+           FROM tot JOIN w USING (source)),
+         mixed AS (
+           SELECT k.source, k.doc_id, k.n_tokens AS n
+           FROM kept k JOIN c USING (source)
+           WHERE cut >= 4096
+              OR substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 3) < lpad(lower(to_hex(cut)), 3, '0')),
+         cum AS (
+           SELECT source, doc_id, n,
+                  CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS end_tok
+           FROM mixed),
+         spans AS (
+           SELECT source, doc_id, end_tok - n AS start_tok, end_tok
+           FROM cum WHERE n > 0)
+         SELECT source, doc_id, start_tok, end_tok,
+                unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
+         FROM spans
+         ORDER BY source, doc_id, seq_id""",
 
     // Kept corpus = documents minus every clustered non-minimum (recursive
     // closure over the q16 verified pairs, as in q51).

@@ -122,6 +122,37 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Deterministic global shuffle into training shards: each row gets a
+    * `shard` (md5 bucket of the id, salted by `seed`) and a `shard_pos`
+    * (rank of the full md5 within its shard) — reading shards in order,
+    * rows in `shard_pos` order, visits the corpus in a reproducible
+    * pseudo-random order. This is the training-order randomization step of
+    * corpus assembly: downstream writers emit one sorted file per shard.
+    *
+    * Scale shape: no global sort. The rank window partitions by shard, so
+    * state per task is one shard (corpus/`numShards` rows — pick numShards
+    * so a shard fits an executor, exactly how shuffled training shards are
+    * sized in practice). Changing `seed` produces an unrelated order
+    * (fresh epoch) with zero state carried between epochs.
+    */
+  def shuffledShards(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val h = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") % numShards)
+          .cast("int"))
+      .withColumn("shard_pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))))
+      .drop("__h")
+  }
+
   /** Integer up-weighting: repeat each row `weight(stratum)` times (default
     * 1), adding a 1-based `copyCol` so downstream shuffles and dedup keys
     * can distinguish copies. `explode(sequence(...))` is codegen'd and

@@ -346,4 +346,28 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(again == out.map(_.getLong(0)).toSet)
   }
+
+  test("shuffledShards: complete cover, contiguous ranks, seed changes order") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val out = Sampling.shuffledShards(docs, "doc_id", numShards = 8, seed = 1L)
+      .select("doc_id", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == 200 && out.map(_._1).distinct.length == 200)
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // within each shard, ranks are exactly 1..count (a dense total order)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // the order is a pure function of (seed, id): stable across re-runs...
+    val again = Sampling.shuffledShards(docs, "doc_id", numShards = 8, seed = 1L)
+      .select("doc_id", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // ...and a different seed produces a genuinely different visit order
+    val other = Sampling.shuffledShards(docs, "doc_id", numShards = 8, seed = 2L)
+      .orderBy("shard", "shard_pos").select("doc_id").as[Long].collect().toSeq
+    val first = Sampling.shuffledShards(docs, "doc_id", numShards = 8, seed = 1L)
+      .orderBy("shard", "shard_pos").select("doc_id").as[Long].collect().toSeq
+    assert(other != first)
+  }
 }
