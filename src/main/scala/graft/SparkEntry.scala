@@ -565,6 +565,19 @@ object SparkEntry {
         .orderBy("source", "doc_id", "seq_id")
     }),
 
+    // Cross-corpus near-dedup: the "new crawl" (odd doc_ids) LSH-banded
+    // against the "existing corpus" (even doc_ids) — candidates only from
+    // shared (band, band_sig) buckets, never crawl × corpus, verified by
+    // true shingle Jaccard.
+    "q78_cross_corpus_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusNearDuplicates(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id",
+          docs.filter(col("doc_id") % 2 === 0), "doc_id",
+          "text", threshold = 0.5)
+        .orderBy("corpus_id", "ref_id")
+    }),
+
     // End-to-end dedup deliverable: the kept corpus after dropping every
     // non-minimum member of each near-dup cluster (q16 pairs → q51
     // components → anti join).
@@ -1040,7 +1053,12 @@ object SparkEntry {
     * clusters): shingles → 8-hash md5-min signature → 4-band bucketing →
     * candidate pairs → exact-Jaccard verification.
     */
-  private lazy val minhashVerifiedCtes: String =
+  /** Shared oracle CTE prefix reproducing the MinHash banding (t → shingle
+    * sets → 8-hash signatures → 4 band buckets); [[minhashVerifiedCtes]]
+    * appends the self-join candidates + Jaccard verification, q78 appends
+    * the cross-corpus candidate restriction instead.
+    */
+  private lazy val minhashBandedCtes: String =
     s"""t AS (SELECT doc_id, $toks AS tk FROM documents),
          s AS (SELECT doc_id,
                  list_distinct(list_transform(range(1, len(tk) - 3 + 2),
@@ -1059,7 +1077,10 @@ object SparkEntry {
          banded AS (
            SELECT doc_id, sh, b.band,
                   sg[b.band * 2 + 1] || '|' || sg[b.band * 2 + 2] AS band_sig
-           FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+           FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b)"""
+
+  private lazy val minhashVerifiedCtes: String =
+    s"""$minhashBandedCtes,
          cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM banded a JOIN banded b
@@ -1654,6 +1675,28 @@ object SparkEntry {
                 unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
          FROM spans
          ORDER BY source, doc_id, seq_id""",
+
+    // Cross-corpus reproduction: the same banding CTEs, with candidates
+    // restricted to (odd crawl doc) × (even corpus doc) bucket collisions.
+    // Banding is per-document, so banding the whole table then filtering
+    // by parity is identical to banding each side separately.
+    "q78_cross_corpus_dedup" ->
+      s"""WITH $minhashBandedCtes,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS ref_id
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+           WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         verified AS (
+           SELECT c.corpus_id, c.ref_id,
+                  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+           FROM cand c
+           JOIN s sa ON sa.doc_id = c.corpus_id
+           JOIN s sb ON sb.doc_id = c.ref_id)
+         SELECT corpus_id, ref_id, round(jaccard, 6) AS jaccard
+         FROM verified WHERE jaccard >= 0.5
+         ORDER BY corpus_id, ref_id""",
 
     // Kept corpus = documents minus every clustered non-minimum (recursive
     // closure over the q16 verified pairs, as in q51).

@@ -233,21 +233,30 @@ object Dedup {
       minHashSignatures(df, idCol, textCol, numHashes, shingleLen),
       idCol, numHashes, bands)
 
-  private def bandedCandidates(sigs: DataFrame, idCol: String,
+  /** (id, band, band_sig) projection of a signature frame: each document
+    * emits one row per band carrying that band's concatenated signature
+    * rows. The repartition barrier keeps the (expensive) signature
+    * expression from being inlined per band reference by CollapseProject.
+    */
+  private def bandProjection(sigs: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Barrier after the signature computation (the band projection
-    // references `sig` once per band), and persist: self-join attribute
-    // deduplication defeats ReuseExchange, so without it the md5 signature
-    // pass runs once per join branch. Callers timing independent queries
-    // should clearCache between them.
     val p = sigs.sparkSession.sparkContext.defaultParallelism
-    val banded = sigs.repartition(p, col(idCol)).select(
+    sigs.repartition(p, col(idCol)).select(
       col(idCol),
       posexplode(array((0 until bands).map { b =>
         concat_ws("|", slice(col("sig"), b * rows + 1, rows))
-      }: _*)).as(Seq("band", "band_sig"))).persist()
+      }: _*)).as(Seq("band", "band_sig")))
+  }
+
+  private def bandedCandidates(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    // Persist the banded projection: self-join attribute deduplication
+    // defeats ReuseExchange, so without it the md5 signature pass runs
+    // once per join branch. Callers timing independent queries should
+    // clearCache between them.
+    val banded = bandProjection(sigs, idCol, numHashes, bands).persist()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -285,6 +294,56 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Cross-corpus MinHash near-dup pairs: corpus documents whose token-
+    * shingle Jaccard against some REFERENCE document meets `threshold` —
+    * the "dedup the new crawl against the existing corpus" step of
+    * incremental corpus assembly, and the fuzzy complement of exact
+    * n-gram decontamination ([[Curation.decontaminate]]).
+    *
+    * Scale shape: each side bands independently (one signature pass per
+    * corpus), candidates come from the (band, band_sig) equi-join of
+    * corpus buckets against reference buckets — never corpus × reference —
+    * and only candidates pay true-Jaccard verification. Both sides use the
+    * same md5 hash family, so a persisted reference banding is reusable
+    * across successive crawls (the reference pass is paid once, not per
+    * increment). Returns (corpus_id, ref_id, jaccard).
+    */
+  def crossCorpusNearDuplicates(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      reference: DataFrame,
+      refIdCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3): DataFrame = {
+    // Shingle sets persist because each feeds its signature pass AND the
+    // verification join; the two sides are distinct frames, so unlike the
+    // self-join path the candidate join itself needs no extra barrier.
+    val corpusSets = shingleSets(corpus, corpusIdCol, textCol, shingleLen).persist()
+    val refSets = shingleSets(reference, refIdCol, textCol, shingleLen).persist()
+    def sigsOf(sets: DataFrame, id: String): DataFrame =
+      sets.select(col(id), minHashOfShingles(col("sh"), numHashes).as("sig"))
+    val bandedCorpus =
+      bandProjection(sigsOf(corpusSets, corpusIdCol), corpusIdCol, numHashes, bands)
+        .withColumnRenamed(corpusIdCol, "corpus_id")
+    val bandedRef =
+      bandProjection(sigsOf(refSets, refIdCol), refIdCol, numHashes, bands)
+        .withColumnRenamed(refIdCol, "ref_id")
+    bandedCorpus.join(bandedRef, Seq("band", "band_sig"))
+      .select("corpus_id", "ref_id").distinct()
+      .join(corpusSets.select(col(corpusIdCol).as("corpus_id"), col("sh").as("sh_a")),
+        "corpus_id")
+      .join(refSets.select(col(refIdCol).as("ref_id"), col("sh").as("sh_b")),
+        "ref_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("ref_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash of the token stream: bit b is set when the

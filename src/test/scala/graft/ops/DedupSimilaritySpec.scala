@@ -46,6 +46,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("cross-corpus near-dups = self near-dups restricted to cross pairs") {
+    // Split the fixture corpus by id parity: banding is per-document, so a
+    // (corpus, reference) pair collides in the cross-corpus band join iff
+    // the same pair collides in the whole-corpus self join — the cross
+    // operator must return exactly the parity-crossing subset.
+    val corpus = docs.filter($"doc_id" % 2 === 1)
+    val reference = docs.filter($"doc_id" % 2 === 0)
+    val cross = Dedup.crossCorpusNearDuplicates(corpus, "doc_id",
+        reference, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.4, numHashes = 8, bands = 4, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = self.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (b, a)
+    }
+    assert(cross == expected)
+    assert(cross.nonEmpty) // 1-2: odd corpus doc duplicating an even one
+  }
+
   test("simhash hamming distance 0 for identical docs, small for near dups") {
     val sigs = docs.select($"doc_id", Dedup.simHash($"text").as("sim"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
