@@ -565,6 +565,17 @@ object SparkEntry {
         .orderBy("source", "doc_id", "seq_id")
     }),
 
+    // Per-source best-k selection: quality-ranked top 3 docs per source via
+    // the bounded CollectTopK aggregate (O(k) state at every aggregation
+    // level — no per-group full sort). Rank ties break by ascending doc_id
+    // on the 6-dp-rounded score, so the selection is engine-portable.
+    "q79_top_per_group" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+      graft.ops.Sampling.topPerGroup(scored, "doc_id", "source", "quality", k = 3)
+        .orderBy("source", "rank")
+    }),
+
     // Cross-corpus near-dedup: the "new crawl" (odd doc_ids) LSH-banded
     // against the "existing corpus" (even doc_ids) — candidates only from
     // shared (band, band_sig) buckets, never crawl × corpus, verified by
@@ -1675,6 +1686,36 @@ object SparkEntry {
                 unnest(range(start_tok // 64, (end_tok - 1) // 64 + 1)) AS seq_id
          FROM spans
          ORDER BY source, doc_id, seq_id""",
+
+    // q11's quality CTEs -> per-source row_number on (rounded quality DESC,
+    // doc_id) — the bounded top-k aggregate must equal the rank window.
+    "q79_top_per_group" ->
+      s"""WITH base AS (
+           SELECT doc_id, text, $toks AS tk,
+                  len(text) AS n_chars_raw,
+                  len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_nopunct
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that','be','from'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS swr,
+             CASE WHEN n_chars_raw > 0 THEN CAST(n_chars_raw - n_nopunct AS DOUBLE) / n_chars_raw ELSE 0.0 END AS pr,
+             CAST(len(tk) AS DOUBLE) AS ntok,
+             CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS mwl
+           FROM base),
+         q AS (
+           SELECT doc_id,
+             round((least(ntok / 64.0, 1.0) + least(swr * 4.0, 1.0) +
+                    greatest(0.0, 1.0 - pr * 4.0) +
+                    CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) / 4.0, 6) AS quality
+           FROM m),
+         r AS (
+           SELECT q.doc_id, d.source, q.quality,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY q.quality DESC, q.doc_id) AS rank
+           FROM q JOIN documents d USING (doc_id))
+         SELECT doc_id, source, quality, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3
+         ORDER BY source, rank""",
 
     // Cross-corpus reproduction: the same banding CTEs, with candidates
     // restricted to (odd crawl doc) × (even corpus doc) bucket collisions.

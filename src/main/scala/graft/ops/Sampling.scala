@@ -153,6 +153,41 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Deterministic per-group top-k selection: the `k` highest-`scoreCol`
+    * rows of each `groupCol` stratum (ties by ascending `idCol`), with a
+    * 1-based `rank` — "keep the best documents per source/domain", the
+    * quality-ranked counterpart of [[stratifiedHashSample]]'s rate cut.
+    *
+    * Scale shape: winners are found with Spark's bounded `CollectTopK`
+    * aggregate — every aggregation level (map-side partials included) holds
+    * a k-element priority queue, so per-group state is O(k) and the shuffle
+    * carries ≤ k rows per partition per group. A rank-window formulation
+    * would instead shuffle AND fully sort every group. The winner set
+    * (groups × k rows — small by construction) joins back to the input to
+    * recover the full rows; Spark broadcasts it when it fits.
+    */
+  def topPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // reverse = true keeps the k SMALLEST (negated score, id) structs =
+    // highest scores with ascending-id tie-break; the re-sort puts the
+    // bounded result in rank order for posexplode.
+    val item = struct((-col(scoreCol).cast("double")).as("n"), col(idCol).as("i"))
+    val winners = df
+      .groupBy(col(groupCol))
+      .agg(array_sort(ColumnBridge.collectTopK(item, k, reverse = true)).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__item")))
+      .select(col(groupCol), col("__item.i").as(idCol),
+        (col("__pos") + 1).cast("int").as("rank"))
+    df.join(broadcast(winners), Seq(idCol, groupCol))
+      .select(df.columns.map(col).toIndexedSeq :+ col("rank"): _*)
+  }
+
   /** Integer up-weighting: repeat each row `weight(stratum)` times (default
     * 1), adding a 1-based `copyCol` so downstream shuffles and dedup keys
     * can distinguish copies. `explode(sequence(...))` is codegen'd and

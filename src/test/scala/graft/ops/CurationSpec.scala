@@ -370,4 +370,28 @@ class CurationSpec extends AnyFunSuite {
       .orderBy("shard", "shard_pos").select("doc_id").as[Long].collect().toSeq
     assert(other != first)
   }
+
+  test("topPerGroup: bounded top-k aggregate equals the rank-window answer") {
+    val docs = (1L to 200L).map { i =>
+      (i, "g" + (i % 5), (i * 37 % 11).toDouble) // deliberately many ties
+    }.toDF("doc_id", "grp", "score")
+    val got = Sampling.topPerGroup(docs, "doc_id", "grp", "score", k = 4)
+      .select("doc_id", "grp", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // differential: the window formulation is the semantic definition
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"grp").orderBy($"score".desc, $"doc_id".asc)
+    val want = docs.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 20) // 5 groups × 4
+    // k larger than the group keeps every row, densely ranked
+    val small = Seq((1L, "g", 2.0), (2L, "g", 1.0)).toDF("doc_id", "grp", "score")
+    val all = Sampling.topPerGroup(small, "doc_id", "grp", "score", k = 10)
+      .select("doc_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(all == Set((1L, 1), (2L, 2)))
+  }
 }
