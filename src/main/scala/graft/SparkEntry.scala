@@ -576,6 +576,16 @@ object SparkEntry {
         .orderBy("source", "rank")
     }),
 
+    // Distribution-shift audit: per-source robust z-scores (median/MAD) of
+    // document length. Integer-valued signal -> exact-half medians ->
+    // engine-portable flags; the corpus never shuffles (two broadcast-back
+    // aggregates).
+    "q80_outlier_report" -> ((s, dir) => {
+      Curation.outlierReport(t(s, dir, "documents"), "doc_id", "source",
+          length(col("text")), valueName = "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Cross-corpus near-dedup: the "new crawl" (odd doc_ids) LSH-banded
     // against the "existing corpus" (even doc_ids) — candidates only from
     // shared (band, band_sig) buckets, never crawl × corpus, verified by
@@ -1716,6 +1726,26 @@ object SparkEntry {
          SELECT doc_id, source, quality, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3
          ORDER BY source, rank""",
+
+    // median/MAD are exact halves on the integer signal, so both engines
+    // compute identical statistics and identical flags.
+    "q80_outlier_report" ->
+      """WITH base AS (
+           SELECT doc_id, source, CAST(len(text) AS DOUBLE) AS n_chars
+           FROM documents),
+         med AS (SELECT source, median(n_chars) AS med FROM base GROUP BY source),
+         j AS (SELECT b.doc_id, b.source, b.n_chars, m.med
+               FROM base b JOIN med m USING (source)),
+         mad AS (SELECT source, median(abs(n_chars - med)) AS mad
+                 FROM j GROUP BY source),
+         f AS (SELECT j.doc_id, j.source, j.n_chars, j.med, mad.mad,
+                 CASE WHEN mad.mad > 0
+                      THEN round(0.6745 * (j.n_chars - j.med) / mad.mad, 6)
+                 END AS robust_z
+               FROM j JOIN mad USING (source))
+         SELECT doc_id, source, n_chars, med, mad, robust_z,
+                coalesce(abs(robust_z) > 3.5, FALSE) AS is_outlier
+         FROM f ORDER BY doc_id""",
 
     // Cross-corpus reproduction: the same banding CTEs, with candidates
     // restricted to (odd crawl doc) × (even corpus doc) bucket collisions.

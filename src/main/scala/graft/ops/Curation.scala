@@ -438,6 +438,50 @@ object Curation {
       .withColumn("keep", col("reason").isNull)
   }
 
+  /** Robust per-stratum outlier report over an integer-valued document
+    * signal: modified z-score (Iglewicz–Hoaglin, `0.6745 × (x − median) /
+    * MAD`) with `|z| > zCut` flagging — median/MAD instead of mean/stddev
+    * so a corpus whose tail IS the anomaly doesn't hide it by inflating
+    * its own yardstick. The distribution-shift / ingest-anomaly audit of a
+    * curation pipeline ("this crawl's documents are suddenly 10× longer").
+    *
+    * `value` should be integer-valued (lengths, token counts): medians of
+    * integers are exact halves, so the statistic is bit-identical across
+    * engines and an external oracle reproduces the flags exactly. A zero
+    * MAD (over half the stratum shares one value) yields a null z and no
+    * flag — degenerate strata don't flag everything else.
+    *
+    * Scale shape: two aggregation passes (median, then MAD) with map-side
+    * partial aggregation; the per-stratum tables broadcast back, so the
+    * corpus never shuffles. Spark's exact `percentile` buffers per-group
+    * (value → count) maps — memory is DISTINCT-value-sized (bounded for
+    * integer signals like lengths), not row-count-sized; swap in
+    * `percentile_approx` above ~1e7 distinct values per stratum.
+    */
+  def outlierReport(
+      docs: DataFrame,
+      idCol: String,
+      strataCol: String,
+      value: Column,
+      valueName: String = "value",
+      zCut: Double = 3.5): DataFrame = {
+    val base = docs.select(col(idCol), col(strataCol),
+      value.cast("double").as(valueName))
+    val med = base.groupBy(strataCol)
+      .agg(percentile(col(valueName), lit(0.5)).as("med"))
+    val withMed = base.join(broadcast(med), strataCol)
+    val mad = withMed.groupBy(strataCol)
+      .agg(percentile(abs(col(valueName) - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), strataCol)
+      .withColumn("robust_z",
+        when(col("mad") > 0,
+          round(lit(0.6745) * (col(valueName) - col("med")) / col("mad"), 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > zCut, lit(false)))
+      .select(col(idCol), col(strataCol), col(valueName), col("med"),
+        col("mad"), col("robust_z"), col("is_outlier"))
+  }
+
   /** Scrub common PII shapes (emails, long digit runs / phone numbers, IPv4
     * addresses) from a text column, replacing each with a typed placeholder.
     * A pure per-row codegen'd `regexp_replace` chain — no shuffle, no UDF;

@@ -371,6 +371,27 @@ class CurationSpec extends AnyFunSuite {
     assert(other != first)
   }
 
+  test("outlierReport: median/MAD flags the planted anomaly, zero-MAD strata flag nothing") {
+    // s0: lengths 100±small with one planted 10× doc; s1: all-identical
+    // lengths (MAD 0 -> null z, nothing flagged, not even the constant).
+    val docs = ((1L to 20L).map(i => (i, "s0", 100L + (i % 5))) ++
+      Seq((21L, "s0", 1000L)) ++
+      (31L to 40L).map(i => (i, "s1", 50L))).toDF("doc_id", "source", "len")
+    val out = Curation.outlierReport(docs, "doc_id", "source", $"len",
+        valueName = "len")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.isNullAt(5), r.getBoolean(6)))).toMap
+    assert(out(21L)._3, "planted 10x doc must flag")
+    assert((1L to 20L).forall(!out(_)._3), "inliers must not flag")
+    assert((31L to 40L).forall(i => out(i)._2 && !out(i)._3),
+      "zero-MAD stratum yields null z and no flags")
+    // median of 21 values in s0 is an element (odd count): robust check
+    // that the planted outlier did not drag the yardstick
+    val med = Curation.outlierReport(docs, "doc_id", "source", $"len", "len")
+      .filter($"source" === "s0").select("med").head().getDouble(0)
+    assert(med >= 100.0 && med <= 105.0)
+  }
+
   test("topPerGroup: bounded top-k aggregate equals the rank-window answer") {
     val docs = (1L to 200L).map { i =>
       (i, "g" + (i % 5), (i * 37 % 11).toDouble) // deliberately many ties
