@@ -2352,7 +2352,7 @@ object SparkEntry {
       """WITH m AS (
            SELECT doc_id AS media_id,
                   ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-                  ['png','gif','bmp'][CAST((doc_id // 3) % 3 AS INTEGER) + 1] AS img_format,
+                  ['png','gif','bmp','jpg'][CAST((doc_id // 3) % 4 AS INTEGER) + 1] AS img_format,
                   [8000,16000,44100][CAST((doc_id // 3) % 3 AS INTEGER) + 1] AS wav_rate,
                   1 + (doc_id // 3) % 2 AS wav_channels,
                   CAST(octet_length(encode(text)) AS BIGINT) AS body_len
@@ -2364,7 +2364,8 @@ object SparkEntry {
                 CASE kind WHEN 'image'
                      THEN body_len + CASE img_format WHEN 'png' THEN 45
                                                      WHEN 'gif' THEN 13
-                                                     ELSE 54 END
+                                                     WHEN 'bmp' THEN 54
+                                                     ELSE 39 END
                           WHEN 'audio' THEN body_len + 44
                      ELSE body_len + 292 END AS byte_len,
                 CASE kind WHEN 'audio' THEN 0

@@ -40,6 +40,12 @@ object MediaCodec {
   /** BMP header byte count: file header (14) + BITMAPINFOHEADER (40). */
   val BmpHeaderLen = 54
 
+  /** JPEG header byte count produced by [[encodeJpeg]]: SOI (2) +
+    * APP0/JFIF segment (2 + 16) + SOF0 baseline segment for 3 components
+    * (2 + 17).
+    */
+  val JpegHeaderLen = 39
+
   /** Canonical PCM WAV header byte count: RIFF descriptor (12) +
     * "fmt " chunk (8 + 16) + "data" chunk header (8).
     */
@@ -84,6 +90,25 @@ object MediaCodec {
     require(width <= 0xffff && height <= 0xffff, "GIF dims are u16")
     "GIF89a".getBytes(US_ASCII) ++ u16le(width) ++ u16le(height) ++
       Array[Byte](0, 0, 0) // no GCT, bg index, aspect
+  }
+
+  /** A structurally valid JPEG prefix: SOI + APP0 (JFIF 1.1, no thumbnail)
+    * + SOF0 (baseline, 8-bit, 3 components with standard 4:2:0/1:1
+    * sampling) carrying height then width as u16 BE. Callers append
+    * arbitrary trailing bytes as fake entropy-coded data; any marker walk
+    * (this one, `javax.imageio`, exif tooling) recovers the dimensions
+    * from SOF0.
+    */
+  def encodeJpeg(width: Int, height: Int): Array[Byte] = {
+    require(width <= 0xffff && height <= 0xffff, "JPEG dims are u16")
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++
+      "JFIF".getBytes(US_ASCII) ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0) // v1.1, no density/thumb
+    val sof0 = Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte) ++
+      u16be(height) ++ u16be(width) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    soi ++ app0 ++ sof0
   }
 
   /** "BM" file header + BITMAPINFOHEADER (24bpp, uncompressed). */
@@ -239,6 +264,7 @@ object MediaCodec {
       case "png" => encodePng(width, height)
       case "gif" => encodeGif(width, height)
       case "bmp" => encodeBmp(width, height)
+      case "jpg" => encodeJpeg(width, height)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
 
@@ -246,6 +272,7 @@ object MediaCodec {
     case "png" => PngHeaderLen
     case "gif" => GifHeaderLen
     case "bmp" => BmpHeaderLen
+    case "jpg" => JpegHeaderLen
     case other => throw new IllegalArgumentException(s"unknown format: $other")
   }
 
@@ -281,7 +308,47 @@ object MediaCodec {
       Some(("gif", readU16le(bytes, 6), readU16le(bytes, 8)))
     else if (startsWith(bytes, "BM".getBytes(US_ASCII)) && bytes.length >= 26)
       Some(("bmp", readU32le(bytes, 18).toInt, readU32le(bytes, 22).toInt))
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff)
+      decodeJpegSof(bytes)
     else None
+  }
+
+  /** JPEG marker walk: from SOI, skip segments by their declared u16 BE
+    * length until a start-of-frame marker (SOF0–SOF15 except DHT/JPG/DAC),
+    * whose payload carries precision (1), height (u16 BE), width (u16 BE).
+    * Standalone markers (TEM, RSTn) have no length; the walk stops at SOS —
+    * dimensions always precede entropy-coded data in a well-formed stream.
+    */
+  private def decodeJpegSof(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      // Fill bytes: markers may be preceded by any number of 0xFF bytes.
+      if ((bytes(off) & 0xff) != 0xff) return None
+      var m = off + 1
+      while (m < bytes.length && (bytes(m) & 0xff) == 0xff) m += 1
+      if (m >= bytes.length) return None
+      val marker = bytes(m) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS: no SOF seen
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+        off = m + 1 // standalone marker, no length field
+      } else {
+        if (m + 3 > bytes.length) return None
+        val len = ((bytes(m + 1) & 0xff) << 8) | (bytes(m + 2) & 0xff)
+        if (len < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          val p = m + 3 // past marker + length field
+          if (p + 5 > bytes.length) return None
+          val h = ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) & 0xff)
+          val w = ((bytes(p + 3) & 0xff) << 8) | (bytes(p + 4) & 0xff)
+          return Some(("jpg", w, h))
+        }
+        off = m + 1 + len
+      }
+    }
+    None
   }
 
   /** Decoded WAV geometry: sample rate, channel count, bits per sample, and

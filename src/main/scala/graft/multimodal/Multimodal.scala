@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * partition, amortized setup, bounded memory per batch).
   *
   * IMAGE, AUDIO and VIDEO decoding are all REAL header-level parsing:
-  * [[MediaCodec.decodeImage]] sniffs PNG/GIF/BMP magic bytes and reads
-  * width/height out of the actual container header,
+  * [[MediaCodec.decodeImage]] sniffs PNG/GIF/BMP/JPEG magic bytes and reads
+  * width/height out of the actual container header (for JPEG, a marker
+  * walk to the SOF segment),
   * [[MediaCodec.decodeWav]] walks the RIFF chunk list for sample rate /
   * channels / bits / PCM frame count, and [[MediaCodec.decodeMp4]] walks
   * the ISO-BMFF box tree (ftyp → moov{mvhd, trak{tkhd, …stsz}}) for
@@ -135,7 +136,7 @@ object Multimodal {
   }
 
   /** Synthetic media corpus derived from any table: every third row is an
-    * image whose payload is a STRUCTURALLY VALID PNG/GIF/BMP header
+    * image whose payload is a STRUCTURALLY VALID PNG/GIF/BMP/JPEG header
     * (cycling by id, dimensions a fixed function of the id) followed by the
     * string column's bytes as fake pixel data — so the decode path must
     * parse real container bytes to recover the dimensions, and an external
@@ -163,10 +164,11 @@ object Multimodal {
         }
         val payload =
           if (kind == "image") {
-            val format = ((id / 3) % 3) match {
+            val format = ((id / 3) % 4) match {
               case 0 => "png"
               case 1 => "gif"
-              case _ => "bmp"
+              case 2 => "bmp"
+              case _ => "jpg"
             }
             val w = 16 + (id * 7919L % 1024L).toInt
             val h = 16 + (id * 104729L % 1024L).toInt

@@ -510,12 +510,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("MediaCodec: encode/decode round-trips every format; garbage is None") {
     import graft.multimodal.MediaCodec
-    for ((fmt, w, h) <- Seq(("png", 640, 480), ("gif", 1, 65535), ("bmp", 1039, 17))) {
+    for ((fmt, w, h) <- Seq(("png", 640, 480), ("gif", 1, 65535),
+        ("bmp", 1039, 17), ("jpg", 4032, 3024))) {
       val header = MediaCodec.encodeHeader(fmt, w, h)
       assert(header.length == MediaCodec.headerLen(fmt))
       // trailing fake pixel bytes must not confuse the header parse
       assert(MediaCodec.decodeImage(header ++ Array[Byte](1, 2, 3)) ==
         Some((fmt, w, h)))
+    }
+    // JPEG dimensions survive extra leading segments (a COM comment and a
+    // fat APP1/exif-sized blob before SOF), marker fill bytes, and an
+    // entropy-data-like tail; a stream that hits SOS with no SOF is None.
+    locally {
+      val jpg = MediaCodec.encodeJpeg(800, 600)
+      val comment = Array(0xff, 0xfe, 0x00, 0x0b).map(_.toByte) ++
+        "a comment".getBytes("US-ASCII")
+      val app1 = Array(0xff, 0xe1, 0x01, 0x02).map(_.toByte) ++
+        Array.fill(0x100)(0x55.toByte)
+      val withSegments = jpg.take(2) ++ comment ++ app1 ++
+        Array(0xff.toByte) ++ jpg.drop(2) ++ Array.fill(64)(0x37.toByte)
+      assert(MediaCodec.decodeImage(withSegments) == Some(("jpg", 800, 600)))
+      val sosFirst = jpg.take(2) ++ Array(0xff, 0xda, 0x00, 0x02).map(_.toByte) ++
+        Array.fill(32)(0x42.toByte)
+      assert(MediaCodec.decodeImage(sosFirst).isEmpty)
+    }
+    // javax.imageio agrees with our JPEG marker walk (independent JDK
+    // decoder reading the same SOF bytes). The JDK reader insists on
+    // seeing SOS before it reports dimensions, so give the synthetic
+    // prefix a minimal scan header + EOI.
+    locally {
+      val sos = Array(0xff, 0xda, 0x00, 0x0c, 0x03,
+        0x01, 0x00, 0x02, 0x11, 0x03, 0x11, 0x00, 0x3f, 0x00).map(_.toByte)
+      val eoi = Array(0xff, 0xd9).map(_.toByte)
+      val jpg = MediaCodec.encodeJpeg(321, 87) ++ sos ++ eoi
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(jpg))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, "JDK JPEG reader did not recognize the container")
+      val reader = readers.next()
+      reader.setInput(iis)
+      assert((reader.getWidth(0), reader.getHeight(0)) == ((321, 87)))
+      reader.dispose()
     }
     // javax.imageio agrees with our PNG byte-level parse (independent
     // JDK-built-in decoder reading the same header bytes).
