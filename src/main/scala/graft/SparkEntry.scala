@@ -576,6 +576,18 @@ object SparkEntry {
         .orderBy("source", "rank")
     }),
 
+    // Streaming incremental near-dedup: the q16 pair set discovered through
+    // micro-batches — per batch, only the new docs shingle/sign/band; the
+    // accumulated band index serves cross-batch candidates. The oracle is
+    // q16's batch SQL: pair discovery is batch-split-invariant.
+    "q81_streaming_minhash" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q81").toString
+      Dedup.streamingMinHashNearDuplicates(s, dir, "documents.parquet",
+          "doc_id", "text", stateDir = s"$base/state",
+          checkpointDir = s"$base/ckpt", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Distribution-shift audit: per-source robust z-scores (median/MAD) of
     // document length. Integer-valued signal -> exact-half medians ->
     // engine-portable flags; the corpus never shuffles (two broadcast-back
@@ -1726,6 +1738,13 @@ object SparkEntry {
          SELECT doc_id, source, quality, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3
          ORDER BY source, rank""",
+
+    // Stream ≡ batch: the streaming pair sink must equal q16's batch pairs.
+    "q81_streaming_minhash" ->
+      s"""WITH $minhashVerifiedCtes
+         SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         FROM verified WHERE jaccard >= 0.5
+         ORDER BY id_a, id_b""",
 
     // median/MAD are exact halves on the integer signal, so both engines
     // compute identical statistics and identical flags.

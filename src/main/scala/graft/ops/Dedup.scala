@@ -296,6 +296,97 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Streaming incremental MinHash near-dedup: documents arrive in
+    * micro-batches and each batch pays only ITS OWN work — shingle + sign +
+    * band the new docs, probe the accumulated band index for cross-batch
+    * candidates, verify true Jaccard, and append the new docs' banding and
+    * shingle sets to the index. After draining, the pairs sink holds
+    * exactly [[minHashNearDuplicates]] of the full corpus (every pair is
+    * discovered exactly once: in the batch where its LATER document
+    * arrives), independent of how the corpus was split into batches.
+    *
+    * State shape at scale: the band index is (id, band, band_sig) —
+    * `bands × corpus` rows of fixed width; the shingle store is the
+    * per-doc token-shingle sets the verifier needs — the same data a
+    * batch re-dedup would re-derive from the corpus each run, persisted
+    * once and appended incrementally instead. Both are append-only (docs
+    * never update), so the sink is plain parquet; production would bucket
+    * both by id and make the pairs append transactional alongside the
+    * checkpoint.
+    */
+  def streamingMinHashNearDuplicates(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val bandedDir = s"$stateDir/banded"
+    val shinglesDir = s"$stateDir/shingles"
+    val pairsDir = s"$stateDir/pairs"
+    val schema = spark.read.parquet(s"$dir/$glob").schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    def exists(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    }
+    val q = tuned.parquet(dir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sets = shingleSets(batch, idCol, textCol, shingleLen).persist()
+        val sigs = sets.select(col(idCol), minHashOfShingles(col("sh"), numHashes).as("sig"))
+        val banded = bandProjection(sigs, idCol, numHashes, bands).persist()
+        // Within-batch candidates: the batch's own band self-collisions.
+        val within = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_sig") === col("b.band_sig") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("id_new"), col(s"b.$idCol").as("id_other"))
+        // Cross-batch candidates: probe the accumulated band index.
+        val cross = if (exists(bandedDir)) Some(
+          banded.withColumnRenamed(idCol, "id_new").join(
+            spark.read.parquet(bandedDir).withColumnRenamed(idCol, "id_other"),
+            Seq("band", "band_sig"))
+            .select("id_new", "id_other"))
+        else None
+        val cand = cross.fold(within)(within.unionByName(_)).distinct()
+        val others = if (exists(shinglesDir))
+          sets.unionByName(spark.read.parquet(shinglesDir)) else sets
+        val verified = cand
+          .join(sets.select(col(idCol).as("id_new"), col("sh").as("sh_a")), "id_new")
+          .join(others.select(col(idCol).as("id_other"), col("sh").as("sh_b")), "id_other")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))))
+          .filter(col("jaccard") >= threshold)
+          .select(least(col("id_new"), col("id_other")).as("id_a"),
+            greatest(col("id_new"), col("id_other")).as("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+        if (!verified.isEmpty)
+          verified.write.mode("append").parquet(pairsDir)
+        // Index appends AFTER candidate generation: a doc never pairs
+        // with itself, and the next batch sees this one's state.
+        banded.write.mode("append").parquet(bandedDir)
+        sets.write.mode("append").parquet(shinglesDir)
+        sets.unpersist()
+        banded.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    if (exists(pairsDir)) spark.read.parquet(pairsDir)
+    else spark.emptyDataFrame
+  }
+
   /** Cross-corpus MinHash near-dup pairs: corpus documents whose token-
     * shingle Jaccard against some REFERENCE document meets `threshold` —
     * the "dedup the new crawl against the existing corpus" step of

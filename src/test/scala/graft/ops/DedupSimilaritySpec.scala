@@ -391,6 +391,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming incremental minhash dedup ≡ batch pairs on multi-batch input") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mh-stream").toString
+    // 3 part files + maxFilesPerTrigger=1 -> multiple micro-batches, so
+    // near-dup pairs split across batches exercise the band-index probe
+    // (the pair must be found when its LATER member arrives).
+    docs.repartition(3).write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val got = Dedup.streamingMinHashNearDuplicates(spark, s"$base/documents.parquet",
+        "*.parquet", "doc_id", "text",
+        stateDir = s"$base/state", checkpointDir = s"$base/ckpt",
+        threshold = 0.4, maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.4, numHashes = 8, bands = 4, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+    // each pair discovered exactly once: the append sink has no dup rows
+    val raw = spark.read.parquet(s"$base/state/pairs")
+    assert(raw.count() == raw.distinct().count())
+  }
+
   test("k-means refinement keeps assignment total and improves compactness") {
     val vecs = (0L until 60L).map { i =>
       val angle = i.toDouble / 60.0 * math.Pi
