@@ -576,6 +576,24 @@ object SparkEntry {
         .orderBy("source", "rank")
     }),
 
+    // Streaming IVF ingest: vectors stream into the persisted index's cell
+    // partitions against PINNED centroids (q20's deterministic hash-sample).
+    // The accumulated assignment must equal the batch build — the oracle is
+    // the shared ivfAssign reproduction.
+    "q82_streaming_ivf_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val thr = Similarity.sampleThreshold(32L, emb.count())
+      val centroids = emb
+        .filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q82").toString
+      Similarity.streamingIvfIngest(s, dir, "embeddings.parquet",
+          "vec_id", "embedding", centroids,
+          indexDir = s"$base/index", checkpointDir = s"$base/ckpt")
+        .select("vec_id", "centroid_id")
+        .orderBy("vec_id")
+    }),
+
     // Streaming incremental near-dedup: the q16 pair set discovered through
     // micro-batches — per batch, only the new docs shingle/sign/band; the
     // accumulated band index serves cross-batch candidates. The oracle is
@@ -1738,6 +1756,11 @@ object SparkEntry {
          SELECT doc_id, source, quality, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3
          ORDER BY source, rank""",
+
+    // Stream ≡ batch: the accumulated cell assignment equals the q20 build.
+    "q82_streaming_ivf_ingest" ->
+      s"""WITH $ivfAssignCtes
+         SELECT vec_id, centroid_id FROM assigned ORDER BY vec_id""",
 
     // Stream ≡ batch: the streaming pair sink must equal q16's batch pairs.
     "q81_streaming_minhash" ->

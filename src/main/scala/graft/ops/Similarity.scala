@@ -603,11 +603,69 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** Load a persisted IVF index: (assignment, centroids). */
+  /** Load a persisted IVF index: (assignment, centroids). The cell
+    * partition column reads back as int by directory-name inference;
+    * restore the long centroid ids the builders emit.
+    */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/assigned"),
+    (spark.read.parquet(s"$path/assigned")
+      .withColumn("centroid_id", col("centroid_id").cast("long")),
       spark.read.parquet(s"$path/centroids"))
+
+  /** Streaming IVF index ingest: embedding vectors arrive in micro-batches
+    * and each batch pays only its own work — assign the new vectors to the
+    * FIXED centroid set (the nlist-bounded [[graft.functions.NearestCentroid]]
+    * codegen projection; no shuffle of the batch) and append them to the
+    * persisted index's `centroid_id=` cell partitions. The index stays
+    * probe-ready between batches with the exact [[saveIvfIndex]] layout:
+    * [[ivfTopKForQuery]]/[[loadIvfIndex]] work unchanged, and a probe still
+    * reads only its `nprobe` cell directories.
+    *
+    * Centroids are pinned at build time (they define the cell geometry —
+    * re-deriving them per batch would re-cell the whole index); the
+    * continuous-ingest contract is "assignments accumulate, geometry is an
+    * offline rebuild", the same as any production IVF service. Returns the
+    * accumulated assignment after draining available input.
+    */
+  def streamingIvfIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame, // (centroid_id, centroid_vec)
+      indexDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col("centroid_vec"),
+      norm(col("centroid_vec")).as("__cnorm"))
+    cents.select("centroid_id", "centroid_vec").write.mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+    val schema = spark.read.parquet(s"$dir/$glob").schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    val q = tuned.parquet(dir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // No withNorm barrier: a micro-batch is already partitioned by
+        // arrival, and the replicas=1 assignment is one codegen projection.
+        assignToNearest(
+            batch.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm")),
+            cents, idCol, vecCol)
+          .write.mode("append").partitionBy("centroid_id")
+          .parquet(s"$indexDir/assigned")
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // Partition-directory values read back as int by inference; restore
+    // the assignment's long centroid ids.
+    spark.read.parquet(s"$indexDir/assigned")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+  }
 
   /** IVF approximate top-k for one query: probe the `nprobe` nearest
     * centroids' cells only. Candidate set is the probed cells, not the

@@ -412,6 +412,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(raw.count() == raw.distinct().count())
   }
 
+  test("streaming IVF ingest ≡ batch assignment; index stays probe-ready") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    emb.repartition(3).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val thr = Similarity.sampleThreshold(8L, emb.count())
+    val centroids = emb.filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val got = Similarity.streamingIvfIngest(spark, s"$base/embeddings.parquet",
+        "*.parquet", "vec_id", "embedding", centroids,
+        indexDir = s"$base/index", checkpointDir = s"$base/ckpt",
+        maxFilesPerTrigger = 1)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Similarity.ivfAssign(emb, "vec_id", "embedding", nlist = 8)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    // the persisted layout probes identically to the batch-built index
+    val (assigned, cents) = Similarity.loadIvfIndex(spark, s"$base/index")
+    val q = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toSeq
+    val viaStream = Similarity.ivfTopKForQuery(assigned, cents, "vec_id",
+        "embedding", q, k = 5, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val viaBatch = Similarity.ivfTopKForQuery(
+        Similarity.ivfAssign(emb, "vec_id", "embedding", nlist = 8),
+        centroids, "vec_id", "embedding", q, k = 5, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaStream == viaBatch)
+  }
+
   test("k-means refinement keeps assignment total and improves compactness") {
     val vecs = (0L until 60L).map { i =>
       val angle = i.toDouble / 60.0 * math.Pi
