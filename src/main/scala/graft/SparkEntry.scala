@@ -576,6 +576,21 @@ object SparkEntry {
         .orderBy("source", "rank")
     }),
 
+    // The statistic BPE tokenizer training's first merge decision reads:
+    // adjacent char-pair counts over the corpus's words, top 50.
+    "q83_bpe_pair_counts" -> ((s, dir) => {
+      Curation.bpePairCounts(t(s, dir, "documents"), "text", k = 50)
+        .orderBy(col("n").desc, col("pair"))
+    }),
+
+    // Information-theoretic repetitiveness: per-doc char-bigram entropy,
+    // folded over the gram-sorted count list so the float sum is
+    // engine-portable term-for-term.
+    "q84_char_entropy" -> ((s, dir) => {
+      Curation.charEntropyReport(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Streaming IVF ingest: vectors stream into the persisted index's cell
     // partitions against PINNED centroids (q20's deterministic hash-sample).
     // The accumulated assignment must equal the batch build — the oracle is
@@ -610,9 +625,13 @@ object SparkEntry {
     // document length. Integer-valued signal -> exact-half medians ->
     // engine-portable flags; the corpus never shuffles (two broadcast-back
     // aggregates).
+    // robust_z is excluded from the gated projection: its 6-dp rounding
+    // lands on exact .5 ties (half-exact med/mad make them common) where
+    // Spark and DuckDB round apart; the flag itself is integer-exact.
     "q80_outlier_report" -> ((s, dir) => {
       Curation.outlierReport(t(s, dir, "documents"), "doc_id", "source",
           length(col("text")), valueName = "n_chars")
+        .select("doc_id", "source", "n_chars", "med", "mad", "is_outlier")
         .orderBy("doc_id")
     }),
 
@@ -1757,6 +1776,32 @@ object SparkEntry {
          FROM r WHERE rank <= 3
          ORDER BY source, rank""",
 
+    "q83_bpe_pair_counts" ->
+      s"""WITH w AS (
+           SELECT unnest($toks) AS w FROM documents),
+         p AS (
+           SELECT unnest(list_transform(range(1, len(w)),
+             i -> w[i:i+1])) AS pair
+           FROM w WHERE len(w) >= 2)
+         SELECT pair, count(*) AS n FROM p GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 50""",
+
+    // Entropy folded over the gram-sorted (g, c) list: both engines add
+    // identical terms in identical order, so round(…, 6) is reproducible.
+    "q84_char_entropy" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(lower(text))),
+             i -> lower(text)[i:i+1])) AS g
+           FROM documents WHERE len(text) >= 2),
+         c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+         gc AS (SELECT doc_id, sum(c) AS n,
+                  list_sort(list(struct_pack(g := g, c := c))) AS gc
+                FROM c GROUP BY doc_id)
+         SELECT doc_id, CAST(n AS BIGINT) AS n,
+                round(log2(n) - list_sum(list_transform(gc,
+                  x -> x.c * log2(x.c))) / n, 6) AS bigram_entropy
+         FROM gc ORDER BY doc_id""",
+
     // Stream ≡ batch: the accumulated cell assignment equals the q20 build.
     "q82_streaming_ivf_ingest" ->
       s"""WITH $ivfAssignCtes
@@ -1769,8 +1814,8 @@ object SparkEntry {
          FROM verified WHERE jaccard >= 0.5
          ORDER BY id_a, id_b""",
 
-    // median/MAD are exact halves on the integer signal, so both engines
-    // compute identical statistics and identical flags.
+    // median/MAD are exact halves on the integer signal; the flag is the
+    // integer-exact comparison 6745·|2v−2med| > 35000·2mad — no float ties.
     "q80_outlier_report" ->
       """WITH base AS (
            SELECT doc_id, source, CAST(len(text) AS DOUBLE) AS n_chars
@@ -1779,15 +1824,14 @@ object SparkEntry {
          j AS (SELECT b.doc_id, b.source, b.n_chars, m.med
                FROM base b JOIN med m USING (source)),
          mad AS (SELECT source, median(abs(n_chars - med)) AS mad
-                 FROM j GROUP BY source),
-         f AS (SELECT j.doc_id, j.source, j.n_chars, j.med, mad.mad,
-                 CASE WHEN mad.mad > 0
-                      THEN round(0.6745 * (j.n_chars - j.med) / mad.mad, 6)
-                 END AS robust_z
-               FROM j JOIN mad USING (source))
-         SELECT doc_id, source, n_chars, med, mad, robust_z,
-                coalesce(abs(robust_z) > 3.5, FALSE) AS is_outlier
-         FROM f ORDER BY doc_id""",
+                 FROM j GROUP BY source)
+         SELECT j.doc_id, j.source, j.n_chars, j.med, mad.mad,
+                CASE WHEN mad.mad > 0
+                     THEN abs(CAST(2 * j.n_chars - 2 * j.med AS BIGINT)) * 6745
+                          > CAST(2 * mad.mad AS BIGINT) * 35000
+                     ELSE FALSE END AS is_outlier
+         FROM j JOIN mad USING (source)
+         ORDER BY doc_id""",
 
     // Cross-corpus reproduction: the same banding CTEs, with candidates
     // restricted to (odd crawl doc) × (even corpus doc) bucket collisions.

@@ -438,6 +438,65 @@ object Curation {
       .withColumn("keep", col("reason").isNull)
   }
 
+  /** Adjacent character-pair frequencies over the corpus's words — the
+    * statistic the FIRST merge decision of byte-pair-encoding tokenizer
+    * training reads (the most frequent pair becomes the first merge; the
+    * top-k table is the candidate list). Two generator explodes inside the
+    * scan stage (words, then in-word pairs), one map-side-combined hash
+    * aggregate on the pair, and a partial top-k merge
+    * (TakeOrderedAndProject) — the corpus shuffles only pair-count
+    * partials, never rows, at any scale.
+    */
+  def bpePairCounts(
+      docs: DataFrame,
+      textCol: String,
+      k: Int = 100): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(posexplode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as(Seq("__i", "pair")))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
+  /** Per-document character-bigram entropy (bits): the information-theoretic
+    * repetitiveness signal — lorem-ipsum spam, keyword stuffing and
+    * generator loops score low; natural prose scores high. Complements the
+    * exact-repeat fractions of [[repetitionReport]] (which see nothing when
+    * the repetition isn't verbatim).
+    *
+    * Engine-portable determinism: entropy is computed as
+    * `log2(n) − Σ c·log2(c) / n` folded over the (gram, count) list SORTED
+    * by gram — both engines add the identical terms in the identical order,
+    * so the 6-dp-rounded value is reproducible. Shape: one generator
+    * explode, one (doc, gram) hash aggregate, one per-doc aggregate whose
+    * state is the doc's distinct-bigram list (alphabet-bounded:
+    * ≤ charset², not document-length-sized).
+    */
+  def charEntropyReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val grams = docs
+      .select(col(idCol), lower(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= 2)
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(1, length(__t) - 1), i -> substr(__t, i, 2))"))
+        .as(Seq("__i", "g")))
+    grams
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n"),
+        sort_array(collect_list(struct(col("g"), col("c")))).as("gc"))
+      .select(col(idCol), col("n"),
+        round(log2(col("n")) -
+          aggregate(col("gc"), lit(0.0),
+            (acc, x) => acc + x.getField("c") * log2(x.getField("c"))) /
+          col("n"), 6).as("bigram_entropy"))
+  }
+
   /** Robust per-stratum outlier report over an integer-valued document
     * signal: modified z-score (Iglewicz–Hoaglin, `0.6745 × (x − median) /
     * MAD`) with `|z| > zCut` flagging — median/MAD instead of mean/stddev
@@ -447,9 +506,10 @@ object Curation {
     *
     * `value` should be integer-valued (lengths, token counts): medians of
     * integers are exact halves, so the statistic is bit-identical across
-    * engines and an external oracle reproduces the flags exactly. A zero
-    * MAD (over half the stratum shares one value) yields a null z and no
-    * flag — degenerate strata don't flag everything else.
+    * engines and an external oracle reproduces the flags exactly (`zCut`
+    * is honored to 4 decimals by the exact comparison). A zero MAD (over
+    * half the stratum shares one value) yields a null z and no flag —
+    * degenerate strata don't flag everything else.
     *
     * Scale shape: two aggregation passes (median, then MAD) with map-side
     * partial aggregation; the per-stratum tables broadcast back, so the
@@ -472,12 +532,22 @@ object Curation {
     val withMed = base.join(broadcast(med), strataCol)
     val mad = withMed.groupBy(strataCol)
       .agg(percentile(abs(col(valueName) - col("med")), lit(0.5)).as("mad"))
+    // The FLAG is integer-exact: 0.6745·|v−med| > zCut·mad, with the
+    // half-exact med/mad doubled into integers and the constants scaled to
+    // 4 decimals — no float comparison, no rounding-tie flips between
+    // engines (a 6-dp rounding of z itself DID flip between Spark and
+    // DuckDB on an exact .5 boundary; exact-half inputs make such ties
+    // common, not rare). The z column keeps the human-readable magnitude.
+    val d2 = (col(valueName) * 2 - col("med") * 2).cast("long")
+    val mad2 = (col("mad") * 2).cast("long")
+    val zScaled = math.round(zCut * 10000)
     withMed.join(broadcast(mad), strataCol)
       .withColumn("robust_z",
         when(col("mad") > 0,
           round(lit(0.6745) * (col(valueName) - col("med")) / col("mad"), 6)))
       .withColumn("is_outlier",
-        coalesce(abs(col("robust_z")) > zCut, lit(false)))
+        when(col("mad") > 0, abs(d2) * 6745L > mad2 * zScaled)
+          .otherwise(lit(false)))
       .select(col(idCol), col(strataCol), col(valueName), col("med"),
         col("mad"), col("robust_z"), col("is_outlier"))
   }
