@@ -414,5 +414,21 @@ class CurationSpec extends AnyFunSuite {
     val all = Sampling.topPerGroup(small, "doc_id", "grp", "score", k = 10)
       .select("doc_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(all == Set((1L, 1), (2L, 2)))
+    // plan shape: the bounded aggregate, not a rank window (no full
+    // per-group sort of the corpus), and a broadcast winner join
+    val plan = Sampling.topPerGroup(docs, "doc_id", "grp", "score", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("collect_top_k"))
+    assert(!plan.contains("Window"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("outlierReport plan: stat tables broadcast back — no corpus-side sort-merge join") {
+    val docs = (1L to 500L).map(i => (i, "s" + (i % 4), 50L + i % 7))
+      .toDF("doc_id", "source", "len")
+    val plan = Curation.outlierReport(docs, "doc_id", "source", $"len", "len")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
   }
 }
