@@ -23,7 +23,7 @@ object CurationScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.functions.TextFunctions
-    import graft.ops.{Curation, Dedup}
+    import graft.ops.{Curation, Dedup, Sampling}
 
     // Hash-derived base-36 words (deterministic, no RNG). Two properties a
     // linear-congruential pattern lacks, both needed for honest probes:
@@ -108,6 +108,27 @@ object CurationScaleProbe {
     timed("chunking 32/24 (scan-stage generator, no shuffle)") {
       Curation.chunkDocuments(docs, "doc_id", "text",
         chunkTokens = 32, stride = 24).count()
+    }
+    timed("cross-corpus near-dedup (odd crawl banded vs even corpus)") {
+      Dedup.crossCorpusNearDuplicates(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id",
+        docs.filter(col("doc_id") % 2 === 0), "doc_id",
+        "text", threshold = 0.8, numHashes = 16, bands = 4).count()
+    }
+    timed("per-group top-10 (bounded CollectTopK, 64 groups)") {
+      Sampling.topPerGroup(
+        docs.withColumn("score", length(col("text")).cast("double")),
+        "doc_id", "source", "score", k = 10).count()
+    }
+    timed("outlier report (median/MAD broadcast-back)") {
+      Curation.outlierReport(docs, "doc_id", "source",
+        length(col("text")), "n_chars").count()
+    }
+    timed("char-bigram entropy (per-doc alphabet-bounded state)") {
+      Curation.charEntropyReport(docs, "doc_id", "text").count()
+    }
+    timed("bpe pair counts (generator explodes + hash agg + top-k)") {
+      Curation.bpePairCounts(docs, "text", k = 100).count()
     }
     // The composed chain is timed with and without the stage barrier:
     // decontaminate branches its input (gram index + anti-join), so

@@ -53,6 +53,47 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("charEntropyReport ≡ naive bigram entropy") {
+    trials(10) { rnd =>
+      val docs = (1L to 15L).map(i => (i, randText(rnd, 10)))
+      val got = Curation.charEntropyReport(docs.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      def log2(x: Double): Double = math.log(x) / math.log(2.0)
+      docs.foreach { case (id, text) =>
+        val t = text.toLowerCase
+        if (t.length < 2) assert(!got.contains(id), s"doc $id '$text'")
+        else {
+          val counts = t.sliding(2).toSeq.groupBy(identity).view
+            .mapValues(_.size.toLong).toMap
+          val n = counts.values.sum.toDouble
+          val h = log2(n) -
+            counts.toSeq.sortBy(_._1).map { case (_, c) => c * log2(c.toDouble) }
+              .sum / n
+          val (gn, gh) = got(id)
+          assert(gn == n.toLong && math.abs(gh - h) < 1e-6,
+            s"doc $id text='$text' want ($n, $h) got ($gn, $gh)")
+        }
+      }
+    }
+  }
+
+  test("topPerGroup ≡ naive per-group sort on random data") {
+    trials(10) { rnd =>
+      val rows = (1L to 60L).map(i =>
+        (i, "g" + rnd.nextInt(4), rnd.nextInt(6).toDouble))
+      val k = 1 + rnd.nextInt(4)
+      val got = Sampling.topPerGroup(rows.toDF("doc_id", "grp", "score"),
+          "doc_id", "grp", "score", k)
+        .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
+      val want = rows.groupBy(_._2).values.flatMap { g =>
+        g.sortBy(r => (-r._3, r._1)).take(k).zipWithIndex
+          .map { case (r, i) => (r._1, i + 1) }
+      }.toSet
+      assert(got == want)
+    }
+  }
+
   test("stripBoilerplate ≡ naive document-frequency cut") {
     trials(10) { rnd =>
       val docs = (1L to 15L).map(i => (i, randText(rnd, 10)))
