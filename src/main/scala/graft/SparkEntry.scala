@@ -576,6 +576,16 @@ object SparkEntry {
         .orderBy("source", "rank")
     }),
 
+    // Behavioral-history assembly: each user's time-ordered event-type
+    // sequence as one training example (ties by event_id — deterministic
+    // under any partitioning).
+    "q85_assemble_sequences" -> ((s, dir) => {
+      Curation.assembleSequences(
+          EventsStream.readEvents(s, s"$dir/events.parquet"), "user_id", "ts",
+          "event_id", "event_type", sep = ">")
+        .orderBy("user_id")
+    }),
+
     // The statistic BPE tokenizer training's first merge decision reads:
     // adjacent char-pair counts over the corpus's words, top 50.
     "q83_bpe_pair_counts" -> ((s, dir) => {
@@ -1775,6 +1785,11 @@ object SparkEntry {
          SELECT doc_id, source, quality, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3
          ORDER BY source, rank""",
+
+    "q85_assemble_sequences" ->
+      """SELECT user_id, count(*) AS n_items,
+                string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q83_bpe_pair_counts" ->
       s"""WITH w AS (

@@ -438,6 +438,44 @@ object Curation {
       .withColumn("keep", col("reason").isNull)
   }
 
+  /** Per-key ordered sequence assembly: collapse each key's rows into ONE
+    * training example — the event-history / conversation-thread / session-
+    * transcript construction step of behavioral training-data assembly.
+    * Rows order by `(orderCol, tieCol)` INSIDE the collected list
+    * (`array_sort` over structs), so the sequence is deterministic under
+    * any partitioning or arrival order. Returns
+    * `(keyCol, n_items, sequence)`.
+    *
+    * Scale: one shuffle on the key; per-group state is that key's rows —
+    * histories are key-bounded, not corpus-bounded. The skewed key (a bot
+    * account with millions of events) is this operator's real risk:
+    * `maxItems > 0` caps each key to its FIRST maxItems rows before
+    * collection (rank window + filter), bounding both the emitted example
+    * and the collect buffer.
+    */
+  def assembleSequences(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      tieCol: String,
+      valueCol: String,
+      sep: String = " ",
+      maxItems: Int = 0): DataFrame = {
+    val pre = if (maxItems > 0) {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxItems).drop("__rn")
+    } else df
+    pre.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_items"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol).as("o"),
+              col(tieCol).as("t"), col(valueCol).cast("string").as("v")))),
+            x => x.getField("v")),
+          sep).as("sequence"))
+  }
+
   /** Adjacent character-pair frequencies over the corpus's words — the
     * statistic the FIRST merge decision of byte-pair-encoding tokenizer
     * training reads (the most frequent pair becomes the first merge; the

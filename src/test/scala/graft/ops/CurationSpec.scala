@@ -371,6 +371,27 @@ class CurationSpec extends AnyFunSuite {
     assert(other != first)
   }
 
+  test("assembleSequences: deterministic order, tie-break, maxItems cap") {
+    val rows = Seq(
+      (1L, 3L, 30L, "c"), (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"),
+      (1L, 2L, 15L, "x"), // same order value as "b", lower tie -> before b
+      (2L, 5L, 50L, "solo")).toDF("user_id", "ord", "tie", "ev")
+    val got = Curation.assembleSequences(rows, "user_id", "ord", "tie", "ev",
+        sep = ">")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 4L, "a>x>b>c"), (2L, 1L, "solo")))
+    // the cap keeps each key's FIRST items by the same order
+    val capped = Curation.assembleSequences(rows, "user_id", "ord", "tie", "ev",
+        sep = ">", maxItems = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(capped == Set((1L, 2L, "a>x"), (2L, 1L, "solo")))
+    // deterministic under re-partitioning
+    val shuffled = Curation.assembleSequences(rows.repartition(7), "user_id",
+        "ord", "tie", "ev", sep = ">")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(shuffled == got)
+  }
+
   test("outlierReport: median/MAD flags the planted anomaly, zero-MAD strata flag nothing") {
     // s0: lengths 100±small with one planted 10× doc; s1: all-identical
     // lengths (MAD 0 -> null z, nothing flagged, not even the constant).
