@@ -576,6 +576,14 @@ object SparkEntry {
         .orderBy("source", "rank")
     }),
 
+    // LM-filter proxy: per-doc unigram surprisal against the corpus's own
+    // token distribution, folded over the token-sorted list (q84's
+    // engine-portable float discipline).
+    "q86_unigram_surprisal" -> ((s, dir) => {
+      Curation.unigramBitsPerToken(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Behavioral-history assembly: each user's time-ordered event-type
     // sequence as one training example (ties by event_id — deterministic
     // under any partitioning).
@@ -1790,6 +1798,22 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_items,
                 string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q86_unigram_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         pdt AS (SELECT doc_id, tok, count(*) AS nd FROM tok GROUP BY doc_id, tok),
+         vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         tot AS (SELECT sum(c) AS total FROM vocab),
+         j AS (SELECT p.doc_id, p.tok, p.nd, v.c
+               FROM pdt p JOIN vocab v USING (tok)),
+         agg AS (SELECT doc_id, sum(nd) AS n_tokens,
+                   list_sort(list(struct_pack(tok := tok, nd := nd, c := c))) AS tc
+                 FROM j GROUP BY doc_id)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                round(-list_sum(list_transform(tc,
+                  x -> x.nd * log2(CAST(x.c AS DOUBLE) / total)))
+                  / n_tokens, 6) AS bits_per_token
+         FROM agg, tot ORDER BY doc_id""",
 
     "q83_bpe_pair_counts" ->
       s"""WITH w AS (

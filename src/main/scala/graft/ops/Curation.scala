@@ -438,6 +438,42 @@ object Curation {
       .withColumn("keep", col("reason").isNull)
   }
 
+  /** Per-document unigram surprisal in bits/token, self-scored against the
+    * corpus's own token distribution — the oracle-able proxy for LM-based
+    * quality filtering (CCNet-style: low bits ≈ stereotyped boilerplate,
+    * high bits ≈ rare-token soup; both tails are curation candidates, the
+    * middle is natural prose). `bits_per_token = −Σ n_d(t)·log2(c(t)/N) /
+    * n_d` over the document's tokens.
+    *
+    * Scale shape: one (doc, token) aggregate, one vocabulary aggregate
+    * (zipf-bounded — millions of rows at web scale, broadcastable; swap
+    * the broadcast for a shuffle join above that), then one per-doc
+    * aggregate whose state is the doc's DISTINCT-token list. The surprisal
+    * fold runs over the token-sorted (token, n_d, c) list, so both engines
+    * add identical terms in identical order (the q84 determinism
+    * discipline).
+    */
+  def unigramBitsPerToken(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val perDocTok = tok.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("nd"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum("c").as("total"))
+    perDocTok.join(broadcast(vocab), "tok")
+      .groupBy(col(idCol))
+      .agg(sum("nd").as("n_tokens"),
+        sort_array(collect_list(struct(col("tok"), col("nd"), col("c"))))
+          .as("tc"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_tokens"),
+        round(-aggregate(col("tc"), lit(0.0), (acc, x) =>
+          acc + x.getField("nd") *
+            log2(x.getField("c").cast("double") / col("total"))) /
+          col("n_tokens"), 6).as("bits_per_token"))
+  }
+
   /** Per-key ordered sequence assembly: collapse each key's rows into ONE
     * training example — the event-history / conversation-thread / session-
     * transcript construction step of behavioral training-data assembly.

@@ -78,6 +78,29 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("unigramBitsPerToken ≡ naive corpus-distribution surprisal") {
+    trials(10) { rnd =>
+      val docs = (1L to 12L).map(i => (i, randText(rnd, 10)))
+      val got = Curation.unigramBitsPerToken(docs.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      def log2(x: Double): Double = math.log(x) / math.log(2.0)
+      val all = docs.flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      val corpus = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = all.size.toDouble
+      docs.foreach { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) assert(!got.contains(id))
+        else {
+          val bits = -toks.map(t => log2(corpus(t) / total)).sum / toks.length
+          val (gn, gb) = got(id)
+          assert(gn == toks.length && math.abs(gb - bits) < 1e-6,
+            s"doc $id text='$text' want $bits got $gb")
+        }
+      }
+    }
+  }
+
   test("topPerGroup ≡ naive per-group sort on random data") {
     trials(10) { rnd =>
       val rows = (1L to 60L).map(i =>
