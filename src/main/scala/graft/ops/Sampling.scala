@@ -173,6 +173,8 @@ object Sampling {
       scoreCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.contains("rank"),
+      "topPerGroup emits a 'rank' column; rename the input's")
     import org.apache.spark.sql.graftbridge.ColumnBridge
     // reverse = true keeps the k SMALLEST (negated score, id) structs =
     // highest scores with ascending-id tie-break; the re-sort puts the
