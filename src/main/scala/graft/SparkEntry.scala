@@ -576,6 +576,15 @@ object SparkEntry {
         .orderBy("source", "rank")
     }),
 
+    // Eval-hygiene audit: verified near-dup pairs straddling the q68
+    // splits — the leakage exact fingerprints miss (edited eval copies in
+    // train). Composes the q16 pair machinery with the q68 assignment.
+    "q87_split_leakage" -> ((s, dir) => {
+      graft.ops.Sampling.nearDupSplitLeakage(t(s, dir, "documents"), "doc_id",
+          "text", Seq("test" -> 0.1, "validation" -> 0.1), threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // LM-filter proxy: per-doc unigram surprisal against the corpus's own
     // token distribution, folded over the token-sorted list (q84's
     // engine-portable float discipline).
@@ -1798,6 +1807,25 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_items,
                 string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // q16's verified pairs × q68's split assignment, cross-split only.
+    "q87_split_leakage" ->
+      s"""WITH $minhashVerifiedCtes,
+         sp AS (
+           SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '19a'
+                       THEN 'test'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '334'
+                       THEN 'validation'
+                     ELSE 'train' END AS split
+           FROM documents)
+         SELECT v.id_a, v.id_b, round(v.jaccard, 6) AS jaccard,
+                sa.split AS split_a, sb.split AS split_b
+         FROM verified v
+         JOIN sp sa ON sa.doc_id = v.id_a
+         JOIN sp sb ON sb.doc_id = v.id_b
+         WHERE v.jaccard >= 0.5 AND sa.split <> sb.split
+         ORDER BY v.id_a, v.id_b""",
 
     "q86_unigram_surprisal" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),

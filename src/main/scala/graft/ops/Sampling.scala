@@ -190,6 +190,71 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq :+ col("rank"): _*)
   }
 
+  /** Split-leakage audit: normalized-content fingerprints that landed in
+    * MORE THAN ONE of the [[assignSplit]] splits — the eval-hygiene check
+    * run after split assignment (identical documents straddling
+    * train/test leak eval answers into training; splits are assigned by
+    * id, so content duplicates under different ids are exactly the
+    * leakage). Returns (fingerprint, n_splits, splits, n_docs, keep_id).
+    * Exact-content leakage only; pair with
+    * [[Dedup.crossCorpusNearDuplicates]] across the split frames for the
+    * near-duplicate form.
+    *
+    * Shape: the [[assignSplit]] expression is per-row (no shuffle), then
+    * one hash aggregate on the 16-byte fingerprint — the q14 exact-dedup
+    * shuffle with split bookkeeping; the leaking subset is tiny by
+    * construction (it IS the cross-split duplicate set).
+    */
+  def splitLeakageReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      fractions: Seq[(String, Double)],
+      defaultSplit: String = "train"): DataFrame = {
+    import graft.functions.TextFunctions.contentFingerprint
+    assignSplit(df, idCol, fractions, defaultSplit)
+      .groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
+      .agg(
+        size(collect_set(col("split"))).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"),
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("keep_id"))
+      .filter(col("n_splits") > 1)
+  }
+
+  /** Near-duplicate form of [[splitLeakageReport]]: verified MinHash
+    * near-dup pairs whose members landed in DIFFERENT splits — the leakage
+    * exact fingerprints miss (a lightly edited eval document in the train
+    * split). Returns (id_a, id_b, jaccard, split_a, split_b); the fix is
+    * re-assigning each pair's members to one split (or dropping the train
+    * copy), keyed by `keep_id` conventions downstream.
+    *
+    * Shape: [[Dedup.minHashNearDuplicates]]'s banded candidate generation
+    * (never all-pairs) + two broadcast-able joins of the pair list against
+    * the per-row split expression — leakage checking costs the dedup pass,
+    * not a new corpus shuffle.
+    */
+  def nearDupSplitLeakage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      fractions: Seq[(String, Double)],
+      defaultSplit: String = "train",
+      threshold: Double = 0.8,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3): DataFrame = {
+    val assigned = assignSplit(df, idCol, fractions, defaultSplit)
+      .select(col(idCol), col("split"))
+    Dedup.minHashNearDuplicates(df, idCol, textCol, threshold, numHashes,
+        bands, shingleLen)
+      .join(assigned.select(col(idCol).as("id_a"), col("split").as("split_a")), "id_a")
+      .join(assigned.select(col(idCol).as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
   /** Integer up-weighting: repeat each row `weight(stratum)` times (default
     * 1), adding a 1-based `copyCol` so downstream shuffles and dedup keys
     * can distinguish copies. `explode(sequence(...))` is codegen'd and

@@ -361,6 +361,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 1), (2L, 1), (2L, 2), (2L, 3)))
   }
 
+  test("split leakage: exact form finds cross-split dup content, near form finds cross-split pairs") {
+    // Force a split boundary through duplicate content: ids chosen so the
+    // fixture's dup groups straddle the md5 cuts at 50/25/25.
+    val fr = Seq("test" -> 0.25, "validation" -> 0.25)
+    val assigned = Sampling.assignSplit(docs, "doc_id", fr)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exact = Sampling.splitLeakageReport(docs, "doc_id", "text", fr)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    // docs 1, 2, 5 share normalized content; leakage iff they straddle
+    val dupSplits = Set(1L, 2L, 5L).map(assigned)
+    if (dupSplits.size > 1) {
+      assert(exact.length == 1)
+      val (nSplits, splits, nDocs) = exact.head
+      assert(nSplits == dupSplits.size && nDocs == 3)
+      assert(splits == dupSplits.toSeq.sorted.mkString(","))
+    } else assert(exact.isEmpty)
+    // near form ⊇ cross-split subset of the batch near-dup pairs
+    val near = Sampling.nearDupSplitLeakage(docs, "doc_id", "text", fr,
+        threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.4, numHashes = 8, bands = 4, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near == pairs.filter { case (a, b) => assigned(a) != assigned(b) })
+  }
+
   test("streaming exact-dedup equals the batch aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
