@@ -585,6 +585,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Streaming twin of q85 through the MERGE-mode keyed sink: per batch,
+    // new events sorted-merge into each user's stored element list and
+    // only touched hash buckets rewrite. Oracle = q85's batch SQL.
+    "q88_streaming_assembly" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q88").toString
+      Curation.streamingAssembleSequences(
+          EventsStream.readEventsStream(s, dir, "events.parquet"),
+          "user_id", "ts", "event_id", "event_type", sep = ">",
+          sinkDir = s"$base/sink", checkpointDir = s"$base/ckpt")
+        .orderBy("user_id")
+    }),
+
     // LM-filter proxy: per-doc unigram surprisal against the corpus's own
     // token distribution, folded over the token-sorted list (q84's
     // engine-portable float discipline).
@@ -1804,6 +1816,12 @@ object SparkEntry {
          ORDER BY source, rank""",
 
     "q85_assemble_sequences" ->
+      """SELECT user_id, count(*) AS n_items,
+                string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // Stream ≡ batch: the merge-sink render equals q85's batch assembly.
+    "q88_streaming_assembly" ->
       """SELECT user_id, count(*) AS n_items,
                 string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
          FROM events GROUP BY user_id ORDER BY user_id""",

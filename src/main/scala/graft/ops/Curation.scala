@@ -438,6 +438,52 @@ object Curation {
       .withColumn("keep", col("reason").isNull)
   }
 
+  /** Streaming form of [[assembleSequences]]: rows arrive in micro-batches
+    * and each key's element list ACCUMULATES in a merge-mode keyed parquet
+    * sink ([[Upsert.mergeKeyedParquet]] — per batch, only the touched hash
+    * buckets are read, the new elements sorted-merge into the stored list,
+    * and those buckets rewrite). After draining, the rendered output
+    * equals the batch operator on the full input, independent of the
+    * batch split — elements carry their (order, tie) inside the stored
+    * struct list, so late arrivals re-sort into place.
+    *
+    * Per-key state is that key's element list (the same bound as the
+    * batch collect); per-batch work is batch-sized + touched buckets,
+    * never sink-sized. Takes a pre-built streaming frame so callers
+    * compose source specifics (schemas, nanos timestamps, file triggers).
+    */
+  def streamingAssembleSequences(
+      stream: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      tieCol: String,
+      valueCol: String,
+      sep: String,
+      sinkDir: String,
+      checkpointDir: String,
+      nBuckets: Int = 64): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val agg = batch.groupBy(col(keyCol))
+          .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+            col(tieCol).as("t"), col(valueCol).cast("string").as("v"))))
+            .as("items"))
+        Upsert.mergeKeyedParquet(agg, sinkDir, Seq(keyCol),
+          Map("items" -> ((old: Column, nw: Column) =>
+            array_sort(concat(old, nw)))), nBuckets)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    Upsert.readKeyedParquet(spark, sinkDir)
+      .select(col(keyCol), size(col("items")).cast("long").as("n_items"),
+        array_join(transform(col("items"), x => x.getField("v")), sep)
+          .as("sequence"))
+  }
+
   /** Per-document unigram surprisal in bits/token, self-scored against the
     * corpus's own token distribution — the oracle-able proxy for LM-based
     * quality filtering (CCNet-style: low bits ≈ stereotyped boilerplate,

@@ -136,6 +136,49 @@ object Upsert {
     finally out.unpersist()
   }
 
+  /** MERGE-by-key into a bucket-partitioned parquet directory: like
+    * [[upsertKeyedParquet]] but combining matched rows with the caller's
+    * per-column merge functions ([[merge]] semantics) instead of
+    * replacing them — the sink shape for streaming state that ACCUMULATES
+    * per key (running lists, counters) rather than superseding. Same
+    * bucket discipline: only the hash buckets the incoming keys touch are
+    * read and dynamically overwritten, so per-call work is proportional
+    * to touched-bucket size, not sink size.
+    */
+  def mergeKeyedParquet(
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String],
+      mergeCols: Map[String, (Column, Column) => Column],
+      nBuckets: Int = 64): Unit = {
+    val spark = updates.sparkSession
+    if (updates.isEmpty) return
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+    val withBucket = updates.withColumn("__bucket", bucketOf)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val combined =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) withBucket
+      else {
+        val affected = withBucket.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val existing = spark.read.parquet(path)
+          .filter(col("__bucket").isin(affected: _*))
+        // __bucket is a pure function of the keys, so the merge keeps the
+        // existing value for matches and the incoming one for inserts —
+        // both correct by construction.
+        merge(existing, withBucket.select(existing.columns.map(col): _*),
+          keys, mergeCols)
+      }
+    val out = combined.localCheckpoint(true)
+    try
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(path)
+    finally out.unpersist()
+  }
+
   /** Read a [[upsertKeyedParquet]] sink back as a plain table. */
   def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__bucket")

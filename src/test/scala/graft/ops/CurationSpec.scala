@@ -392,6 +392,29 @@ class CurationSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("streaming sequence assembly ≡ batch on multi-batch input") {
+    val base = java.nio.file.Files.createTempDirectory("graft-seq-stream").toString
+    // rows of one key deliberately scattered across part files so batches
+    // split mid-sequence — the merge sink must re-sort accumulated state
+    val rows = (1L to 120L).map(i => (i % 10, i, i * 7 % 13, "e" + (i % 5)))
+      .toDF("user_id", "ord", "tie", "ev")
+    rows.repartition(4).write.mode("overwrite").parquet(s"$base/rows.parquet")
+    val schema = spark.read.parquet(s"$base/rows.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/rows.parquet")
+    val got = Curation.streamingAssembleSequences(stream, "user_id", "ord",
+        "tie", "ev", sep = ">", sinkDir = s"$base/sink",
+        checkpointDir = s"$base/ckpt", nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = Curation.assembleSequences(rows, "user_id", "ord", "tie", "ev",
+        sep = ">")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(_._2 == 12))
+  }
+
   test("outlierReport: median/MAD flags the planted anomaly, zero-MAD strata flag nothing") {
     // s0: lengths 100±small with one planted 10× doc; s1: all-identical
     // lengths (MAD 0 -> null z, nothing flagged, not even the constant).
