@@ -16,6 +16,9 @@ import org.apache.spark.sql.DataFrame
 final class StageGraph(stages: Map[String, StageGraph.Stage]) {
   import StageGraph._
 
+  /** The stage definitions, for graph composition/inspection. */
+  def stageDefs: Map[String, Stage] = stages
+
   /** Stages no other stage depends on (build roots, `Dependency.groovy:123-128`). */
   def leaves: Seq[String] = {
     val depended = stages.values.flatMap(_.deps).toSet
@@ -24,10 +27,24 @@ final class StageGraph(stages: Map[String, StageGraph.Stage]) {
 
   /** Build `targets` (default: all leaves), memoizing each stage once.
     *
+    * Handler semantics match the reference executor
+    * (`Dependency.groovy:49-54` declarations, `:101-116` firing order):
+    * `beforeBuild` handlers fire in registration order immediately before the
+    * rule, after all dependencies built; on a rule exception the `onFail`
+    * handlers fire (in order, with the exception) and the exception is
+    * rethrown iff `propagateFailure`; `afterBuild` handlers fire when the
+    * rule succeeded OR when the failure was swallowed (`propagateFailure`
+    * false) — exactly the reference's fall-through. A stage that failed
+    * non-propagating is recorded as failed (not retried) and omitted from
+    * its dependants' input maps and from the result, so a dependant's rule
+    * sees the missing key and decides for itself — the DataFrame analogue of
+    * the reference's "dependant's SQL fails on the missing table".
+    *
     * @param overrides stage name -> provided input frame; its rule is skipped
-    *                  and only downstream stages run
+    *                  and only downstream stages run (handlers still fire:
+    *                  the override IS the stage's rule for this build)
     * @param materialize hook applied to every built frame (persist/write)
-    * @return every built stage's frame (incl. overridden inputs)
+    * @return every successfully built stage's frame (incl. overridden inputs)
     */
   def build(
       targets: Seq[String] = Nil,
@@ -35,23 +52,42 @@ final class StageGraph(stages: Map[String, StageGraph.Stage]) {
       materialize: (String, DataFrame) => DataFrame = (_, df) => df
   ): Map[String, DataFrame] = {
     val built = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    val failed = scala.collection.mutable.Set[String]()
     val inProgress = scala.collection.mutable.Set[String]()
-    def go(name: String): DataFrame = built.getOrElse(name, {
-      if (inProgress(name))
-        throw new IllegalStateException(s"dependency cycle at stage $name")
-      inProgress += name
-      val stage = stages.getOrElse(name,
-        throw new NoSuchElementException(s"unknown stage $name"))
-      val df = overrides.get(name) match {
-        case Some(input) => materialize(name, input)
-        case None =>
-          val depFrames = stage.deps.map(d => d -> go(d)).toMap
-          materialize(name, stage.rule(depFrames))
+    def go(name: String): Option[DataFrame] = built.get(name).map(Some(_)).getOrElse {
+      if (failed(name)) None
+      else {
+        if (inProgress(name))
+          throw new IllegalStateException(s"dependency cycle at stage $name")
+        inProgress += name
+        val stage = stages.getOrElse(name,
+          throw new NoSuchElementException(s"unknown stage $name"))
+        // Dependencies first (Dependency.groovy:90-100), then handlers+rule.
+        val depFrames = overrides.get(name) match {
+          case Some(_) => Map.empty[String, DataFrame] // override replaces the rule; deps not needed
+          case None    => stage.deps.flatMap(d => go(d).map(d -> _)).toMap
+        }
+        stage.beforeBuild.foreach(_(name))
+        val frame: Option[DataFrame] =
+          try Some(overrides.get(name) match {
+            case Some(input) => materialize(name, input)
+            case None        => materialize(name, stage.rule(depFrames))
+          })
+          catch {
+            case e: Throwable =>
+              stage.onFail.foreach(_(name, e))
+              if (stage.propagateFailure) { inProgress -= name; throw e }
+              None
+          }
+        stage.afterBuild.foreach(_(name, frame))
+        inProgress -= name
+        frame match {
+          case Some(df) => built(name) = df
+          case None     => failed += name
+        }
+        frame
       }
-      inProgress -= name
-      built(name) = df
-      df
-    })
+    }
     (if (targets.nonEmpty) targets else leaves).foreach(go)
     built.toMap
   }
@@ -116,8 +152,27 @@ final class StageGraph(stages: Map[String, StageGraph.Stage]) {
 }
 
 object StageGraph {
-  /** One stage: its upstream dependencies and a rule computing it from them. */
-  final case class Stage(deps: Seq[String], rule: Map[String, DataFrame] => DataFrame)
+  /** One stage: its upstream dependencies, a rule computing it from them, and
+    * the per-stage build handlers (`Dependency.groovy:49-54`):
+    *
+    * @param beforeBuild fired (in order) immediately before the rule, after
+    *                    all dependencies have been built
+    * @param afterBuild  fired after the rule, with `Some(frame)` on success or
+    *                    `None` when the rule failed but `propagateFailure` is
+    *                    false (the reference calls afterBuild in that case too)
+    * @param onFail      fired when the rule throws, before any rethrow
+    * @param propagateFailure rethrow the rule's exception after `onFail`
+    *                    (default true, as in the reference); false swallows it
+    *                    and lets independent subtrees keep building
+    */
+  final case class Stage(
+      deps: Seq[String],
+      rule: Map[String, DataFrame] => DataFrame,
+      beforeBuild: Seq[String => Unit] = Nil,
+      afterBuild: Seq[(String, Option[DataFrame]) => Unit] = Nil,
+      onFail: Seq[(String, Throwable) => Unit] = Nil,
+      propagateFailure: Boolean = true
+  )
 
   def apply(stages: (String, Stage)*): StageGraph = new StageGraph(stages.toMap)
 }

@@ -100,6 +100,84 @@ class StageGraphSpec extends AnyFunSuite {
     assert(d("phenotypeDrugRecommendation") == Set())
   }
 
+  /** A <- B <- C chain with `numHandlers` handlers of each kind per stage,
+    * mirroring the reference's `buildHandlerTest`/`onFailTest` fixtures
+    * (`DependencyTest.groovy` testBeforeBuild/testAfterBuild/
+    * testOnFailWithPropagation). Handlers log "<stage><i>" so both
+    * registration order and dependency order are asserted.
+    */
+  private def handlerChain(
+      fail: Set[String],
+      propagate: Boolean,
+      before: scala.collection.mutable.Buffer[String],
+      after: scala.collection.mutable.Buffer[String],
+      onFail: scala.collection.mutable.Buffer[String],
+      numHandlers: Int = 2): StageGraph = {
+    def stage(name: String, deps: String*): (String, StageGraph.Stage) =
+      name -> StageGraph.Stage(
+        deps,
+        rule = dfs => {
+          deps.foreach(dfs(_)) // missing (failed) dep key throws, as in the reference's missing table
+          if (fail(name)) throw new RuntimeException(s"fail $name") else df(name)
+        },
+        beforeBuild = (1 to numHandlers).map(i => (n: String) => before += s"$n$i"),
+        afterBuild = (1 to numHandlers).map(i => (n: String, _: Option[DataFrame]) => after += s"$n$i"),
+        onFail = (1 to numHandlers).map(i => (n: String, _: Throwable) => onFail += s"$n$i"),
+        propagateFailure = propagate)
+    StageGraph(stage("a"), stage("b", "a"), stage("c", "b"))
+  }
+
+  private def expected(names: String*): List[String] =
+    names.toList.flatMap(n => Seq(s"${n}1", s"${n}2"))
+
+  test("beforeBuild/afterBuild fire in registration + dependency order (testBeforeBuild/testAfterBuild)") {
+    val (b, a, f) = (scala.collection.mutable.Buffer[String](),
+      scala.collection.mutable.Buffer[String](), scala.collection.mutable.Buffer[String]())
+    handlerChain(Set.empty, propagate = true, b, a, f).build(targets = Seq("c"))
+    assert(b.toList == expected("a", "b", "c"))
+    assert(a.toList == expected("a", "b", "c"))
+    assert(f.isEmpty)
+  }
+
+  test("onFail with propagation (testOnFailWithPropagation)") {
+    // (stages that fail, expected onFail stages, expected beforeBuild stages)
+    val scenarios = Seq(
+      (Set("a"), Seq("a"), Seq("a")),
+      (Set("b"), Seq("b"), Seq("a", "b")),
+      (Set("c"), Seq("c"), Seq("a", "b", "c")),
+      (Set("a", "b", "c"), Seq("a"), Seq("a")))
+    scenarios.foreach { case (fail, expFail, expBefore) =>
+      val (b, a, f) = (scala.collection.mutable.Buffer[String](),
+        scala.collection.mutable.Buffer[String](), scala.collection.mutable.Buffer[String]())
+      val g = handlerChain(fail, propagate = true, b, a, f)
+      intercept[RuntimeException] { g.build(targets = Seq("c")) }
+      assert(f.toList == expected(expFail: _*), s"onFail for fail=$fail")
+      assert(b.toList == expected(expBefore: _*), s"beforeBuild for fail=$fail")
+      // afterBuild never fires for the failing stage when propagating, and
+      // dependants of the failure never start.
+      assert(a.toList == expected(expBefore.filterNot(fail): _*), s"afterBuild for fail=$fail")
+    }
+  }
+
+  test("propagateFailure=false: afterBuild still fires, dependants see the missing frame, independent subtrees build") {
+    val (b, a, f) = (scala.collection.mutable.Buffer[String](),
+      scala.collection.mutable.Buffer[String](), scala.collection.mutable.Buffer[String]())
+    // a fails (swallowed); b's rule then throws on the missing "a" input
+    // (swallowed); c likewise. An independent stage z still builds.
+    val chain = handlerChain(Set("a"), propagate = false, b, a, f)
+    val zLog = scala.collection.mutable.Buffer[String]()
+    val g = StageGraph(
+      (chain.stageDefs.toSeq :+
+        ("z" -> StageGraph.Stage(Nil, _ => { zLog += "z"; df("z") }))): _*)
+    val built = g.build() // both leaves: c and z
+    assert(built.keySet == Set("z"))
+    assert(zLog.toList == List("z"))
+    // reference fall-through: afterBuild fires even though the rule failed
+    assert(f.toList == expected("a", "b", "c"))
+    assert(a.toList == expected("a", "b", "c"))
+    assert(b.toList == expected("a", "b", "c"))
+  }
+
   test("rowLevels: per-column 2-D layout rows (Dependency.groovy:204-317)") {
     val g = pipelineShape
     // column levels first (min distance to a no-dependant leaf)
