@@ -465,14 +465,18 @@ object Curation {
     val spark = stream.sparkSession
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val agg = batch.groupBy(col(keyCol))
-          .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
-            col(tieCol).as("t"), col(valueCol).cast("string").as("v"))))
-            .as("items"))
-        Upsert.mergeKeyedParquet(agg, sinkDir, Seq(keyCol),
-          Map("items" -> ((old: Column, nw: Column) =>
-            array_sort(concat(old, nw)))), nBuckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // The merge sink accumulates, so a checkpoint-recovery replay of an
+        // already-applied batch would concatenate its elements twice.
+        Upsert.applyBatchOnce(spark, s"$sinkDir/_applied", batchId) {
+          val agg = batch.groupBy(col(keyCol))
+            .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+              col(tieCol).as("t"), col(valueCol).cast("string").as("v"))))
+              .as("items"))
+          Upsert.mergeKeyedParquet(agg, sinkDir, Seq(keyCol),
+            Map("items" -> ((old: Column, nw: Column) =>
+              array_sort(concat(old, nw)))), nBuckets)
+        }
         ()
       }
       .start()
@@ -492,22 +496,25 @@ object Curation {
     * n_d` over the document's tokens.
     *
     * Scale shape: one (doc, token) aggregate, one vocabulary aggregate
-    * (zipf-bounded — millions of rows at web scale, broadcastable; swap
-    * the broadcast for a shuffle join above that), then one per-doc
-    * aggregate whose state is the doc's DISTINCT-token list. The surprisal
-    * fold runs over the token-sorted (token, n_d, c) list, so both engines
+    * (zipf-bounded — millions of rows at web scale, broadcastable), then
+    * one per-doc aggregate whose state is the doc's DISTINCT-token list.
+    * `broadcastVocab = false` drops the broadcast hint so the vocabulary
+    * join shuffles instead — the correct (slow, not OOM) path when the
+    * distinct-token count outgrows executor memory. The surprisal fold
+    * runs over the token-sorted (token, n_d, c) list, so both engines
     * add identical terms in identical order (the q84 determinism
     * discipline).
     */
   def unigramBitsPerToken(
       docs: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      broadcastVocab: Boolean = true): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val perDocTok = tok.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("nd"))
     val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
     val totals = vocab.agg(sum("c").as("total"))
-    perDocTok.join(broadcast(vocab), "tok")
+    perDocTok.join(if (broadcastVocab) broadcast(vocab) else vocab, "tok")
       .groupBy(col(idCol))
       .agg(sum("nd").as("n_tokens"),
         sort_array(collect_list(struct(col("tok"), col("nd"), col("c"))))

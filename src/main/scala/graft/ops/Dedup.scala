@@ -340,7 +340,10 @@ object Dedup {
     }
     val q = tuned.parquet(dir).writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+       // All three state appends are non-idempotent; skip a checkpoint-
+       // recovery replay of an already-applied batch (Upsert.applyBatchOnce).
+       graft.ops.Upsert.applyBatchOnce(spark, s"$stateDir/_applied", batchId) {
         val sets = shingleSets(batch, idCol, textCol, shingleLen).persist()
         val sigs = sets.select(col(idCol), minHashOfShingles(col("sh"), numHashes).as("sig"))
         val banded = bandProjection(sigs, idCol, numHashes, bands).persist()
@@ -357,7 +360,13 @@ object Dedup {
             Seq("band", "band_sig"))
             .select("id_new", "id_other"))
         else None
-        val cand = cross.fold(within)(within.unionByName(_)).distinct()
+        // The id inequality is belt-and-braces for the self-pair case: if
+        // the band index somehow already holds this batch's bands (partial
+        // replay past the marker guard), the cross probe would pair each
+        // doc with itself at jaccard 1.0.
+        val cand = cross.fold(within)(within.unionByName(_))
+          .filter(col("id_new") =!= col("id_other"))
+          .distinct()
         val others = if (exists(shinglesDir))
           sets.unionByName(spark.read.parquet(shinglesDir)) else sets
         val verified = cand
@@ -378,13 +387,25 @@ object Dedup {
         sets.write.mode("append").parquet(shinglesDir)
         sets.unpersist()
         banded.unpersist()
+       }
         ()
       }
       .start()
     try q.processAllAvailable()
     finally q.stop()
     if (exists(pairsDir)) spark.read.parquet(pairsDir)
-    else spark.emptyDataFrame
+    else {
+      // A duplicate-free corpus must still yield the pairs schema so
+      // callers can select/orderBy id_a without special-casing.
+      val idType = schema(schema.fieldIndex(idCol)).dataType
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a", idType),
+          org.apache.spark.sql.types.StructField("id_b", idType),
+          org.apache.spark.sql.types.StructField("jaccard",
+            org.apache.spark.sql.types.DoubleType))))
+    }
   }
 
   /** Cross-corpus MinHash near-dup pairs: corpus documents whose token-

@@ -157,6 +157,8 @@ object Sampling {
     * rows of each `groupCol` stratum (ties by ascending `idCol`), with a
     * 1-based `rank` — "keep the best documents per source/domain", the
     * quality-ranked counterpart of [[stratifiedHashSample]]'s rate cut.
+    * Rows with a null score never win (filtered before aggregation), even
+    * when a group holds fewer than `k` non-null rows.
     *
     * Scale shape: winners are found with Spark's bounded `CollectTopK`
     * aggregate — every aggregation level (map-side partials included) holds
@@ -176,11 +178,15 @@ object Sampling {
     require(!df.columns.contains("rank"),
       "topPerGroup emits a 'rank' column; rename the input's")
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // Null-score contract: null scores never win. (Unfiltered, the negated
+    // struct would order nulls FIRST under the aggregate's ascending
+    // ordering — the opposite of the rank window's `desc` nulls-last.)
+    val scored = df.filter(col(scoreCol).isNotNull)
     // reverse = true keeps the k SMALLEST (negated score, id) structs =
     // highest scores with ascending-id tie-break; the re-sort puts the
     // bounded result in rank order for posexplode.
     val item = struct((-col(scoreCol).cast("double")).as("n"), col(idCol).as("i"))
-    val winners = df
+    val winners = scored
       .groupBy(col(groupCol))
       .agg(array_sort(ColumnBridge.collectTopK(item, k, reverse = true)).as("__top"))
       .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__item")))

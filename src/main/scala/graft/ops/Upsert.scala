@@ -144,6 +144,11 @@ object Upsert {
     * bucket discipline: only the hash buckets the incoming keys touch are
     * read and dynamically overwritten, so per-call work is proportional
     * to touched-bucket size, not sink size.
+    *
+    * NOT idempotent: re-merging the same batch accumulates its elements
+    * into each key's state a second time (unlike the replace-by-key sink,
+    * which tolerates replay). Streaming callers must wrap the call in
+    * [[applyBatchOnce]] so a checkpoint-recovery batch replay is skipped.
     */
   def mergeKeyedParquet(
       updates: DataFrame,
@@ -182,4 +187,28 @@ object Upsert {
   /** Read a [[upsertKeyedParquet]] sink back as a plain table. */
   def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__bucket")
+
+  /** Replay guard for non-idempotent `foreachBatch` sinks: run `body` only
+    * if micro-batch `batchId` has not already been applied, recording a
+    * marker file under `markerDir` afterwards. `foreachBatch` documents
+    * that a batch may be re-delivered after checkpoint recovery; replace-
+    * by-key sinks ([[upsertKeyedParquet]]) tolerate that, but append sinks
+    * and accumulate-merge sinks ([[mergeKeyedParquet]]) would double-apply
+    * the batch (duplicate appended rows / elements concatenated into each
+    * key's list twice). The marker is written after `body` completes, so a
+    * crash MID-batch still replays — callers needing exactly-once under
+    * mid-batch crashes must pair this with an atomic sink; the guard closes
+    * the common recovery case (batch fully applied, checkpoint commit lost).
+    */
+  def applyBatchOnce(
+      spark: org.apache.spark.sql.SparkSession,
+      markerDir: String,
+      batchId: Long)(body: => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$markerDir/batch_$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      body
+      fs.mkdirs(marker)
+    }
+  }
 }

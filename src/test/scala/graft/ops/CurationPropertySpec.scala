@@ -101,6 +101,16 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("unigramBitsPerToken: broadcastVocab=false (shuffle-join path) ≡ broadcast path") {
+    trials(3) { rnd =>
+      val docs = (1L to 12L).map(i => (i, randText(rnd, 10))).toDF("doc_id", "text")
+      def rows(broadcastVocab: Boolean) =
+        Curation.unigramBitsPerToken(docs, "doc_id", "text", broadcastVocab)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows(broadcastVocab = false) == rows(broadcastVocab = true))
+    }
+  }
+
   test("topPerGroup ≡ naive per-group sort on random data") {
     trials(10) { rnd =>
       val rows = (1L to 60L).map(i =>

@@ -465,6 +465,15 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("collect_top_k"))
     assert(!plan.contains("Window"))
     assert(plan.contains("BroadcastHashJoin"))
+    // null-score contract: null rows never win, even in a group with
+    // fewer than k non-null rows (unfiltered, the negated struct would
+    // order nulls first and hand them the top ranks)
+    val withNulls = Seq(
+      (1L, "g", Some(2.0)), (2L, "g", None), (3L, "g", Some(5.0)), (4L, "g", None))
+      .toDF("doc_id", "grp", "score")
+    val ranked = Sampling.topPerGroup(withNulls, "doc_id", "grp", "score", k = 3)
+      .select("doc_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(ranked == Set((3L, 1), (1L, 2)))
   }
 
   test("outlierReport plan: stat tables broadcast back — no corpus-side sort-merge join") {

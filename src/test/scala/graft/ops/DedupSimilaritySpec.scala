@@ -439,6 +439,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(raw.count() == raw.distinct().count())
   }
 
+  test("streaming minhash on a duplicate-free corpus returns an EMPTY frame with the pairs schema") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mh-empty").toString
+    val unique = (1L to 20L).map(i => (i, s"totally distinct content number $i with token salad $i$i"))
+      .toDF("doc_id", "text")
+    unique.write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val got = Dedup.streamingMinHashNearDuplicates(spark, s"$base/documents.parquet",
+      "*.parquet", "doc_id", "text",
+      stateDir = s"$base/state", checkpointDir = s"$base/ckpt",
+      threshold = 0.95)
+    // callers select/orderBy these columns; a schema-less emptyDataFrame
+    // would throw instead of returning zero rows
+    assert(got.schema.fieldNames.toSeq == Seq("id_a", "id_b", "jaccard"))
+    assert(got.orderBy("id_a").select("id_a", "id_b", "jaccard").count() == 0)
+  }
+
+  test("applyBatchOnce: an already-applied batch id is skipped (foreachBatch replay guard)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-once").toString
+    var runs = 0
+    Upsert.applyBatchOnce(spark, s"$base/_applied", 7L) { runs += 1 }
+    Upsert.applyBatchOnce(spark, s"$base/_applied", 7L) { runs += 1 } // replay: skipped
+    Upsert.applyBatchOnce(spark, s"$base/_applied", 8L) { runs += 1 } // new batch: runs
+    assert(runs == 2)
+  }
+
   test("streaming IVF ingest ≡ batch assignment; index stays probe-ready") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
