@@ -835,8 +835,11 @@ object SparkEntry {
     // individually gated (q57/q14/q56/q58); this gates their COMPOSITION.
     "q63_curation_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // Fractional threshold derives from an in-plan count (the oracle's
+      // scalar subquery), not an eager docs.count() at plan-build time —
+      // at 100 TB that eager action was an extra full-scan job per build.
       val cleaned = Curation.stripBoilerplate(docs, "doc_id", "text",
-        separator = " ", minDocs = docs.count() * 8 / 10)
+        separator = " ", minDocs = Right(0.8))
       // Stage barrier: decontaminate branches its input (gram index +
       // anti-join), so without this persist the strip→dedup subtree
       // recomputes once per branch. CurationScaleProbe times both

@@ -269,7 +269,25 @@ object Curation {
       idCol: String,
       textCol: String,
       separator: String = "\n",
-      minDocs: Long = 10): DataFrame = {
+      minDocs: Long = 10): DataFrame =
+    stripBoilerplate(docs, idCol, textCol, separator, Left(minDocs))
+
+  /** [[stripBoilerplate]] with the threshold as `Left(absolute df)` or
+    * `Right(fraction of the corpus)`. The fraction form derives the cut
+    * INSIDE the plan — a 1-row `count(*) × fraction` aggregate cross-joined
+    * into the df filter, the scalar-subquery shape — so no eager driver
+    * `count()` runs at plan-build time and a cached/reused plan pays no
+    * extra scan (parquet answers the count from footer statistics). The
+    * fraction multiplies as an exact decimal, so `df >= n × 0.8` agrees
+    * with SQL decimal arithmetic at integer boundaries rather than
+    * inheriting double rounding.
+    */
+  def stripBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      separator: String,
+      minDocs: Either[Long, Double]): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     val segs = docs
       .select(col(idCol),
@@ -280,10 +298,17 @@ object Curation {
       .persist()
     // Document frequency over DISTINCT (doc, segment) — a segment repeated
     // within one document counts once.
-    val boiler = segs.select(col(idCol), col("__fp")).distinct()
+    val dfCounts = segs.select(col(idCol), col("__fp")).distinct()
       .groupBy("__fp").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select("__fp")
+    val boiler = (minDocs match {
+      case Left(n) => dfCounts.filter(col("__df") >= n)
+      case Right(f) =>
+        // Double.toString-exact decimal (0.8 -> DECIMAL "0.8", not the
+        // slightly-larger nearest double), multiplied into the corpus count.
+        val frac = lit(java.math.BigDecimal.valueOf(f))
+        val thr = docs.agg((count(lit(1)) * frac).as("__thr"))
+        dfCounts.crossJoin(broadcast(thr)).filter(col("__df") >= col("__thr"))
+    }).select("__fp")
     val kept = segs.join(broadcast(boiler), Seq("__fp"), "left_anti")
       .groupBy(idCol)
       .agg(array_join(

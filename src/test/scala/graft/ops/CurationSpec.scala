@@ -51,6 +51,19 @@ class CurationSpec extends AnyFunSuite {
       (1L, "a b"), (2L, "c"), (3L, "a"), (4L, ""), (5L, "q q")))
   }
 
+  test("stripBoilerplate fractional threshold: in-plan count, decimal-exact at integer boundary") {
+    val docs = Seq(
+      (1L, "h a b"), (2L, "h c"), (3L, "h a"), (4L, "h"), (5L, "q q"))
+      .toDF("doc_id", "text")
+    // 5 docs × 0.8 = exactly 4.0: "h" (df=4) must qualify. A naive
+    // double threshold (5 * 0.8 = 4.000000000000001) would keep it.
+    val got = Curation.stripBoilerplate(docs, "doc_id", "text",
+        separator = " ", minDocs = Right(0.8))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "a b"), (2L, "c"), (3L, "a"), (4L, ""), (5L, "q q")))
+  }
+
   test("dedupeSegments: in-doc repeats keep first occurrence; cross-doc untouched") {
     val docs = Seq(
       (1L, "nav home nav about nav home end"), // repeated "nav" and "home"
