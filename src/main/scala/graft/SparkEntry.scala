@@ -1140,6 +1140,87 @@ object SparkEntry {
       stages("geneHaplotype")
         .select("patient_id", "physical_chromosome", "gene_name", "haplotype_name")
         .orderBy("patient_id", "physical_chromosome")
+    }),
+
+    // S1: the regex-separator DSV path (Input.groovy:46-140) — the nation
+    // table rendered as '|'-separated text with uneven whitespace padding,
+    // read back through Dsv.readRegex (header detect + regex split +
+    // projection), must round-trip to the parquet original. The 25-row
+    // collect is fixture GENERATION, not a data path.
+    "q89_dsv_regex" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q89")
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey").collect()
+      val pad = Array("", " ", "  ")
+      val lines = "n_nationkey|n_name | n_regionkey" +:
+        rows.toSeq.zipWithIndex.map { case (r, i) =>
+          s"${r.get(0)}${pad(i % 3)}|${pad((i + 1) % 3)}${r.get(1)}${pad((i + 2) % 3)}| ${r.get(2)}"
+        }
+      java.nio.file.Files.write(base.resolve("nation.dsv"),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.io.Dsv.readRegex(s, base.resolve("nation.dsv").toString,
+          sepRegex = "\\s*\\|\\s*",
+          header = Seq("n_nationkey", "n_name", "n_regionkey"),
+          requireHeader = true)
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"))
+        .orderBy("n_nationkey")
+    }),
+
+    // S9 closure mode: Upsert.merge with a caller-supplied per-column merge
+    // function (Sql.groovy:399-408's ON DUPLICATE KEY UPDATE closure) —
+    // matched keys ADD balances (non-merged columns keep the existing
+    // value), unmatched existing rows pass through, unmatched incoming rows
+    // insert. Even-key customers are the "existing" side; per-customer
+    // order totals are the incoming side, so odd-key customers insert.
+    "q90_upsert_merge" -> ((s, dir) => {
+      val existing = t(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("k"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"),
+          col("c_mktsegment").as("segment"))
+      val incoming = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("bal"))
+        .withColumn("segment", lit("NEW"))
+      Upsert.merge(existing, incoming, Seq("k"),
+          Map("bal" -> ((old: org.apache.spark.sql.Column,
+            nw: org.apache.spark.sql.Column) => old + nw)))
+        .select(col("k"), col("bal").cast("double").as("bal"), col("segment"))
+        .orderBy("k")
+    }),
+
+    // U4 handler semantics (Dependency.groovy:49-54,101-116): hook firing
+    // order over a graph with a swallowed failure — beforeBuild after deps,
+    // onFail on the rule exception, afterBuild on success AND on swallowed
+    // failure, dependants of the failed stage see the missing input and fail
+    // in turn, the independent subtree still builds.
+    "q91_stage_hooks" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.StageGraph
+      val events = scala.collection.mutable.Buffer[(Int, String, String)]()
+      def ev(stage: String, what: String): Unit =
+        events += ((events.size + 1, stage, what))
+      def stage(
+          deps: Seq[String],
+          rule: Map[String, DataFrame] => DataFrame): StageGraph.Stage =
+        StageGraph.Stage(deps, rule,
+          beforeBuild = Seq(n => ev(n, "before")),
+          afterBuild = Seq((n, df) =>
+            ev(n, if (df.isDefined) "after_ok" else "after_failed")),
+          onFail = Seq((n, _) => ev(n, "onfail")),
+          propagateFailure = false)
+      val g = StageGraph(
+        "base" -> stage(Nil, _ => t(s, dir, "region")),
+        "bad" -> stage(Seq("base"),
+          _ => throw new RuntimeException("planned failure")),
+        "downstream" -> stage(Seq("bad"), dfs => dfs("bad")),
+        "healthy" -> stage(Seq("base"),
+          dfs => dfs("base").select("r_regionkey", "r_name")))
+      val built = g.build() // leaves build name-sorted: downstream, healthy
+      require(built.keySet == Set("base", "healthy"))
+      events.toSeq.toDF("step", "stage", "event").orderBy("step")
     }))
 
   // ---- DuckDB oracles ----
@@ -2954,5 +3035,46 @@ object SparkEntry {
                 '*1' AS haplotype_name
          FROM generate_series(1, 100) AS samples(s),
               (VALUES ('A'), ('B')) AS chrom(physical_chromosome)
-         ORDER BY patient_id, physical_chromosome""")
+         ORDER BY patient_id, physical_chromosome""",
+
+    // The DSV text render + regex read-back must reproduce the source table.
+    "q89_dsv_regex" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+
+    // Closure-mode upsert: LEFT JOIN applies the merge to matches, the
+    // NOT EXISTS branch is the insert side; decimal partials keep the
+    // balance addition order-insensitive.
+    "q90_upsert_merge" ->
+      """WITH existing AS (
+           SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+                  c_mktsegment AS segment
+           FROM customer WHERE c_custkey % 2 = 0),
+         incoming AS (
+           SELECT o_custkey AS k, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS bal
+           FROM orders GROUP BY o_custkey),
+         merged AS (
+           SELECT e.k,
+                  CASE WHEN i.k IS NOT NULL THEN e.bal + i.bal ELSE e.bal END AS bal,
+                  e.segment
+           FROM existing e LEFT JOIN incoming i ON e.k = i.k
+           UNION ALL
+           SELECT i.k, i.bal, 'NEW' AS segment
+           FROM incoming i
+           WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.k = i.k))
+         SELECT k, CAST(bal AS DOUBLE) AS bal, segment
+         FROM merged ORDER BY k""",
+
+    // Hand-derived from Dependency.groovy:101-116 over the q91 graph: the
+    // exact hook event sequence (deps-first order, onfail then after_failed
+    // on a swallowed failure, dependant fails on the missing input,
+    // independent subtree builds).
+    "q91_stage_hooks" ->
+      """SELECT * FROM (VALUES
+           (1, 'base', 'before'), (2, 'base', 'after_ok'),
+           (3, 'bad', 'before'), (4, 'bad', 'onfail'), (5, 'bad', 'after_failed'),
+           (6, 'downstream', 'before'), (7, 'downstream', 'onfail'),
+           (8, 'downstream', 'after_failed'),
+           (9, 'healthy', 'before'), (10, 'healthy', 'after_ok'))
+         AS t(step, stage, event) ORDER BY step""")
 }
