@@ -88,15 +88,90 @@ object RowOps {
 
   /** Convert a DataFrame's ordered output into sparse maps (null cells
     * dropped) for [[collapse]]; runs on the driver via `toLocalIterator`.
+    *
+    * Guarded: the driver path is for per-job human-readable reports. Streaming
+    * past `maxDriverRows` rows aborts with a pointer to [[collapseByGroup]]
+    * (the distributed form) instead of silently feeding the driver an
+    * unbounded frame. The guard counts during iteration — no upfront count
+    * job.
     */
-  def sparseRows(df: DataFrame): Iterator[Map[String, Any]] = {
+  def sparseRows(df: DataFrame, maxDriverRows: Long = 1000000L): Iterator[Map[String, Any]] = {
     val cols = df.columns
+    var n = 0L
     df.toLocalIterator().asInstanceOf[java.util.Iterator[Row]]
       .asScala
       .map { r =>
+        n += 1
+        if (n > maxDriverRows)
+          throw new IllegalStateException(
+            s"report exceeds $maxDriverRows driver-side rows; collapse per group " +
+              "with RowOps.collapseByGroup (distributed) instead")
         cols.zipWithIndex.collect {
           case (c, i) if !r.isNullAt(i) => c -> r.get(i)
         }.toMap
+      }
+  }
+
+  /** Distributed [[collapse]]: the staircase runs independently WITHIN each
+    * `groupCols` group (per job/patient), so no group's report — let alone
+    * the whole frame — ever materializes on the driver. One shuffle on the
+    * group key; rows sort within partitions by (group, ordering) and a
+    * per-partition iterator applies the identical staircase to each group
+    * run. Semantics per group equal [[collapse]] over that group's rows in
+    * `ordering`. Group columns are excluded from the overlap rule (constant
+    * within a group, they would block every merge); ordering columns are
+    * likewise excluded and DROPPED from the output — a merged row spans
+    * several order positions, exactly as the whole-report path drops its
+    * `__ord` before collapsing.
+    *
+    * The reference's collapse is whole-report sequential
+    * (`Row.groovy:109-185`); reports there are single-patient scale. This is
+    * the many-patient form: a 100 TB multi-tenant report collapses with
+    * per-group parallelism, then writes through [[graft.io.DsvWriter]]'s
+    * distributed path.
+    */
+  def collapseByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      ordering: Seq[String],
+      canCollapse: (Map[String, Any], Map[String, Any]) => Boolean =
+        (acc, next) => acc.keySet.intersect(next.keySet).isEmpty,
+      merge: (Map[String, Any], Map[String, Any]) => Map[String, Any] = _ ++ _
+  ): DataFrame = {
+    val schema = df.schema
+    val gSet = groupCols.toSet
+    val oSet = ordering.toSet -- gSet
+    val outFields = schema.fields.filter(f => !oSet(f.name)).toVector
+    val outCols = outFields.map(_.name)
+    val valueIdx = df.columns.zipWithIndex.collect {
+      case (c, i) if !gSet(c) && !oSet(c) => c -> i
+    }.toVector
+    val groupIdx = groupCols.map(c => c -> schema.fieldIndex(c)).toVector
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(outFields))
+    df.repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ ordering).map(col): _*)
+      .mapPartitions { it =>
+        val maps = it.map { r =>
+          val key = groupIdx.map { case (c, i) => c -> r.get(i) }.toMap
+          val sparse = valueIdx.collect {
+            case (c, i) if !r.isNullAt(i) => c -> r.get(i)
+          }.toMap
+          sparse + ("__group" -> key)
+        }
+        collapse(
+          maps,
+          canCollapse = (a, n) =>
+            a("__group") == n("__group") &&
+              canCollapse(a - "__group", n - "__group"),
+          merge = (a, n) =>
+            merge(a - "__group", n - "__group") + ("__group" -> a("__group")))
+          .map { m =>
+            val key = m("__group").asInstanceOf[Map[String, Any]]
+            Row.fromSeq(outCols.map(c =>
+              if (gSet(c)) key(c) else m.getOrElse(c, null)))
+          }
       }
   }
 

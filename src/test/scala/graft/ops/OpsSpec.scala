@@ -137,4 +137,38 @@ class OpsSpec extends AnyFunSuite {
     assert(RowOps.collapse(rows2).toList ==
       List(Map("a" -> 1, "b" -> 2), Map("a" -> 3)))
   }
+
+  test("collapseByGroup: 1M-row multi-patient report collapses distributed, never on the driver") {
+    import org.apache.spark.sql.functions._
+    // 10k patients × 100 ordered rows alternating sparse columns a / b:
+    // within each patient, consecutive (a-only, b-only) rows merge pairwise.
+    val df = spark.range(1000000)
+      .select((col("id") % 10000).as("patient"),
+        expr("id div 10000").as("seq"), col("id"))
+      .select(col("patient"), col("seq"),
+        when(col("seq") % 2 === 0,
+          concat(lit("a"), col("id").cast("string"))).as("a"),
+        when(col("seq") % 2 === 1,
+          concat(lit("b"), col("id").cast("string"))).as("b"))
+    val out = RowOps.collapseByGroup(df, Seq("patient"), Seq("seq"))
+    assert(out.columns.toSeq == Seq("patient", "a", "b")) // ordering col dropped
+    assert(out.count() == 500000L)
+    assert(out.filter(col("a").isNull || col("b").isNull).count() == 0)
+    // per-group staircase semantics: patient 0's first pair is rows
+    // id=0 (seq 0, a="a0") and id=10000 (seq 1, b="b10000")
+    val p0 = out.filter(col("patient") === 0)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(p0.size == 50 && p0.contains(("a0", "b10000")))
+    // the plan is a shuffle on patient + per-partition iterators — no
+    // driver-side toLocalIterator anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(patient"))
+  }
+
+  test("sparseRows guard: driver-side report iteration aborts past the row cap") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(100).select(col("id").as("a"))
+    val it = RowOps.sparseRows(big, maxDriverRows = 10)
+    intercept[IllegalStateException] { it.size }
+  }
 }
