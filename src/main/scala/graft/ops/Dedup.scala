@@ -251,14 +251,27 @@ object Dedup {
   }
 
   private def bandedCandidates(sigs: DataFrame, idCol: String,
-      numHashes: Int, bands: Int): DataFrame = {
+      numHashes: Int, bands: Int, maxBucket: Long = 0L): DataFrame = {
     // Persist the banded projection: self-join attribute deduplication
     // defeats ReuseExchange, so without it the md5 signature pass runs
     // once per join branch. Callers timing independent queries should
     // clearCache between them.
     val banded = bandProjection(sigs, idCol, numHashes, bands).persist()
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // Skew guard (same shape as Similarity.lshEmbeddingPairs): a band
+    // bucket holding m documents emits m²/2 candidates — an exact-dup
+    // mega-cluster (the classic corpus pathology) turns one bucket
+    // quadratic. Buckets above maxBucket are anti-joined out; the hot
+    // list is small by construction (it IS the pathological tail).
+    val pruned =
+      if (maxBucket <= 0L) banded
+      else {
+        val hot = banded.groupBy("band", "band_sig")
+          .agg(count(lit(1)).as("__pop"))
+          .filter(col("__pop") > maxBucket).select("band", "band_sig")
+        banded.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
+      }
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
@@ -270,6 +283,13 @@ object Dedup {
   /** MinHash near-dup pairs verified by true token-set Jaccard ≥ threshold.
     * Verification joins the (small) candidate set back to token sets —
     * only candidates pay the set-comparison cost.
+    *
+    * `maxBucket` (0 = unlimited) drops band buckets holding more than that
+    * many documents before candidate generation — the guard against
+    * exact-duplicate mega-clusters going quadratic inside one bucket. Run
+    * [[exactDedup]] first (the cheap operator that removes those clusters
+    * wholesale); the cap then only clips pathological residue, and a pair
+    * sharing any un-capped band is still found.
     */
   def minHashNearDuplicates(
       df: DataFrame,
@@ -278,14 +298,15 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 8,
       bands: Int = 4,
-      shingleLen: Int = 3): DataFrame = {
+      shingleLen: Int = 3,
+      maxBucket: Long = 0L): DataFrame = {
     // Shingle sets computed once and persisted: they feed the signature
     // pass and both verification joins, and self-join attribute dedup
     // prevents exchange reuse across those branches.
     val sets = shingleSets(df, idCol, textCol, shingleLen).persist()
     val sigs = sets
       .select(col(idCol), minHashOfShingles(col("sh"), numHashes).as("sig"))
-    val candidates = bandedCandidates(sigs, idCol, numHashes, bands)
+    val candidates = bandedCandidates(sigs, idCol, numHashes, bands, maxBucket)
     candidates
       .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -439,6 +439,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(raw.count() == raw.distinct().count())
   }
 
+  test("minhash maxBucket guard: mega-cluster buckets are clipped, other pairs survive") {
+    // 12 identical docs (one band bucket of 12 per band) + one near-dup
+    // pair of distinct docs. maxBucket=8 must drop the cluster's buckets
+    // (no pairs among ids 0-11) while the distinct pair is still found.
+    val cluster = (0L to 11L).map(i => (i, "the very same boilerplate text page"))
+    val nearDup = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val df = (cluster ++ nearDup).toDF("doc_id", "text")
+    val unguarded = Dedup.minHashNearDuplicates(df, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.minHashNearDuplicates(df, "doc_id", "text", threshold = 0.5,
+        maxBucket = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.contains((0L, 1L)) && unguarded.contains((100L, 101L)))
+    assert(guarded.subsetOf(unguarded))
+    assert(!guarded.exists { case (a, b) => a < 12 && b < 12 })
+    assert(guarded.contains((100L, 101L)))
+  }
+
   test("streaming minhash on a duplicate-free corpus returns an EMPTY frame with the pairs schema") {
     val base = java.nio.file.Files.createTempDirectory("graft-mh-empty").toString
     val unique = (1L to 20L).map(i => (i, s"totally distinct content number $i with token salad $i$i"))
