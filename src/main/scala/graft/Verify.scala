@@ -19,9 +19,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_VERIFY_TWICE=1: after dumping each query, execute it a
+    // SECOND time from a fresh plan and diff row-level md5 fingerprints —
+    // the guard against the rank-collision/float-tie class of bug (q79/q80
+    // history) that only order instability across runs exposes.
+    val twice = sys.env.get("SPARK_GRAFT_VERIFY_TWICE").contains("1")
+    def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      df.collect().foreach(r => md.update(r.toString.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    var mismatches = 0
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (twice) {
+          val h1 = fingerprint(spark.read.parquet(s"$outDir/$name"))
+          spark.catalog.clearCache()
+          val h2 = fingerprint(fn(spark, sfDir))
+          if (h1 == h2) println(s"[determinism] $name OK $h1")
+          else { mismatches += 1
+            println(s"[determinism] $name MISMATCH run1=$h1 run2=$h2") }
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -29,6 +50,7 @@ object Verify {
       // independent, so release them between dumps.
       spark.catalog.clearCache()
     }
+    if (twice) println(s"[determinism] total mismatches: $mismatches")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
