@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -16,11 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `aggregate` over 64-wide bit arrays) run on the interpreted
   * higher-order-function path, paying expression-tree dispatch and boxing
   * per array element. These expressions evaluate once per ROW with a tight
-  * JVM loop inside (CodegenFallback costs one virtual call per row —
-  * irrelevant next to the loop). Semantics match the composable versions
-  * exactly: MinHashSig's minima are lexicographic minimums of lowercase
-  * md5-hex strings, identical to `min(md5(j || ':' || shingle))` in any
-  * ANSI engine, so DuckDB oracles are unaffected.
+  * JVM loop inside, and implement `doGenCode` as a static call into that
+  * loop — so the enclosing Project/Filter stays INSIDE the whole-stage
+  * codegen span (a CodegenFallback would evict the whole operator from the
+  * span, de-fusing the surrounding pipeline, not just this expression).
+  * Semantics match the composable versions exactly: MinHashSig's minima are
+  * lexicographic minimums of lowercase md5-hex strings, identical to
+  * `min(md5(j || ':' || shingle))` in any ANSI engine, so DuckDB oracles
+  * are unaffected.
   */
 object HashExpressions {
 
@@ -29,32 +32,41 @@ object HashExpressions {
     * Null/empty input → null.
     */
   case class MinHashSig(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      if (n == 0) return null
-      val md = MessageDigest.getInstance("MD5")
-      val minima = new Array[String](numHashes)
-      var i = 0
-      while (i < n) {
-        val s = arr.getUTF8String(i).toString
-        var j = 0
-        while (j < numHashes) {
-          md.reset()
-          val hex = toHex(md.digest((j.toString + ":" + s).getBytes("UTF-8")))
-          if (minima(j) == null || hex.compareTo(minima(j)) < 0) minima(j) = hex
-          j += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(minima.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
-    }
+    override def nullSafeEval(input: Any): Any =
+      minHashSigEval(input.asInstanceOf[ArrayData], numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.HashExpressions.minHashSigEval($c, $numHashes);
+        ${ev.isNull} = (${ev.value} == null);
+      """)
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Static hot loop for [[MinHashSig]]; called from generated code. */
+  def minHashSigEval(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val minima = new Array[String](numHashes)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var j = 0
+      while (j < numHashes) {
+        md.reset()
+        val hex = toHex(md.digest((j.toString + ":" + s).getBytes("UTF-8")))
+        if (minima(j) == null || hex.compareTo(minima(j)) < 0) minima(j) = hex
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(minima.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
   }
 
   private def toHex(bytes: Array[Byte]): String = {
@@ -76,39 +88,45 @@ object HashExpressions {
     * signature with `strpos('0123456789abcdef', substr(md5(t), b/4+1, 1))`
     * arithmetic. Duplicate tokens weight the fold by frequency.
     */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val counts = new Array[Int](64)
-      val md = MessageDigest.getInstance("MD5")
-      var i = 0
-      while (i < n) {
-        md.reset()
-        val digest = md.digest(arr.getUTF8String(i).toString.getBytes("UTF-8"))
-        var b = 0
-        while (b < 64) {
-          val nibIdx = b >> 2 // hex char index 0..15 over digest bytes 0..7
-          val byte = digest(nibIdx >> 1) & 0xff
-          val nib = if ((nibIdx & 1) == 0) byte >>> 4 else byte & 0xf
-          if (((nib >>> (b & 3)) & 1) == 1) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) {
-        if (counts(b) > 0) out |= (1L << b)
-        b += 1
-      }
-      out
-    }
+    override def nullSafeEval(input: Any): Any =
+      simHash64Eval(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashExpressions.simHash64Eval($c)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Static hot loop for [[SimHash64]]; called from generated code. */
+  def simHash64Eval(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val digest = md.digest(arr.getUTF8String(i).toString.getBytes("UTF-8"))
+      var b = 0
+      while (b < 64) {
+        val nibIdx = b >> 2 // hex char index 0..15 over digest bytes 0..7
+        val byte = digest(nibIdx >> 1) & 0xff
+        val nib = if ((nibIdx & 1) == 0) byte >>> 4 else byte & 0xf
+        if (((nib >>> (b & 3)) & 1) == 1) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
   }
 
   /** Distinct word k-shingles of a text column in one row-level pass:
@@ -121,75 +139,89 @@ object HashExpressions {
     * set intersection sizes).
     */
   case class ShingleSet(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 
-    override def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[UTF8String].toLowerCase.toString
-      val toks = new scala.collection.mutable.ArrayBuffer[String](64)
-      var i = 0
-      val n = text.length
-      while (i < n) {
-        while (i < n && isWs(text.charAt(i))) i += 1
-        val start = i
-        while (i < n && !isWs(text.charAt(i))) i += 1
-        if (i > start) toks += text.substring(start, i)
-      }
-      if (toks.length < k) return new GenericArrayData(Array.empty[Any])
-      val seen = new java.util.LinkedHashSet[String]()
-      var j = 0
-      val sb = new java.lang.StringBuilder(64)
-      while (j <= toks.length - k) {
-        sb.setLength(0)
-        var m = 0
-        while (m < k) {
-          if (m > 0) sb.append(' ')
-          sb.append(toks(j + m))
-          m += 1
-        }
-        seen.add(sb.toString)
-        j += 1
-      }
-      val out = new Array[Any](seen.size())
-      val it = seen.iterator()
-      var o = 0
-      while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      shingleSetEval(input.asInstanceOf[UTF8String], k)
 
-    private def isWs(c: Char): Boolean =
-      c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashExpressions.shingleSetEval($c, $k)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+
+  /** Static hot loop for [[ShingleSet]]; called from generated code. */
+  def shingleSetEval(input: UTF8String, k: Int): ArrayData = {
+    val text = input.toLowerCase.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(text.charAt(i))) i += 1
+      if (i > start) toks += text.substring(start, i)
+    }
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (j <= toks.length - k) {
+      sb.setLength(0)
+      var m = 0
+      while (m < k) {
+        if (m > 0) sb.append(' ')
+        sb.append(toks(j + m))
+        m += 1
+      }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Distinct character n-grams of an already-normalized string in one
     * row-level pass; equivalent to
     * `array_distinct(ngramsFromNormalized(norm, n))`.
     */
   case class NgramSet(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 
-    override def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[UTF8String].toString
-      if (text.length < n) return new GenericArrayData(Array.empty[Any])
-      val seen = new java.util.LinkedHashSet[String]()
-      var i = 0
-      while (i <= text.length - n) {
-        seen.add(text.substring(i, i + n))
-        i += 1
-      }
-      val out = new Array[Any](seen.size())
-      val it = seen.iterator()
-      var o = 0
-      while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      ngramSetEval(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashExpressions.ngramSetEval($c, $n)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Static hot loop for [[NgramSet]]; called from generated code. */
+  def ngramSetEval(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString
+    if (text.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= text.length - n) {
+      seen.add(text.substring(i, i + n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
   }
 
   def minHashSig(shingles: Column, numHashes: Int): Column =
