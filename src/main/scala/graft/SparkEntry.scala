@@ -1221,6 +1221,31 @@ object SparkEntry {
       val built = g.build() // leaves build name-sorted: downstream, healthy
       require(built.keySet == Set("base", "healthy"))
       events.toSeq.toDF("step", "stage", "event").orderBy("step")
+    }),
+
+    // JSONL source round-trip: the documents table exported as JSON-lines
+    // shards and read back through the explicit-schema (never inferred)
+    // JSONL reader must reproduce the parquet original — the interchange
+    // format most LLM corpus tooling ships.
+    "q92_jsonl_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q92").toString
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      graft.io.JsonLines.write(docs, s"$base/docs.jsonl", shards = 4)
+      graft.io.JsonLines.read(s, s"$base/docs.jsonl", docs.schema)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic exact-n per-group sample: each source keeps its 10
+    // smallest-(md5(id), id) documents via the bounded CollectTopK
+    // aggregate — the count-based complement of q50's rate cut; the
+    // selected ids differ per scale (different corpora) but the count is
+    // exactly 10 × sources at any scale ≥ 10 docs/source.
+    "q93_per_group_sample" -> ((s, dir) => {
+      graft.ops.Sampling.perGroupSampleExact(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", n = 10)
+        .orderBy("source", "doc_id")
     }))
 
   // ---- DuckDB oracles ----
@@ -3076,5 +3101,20 @@ object SparkEntry {
            (6, 'downstream', 'before'), (7, 'downstream', 'onfail'),
            (8, 'downstream', 'after_failed'),
            (9, 'healthy', 'before'), (10, 'healthy', 'after_ok'))
-         AS t(step, stage, event) ORDER BY step""")
+         AS t(step, stage, event) ORDER BY step""",
+
+    // The JSONL export/import must reproduce the source table exactly.
+    "q92_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    // Exact-n per-group selection: the bounded-aggregate winners equal the
+    // (md5(id), id)-ordered rank window.
+    "q93_per_group_sample" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY source, doc_id""")
 }

@@ -48,6 +48,37 @@ object Sampling {
   def hashSampleExact(df: DataFrame, idCol: String, n: Int): DataFrame =
     df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
 
+  /** Deterministic EXACT-n sample PER GROUP: each `groupCol` stratum keeps
+    * the `n` rows with the smallest `(md5(id), id)` — the count-based
+    * complement of [[stratifiedHashSample]]'s rate cut ("exactly 10k
+    * documents per source", balanced eval sets), selection a pure function
+    * of ids as everywhere in this module.
+    *
+    * Scale shape: same as [[topPerGroup]] — the bounded `CollectTopK`
+    * aggregate holds an n-element priority queue per group at every
+    * aggregation level (map-side partials included), so per-group state is
+    * O(n) regardless of stratum size and the shuffle carries ≤ n rows per
+    * partition per group; the winner set (groups × n — small by
+    * construction) broadcasts back to recover full rows. Groups smaller
+    * than `n` keep every row.
+    */
+  def perGroupSampleExact(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val item = struct(md5(col(idCol).cast("string")).as("h"), col(idCol).as("i"))
+    val winners = df
+      .groupBy(col(groupCol))
+      .agg(ColumnBridge.collectTopK(item, n, reverse = true).as("__top"))
+      .select(col(groupCol), explode(col("__top")).as("__item"))
+      .select(col(groupCol), col("__item.i").as(idCol))
+    df.join(broadcast(winners), Seq(idCol, groupCol))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Deterministic train/validation/test assignment: a `split` column
     * derived from the md5 of the id, with fractions in 4096ths exactly as
     * [[Similarity.hashSample]] (so an external oracle reproduces the

@@ -111,6 +111,24 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("perGroupSampleExact ≡ md5-rank window; groups under n keep all rows") {
+    trials(5) { rnd =>
+      val rows = (1L to 80L).map(i => (i, "g" + rnd.nextInt(5)))
+      val n = 1 + rnd.nextInt(6)
+      val got = Sampling.perGroupSampleExact(rows.toDF("doc_id", "grp"),
+          "doc_id", "grp", n)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+        g.sortBy { case (id, _) =>
+          (java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString, id)
+        }.take(n)
+      }.toSet
+      assert(got == want, s"n=$n")
+    }
+  }
+
   test("topPerGroup ≡ naive per-group sort on random data") {
     trials(10) { rnd =>
       val rows = (1L to 60L).map(i =>
