@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{HashExpressions, VecDot}
+import graft.functions.{HashExpressions, UnicodeExpressions, VecDot}
 
 /** Session-extensions entry point: makes the engine's custom Catalyst
   * expressions available in ANY session via standard Spark wiring —
@@ -48,5 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("ngram_set", "ngram_set(text, n) - distinct character n-grams"),
       (exprs: Seq[Expression]) =>
         HashExpressions.NgramSet(exprs(0), intArg(exprs(1), "ngram_set"))))
+    ext.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(text, 'NFC'|'NFKC'|'NFD'|'NFKD') - Unicode normalization"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+          UnicodeExpressions.UnicodeNormalize(exprs(0), v.toString)
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize expects a string literal form, got $other")
+      }))
   }
 }

@@ -1246,6 +1246,22 @@ object SparkEntry {
           t(s, dir, "documents").select("doc_id", "source"),
           "doc_id", "source", n = 10)
         .orderBy("source", "doc_id")
+    }),
+
+    // Unicode NFC normalization ahead of fingerprinting: odd docs carry a
+    // DECOMPOSED suffix (e + combining acute U+0301), even docs the
+    // composed form (U+00E9) — after NFC both render the same codepoints,
+    // so the md5 fingerprints line up and exact dedup sees through the
+    // encoding difference. The oracle is the engine-native nfc_normalize.
+    "q94_nfc_normalize" -> ((s, dir) => {
+      import graft.functions.UnicodeExpressions
+      val suffix = when(col("doc_id") % 2 === 1, lit(" cafe\u0301"))
+        .otherwise(lit(" caf\u00e9"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          UnicodeExpressions.nfc(concat(col("text"), suffix)).as("text_nfc"))
+        .withColumn("fp", md5(col("text_nfc")))
+        .orderBy("doc_id")
     }))
 
   // ---- DuckDB oracles ----
@@ -3116,5 +3132,17 @@ object SparkEntry {
              PARTITION BY source
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
-         WHERE rn <= 10 ORDER BY source, doc_id""")
+         WHERE rn <= 10 ORDER BY source, doc_id""",
+
+    // Decomposed (e + chr(769)) and composed (chr(233)) suffixes NFC-fold
+    // to identical codepoints; fingerprints computed on the folded text.
+    "q94_nfc_normalize" ->
+      """SELECT doc_id,
+              nfc_normalize(text || CASE WHEN doc_id % 2 = 1
+                THEN ' caf' || 'e' || chr(769)
+                ELSE ' caf' || chr(233) END) AS text_nfc,
+              md5(nfc_normalize(text || CASE WHEN doc_id % 2 = 1
+                THEN ' caf' || 'e' || chr(769)
+                ELSE ' caf' || chr(233) END)) AS fp
+         FROM documents ORDER BY doc_id""")
 }

@@ -25,6 +25,17 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("ngram_set",
       (exprs: Seq[Expression]) =>
         HashExpressions.NgramSet(exprs(0), intArg(exprs(1), "ngram_set")), "scala_udf")
+    registry.createOrReplaceTempFunction("unicode_normalize",
+      (exprs: Seq[Expression]) =>
+        UnicodeExpressions.UnicodeNormalize(exprs(0), strArg(exprs(1), "unicode_normalize")),
+      "scala_udf")
+  }
+
+  private def strArg(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+      v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal argument, got $other")
   }
 
   private def intArg(e: Expression, fn: String): Int = e match {
