@@ -1262,6 +1262,76 @@ object SparkEntry {
           UnicodeExpressions.nfc(concat(col("text"), suffix)).as("text_nfc"))
         .withColumn("fp", md5(col("text_nfc")))
         .orderBy("doc_id")
+    }),
+
+    // Corpus snapshot diff: old = the documents table; new = a derived
+    // refresh (every 7th doc dropped, every 3rd survivor edited, every 5th
+    // re-added under a shifted id) — the add/remove/change/unchanged audit
+    // an incremental ingest publishes per crawl. Fingerprints computed
+    // before the full-outer join, so the shuffle carries (id, fp), never
+    // text.
+    "q95_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.select(col("doc_id"), col("text"))
+      val nw = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Curation.snapshotDiff(old, nw, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // Count-relative per-stratum selection: each source keeps its top 25%
+    // longest documents — rank and stratum size from one window pass, the
+    // kept count scaling with each stratum (vs q79/q93's fixed k).
+    "q96_percentile_gate" -> ((s, dir) => {
+      graft.ops.Sampling.percentileGate(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "doc_id", "source", "n_chars", keepFraction = 0.25)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rank"), col("stratum_n"))
+        .orderBy("source", "rank")
+    }),
+
+    // ORC round-trip: the documents table exported as ORC shards and read
+    // back through the explicit-schema reader must reproduce the parquet
+    // original — the Hive-lineage columnar interchange twin of q92.
+    "q97_orc_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q97").toString
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      graft.io.Orc.write(docs, s"$base/docs.orc", shards = 4)
+      graft.io.Orc.read(s, s"$base/docs.orc", docs.schema).orderBy("doc_id")
+    }),
+
+    // Temperature-based mixture: per-source keep rates from the corpus's
+    // own (char-count) totals tempered at alpha = 0.5, applied through the
+    // integer-exact md5 cut — the multilingual rebalancing recipe, derived
+    // entirely in-plan (one strata-sized aggregate, no collect).
+    "q98_temperature_mix" -> ((s, dir) => {
+      graft.ops.Sampling.temperatureMixture(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "doc_id", "source", "n_chars", budget = 50000L, alpha = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // PQ/ADC approximate k-NN: 8-subspace × ~16-codeword product
+    // quantization over the md5-sampled codebook, packed-long codes, ADC
+    // candidate scan (per-row table-lookup sum — no vector bytes), exact
+    // cosine re-rank of the top 20 per query. The full two-stage PQ search
+    // re-derived in SQL by the oracle.
+    "q99_pq_adc_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8,
+        targetKs = 16)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      Similarity.pqTopK(enc, emb, "vec_id", "embedding", cb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, rerank = 20)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine_sim"), 4).as("cosine_sim"), col("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   // ---- DuckDB oracles ----
@@ -3144,5 +3214,143 @@ object SparkEntry {
               md5(nfc_normalize(text || CASE WHEN doc_id % 2 = 1
                 THEN ' caf' || 'e' || chr(769)
                 ELSE ' caf' || chr(233) END)) AS fp
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+
+    // Snapshot diff: the derived refresh re-built in SQL, fingerprints
+    // compared across a full-outer join on the id.
+    "q95_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+         nw0 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+         nw AS (SELECT doc_id, md5(text) AS new_fp FROM nw0)
+         SELECT doc_id,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                WHEN old_fp = new_fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_fp, new_fp
+         FROM old FULL JOIN nw USING (doc_id)
+         ORDER BY doc_id""",
+
+    // Per-stratum percentile gate: rank and stratum count from the same
+    // window formulation; kept rows are rank <= ceil(0.25 * n).
+    "q96_percentile_gate" ->
+      """SELECT doc_id, source, n_chars, CAST(rank AS INTEGER) AS rank,
+              stratum_n
+         FROM (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rank,
+             count(*) OVER (PARTITION BY source) AS stratum_n
+           FROM documents)
+         WHERE rank <= ceil(0.25 * stratum_n)
+         ORDER BY source, rank""",
+
+    // The ORC export/import must reproduce the source table exactly.
+    "q97_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    // Temperature mixture: tempered per-source weights (pow alpha = 0.5,
+    // rounded to 6 decimals for engine portability) over the corpus's own
+    // char totals, then the integer-exact md5 cut in 4096ths.
+    "q98_temperature_mix" ->
+      """WITH totals AS (
+           SELECT source, sum(n_chars) AS st FROM documents GROUP BY source),
+         tw AS (SELECT source, st, pow(CAST(st AS DOUBLE), 0.5) AS p FROM totals),
+         w AS (SELECT source, st, round(p / sum(p) OVER (), 6) AS wt FROM tw),
+         c AS (SELECT source, st,
+             CAST(floor(50000.0 * wt * 4096.0 / CAST(st AS DOUBLE)) AS BIGINT) AS cut
+           FROM w)
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN c USING (source)
+         WHERE c.cut >= 4096
+            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) <
+               lpad(to_hex(c.cut), 3, '0')
+         ORDER BY d.doc_id""",
+
+    // The full PQ/ADC pipeline re-derived: md5-sampled codebook rows
+    // (code ids = ascending sampled-id positions), per-subspace argmin-L2
+    // encoding, per-query distance tables, j-ordered list_sum ADC
+    // distances (bit-matching the packed-code expression's sequential
+    // sum), top-20 shortlist by (adist, id), exact-cosine re-rank to 5.
+    "q99_pq_adc_topk" ->
+      """WITH cbsrc AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
+           FROM embeddings
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 3) <
+             (SELECT lpad(to_hex(CAST(least(4095, greatest(1,
+                round(16 * 4096.0 / count(*)))) AS BIGINT)), 3, '0')
+              FROM embeddings)),
+         cb AS (
+           SELECT j, code_id,
+             list_transform(embedding[j*8+1 : j*8+8],
+               x -> CAST(x AS DOUBLE)) AS sub
+           FROM cbsrc CROSS JOIN range(0, 8) r(j)),
+         vsub AS (
+           SELECT vec_id, j,
+             list_transform(embedding[j*8+1 : j*8+8],
+               x -> CAST(x AS DOUBLE)) AS sub
+           FROM embeddings CROSS JOIN range(0, 8) r(j)),
+         enc1 AS (
+           SELECT vec_id, j, code_id FROM (
+             SELECT v.vec_id, v.j, c.code_id,
+               row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+                 list_sum(list_transform(range(1, 9),
+                   t -> (v.sub[t] - c.sub[t]) * (v.sub[t] - c.sub[t]))),
+                 c.code_id) AS r
+             FROM vsub v JOIN cb c USING (j))
+           WHERE r = 1),
+         encl AS (
+           SELECT vec_id, list(code_id ORDER BY j) AS codes
+           FROM enc1 GROUP BY vec_id),
+         qsub AS (SELECT vec_id AS query_id, j, sub FROM vsub WHERE vec_id < 5),
+         qd AS (
+           SELECT q.query_id, q.j, c.code_id,
+             list_sum(list_transform(range(1, 9),
+               t -> (q.sub[t] - c.sub[t]) * (q.sub[t] - c.sub[t]))) AS d
+           FROM qsub q JOIN cb c USING (j)),
+         qtab AS (
+           SELECT query_id, j, list(d ORDER BY code_id) AS tab
+           FROM qd GROUP BY query_id, j),
+         qtabs AS (
+           SELECT query_id, list(tab ORDER BY j) AS tabs
+           FROM qtab GROUP BY query_id),
+         cand AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adist, vec_id) AS r
+           FROM (SELECT q.query_id, e.vec_id,
+                   list_sum(list_transform(range(1, 9),
+                     j -> q.tabs[j][e.codes[j] + 1])) AS adist
+                 FROM encl e CROSS JOIN qtabs q)),
+         short AS (SELECT query_id, vec_id FROM cand WHERE r <= 20),
+         scored AS (
+           SELECT query_id, vec_id,
+             CASE WHEN en * qn > 0 THEN dp / (en * qn) ELSE 0.0 END AS sim
+           FROM (
+             SELECT sh.query_id, sh.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) *
+                      CAST(q.embedding[i] AS DOUBLE))) AS dp,
+               sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS en,
+               sqrt(list_sum(list_transform(q.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+             FROM short sh
+               JOIN embeddings e ON sh.vec_id = e.vec_id
+               JOIN embeddings q ON sh.query_id = q.vec_id)),
+         ranked AS (
+           SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+           FROM scored)
+         SELECT query_id, vec_id, round(sim, 4) AS cosine_sim,
+                CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5
+         ORDER BY query_id, rank""")
 }

@@ -215,3 +215,204 @@ object NearestCentroid {
       sorted.map(_._1), sorted.map(_._2)))
   }
 }
+
+/** Product-quantization encoder: a float vector collapses to ONE packed
+  * long of per-subspace codeword ids — the 8-byte PQ code that makes
+  * billion-vector ANN memory-feasible (a dim-64 float vector is 256 bytes;
+  * its m=8, ks=16 PQ code is 8 bytes in a plain long column).
+  *
+  * `codebooks(j)(c)` is subspace j's codeword c (sub-vectors of
+  * deterministically sampled corpus vectors — the same md5-threshold
+  * sample the IVF build uses, so an external oracle reproduces the
+  * codebook row-for-row). Encoding is argmin squared-L2 per subspace with
+  * ties to the LOWEST code id (strict-`<` updates over ascending code
+  * order), packed mixed-radix: `packed = Σ_j code_j × ks^j`.
+  *
+  * Like [[NearestCentroid]], the codebook is ks×m-BOUNDED by construction,
+  * so it rides inside the plan as a codegen reference object: encode is
+  * scan → project at any corpus size — no join, no aggregate, no sort.
+  * Arithmetic is double-accumulated sequential squared differences over
+  * (double)-widened floats, matching a DuckDB oracle's
+  * `list_sum(list_transform(...))` term-for-term.
+  */
+case class PqEncodePacked(
+    child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+
+  private def m: Int = codebooks.length
+  private def ks: Int = codebooks(0).length
+  private def subDim: Int = codebooks(0)(0).length
+
+  require(codebooks.nonEmpty && codebooks.forall(_.length == ks) &&
+    codebooks.forall(_.forall(_.length == subDim)),
+    "PqEncodePacked needs a rectangular m × ks × subDim codebook")
+  require(m * (64 - java.lang.Long.numberOfLeadingZeros(ks.toLong)) <= 62,
+    s"packed code ks^m must fit a long: ks=$ks m=$m")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"PqEncodePacked expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    var packed = 0L
+    var radix = 1L
+    var j = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val off = j * subDim
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var s = 0.0
+        var t = 0
+        while (t < subDim && off + t < dim) {
+          val d = vec.getFloat(off + t).toDouble - cw(t)
+          s += d * d
+          t += 1
+        }
+        if (s < bestDist) { bestDist = s; best = c }
+        c += 1
+      }
+      packed += best * radix
+      radix *= ks
+      j += 1
+    }
+    packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cbs = ctx.addReferenceObj("cbs", codebooks, "double[][][]")
+      val dim = ctx.freshName("dim")
+      val packed = ctx.freshName("packed")
+      val radix = ctx.freshName("radix")
+      val j = ctx.freshName("j")
+      val book = ctx.freshName("book")
+      val off = ctx.freshName("off")
+      val best = ctx.freshName("best")
+      val bestDist = ctx.freshName("bestDist")
+      val c = ctx.freshName("c")
+      val cw = ctx.freshName("cw")
+      val s = ctx.freshName("s")
+      val t = ctx.freshName("t")
+      val d = ctx.freshName("d")
+      s"""
+         |int $dim = $v.numElements();
+         |long $packed = 0L;
+         |long $radix = 1L;
+         |for (int $j = 0; $j < ${m}; $j++) {
+         |  double[][] $book = $cbs[$j];
+         |  int $off = $j * ${subDim};
+         |  int $best = 0;
+         |  double $bestDist = java.lang.Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $book.length; $c++) {
+         |    double[] $cw = $book[$c];
+         |    double $s = 0.0;
+         |    for (int $t = 0; $t < ${subDim} && $off + $t < $dim; $t++) {
+         |      double $d = ((double) $v.getFloat($off + $t)) - $cw[$t];
+         |      $s += $d * $d;
+         |    }
+         |    if ($s < $bestDist) { $bestDist = $s; $best = $c; }
+         |  }
+         |  $packed += $best * $radix;
+         |  $radix *= ${ks}L;
+         |}
+         |${ev.value} = $packed;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncodePacked {
+  def encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodePacked(ColumnBridge.expression(vec), codebooks))
+}
+
+/** Asymmetric-distance computation for PQ codes: unpack the mixed-radix
+  * code and sum the query's per-subspace distance-table entries —
+  * `adist = Σ_j dtab[j][code_j]`, the standard PQ/ADC approximation of the
+  * query↔vector squared L2 distance. One table lookup per subspace, no
+  * vector arithmetic in the corpus scan at all: the per-query table
+  * (m × ks doubles, computed once per query against the bounded codebook)
+  * arrives as the `dtab` array column of a broadcast query row.
+  *
+  * Summation is sequential over ascending subspace, matching a DuckDB
+  * oracle's `list_sum` over a j-ordered transform term-for-term. ks is
+  * read from the table's inner length, so the expression needs no static
+  * codebook reference.
+  */
+case class PqAdcDist(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"PqAdcDist expects (bigint, array<array<double>>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var rem = a.asInstanceOf[Long]
+    val dtab = b.asInstanceOf[ArrayData]
+    val m = dtab.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val tab = dtab.getArray(j)
+      val ks = tab.numElements()
+      s += tab.getDouble((rem % ks).toInt)
+      rem /= ks
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val rem = ctx.freshName("rem")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val tab = ctx.freshName("tab")
+      val ks = ctx.freshName("ks")
+      s"""
+         |long $rem = $a;
+         |int $m = $b.numElements();
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $tab = $b.getArray($j);
+         |  int $ks = $tab.numElements();
+         |  $s += $tab.getDouble((int) ($rem % $ks));
+         |  $rem /= $ks;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcDist {
+  def adist(packedCode: Column, dtab: Column): Column =
+    ColumnBridge.column(PqAdcDist(ColumnBridge.expression(packedCode),
+      ColumnBridge.expression(dtab)))
+}

@@ -906,4 +906,36 @@ object Curation {
           floor(col("start_tok") / seqLen),
           floor((col("end_tok") - 1) / seqLen))).as("seq_id"))
   }
+
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * versions as `added` (new snapshot only), `removed` (old only),
+    * `changed` (both, different content fingerprint) or `unchanged` —
+    * the audit table an incremental ingest publishes with each refresh
+    * (what changed between crawl N and crawl N+1, feeding incremental
+    * re-dedup/re-decontamination of only the added∪changed slice).
+    *
+    * Returns (idCol, status, old_fp, new_fp) — fingerprints are md5 hex of
+    * the text (null on the side the id is absent from).
+    *
+    * Scale shape: fingerprints are computed in the scan stage BEFORE the
+    * join, so the shuffle carries (id, 32-char fp) pairs — never document
+    * bodies; the full-outer join shuffles both sides on the id (free under
+    * id-bucketed storage, [[graft.pipeline.JobStore.writeBucketed]]). One
+    * shuffle, output linear in the union of ids.
+    */
+  def snapshotDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("old_fp"))
+    val n = newDocs.select(col(idCol), md5(col(textCol)).as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
 }

@@ -309,4 +309,85 @@ object Sampling {
     }
     df.withColumn(copyCol, explode(sequence(lit(1), w)))
   }
+
+  /** Per-stratum percentile gate: keep each stratum's top `keepFraction`
+    * of rows by `orderCol` — "top 25% by quality score per source", the
+    * count-relative complement of [[topPerGroup]]'s fixed-k selection
+    * (here the kept count scales with each stratum's size). Selection is
+    * count-exact: rank rows within the stratum by (`orderCol` desc,
+    * `idCol` asc — the id breaks score ties deterministically) and keep
+    * rank ≤ ceil(keepFraction × stratum count).
+    *
+    * Returns the kept rows plus (`rank`, `stratum_n`) for auditability.
+    *
+    * Scale shape: one window pass computes both the rank and the stratum
+    * count; the window partitions by the STRATUM column, so the sort is
+    * distributed across strata and no task sees more than one stratum's
+    * rows (strata = sources/languages — the same per-partition boundedness
+    * [[shuffledShards]] rides). An exact data-dependent per-stratum k has
+    * no bounded-aggregate shortcut: [[topPerGroup]]'s O(k) CollectTopK
+    * needs k at plan time, so the count-relative form pays one per-stratum
+    * sort — the honest price of exact percentiles.
+    */
+  def percentileGate(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      orderCol: String,
+      keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+    df.withColumn("rank", row_number().over(w))
+      .withColumn("stratum_n", count(lit(1)).over(wn))
+      .filter(col("rank") <= ceil(lit(keepFraction) * col("stratum_n")))
+  }
+
+  /** Temperature-based mixture sampling: down-sample each stratum so token
+    * shares follow the TEMPERED corpus distribution — target share of
+    * stratum s ∝ (its token count)^alpha — the standard multilingual/
+    * multi-source rebalancing (alpha = 1 keeps natural proportions,
+    * alpha → 0 approaches uniform, alpha ≈ 0.3–0.7 up-weights the tail
+    * without drowning the head). The tempered shares are derived from the
+    * corpus's OWN token totals, then applied through the same integer-exact
+    * md5 cut as [[sampleToTokenBudget]] (a stratum whose target exceeds its
+    * size is kept whole — down-sampling only, like the budget sampler).
+    *
+    * Scale shape: identical to [[sampleToTokenBudget]] — one map-side-
+    * combined aggregate to the strata-sized totals table, the tempered
+    * weight derived ON that tiny frame (its total via a strata-sized
+    * window), broadcast back, then a pure per-row md5 predicate. The corpus
+    * never shuffles.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      tokenCol: String,
+      budget: Long,
+      alpha: Double): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    // The tempered weight is rounded to 6 decimals before the cut: pow()
+    // is not guaranteed bit-identical across engines (fdlibm vs libm), and
+    // the floor'd cut must be — rounding snaps both sides to the same
+    // 6-decimal value, the outlierReport/round-6 portability discipline.
+    val totals = df.groupBy(strataCol)
+      .agg(sum(col(tokenCol).cast("long")).as("__stratum_tokens"))
+      .withColumn("__pow", pow(col("__stratum_tokens").cast("double"), alpha))
+      .withColumn("__weight", round(col("__pow") /
+        sum(col("__pow")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))), 6))
+      .drop("__pow")
+    val cut = floor(lit(budget.toDouble) * col("__weight") * lit(4096.0) /
+      col("__stratum_tokens").cast("double")).cast("long")
+    val keep = when(cut >= 4096L, lit(true))
+      .otherwise(substring(md5(col(idCol).cast("string")), 1, 3) <
+        lpad(lower(hex(cut)), 3, "0"))
+    df.join(broadcast(totals), strataCol)
+      .filter(keep)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -698,4 +698,137 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** PQ codebook: `m` per-subspace codebooks, each the sub-vectors of the
+    * same ~`targetKs` deterministically md5-sampled corpus vectors
+    * ([[sampleThreshold]] — the IVF centroid recipe, so an external oracle
+    * reproduces the codebook from the same predicate). Codeword ids are
+    * 0-based positions in ascending sampled-id order. `books(j)(c)(t)` is
+    * subspace j, codeword c, component t; floats widen exactly to double.
+    *
+    * Sampled codebooks are the deterministic baseline (what the oracle can
+    * check); Lloyd-refining them per subspace is the same local step
+    * [[ivfKMeans]] applies to IVF centroids and changes nothing about the
+    * plan shapes downstream. The collect here is the bounded codebook
+    * materialization — ks × dim doubles, a configuration constant.
+    */
+  case class PqCodebook(m: Int, subDim: Int, books: Array[Array[Array[Double]]]) {
+    def ks: Int = books(0).length
+  }
+
+  def pqCodebook(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      targetKs: Int = 16): PqCodebook = {
+    val thr = sampleThreshold(targetKs.toLong, embeddings.count())
+    val sampled = embeddings
+      .filter(hashSampleByThreshold(col(idCol), thr))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol).cast("long"))
+      .collect()
+      .map(_.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+      }.toArray)
+    require(sampled.nonEmpty, "PQ codebook sample selected no vectors")
+    val dim = sampled.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = Array.tabulate(m) { j =>
+      sampled.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+    }
+    PqCodebook(m, subDim, books)
+  }
+
+  /** Encode a corpus against a [[PqCodebook]]: (idCol, pq_code) with the
+    * packed-long code from [[graft.functions.PqEncodePacked]] — scan →
+    * project, 8 bytes per vector in the output. This is the table a
+    * billion-vector deployment persists instead of raw vectors for the
+    * candidate-generation scan.
+    */
+  def pqEncode(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: PqCodebook): DataFrame =
+    embeddings.select(col(idCol),
+      graft.functions.PqEncodePacked.encode(col(vecCol), cb.books).as("pq_code"))
+
+  /** PQ/ADC batch k-NN: approximate candidates from the 8-byte codes, then
+    * exact cosine re-rank of the top `rerank` per query — the standard
+    * two-stage PQ search. Per query, a distance TABLE (m × ks squared-L2
+    * entries against the bounded codebook) is computed once driver-side
+    * (queries are a bounded set by the same contract under which
+    * [[topKJoin]] broadcasts them) and broadcast; the corpus-side scan is
+    * then ONE table-lookup-sum per row ([[graft.functions.PqAdcDist]]) over
+    * the packed codes — no vector arithmetic and no vector bytes in the
+    * candidate scan at all. Candidate top-`rerank` per query uses the
+    * O(rerank)-state [[boundedTopK]] aggregate; only the ≤ rerank × queries
+    * surviving ids join back to the corpus for true-cosine re-ranking (a
+    * broadcast-able side by construction), ranked by a queries-bounded
+    * window.
+    *
+    * Returns (query_id, idCol, cosine_sim, rank ≤ k). Approximate with the
+    * PQ dials: m/ks (code size vs fidelity) and `rerank` (recall vs
+    * re-rank cost).
+    */
+  def pqTopK(
+      encoded: DataFrame, // (idCol, pq_code)
+      embeddings: DataFrame, // (idCol, vecCol) — re-rank side
+      idCol: String,
+      vecCol: String,
+      cb: PqCodebook,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      rerank: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol)).collect()
+      .map { r =>
+        val qv = r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+        }.toArray
+        val dtab = Array.tabulate(cb.m) { j =>
+          cb.books(j).map { cw =>
+            var s = 0.0
+            var t = 0
+            while (t < cb.subDim) {
+              val d = qv(j * cb.subDim + t) - cw(t)
+              s += d * d
+              t += 1
+            }
+            s
+          }
+        }
+        (r.getLong(0), qv.map(_.toFloat), dtab)
+      }.toSeq
+    val qdf = qRows.toDF("query_id", "__qv", "__dtab")
+    val cand = encoded
+      .crossJoin(broadcast(qdf.select(col("query_id"), col("__dtab"))))
+      .select(col("query_id"), col(idCol),
+        graft.functions.PqAdcDist.adist(col("pq_code"), col("__dtab")).as("__adist"))
+    val item = struct(col("__adist").as("adist"), col(idCol).cast("long").as("nid"))
+    val shortlist = cand
+      .groupBy("query_id")
+      .agg(boundedTopK(item, rerank).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__t.nid").as(idCol))
+    val e = embeddings.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+    e.join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(qdf.select(col("query_id"), col("__qv"),
+        norm(col("__qv")).as("__qn"))), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        when(col("__norm") * col("__qn") > 0,
+          dot(col(vecCol), col("__qv")) / (col("__norm") * col("__qn")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
 }

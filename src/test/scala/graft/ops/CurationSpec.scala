@@ -497,4 +497,88 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val nw = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(old, nw, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+    // fingerprints are null exactly on the absent side
+    val fps = Curation.snapshotDiff(old, nw, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2), r.isNullAt(3))).toSet
+    assert(fps == Set((1L, false, true), (2L, false, false),
+      (3L, false, false), (4L, true, false)))
+  }
+
+  test("snapshotDiff plan: shuffle carries fingerprints, not text") {
+    val old = (1L to 100L).map(i => (i, "body " * 50 + i)).toDF("doc_id", "text")
+    val nw = (51L to 150L).map(i => (i, "body " * 50 + i)).toDF("doc_id", "text")
+    val plan = Curation.snapshotDiff(old, nw, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the join inputs project (id, md5) before the exchange — the text
+    // column must not appear in any exchange's output attributes
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text crossed the shuffle:\n$plan")
+  }
+
+  test("percentileGate keeps ceil(fraction × n) per stratum with deterministic ties") {
+    // stratum a: 5 rows, scores 10,9,8,8,1 → keep ceil(0.25×5)=2 (ids 1,2)
+    // stratum b: 2 rows → keep ceil(0.5)=1; tie on score broken by lower id
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 9L), (3L, "a", 8L), (4L, "a", 8L), (5L, "a", 1L),
+      (6L, "b", 7L), (7L, "b", 7L)
+    ).toDF("doc_id", "source", "score")
+    val kept = Sampling.percentileGate(df, "doc_id", "source", "score", 0.25)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(4))).toList.sorted
+    assert(kept == List((1L, 1, 5L), (2L, 2, 5L), (6L, 1, 2L)))
+    // keepFraction = 1 keeps everything
+    assert(Sampling.percentileGate(df, "doc_id", "source", "score", 1.0)
+      .count() == 7)
+  }
+
+  test("temperatureMixture: alpha=1 matches natural shares; alpha=0 equalizes targets") {
+    // stratum big: 40 rows × 100 tokens = 4000; small: 10 × 100 = 1000
+    val df = ((1L to 40L).map(i => (i, "big", 100L)) ++
+      (101L to 110L).map(i => (i, "small", 100L)))
+      .toDF("doc_id", "source", "n_tokens")
+    def keptTokens(alpha: Double, budget: Long): Map[String, Long] =
+      Sampling.temperatureMixture(df, "doc_id", "source", "n_tokens",
+          budget, alpha)
+        .groupBy("source").agg(sum("n_tokens").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=1: natural proportions — cut = budget×share×4096/tokens is the
+    // SAME fraction for every stratum (budget/total), so both strata thin
+    // at one rate. budget=2500 of 5000 → cut 2048/4096 ≈ half.
+    val nat = keptTokens(1.0, 2500L)
+    assert(nat.getOrElse("big", 0L) > nat.getOrElse("small", 0L),
+      s"natural mixing must keep more of the bigger stratum: $nat")
+    // alpha=0: equal weights (0.5 each) — target tokens per stratum equal
+    // (1250 each): the small stratum keeps a LARGER fraction of itself
+    // than the big one (tail up-weighting), here kept whole (cut ≥ 4096).
+    val uni = keptTokens(0.0, 2500L)
+    assert(uni("small") == 1000L, s"under-budget stratum must keep whole: $uni")
+    assert(uni("big").toDouble / 4000 < 0.5, s"big stratum must thin: $uni")
+    // determinism: same call twice selects the identical row set
+    val a = Sampling.temperatureMixture(df, "doc_id", "source", "n_tokens",
+      2500L, 0.5).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureMixture(df, "doc_id", "source", "n_tokens",
+      2500L, 0.5).select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("temperatureMixture plan: corpus never shuffles — totals broadcast back") {
+    val df = (1L to 400L).map(i => (i, "s" + (i % 3), 50L))
+      .toDF("doc_id", "source", "n_tokens")
+    val plan = Sampling.temperatureMixture(df, "doc_id", "source", "n_tokens",
+        5000L, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }
