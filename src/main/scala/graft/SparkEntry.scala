@@ -1332,6 +1332,31 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"),
           round(col("cosine_sim"), 4).as("cosine_sim"), col("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Matryoshka prefix-dim retrieval: candidates by cosine over the first
+    // 16 of 64 components (4× fewer bytes scanned per vector), exact
+    // full-dim re-rank of the top 20 — the MRL-style two-stage search,
+    // fully re-derived in SQL by the oracle.
+    "q100_prefix_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.prefixTopKJoin(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          prefixDim = 16, k = 5, rerank = 20)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine_sim"), 4).as("cosine_sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // BPE merge training: the first 8 learned merges over the documents
+    // table — the iterative argmax-and-rewrite loop is not expressible as
+    // one SQL query (each rank depends on the previous rewrite), so this
+    // entry carries no oracle and takes the driver's rows-only check; the
+    // hand-derived Sennrich walkthrough in CurationSpec covers the
+    // semantics, and q83's oracle covers the rank-1 decision table.
+    "q101_bpe_merges" -> ((s, dir) => {
+      Curation.bpeTrainMerges(t(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy("rank")
     }))
 
   // ---- DuckDB oracles ----
@@ -3344,6 +3369,55 @@ object SparkEntry {
              FROM short sh
                JOIN embeddings e ON sh.vec_id = e.vec_id
                JOIN embeddings q ON sh.query_id = q.vec_id)),
+         ranked AS (
+           SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+           FROM scored)
+         SELECT query_id, vec_id, round(sim, 4) AS cosine_sim,
+                CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // Matryoshka two-stage search: prefix-16 cosine shortlist of 20 by
+    // (prefix sim desc, id), then exact full-dim cosine re-rank to 5.
+    "q100_prefix_topk" ->
+      """WITH pre AS (
+           SELECT vec_id,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS pv
+           FROM embeddings),
+         pren AS (
+           SELECT vec_id, pv,
+             sqrt(list_sum(list_transform(pv, x -> x * x))) AS pn
+           FROM pre),
+         q AS (SELECT vec_id AS query_id, pv AS qpv, pn AS qpn
+           FROM pren WHERE vec_id < 5),
+         cand AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY psim DESC, vec_id) AS r
+           FROM (SELECT q.query_id, v.vec_id,
+                   CASE WHEN v.pn * q.qpn > 0 THEN
+                     list_sum(list_transform(range(1, 17),
+                       i -> v.pv[i] * q.qpv[i])) / (v.pn * q.qpn)
+                   ELSE 0.0 END AS psim
+                 FROM pren v CROSS JOIN q)),
+         short AS (SELECT query_id, vec_id FROM cand WHERE r <= 20),
+         scored AS (
+           SELECT query_id, vec_id,
+             CASE WHEN en * qn > 0 THEN dp / (en * qn) ELSE 0.0 END AS sim
+           FROM (
+             SELECT sh.query_id, sh.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) *
+                      CAST(qe.embedding[i] AS DOUBLE))) AS dp,
+               sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS en,
+               sqrt(list_sum(list_transform(qe.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+             FROM short sh
+               JOIN embeddings e ON sh.vec_id = e.vec_id
+               JOIN embeddings qe ON sh.query_id = qe.vec_id)),
          ranked AS (
            SELECT query_id, vec_id, sim,
              row_number() OVER (PARTITION BY query_id

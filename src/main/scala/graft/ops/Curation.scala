@@ -907,6 +907,91 @@ object Curation {
           floor((col("end_tok") - 1) / seqLen))).as("seq_id"))
   }
 
+  /** BPE merge training: learn the first `numMerges` byte-pair-encoding
+    * merges from the corpus — the iterative continuation of
+    * [[bpePairCounts]] (which scores only the FIRST merge decision).
+    * Returns the learned merge table (rank, left, right, n) in learning
+    * order, the artifact a tokenizer trainer ships.
+    *
+    * The classic algorithm runs on the word-FREQUENCY table, not the
+    * corpus: one linear corpus pass aggregates (word, freq) — after that,
+    * every merge iteration touches only the vocabulary (bounded by
+    * distinct words, millions of rows at 100 TB corpus scale — still
+    * distributed here, never collected). Per iteration: adjacent-pair
+    * counts weighted by word freq (one vocab-sized hash aggregate), the
+    * argmax pair (count desc, then pair lexicographic — deterministic)
+    * via a 1-row TakeOrderedAndProject, then a left-to-right
+    * non-overlapping rewrite of each word's symbol array by an
+    * `aggregate` fold (sequential by definition — greedy BPE merging IS a
+    * left-to-right scan). The vocab frame is eagerly localCheckpoint'd
+    * each iteration so the plan stays O(1)-deep across merges (the
+    * [[graft.ops.Dedup.duplicateClusters]] discipline).
+    *
+    * Words are char-split with an appended `endOfWord` symbol (the
+    * Sennrich-style word-boundary marker), so merges never cross words.
+    */
+  def bpeTrainMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      endOfWord: String = "</w>"): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(
+        expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+        array(lit(endOfWord))).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
+    var rank = 1
+    while (rank <= numMerges) {
+      val best = vocab
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+             t -> struct(element_at(syms, t) AS l,
+                         element_at(syms, t + 1) AS r))"""))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) { rank = numMerges + 1 }
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, n))
+        // Greedy non-overlapping rewrite: fold the symbol list left to
+        // right, emitting the merged symbol and skipping its right half
+        // when (l, r) matches — "aaa" under (a,a) becomes ["aa", "a"].
+        vocab = vocab
+          .withColumn("syms", expr(
+            s"""aggregate(sequence(1, size(syms)),
+                named_struct('out', cast(array() AS array<string>), 'skip', false),
+                (acc, i) -> IF(acc.skip,
+                  named_struct('out', acc.out, 'skip', false),
+                  IF(i < size(syms)
+                       AND element_at(syms, i) = ${sqlLit(l)}
+                       AND element_at(syms, i + 1) = ${sqlLit(r)},
+                    named_struct('out',
+                      concat(acc.out, array(${sqlLit(l + r)})), 'skip', true),
+                    named_struct('out',
+                      concat(acc.out, array(element_at(syms, i))), 'skip', false))),
+                acc -> acc.out)"""))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "n")
+  }
+
+  /** Single-quoted SQL string literal with escaping (symbols can contain
+    * quotes or backslashes once merges concatenate arbitrary text chars).
+    */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * versions as `added` (new snapshot only), `removed` (old only),
     * `changed` (both, different content fingerprint) or `unchanged` —

@@ -774,6 +774,111 @@ object Similarity {
     * PQ dials: m/ks (code size vs fidelity) and `rerank` (recall vs
     * re-rank cost).
     */
+  /** Lloyd-refine a [[PqCodebook]] per subspace — the same local k-means
+    * step [[ivfKMeans]] applies to IVF centroids, here run independently in
+    * each of the m subspaces: assign every vector's j-th sub-vector to its
+    * nearest codeword (the [[pqEncode]] expression — one linear codegen
+    * pass), average the members per (subspace, codeword), repeat. Empty
+    * codewords keep their previous position (standard k-means practice).
+    *
+    * Refined codebooks are NOT oracle-reproducible (the iteration is the
+    * point); the deterministic sampled codebook stays the checkable
+    * baseline, exactly as ivfAssign/ivfKMeans split. Scale shape per
+    * iteration: one encode pass, then a posexplode to (j, code, component)
+    * keyed partial-avg — m × subDim = dim small rows per vector, map-side
+    * combined down to an m × ks × subDim result collected to the driver
+    * (the bounded codebook, by construction).
+    */
+  def pqRefine(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: PqCodebook,
+      iterations: Int): PqCodebook = {
+    var books = cb.books.map(_.map(_.clone()))
+    var it = 0
+    while (it < iterations) {
+      val current = PqCodebook(cb.m, cb.subDim, books)
+      val assigned = embeddings.select(col(vecCol).as("__v"),
+        graft.functions.PqEncodePacked.encode(col(vecCol), books).as("__code"))
+      val ksL = current.ks.toLong
+      val parts = assigned
+        .select(col("__v"), posexplode(expr(
+          s"transform(sequence(0, ${cb.m - 1}), " +
+            s"j -> (__code div cast(pow(cast($ksL as double), j) as bigint)) % $ksL)"))
+          .as(Seq("__j", "__c")))
+        .select(col("__j"), col("__c"),
+          posexplode(slice(col("__v"), col("__j") * cb.subDim + 1, lit(cb.subDim)))
+            .as(Seq("__t", "__x")))
+        .groupBy("__j", "__c", "__t")
+        .agg(avg(col("__x").cast("double")).as("__mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      parts.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+      it += 1
+    }
+    PqCodebook(cb.m, cb.subDim, books)
+  }
+
+  /** Matryoshka prefix-dim retrieval: candidate generation by cosine over
+    * only the FIRST `prefixDim` components (MRL-style embeddings order
+    * information by prefix, so a 16-of-64 prefix scan reads 4× fewer bytes
+    * per vector), then exact full-dim re-rank of the top `rerank` per
+    * query. The same two-stage shape as [[pqTopK]] with a different
+    * candidate representation: `slice` is a codegen'd built-in, the
+    * prefix top-`rerank` uses the O(rerank)-state [[boundedTopK]]
+    * aggregate, and only rerank × queries ids join back for the full-dim
+    * re-rank.
+    *
+    * Returns (query_id, idCol, cosine_sim, rank ≤ k).
+    */
+  def prefixTopKJoin(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      prefixDim: Int,
+      k: Int,
+      rerank: Int): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    val pre = slice(col(vecCol), 1, prefixDim)
+    val e = embeddings.select(col(idCol), pre.as("__pv"),
+      norm(pre).as("__pn"))
+    val qpre = slice(col(qVecCol), 1, prefixDim)
+    val q = queries.select(col(qIdCol).as("query_id"), qpre.as("__qpv"),
+      norm(qpre).as("__qpn"))
+    val scored = e.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        when(col("__pn") * col("__qpn") > 0,
+          dot(col("__pv"), col("__qpv")) / (col("__pn") * col("__qpn")))
+          .otherwise(lit(0.0)).as("__psim"))
+    val item = struct((-col("__psim")).as("negsim"), col(idCol).cast("long").as("nid"))
+    val shortlist = scored
+      .groupBy("query_id")
+      .agg(boundedTopK(item, rerank).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__t.nid").as(idCol))
+    val full = embeddings.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__norm"))
+    val qfull = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__qv"), norm(col(qVecCol)).as("__qn"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+    full.join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(qfull), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        when(col("__norm") * col("__qn") > 0,
+          dot(col(vecCol), col("__qv")) / (col("__norm") * col("__qn")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
+
   def pqTopK(
       encoded: DataFrame, // (idCol, pq_code)
       embeddings: DataFrame, // (idCol, vecCol) — re-rank side

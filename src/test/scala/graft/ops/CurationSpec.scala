@@ -572,6 +572,40 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("bpeTrainMerges learns the classic Sennrich merge sequence") {
+    // word frequencies: low×5 lower×2 newest×6 widest×3 — the canonical
+    // BPE walkthrough. Hand-derived first five merges:
+    //   (e,s)=9   [newest 6 + widest 3; ties (s,t),(t,</w>) broken lexicographically]
+    //   (es,t)=9  [the merged symbol chains]
+    //   (est,</w>)=9
+    //   (l,o)=7   [low 5 + lower 2; tie (o,w) broken lexicographically]
+    //   (lo,w)=7
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Curation.bpeTrainMerges(docs, "text", numMerges = 5)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toList == List(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L), (5, "lo", "w", 7L)))
+  }
+
+  test("bpeTrainMerges: greedy rewrite is non-overlapping left-to-right") {
+    // 'aaaa' under merge (a,a) must become [aa, aa, </w>] (three a-pairs
+    // collapse to two non-overlapping merges), and 'aaa' → [aa, a, </w>] —
+    // overlap handling is what separates BPE from naive replace.
+    val docs = Seq((1L, "aaaa aaaa aaa")).toDF("doc_id", "text")
+    val merges = Curation.bpeTrainMerges(docs, "text", numMerges = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) = 2×3 + 1×2 = 8; round 2 candidates: (aa,aa)=2,
+    // (aa,</w>)=2, (aa,a)=1, (a,</w>)=1 → tie at 2 broken on the RIGHT
+    // symbol: '</w>' < 'aa', so (aa,</w>) wins — which only holds if the
+    // round-1 rewrite produced [aa, aa, </w>], not [aa, a, a, </w>].
+    assert(merges.toList == List((1, "a", "a", 8L), (2, "aa", "</w>", 2L)))
+  }
+
   test("temperatureMixture plan: corpus never shuffles — totals broadcast back") {
     val df = (1L to 400L).map(i => (i, "s" + (i % 3), 50L))
       .toDF("doc_id", "source", "n_tokens")

@@ -794,6 +794,74 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"PQ/ADC mean recall@10 too low: $recall")
   }
 
+  test("pqRefine: Lloyd refinement reduces quantization error, search stays exact under full rerank") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def mse(cb: Similarity.PqCodebook): Double = {
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+        .collect().map(_.getLong(1))
+      vecs.zip(enc).map { case (v, code) =>
+        var rem = code
+        var err = 0.0
+        for (j <- 0 until cb.m) {
+          val cw = cb.books(j)((rem % cb.ks).toInt); rem /= cb.ks
+          for (t <- 0 until cb.subDim) {
+            val d = v(j * cb.subDim + t).toDouble - cw(t); err += d * d
+          }
+        }
+        err
+      }.sum / vecs.length
+    }
+    val sampled = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, targetKs = 16)
+    val refined = Similarity.pqRefine(emb, "vec_id", "embedding", sampled, iterations = 2)
+    assert(refined.m == sampled.m && refined.ks == sampled.ks)
+    val (e0, e1) = (mse(sampled), mse(refined))
+    info(f"PQ quantization MSE: sampled $e0%.4f → refined $e1%.4f")
+    assert(e1 < e0, s"Lloyd refinement must reduce quantization error: $e0 -> $e1")
+    // exactness under full rerank is codebook-INDEPENDENT (the re-rank is
+    // brute force once the shortlist is the corpus) — the invariant must
+    // survive refinement.
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 3)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", refined)
+    val full = Similarity.pqTopK(enc, emb, "vec_id", "embedding", refined,
+        queries, "vec_id", "embedding", k = 5, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.topKJoin(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+  }
+
+  test("prefixTopKJoin: full prefix ≡ exact; 16-dim prefix candidates keep recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 12)
+    val exact = Similarity.topKJoin(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // prefixDim = full dim, rerank = n: both stages are exact brute force.
+    val full = Similarity.prefixTopKJoin(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", prefixDim = 64, k = 10, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(full == exact, "full-prefix full-rerank differs from exact topKJoin")
+    // 16-of-64 prefix candidate generation (4× fewer bytes scanned), full-
+    // dim re-rank of 50: these embeddings are near-uniform with no MRL
+    // prefix-ordering, the worst case for prefix search — parity with the
+    // PQ/IVF floor is the bar.
+    val approx = Similarity.prefixTopKJoin(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", prefixDim = 16, k = 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recall = exact.keys.map(q =>
+      (approx(q) intersect exact(q)).size / 10.0).sum / exact.size
+    info(f"prefix-16 mean recall@10 (12 queries, rerank=50): $recall%.2f")
+    assert(recall >= 0.2, s"prefix-candidate mean recall@10 too low: $recall")
+  }
+
   test("PQ/ADC candidate scan plan: codes + lookup only, no vector bytes, codegen'd") {
     // AQE renders unexecuted plans without the codegen wrapping; flip it
     // off for the assertion only (the PlanShapeSpec discipline).
