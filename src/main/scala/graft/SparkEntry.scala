@@ -1357,6 +1357,47 @@ object SparkEntry {
     "q101_bpe_merges" -> ((s, dir) => {
       Curation.bpeTrainMerges(t(s, dir, "documents"), "text", numMerges = 8)
         .orderBy("rank")
+    }),
+
+    // Backward as-of join: every purchase joined to the user's latest
+    // prior (or simultaneous) click — the fact→latest-dimension-version
+    // pattern. Built as tag + union + per-key forward fill (one shuffle,
+    // no range explosion); the oracle is DuckDB's native ASOF LEFT JOIN.
+    // Clicks pre-deduped to one row per (user, ts) — as-of ties among
+    // duplicate right timestamps have no defined winner in any engine.
+    "q102_asof_join" -> ((s, dir) => {
+      import graft.ops.TemporalJoins
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(expr("max_by(value, event_id)").as("click_value"))
+      TemporalJoins.asofJoin(purchases, "ts", clicks, "click_ts", Seq("user_id"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          round(col("value"), 2).as("value"),
+          col("click_ts"), round(col("click_value"), 2).as("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // Point-in-interval range join: every error event inside a 2-hour
+    // window opened by the same user's signup (start inclusive, end
+    // exclusive; overlapping windows each match). Bucketized to an equi
+    // join on (user, hour-bucket) + residual bounds — never a
+    // nested-loop/cartesian plan; the oracle is the plain range-predicate
+    // join.
+    "q103_range_join" -> ((s, dir) => {
+      import graft.ops.TemporalJoins
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "ts", "user_id")
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      TemporalJoins.rangeJoin(errors, "ts", windows, "start_ts", "end_ts",
+          Seq("user_id"), bucketSeconds = 3600L)
+        .select(col("event_id"), col("ts"), col("user_id"), col("start_ts"))
+        .orderBy("event_id", "start_ts")
     }))
 
   // ---- DuckDB oracles ----
@@ -3426,5 +3467,30 @@ object SparkEntry {
          SELECT query_id, vec_id, round(sim, 4) AS cosine_sim,
                 CAST(rank AS INTEGER) AS rank
          FROM ranked WHERE rank <= 5
-         ORDER BY query_id, rank""")
+         ORDER BY query_id, rank""",
+
+    // The forward-fill as-of must equal DuckDB's native ASOF LEFT JOIN.
+    "q102_asof_join" ->
+      """WITH l AS (SELECT event_id, ts, user_id, value FROM events
+           WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts AS click_ts,
+               max_by(value, event_id) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+         SELECT l.event_id, l.ts, l.user_id, round(l.value, 2) AS value,
+                r.click_ts, round(r.click_value, 2) AS click_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.click_ts
+         ORDER BY l.event_id""",
+
+    // The bucketized range join must equal the plain range-predicate join.
+    "q103_range_join" ->
+      """SELECT p.event_id, p.ts, p.user_id, i.start_ts
+         FROM (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'error') p
+         JOIN (SELECT user_id, ts AS start_ts,
+                 ts + INTERVAL 2 HOUR AS end_ts
+               FROM events WHERE event_type = 'signup') i
+           ON p.user_id = i.user_id
+          AND p.ts >= i.start_ts AND p.ts < i.end_ts
+         ORDER BY event_id, start_ts""")
 }

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch temporal joins Spark lacks as built-ins: backward AS-OF join and
+  * point-in-interval range join — the two classic "custom operator"
+  * gaps for event/feature pipelines (join each fact to the latest prior
+  * dimension version; join each event into its enclosing window).
+  *
+  * Both are built from compositions the optimizer handles well rather than
+  * range-predicate joins (which Catalyst can only execute as a broadcast
+  * nested loop or cartesian + filter — quadratic at corpus scale):
+  *
+  *  - as-of: tag + union + per-key forward fill. ONE shuffle on the key,
+  *    one per-key ordered window — n log n in each key's rows, no
+  *    replication, no range explosion. This is the canonical distributed
+  *    as-of shape.
+  *  - range: interval bucketization. Intervals replicate to the fixed-width
+  *    buckets they cover, points compute their single bucket, and the join
+  *    becomes EQUI on (keys, bucket) + a residual bounds filter — a plain
+  *    shuffled hash join at any scale. `bucketSeconds` sizes replication:
+  *    pick it near the typical interval length so each interval lands in
+  *    O(1) buckets.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for every left row, the single latest right row
+    * with `right.timeCol <= left.timeCol` within the same `keyCols` group
+    * (left rows with no prior right row keep nulls — left-join semantics,
+    * matching an `ASOF LEFT JOIN`). `tolerance` (seconds, optional) nulls
+    * the match back out when the right row is older than
+    * `left time − tolerance`.
+    *
+    * Contract: apart from `keyCols`, the two frames' column names must be
+    * disjoint (rename the right side first — it keeps its names in the
+    * output), and right rows should be unique per (keys, time): sort ties
+    * among duplicate right timestamps have no defined winner (the same
+    * caveat ASOF JOIN implementations carry).
+    *
+    * Scale shape: union the tagged sides, ONE shuffle on `keyCols`, and a
+    * running `last(_, ignoreNulls)` per key ordered by (time, side) —
+    * right rows sort before left rows at equal timestamps, so equality
+    * matches inclusively. No row replication; per-task state is one
+    * window frame.
+    */
+  def asofJoin(
+      left: DataFrame,
+      lTimeCol: String,
+      right: DataFrame,
+      rTimeCol: String,
+      keyCols: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin needs at least one key column")
+    // The left time column rides as __t and is re-aliased on output;
+    // keeping it in the payload list would duplicate the column name.
+    val lCols = left.columns.filterNot(c => keyCols.contains(c) || c == lTimeCol)
+    val rCols = right.columns.filterNot(keyCols.contains)
+    val clash = lCols.toSet intersect rCols.toSet
+    require(clash.isEmpty, s"rename right-side columns first: clash on $clash")
+    val lTagged = left.select(
+      keyCols.map(col) ++
+        Seq(col(lTimeCol).as("__t"), lit(1).as("__side")) ++
+        lCols.map(col) ++
+        rCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right.select(
+      keyCols.map(col) ++
+        Seq(col(rTimeCol).as("__t"), lit(0).as("__side")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rCols.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lTagged.unionByName(rTagged)
+      .select(
+        (keyCols.map(col) :+ col("__t") :+ col("__side")) ++
+          lCols.map(col) ++
+          rCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+    val out = toleranceSeconds match {
+      case None => filled
+      case Some(tol) =>
+        // A match older than the tolerance horizon reverts to no-match.
+        val stale = col(rTimeCol).isNotNull &&
+          (unix_timestamp(col("__t")) - unix_timestamp(col(rTimeCol))) > tol
+        filled.select(
+          (keyCols.map(col) :+ col("__t") :+ col("__side")) ++
+            lCols.map(col) ++
+            rCols.map(c => when(stale, lit(null).cast(right.schema(c).dataType))
+              .otherwise(col(c)).as(c)): _*)
+    }
+    out.select(
+      keyCols.map(col) ++ Seq(col("__t").as(lTimeCol)) ++
+        lCols.map(col) ++ rCols.map(col): _*)
+  }
+
+  /** Point-in-interval range join: every (point, interval) pair within the
+    * same `keyCols` group with `startCol <= point.timeCol < endCol` —
+    * inner-join semantics, one output row per enclosing interval (a point
+    * inside two overlapping intervals matches both).
+    *
+    * Contract: apart from `keyCols`, column names must be disjoint (the
+    * right/interval side keeps its names in the output). Intervals must
+    * have `start <= end`.
+    *
+    * Scale shape: each interval explodes to the `bucketSeconds`-wide epoch
+    * buckets it covers (`ceil(length / bucket) + 1` rows — size the bucket
+    * near the typical interval length); each point computes its single
+    * bucket in the scan. The join is then EQUI on (keys, bucket) with the
+    * exact bounds as a residual filter — a shuffled hash join, never a
+    * BroadcastNestedLoopJoin/cartesian, and each matching pair meets in
+    * exactly one bucket (the point's), so no post-join dedup is needed.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      pTimeCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      keyCols: Seq[String],
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val pCols = points.columns.filterNot(keyCols.contains)
+    val iCols = intervals.columns.filterNot(keyCols.contains)
+    val clash = pCols.toSet intersect iCols.toSet
+    require(clash.isEmpty, s"rename interval-side columns first: clash on $clash")
+    def bucketOf(t: Column): Column = floor(unix_timestamp(t) / bucketSeconds)
+    val p = points.withColumn("__bucket", bucketOf(col(pTimeCol)))
+    val i = intervals.withColumn("__bucket", explode(sequence(
+      bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    p.join(i, keyCols :+ "__bucket")
+      .filter(col(pTimeCol) >= col(startCol) && col(pTimeCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-derived and differential scenarios for the batch temporal joins:
+  * backward as-of (union + forward fill) and bucketized range join.
+  */
+class TemporalJoinsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-temporal-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin: latest prior match, equal-timestamp inclusivity, no-prior nulls") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:10"), 101.0),
+      (1L, ts("2024-01-01 10:00:20"), 102.0),
+      (2L, ts("2024-01-01 10:00:05"), 50.0)
+    ).toDF("user_id", "q_ts", "quote")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:10"), "equal"), // == quote 101 (inclusive)
+      (1L, ts("2024-01-01 10:00:15"), "mid"),   // latest prior = 101
+      (1L, ts("2024-01-01 10:00:25"), "after"), // latest prior = 102
+      (2L, ts("2024-01-01 10:00:01"), "early"), // no prior quote for key 2
+      (3L, ts("2024-01-01 10:00:30"), "nokey")  // key never quoted
+    ).toDF("user_id", "t_ts", "tag")
+    val got = TemporalJoins.asofJoin(trades, "t_ts", quotes, "q_ts", Seq("user_id"))
+      .select("tag", "quote")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    assert(got == Set(
+      ("equal", Some(101.0)), ("mid", Some(101.0)), ("after", Some(102.0)),
+      ("early", None), ("nokey", None)))
+  }
+
+  test("asofJoin tolerance: stale matches revert to null") {
+    val dims = Seq((1L, ts("2024-01-01 00:00:00"), "v1"))
+      .toDF("user_id", "d_ts", "version")
+    val facts = Seq(
+      (1L, ts("2024-01-01 00:30:00"), "fresh"),  // 1800 s after v1
+      (1L, ts("2024-01-01 02:00:00"), "stale")   // 7200 s after v1
+    ).toDF("user_id", "f_ts", "tag")
+    val got = TemporalJoins.asofJoin(facts, "f_ts", dims, "d_ts", Seq("user_id"),
+        toleranceSeconds = Some(3600L))
+      .select("tag", "version")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got == Set(("fresh", Some("v1")), ("stale", None)))
+  }
+
+  test("asofJoin differential: equals the brute-force latest-prior computation") {
+    // deterministic pseudo-random fixture over 5 keys
+    val left = (1L to 200L).map(i =>
+      (i % 5, ts(f"2024-01-01 00:${(i * 7) % 60}%02d:${(i * 13) % 60}%02d"), i))
+      .toDF("k", "lt", "lid")
+    val right = (1L to 60L).map(i =>
+      (i % 5, ts(f"2024-01-01 00:${(i * 11) % 60}%02d:${(i * 29) % 60}%02d"), i * 10))
+      .toDF("k", "rt", "rv")
+      // unique per (key, time): keep the max payload among collisions
+      .groupBy("k", "rt").agg(max("rv").as("rv"))
+    val got = TemporalJoins.asofJoin(left, "lt", right, "rt", Seq("k"))
+      .select("lid", "rv")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // brute force: max-rt right row per left with rt <= lt
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.rt") <= col("l.lt"), "left")
+      .groupBy(col("l.lid").as("lid"), col("l.lt").as("lt"), col("l.k").as("k"))
+      .agg(expr("max_by(r.rv, r.rt)").as("rv"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(got == naive)
+    assert(got.size == 200 && got.values.exists(_ >= 0) && got.values.exists(_ == -1L))
+  }
+
+  test("rangeJoin: bounds semantics and overlapping-interval multi-match") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "at-start"),   // == w1 start: included
+      (1L, ts("2024-01-01 10:59:59"), "inside"),
+      (1L, ts("2024-01-01 11:00:00"), "at-end"),     // == w1 end: excluded
+      (1L, ts("2024-01-01 10:30:00"), "overlap"),    // inside w1 AND w2
+      (2L, ts("2024-01-01 10:30:00"), "wrong-key")
+    ).toDF("k", "p_ts", "tag")
+    val intervals = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "w1"),
+      (1L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:45:00"), "w2")
+    ).toDF("k", "start_ts", "end_ts", "w")
+    val got = TemporalJoins.rangeJoin(points, "p_ts", intervals,
+        "start_ts", "end_ts", Seq("k"), bucketSeconds = 600L)
+      .select("tag", "w")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("at-start", "w1"), ("inside", "w1"), ("overlap", "w1"), ("overlap", "w2")))
+  }
+
+  test("rangeJoin differential + plan: equals the predicate join, no nested-loop") {
+    val points = (1L to 300L).map(i =>
+      (i % 7, ts(f"2024-01-01 ${(i * 3) % 24}%02d:${(i * 17) % 60}%02d:00"), i))
+      .toDF("k", "p_ts", "pid")
+    val intervals = (1L to 40L).map { i =>
+      val h = (i * 5) % 22
+      (i % 7, ts(f"2024-01-01 $h%02d:00:00"), ts(f"2024-01-01 ${h + 2}%02d:00:00"), i)
+    }.toDF("k", "start_ts", "end_ts", "iid")
+    val bucketed = TemporalJoins.rangeJoin(points, "p_ts", intervals,
+      "start_ts", "end_ts", Seq("k"), bucketSeconds = 1800L)
+    val got = bucketed.select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("p_ts") >= col("start_ts") && col("p_ts") < col("end_ts"))
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got.nonEmpty)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degraded to a nested-loop plan:\n$plan")
+  }
+}
