@@ -1398,6 +1398,27 @@ object SparkEntry {
           Seq("user_id"), bucketSeconds = 3600L)
         .select(col("event_id"), col("ts"), col("user_id"), col("start_ts"))
         .orderBy("event_id", "start_ts")
+    }),
+
+    // Interval-overlap join: 2-hour signup windows × 1-hour error windows
+    // per user, every overlapping pair exactly once — both sides exploded
+    // to hour buckets, pairs kept in the overlap-start bucket only, so the
+    // equi-join plan needs no post-join distinct.
+    "q104_interval_join" -> ((s, dir) => {
+      import graft.ops.TemporalJoins
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("l_id"),
+          col("ts").as("l_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("l_end"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("r_id"),
+          col("ts").as("r_start"),
+          (col("ts") + expr("INTERVAL 1 HOURS")).as("r_end"))
+      TemporalJoins.intervalJoin(signups, "l_start", "l_end",
+          errors, "r_start", "r_end", Seq("user_id"), bucketSeconds = 3600L)
+        .select(col("l_id"), col("r_id"), col("l_start"), col("r_start"))
+        .orderBy("l_id", "r_id")
     }))
 
   // ---- DuckDB oracles ----
@@ -3492,5 +3513,19 @@ object SparkEntry {
                FROM events WHERE event_type = 'signup') i
            ON p.user_id = i.user_id
           AND p.ts >= i.start_ts AND p.ts < i.end_ts
-         ORDER BY event_id, start_ts""")
+         ORDER BY event_id, start_ts""",
+
+    // The bucketized interval join must equal the plain overlap-predicate
+    // join, pair for pair.
+    "q104_interval_join" ->
+      """WITH l AS (SELECT user_id, event_id AS l_id, ts AS l_start,
+                ts + INTERVAL 2 HOUR AS l_end
+           FROM events WHERE event_type = 'signup'),
+         r AS (SELECT user_id, event_id AS r_id, ts AS r_start,
+                ts + INTERVAL 1 HOUR AS r_end
+           FROM events WHERE event_type = 'error')
+         SELECT l.l_id, r.r_id, l.l_start, r.r_start
+         FROM l JOIN r ON l.user_id = r.user_id
+           AND l.l_start < r.r_end AND r.r_start < l.l_end
+         ORDER BY l_id, r_id""")
 }

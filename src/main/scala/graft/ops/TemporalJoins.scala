@@ -133,4 +133,47 @@ object TemporalJoins {
       .filter(col(pTimeCol) >= col(startCol) && col(pTimeCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: every (left, right) interval pair within the
+    * same `keyCols` group whose half-open spans intersect
+    * (`lStart < rEnd AND rStart < lEnd`) — inner-join semantics, one row
+    * per overlapping pair.
+    *
+    * Contract mirrors [[rangeJoin]]: apart from `keyCols`, column names
+    * must be disjoint; intervals must have `start <= end`.
+    *
+    * Scale shape: BOTH sides explode to their covered
+    * `bucketSeconds`-buckets and meet in an equi join on (keys, bucket);
+    * the overlap predicate is a residual filter, and each overlapping pair
+    * is kept exactly once — in the bucket containing the overlap's START
+    * (`greatest` of the two starts), which both coverage ranges provably
+    * contain. A plain shuffled hash join with bounded replication
+    * (`interval length / bucket + 1` rows per side), never a nested loop,
+    * and no post-join distinct.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      right: DataFrame,
+      rStartCol: String,
+      rEndCol: String,
+      keyCols: Seq[String],
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val lCols = left.columns.filterNot(keyCols.contains)
+    val rCols = right.columns.filterNot(keyCols.contains)
+    val clash = lCols.toSet intersect rCols.toSet
+    require(clash.isEmpty, s"rename one side's columns first: clash on $clash")
+    def bucketOf(t: Column): Column = floor(unix_timestamp(t) / bucketSeconds)
+    val l = left.withColumn("__bucket", explode(sequence(
+      bucketOf(col(lStartCol)), bucketOf(col(lEndCol)))))
+    val r = right.withColumn("__bucket", explode(sequence(
+      bucketOf(col(rStartCol)), bucketOf(col(rEndCol)))))
+    l.join(r, keyCols :+ "__bucket")
+      .filter(col(lStartCol) < col(rEndCol) && col(rStartCol) < col(lEndCol))
+      .filter(col("__bucket") ===
+        bucketOf(greatest(col(lStartCol), col(rStartCol))))
+      .drop("__bucket")
+  }
 }
