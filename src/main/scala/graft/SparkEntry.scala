@@ -1316,8 +1316,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // PQ/ADC approximate k-NN: 8-subspace × ~16-codeword product
-    // quantization over the md5-sampled codebook, packed-long codes, ADC
+    // PQ/ADC approximate k-NN: 8-subspace × exactly-16-codeword product
+    // quantization (codebook = the 16 smallest-(md5, id) vectors — a
+    // configuration constant at any corpus size), packed-long codes, ADC
     // candidate scan (per-row table-lookup sum — no vector bytes), exact
     // cosine re-rank of the top 20 per query. The full two-stage PQ search
     // re-derived in SQL by the oracle.
@@ -1419,6 +1420,32 @@ object SparkEntry {
           errors, "r_start", "r_end", Seq("user_id"), bucketSeconds = 3600L)
         .select(col("l_id"), col("r_id"), col("l_start"), col("r_start"))
         .orderBy("l_id", "r_id")
+    }),
+
+    // Canonical-selection dedup: q51's near-dup clusters, but each cluster
+    // keeps its LONGEST member (ties to the lowest id) instead of the
+    // arbitrary minimum id — the release-pipeline policy. The oracle
+    // replays the recursive closure plus the max-score/min-id winner rule.
+    "q105_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.5, numHashes = 8, bands = 4, shingleLen = 3)
+      val clusters = Dedup.duplicateClusters(pairs)
+      Dedup.keepListBy(docs.select("doc_id", "n_chars"), "doc_id", "n_chars",
+          clusters)
+        .orderBy("doc_id")
+    }),
+
+    // Hard-negative mining for contrastive training: per query, the top-5
+    // most-similar vectors with a DIFFERENT label — the mismatch filter
+    // runs in the scan stage, before the bounded top-k.
+    "q106_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("vec_id"), col("label"),
+          round(col("cosine_sim"), 4).as("cosine_sim"), col("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   // ---- DuckDB oracles ----
@@ -3368,11 +3395,9 @@ object SparkEntry {
     "q99_pq_adc_topk" ->
       """WITH cbsrc AS (
            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
-           FROM embeddings
-           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 3) <
-             (SELECT lpad(to_hex(CAST(least(4095, greatest(1,
-                round(16 * 4096.0 / count(*)))) AS BIGINT)), 3, '0')
-              FROM embeddings)),
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                 LIMIT 16) t),
          cb AS (
            SELECT j, code_id,
              list_transform(embedding[j*8+1 : j*8+8],
@@ -3527,5 +3552,63 @@ object SparkEntry {
          SELECT l.l_id, r.r_id, l.l_start, r.r_start
          FROM l JOIN r ON l.user_id = r.user_id
            AND l.l_start < r.r_end AND r.r_start < l.l_end
-         ORDER BY l_id, r_id""")
+         ORDER BY l_id, r_id""",
+
+    // q51's recursive closure, then each cluster's winner = max n_chars
+    // with min-id tie-break; kept corpus = everything minus the clustered
+    // non-winners.
+    "q105_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         scored AS (
+           SELECT c.id, c.cluster_id, d.n_chars
+           FROM clusters c JOIN documents d ON d.doc_id = c.id),
+         best AS (SELECT cluster_id, max(n_chars) AS mx
+                  FROM scored GROUP BY cluster_id),
+         winners AS (
+           SELECT s.cluster_id, min(s.id) AS id
+           FROM scored s JOIN best b
+             ON s.cluster_id = b.cluster_id AND s.n_chars = b.mx
+           GROUP BY s.cluster_id),
+         drops AS (SELECT id FROM clusters
+                   WHERE id NOT IN (SELECT id FROM winners))
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM drops)
+         ORDER BY doc_id""",
+
+    // q53's exact ranking restricted to label-mismatched candidates.
+    "q106_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM embeddings WHERE vec_id < 5),
+         e AS (SELECT vec_id, embedding, label,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+           FROM embeddings),
+         s AS (
+           SELECT q.query_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+             CASE WHEN e.vn * q.qn > 0 THEN
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (e.vn * q.qn)
+             ELSE 0.0 END AS sim
+           FROM e CROSS JOIN q WHERE e.label <> q.qlabel),
+         r AS (
+           SELECT query_id, vec_id, label, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+           FROM s)
+         SELECT query_id, vec_id, label, round(sim, 4) AS cosine_sim,
+                CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""")
 }

@@ -86,6 +86,24 @@ object ScaleProbe {
       Similarity.lshNearNeighbors(emb, "vec_id", "embedding", dim,
         threshold = 0.9, bits = bits, maxBucket = 256).count()
     }
+    // PQ: codebook build is a bounded collect; encode is scan → project
+    // (the slope to watch — one codegen argmin pass over the corpus); the
+    // ADC search scans 8-byte codes only.
+    timed("PQ (m=8, ks=16): encode + ADC search, 8 queries x top-10 (rerank 100)") {
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8,
+        targetKs = 16)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb).persist()
+      enc.count()
+      Similarity.pqTopK(enc, emb, "vec_id", "embedding", cb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, rerank = 100).collect()
+      enc.unpersist()
+    }
+    timed("prefix-16 retrieval, 8 queries x top-10 (rerank 100)") {
+      Similarity.prefixTopKJoin(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        prefixDim = 16, k = 10, rerank = 100).collect()
+    }
     spark.stop()
   }
 }

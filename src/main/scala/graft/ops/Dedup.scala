@@ -177,6 +177,38 @@ object Dedup {
       clusters.filter(col("id") =!= col("cluster_id")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Canonical-selection variant of [[keepList]]: each near-dup cluster
+    * keeps its best member by `scoreCol` (highest score; ties to the
+    * lowest id) instead of the arbitrary minimum id — the production
+    * policy ("keep the longest / highest-quality copy") a release
+    * pipeline actually wants. Rows in no cluster pass through.
+    *
+    * Scale shape: scores join onto the cluster table (cluster rows are a
+    * small fraction of the corpus), then TWO hash aggregates pick winners
+    * — max score per cluster, then min id among the score-tied — rather
+    * than one `max_by` keyed by a struct (whose non-mutable buffer kicks
+    * the plan out of HashAggregateExec into sort-based aggregation, the
+    * [[graft.functions.NearestCentroid]] lesson). The drop list is the
+    * clustered non-winners; one anti join back onto the corpus.
+    */
+  def keepListBy(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    val scored = clusters
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+    val best = scored.groupBy("cluster_id").agg(max(col("__s")).as("__mx"))
+    val winners = scored.join(best, "cluster_id")
+      .filter(col("__s") === col("__mx"))
+      .groupBy("cluster_id").agg(min(col("id")).as("id"))
+      .select(col("id"))
+    val dropIds = clusters.select("id")
+      .join(winners, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** MinHash signature: `numHashes` per-document minima of hashed shingles.
     * Hash family j is `md5(j || ':' || shingle)` and the minimum is
     * lexicographic — engine-portable (md5 strings compare identically

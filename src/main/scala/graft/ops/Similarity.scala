@@ -699,18 +699,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining: for every query, the top-k most-similar corpus
+    * vectors with a DIFFERENT label — the contrastive-training data miner
+    * (similar-but-wrong examples are the negatives that teach an embedding
+    * model its decision boundary). [[topKJoin]]'s shape with a label
+    * mismatch filter BEFORE ranking: the corpus scans once against the
+    * broadcast queries, the filter runs inside the scan stage, and the
+    * per-query top-k is the O(k)-state bounded aggregate.
+    *
+    * Returns (query_id, idCol, labelCol, cosine_sim, rank ≤ k).
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      qLabelCol: String,
+      k: Int): DataFrame = {
+    val e = embeddings.select(col(idCol), col(vecCol), col(labelCol),
+      norm(col(vecCol)).as("__norm"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+      col(qLabelCol).as("__qlabel"), norm(col(qVecCol)).as("__qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col(labelCol) =!= col("__qlabel"))
+      .select(col("query_id"), col(idCol), col(labelCol),
+        when(col("__norm") * col("__qn") > 0,
+          dot(col(vecCol), col("__qv")) / (col("__norm") * col("__qn")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
+    val item = struct((-col("cosine_sim")).as("negsim"),
+      col(idCol).cast("long").as("nid"), col(labelCol).cast("long").as("nlabel"))
+    scored
+      .groupBy("query_id")
+      .agg(boundedTopK(item, k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__t")))
+      .select(col("query_id"), col("__t.nid").as(idCol),
+        col("__t.nlabel").as(labelCol),
+        (-col("__t.negsim")).as("cosine_sim"), (col("__i") + 1).as("rank"))
+  }
+
   /** PQ codebook: `m` per-subspace codebooks, each the sub-vectors of the
-    * same ~`targetKs` deterministically md5-sampled corpus vectors
-    * ([[sampleThreshold]] — the IVF centroid recipe, so an external oracle
-    * reproduces the codebook from the same predicate). Codeword ids are
+    * same EXACTLY-`targetKs` deterministically sampled corpus vectors (the
+    * `targetKs` smallest by `(md5(id), id)` — [[Sampling.hashSampleExact]]'s
+    * order, a pure function of ids any engine reproduces). Codeword ids are
     * 0-based positions in ascending sampled-id order. `books(j)(c)(t)` is
     * subspace j, codeword c, component t; floats widen exactly to double.
     *
+    * Exact-N selection rather than the md5-THRESHOLD predicate the IVF
+    * build uses: the 3-hex-char threshold cannot select fewer than
+    * ~n/4096 rows, so a threshold-sampled codebook would GROW with the
+    * corpus (measured: ks=228 at 1M vectors for targetKs=16) and overflow
+    * the packed-long budget — the codebook must be a configuration
+    * constant. TakeOrderedAndProject keeps the selection scan-shaped (per-
+    * partition partial top-ks, no global sort).
+    *
     * Sampled codebooks are the deterministic baseline (what the oracle can
-    * check); Lloyd-refining them per subspace is the same local step
-    * [[ivfKMeans]] applies to IVF centroids and changes nothing about the
-    * plan shapes downstream. The collect here is the bounded codebook
-    * materialization — ks × dim doubles, a configuration constant.
+    * check); Lloyd-refining them per subspace ([[pqRefine]]) is the same
+    * local step [[ivfKMeans]] applies to IVF centroids and changes nothing
+    * about the plan shapes downstream. The collect here is the bounded
+    * codebook materialization — ks × dim doubles, a configuration
+    * constant.
     */
   case class PqCodebook(m: Int, subDim: Int, books: Array[Array[Array[Double]]]) {
     def ks: Int = books(0).length
@@ -722,11 +772,11 @@ object Similarity {
       vecCol: String,
       m: Int,
       targetKs: Int = 16): PqCodebook = {
-    val thr = sampleThreshold(targetKs.toLong, embeddings.count())
     val sampled = embeddings
-      .filter(hashSampleByThreshold(col(idCol), thr))
-      .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol).cast("long"))
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(targetKs)
+      .orderBy(col(idCol))
       .collect()
       .map(_.getSeq[Any](1).map {
         case f: java.lang.Float => f.toDouble

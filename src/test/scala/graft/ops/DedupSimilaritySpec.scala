@@ -736,6 +736,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(MediaCodec.decodeMp4(Array.empty[Byte]).isEmpty)
   }
 
+  test("keepListBy: clusters keep their best-scoring member, ties to the lowest id") {
+    val corpus = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster A: 2 and 3 tie on score → keep 2
+      (4L, 99L),                       // unclustered: passes through
+      (5L, 7L), (6L, 8L)               // cluster B: keep 6 (higher score)
+    ).toDF("doc_id", "score")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (5L, 5L), (6L, 5L)
+    ).toDF("id", "cluster_id")
+    val kept = Dedup.keepListBy(corpus, "doc_id", "score", clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L))
+    // contrast: min-id keepList would have kept 1 and 5
+    val keptMin = Dedup.keepList(corpus, "doc_id", clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptMin == Set(1L, 4L, 5L))
+  }
+
+  test("hardNegatives: label-mismatched candidates only, ranking equals the filtered exact search") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        queries, "vec_id", "embedding", "label", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    // no negative ever shares the query's label
+    val qLabels = queries.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got.forall { case (q, _, lbl, _) => lbl != qLabels(q) })
+    // equals the brute-force window ranking over the label-filtered cross
+    val naive = emb.as("e").crossJoin(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("label").as("qlabel")))
+      .filter(col("e.label") =!= col("qlabel"))
+      .select(col("qid"), col("e.vec_id").as("nid"), col("e.label").cast("long").as("nlabel"),
+        Similarity.cosine(col("e.embedding"), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    assert(got.toSet == naive.toSet && got.length == 80)
+  }
+
   test("PQ encode: packed codes round-trip against a brute-force re-derivation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, targetKs = 16)
