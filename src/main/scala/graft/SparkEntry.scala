@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.ops.{Curation, Dedup, GroupedRowsToColumns, RowOps, SetContainment, Similarity, Upsert}
+import graft.ops.{Curation, Dedup, GroupedRowsToColumns, Retrieval, RowOps, SetContainment, Similarity, Upsert}
 import graft.pipeline.{Pipeline, ReferenceTables}
 import graft.streaming.EventsStream
 
@@ -1446,6 +1446,70 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("label"),
           round(col("cosine_sim"), 4).as("cosine_sim"), col("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // BM25 keyword retrieval: Lucene-form scoring, df computed only for
+    // the query vocabulary, per-(query, doc) contributions folded over the
+    // term-sorted list, top-10 per query via the bounded aggregate. The
+    // oracle re-derives the whole scoring chain.
+    "q107_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "spark window agg"), (1L, "customer query table"),
+        (2L, "vector merge stream"), (3L, "slow scan filter"))
+        .toDF("query_id", "query_text")
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          queries, "query_id", "query_text", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Scalar (int8) quantization two-stage k-NN: per-dimension min/max
+    // codes, midpoint-reconstructed approximate cosine candidates, exact
+    // re-rank — the middle rung between raw float32 and q99's PQ.
+    "q108_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val p = Similarity.sqParams(emb, "embedding")
+      val enc = Similarity.sqEncode(emb, "vec_id", "embedding", p)
+      Similarity.sqTopK(enc, emb, "vec_id", "embedding", p,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, rerank = 20)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine_sim"), 4).as("cosine_sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // DSIR-style importance weights: per-doc average unigram log-likelihood
+    // ratio of the English stratum vs the raw corpus (add-one smoothing
+    // over the raw vocabulary), folded over the token-sorted list.
+    "q109_importance_weights" -> ((s, dir) => {
+      Curation.importanceWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy("doc_id")
+    }),
+
+    // Exact repeated-span dedup (Lee et al. substring recipe, tiled):
+    // 20-char windows every 10, duplicated window contents keep only their
+    // first (doc, pos) occurrence, every other occurrence's range excised.
+    // The oracle replays windows -> keeper election -> interval merge ->
+    // reassembly.
+    "q110_span_dedup" -> ((s, dir) => {
+      Dedup.repeatedSpanDedup(t(s, dir, "documents"), "doc_id", "text",
+          spanLen = 20, stride = 10)
+        .orderBy("doc_id")
+    }),
+
+    // Linear quality-classifier gate: fixed-weight margin over the q74
+    // signal columns (the fastText/CCNet classifier shape with training
+    // externalized); keep <=> margin >= 0, no exp in the plan.
+    "q111_quality_margin" -> ((s, dir) => {
+      Curation.qualityMargin(t(s, dir, "documents"), "doc_id", "text",
+          weights = Seq(0.002, 0.15, -4.0, 3.0, -2.0, -1.5), bias = -0.6,
+          separator = " ")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("mean_word_len"), col("punct_ratio"), col("stopword_ratio"),
+          col("dup_segment_frac"), col("top_bigram_frac"),
+          col("margin"), col("keep"))
+        .orderBy("doc_id")
     }))
 
   // ---- DuckDB oracles ----
@@ -3610,5 +3674,240 @@ object SparkEntry {
          SELECT query_id, vec_id, label, round(sim, 4) AS cosine_sim,
                 CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 5
-         ORDER BY query_id, rank""")
+         ORDER BY query_id, rank""",
+
+    // Full BM25 re-derivation: corpus term/df/length stats, Lucene idf,
+    // per-(query, doc) contributions folded over the term-sorted list
+    // (identical float add order to the Spark fold), rank on the
+    // 6dp-rounded score with ascending-id tie-break.
+    "q107_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM t),
+         terms AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+           FROM (SELECT doc_id, unnest(tk) AS tok, len(tk) AS dl FROM t)
+           GROUP BY doc_id, tok),
+         q AS (SELECT * FROM (VALUES
+             (0, 'spark window agg'), (1, 'customer query table'),
+             (2, 'vector merge stream'), (3, 'slow scan filter'))
+           AS v(query_id, qtext)),
+         qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+             regexp_split_to_array(lower(qtext), '\\s+'), x -> len(x) > 0)))
+             AS tok FROM q),
+         dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM terms
+           WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+         qi AS (SELECT query_id, tok,
+             ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+           FROM qt JOIN dfq USING (tok), stats),
+         contrib AS (SELECT query_id, doc_id, tok,
+             idf * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 +
+               0.75 * CAST(dl AS DOUBLE) / avgdl)) AS s
+           FROM terms JOIN qi USING (tok)),
+         sc AS (SELECT query_id, doc_id,
+             round(list_sum(list_transform(
+               list_sort(list(struct_pack(t := tok, s := s))), x -> x.s)), 6)
+               AS score
+           FROM contrib GROUP BY query_id, doc_id),
+         r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+                CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10
+         ORDER BY query_id, rank""",
+
+    // Scalar-quantization search re-derived: per-dim min/max, floor-bucket
+    // int8 codes, midpoint reconstruction, approximate-cosine shortlist of
+    // 20, exact cosine re-rank — every stage the same IEEE double
+    // expression as the Spark plan.
+    "q108_sq8_topk" ->
+      """WITH p AS (SELECT j,
+             min(CAST(embedding[j] AS DOUBLE)) AS mn,
+             max(CAST(embedding[j] AS DOUBLE)) AS mx
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS j) r GROUP BY j),
+         ps AS (SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs
+           FROM p),
+         enc AS (SELECT vec_id, list_transform(range(1, 65), i ->
+             CASE WHEN mxs[i] > mns[i] THEN
+               CAST(least(255.0, floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+                 / (mxs[i] - mns[i]) * 256.0)) AS INT)
+             ELSE 0 END) AS sq
+           FROM embeddings, ps),
+         rec AS (SELECT vec_id, list_transform(range(1, 65), i ->
+             mns[i] + (CAST(sq[i] AS DOUBLE) + 0.5) * (mxs[i] - mns[i]) / 256.0)
+             AS rv
+           FROM enc, ps),
+         rn AS (SELECT vec_id, rv,
+             sqrt(list_sum(list_transform(rv, x -> x * x))) AS rnorm FROM rec),
+         q AS (SELECT vec_id AS query_id, embedding AS qv,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM embeddings WHERE vec_id < 5),
+         approx AS (SELECT q.query_id, r.vec_id,
+             CASE WHEN r.rnorm * q.qn > 0 THEN
+               list_sum(list_transform(range(1, 65),
+                 i -> r.rv[i] * CAST(q.qv[i] AS DOUBLE))) / (r.rnorm * q.qn)
+             ELSE 0.0 END AS asim
+           FROM rn r CROSS JOIN q),
+         shortlist AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY asim DESC, vec_id) AS rr FROM approx) WHERE rr <= 20),
+         e AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+           FROM embeddings),
+         fin AS (SELECT s.query_id, s.vec_id,
+             CASE WHEN e.vn * q.qn > 0 THEN
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (e.vn * q.qn)
+             ELSE 0.0 END AS cosine_sim
+           FROM shortlist s JOIN e USING (vec_id) JOIN q USING (query_id)),
+         r2 AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, vec_id) AS rank
+           FROM fin)
+         SELECT query_id, vec_id, round(cosine_sim, 4) AS cosine_sim,
+                CAST(rank AS INTEGER) AS rank
+         FROM r2 WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // DSIR importance weights: one vocabulary pass carrying raw + target
+    // counts, add-one smoothing over the raw vocabulary, per-doc fold over
+    // the token-sorted list (the q86 float-portability pattern).
+    "q109_importance_weights" ->
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest($toks) AS tok
+           FROM documents),
+         pdt AS (SELECT doc_id, tok, count(*) AS nd FROM tok
+           GROUP BY doc_id, tok),
+         vocab AS (SELECT tok, count(*) AS cr,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+           FROM tok GROUP BY tok),
+         tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr,
+             CAST(sum(ct) AS DOUBLE) AS tt,
+             CAST(count(*) AS DOUBLE) AS v FROM vocab),
+         j AS (SELECT p.doc_id, p.tok, p.nd, vv.cr, vv.ct
+           FROM pdt p JOIN vocab vv USING (tok)),
+         agg AS (SELECT doc_id, sum(nd) AS n_tokens,
+             list_sort(list(struct_pack(tok := tok, nd := nd, cr := cr,
+               ct := ct))) AS tc
+           FROM j GROUP BY doc_id)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(list_sum(list_transform(tc, x -> x.nd *
+             (ln((CAST(x.ct AS DOUBLE) + 1.0) / (tt + v)) -
+              ln((CAST(x.cr AS DOUBLE) + 1.0) / (tr + v)))))
+             / n_tokens, 6) + 0.0 AS log_ratio_per_token
+         FROM agg, tot ORDER BY doc_id""",
+
+    // Repeated-span dedup replay: windows -> duplicated-content groups
+    // with min-(doc, pos) keeper -> marked ranges -> interval merge
+    // (islands) -> between-range reassembly. Strings only, no floats.
+    "q110_span_dedup" ->
+      """WITH occ AS (
+           SELECT doc_id, unnest(range(0, len(text) - 20 + 1, 10)) AS pos,
+                  text
+           FROM documents WHERE len(text) >= 20),
+         h AS (SELECT doc_id, pos, md5(substr(text, pos + 1, 20)) AS h
+           FROM occ),
+         grp AS (SELECT h, count(*) AS n,
+             min(struct_pack(kid := doc_id, kpos := pos)) AS keep
+           FROM h GROUP BY h HAVING count(*) >= 2),
+         marked AS (
+           SELECT o.doc_id, o.pos AS s, o.pos + 20 AS e
+           FROM h o JOIN grp g USING (h)
+           WHERE NOT (o.doc_id = g.keep.kid AND o.pos = g.keep.kpos)),
+         ord AS (
+           SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM marked),
+         isl AS (
+           SELECT doc_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+           FROM ord),
+         merged AS (
+           SELECT doc_id, min(s) AS s, max(e) AS e
+           FROM isl GROUP BY doc_id, island),
+         segs AS (
+           SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+               AS seg_start,
+             s AS seg_end
+           FROM merged
+           UNION ALL
+           SELECT m.doc_id, max(m.e), len(d.text)
+           FROM merged m JOIN documents d USING (doc_id)
+           GROUP BY m.doc_id, len(d.text)),
+         cleaned AS (
+           SELECT s.doc_id,
+             string_agg(substr(d.text, seg_start + 1,
+               greatest(0, seg_end - seg_start)), '' ORDER BY seg_start)
+               AS clean_text
+           FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id)
+         SELECT d.doc_id,
+           coalesce(c.clean_text, d.text) AS clean_text,
+           CAST(len(d.text) - len(coalesce(c.clean_text, d.text)) AS BIGINT)
+             AS n_chars_removed
+         FROM documents d LEFT JOIN cleaned c USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // q74's signal chain plus the fixed-order linear margin on the rounded
+    // signal columns; keep <=> margin >= 0.
+    "q111_quality_margin" ->
+      s"""WITH base AS (
+           SELECT doc_id, text, $toks AS tk,
+                  len(text) AS n_chars_raw,
+                  len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_nopunct
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             round(CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS mean_word_len,
+             round(CASE WHEN n_chars_raw > 0 THEN CAST(n_chars_raw - n_nopunct AS DOUBLE) / n_chars_raw ELSE 0.0 END, 6) AS punct_ratio,
+             round(CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that','be','from'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS stopword_ratio
+           FROM base),
+         segs AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS seg
+           FROM documents),
+         segstats AS (
+           SELECT doc_id, count(*) AS n_segments,
+                  count(DISTINCT seg) AS n_distinct_segments
+           FROM segs GROUP BY doc_id),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+             i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+               CAST(i + 1 AS INTEGER)), ' '))) AS g
+           FROM base WHERE len(tk) >= 2),
+         bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         bgstats AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  CAST(max(c) AS BIGINT) AS top_bigram_count
+           FROM bgc GROUP BY doc_id),
+         rep AS (
+           SELECT d.doc_id,
+                  CASE WHEN coalesce(s.n_segments, 0) > 0
+                       THEN round(1.0 - CAST(s.n_distinct_segments AS DOUBLE) / s.n_segments, 6)
+                       ELSE 0.0 END AS dup_segment_frac,
+                  CASE WHEN coalesce(b.n_bigrams, 0) > 0
+                       THEN round(CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams, 6)
+                       ELSE 0.0 END AS top_bigram_frac
+           FROM documents d
+           LEFT JOIN segstats s USING (doc_id)
+           LEFT JOIN bgstats b USING (doc_id)),
+         f AS (
+           SELECT m.doc_id, m.n_tokens, m.mean_word_len, m.punct_ratio,
+                  m.stopword_ratio, rep.dup_segment_frac, rep.top_bigram_frac,
+                  round(-0.6 + 0.002 * CAST(m.n_tokens AS DOUBLE)
+                    + 0.15 * m.mean_word_len
+                    + -4.0 * m.punct_ratio
+                    + 3.0 * m.stopword_ratio
+                    + -2.0 * rep.dup_segment_frac
+                    + -1.5 * rep.top_bigram_frac, 8) AS margin
+           FROM m JOIN rep USING (doc_id))
+         SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
+                dup_segment_frac, top_bigram_frac, margin, margin >= 0 AS keep
+         FROM f ORDER BY doc_id""")
 }

@@ -1023,4 +1023,114 @@ object Curation {
           .otherwise(lit("changed")).as("status"),
         col("old_fp"), col("new_fp"))
   }
+
+  /** DSIR-style importance weights: score every document by how much more
+    * likely its tokens are under the TARGET distribution (the rows
+    * matching `targetPred` — e.g. a trusted high-quality stratum) than
+    * under the raw corpus distribution — the data-selection recipe of Xie
+    * et al.'s "Data Selection for Language Models via Importance
+    * Resampling" reduced to unigram bag-of-words features. Per document:
+    * `log_ratio_per_token = (1/n) Σ_tok nd · (ln p_target(tok) −
+    * ln p_raw(tok))` with add-one-smoothed unigram estimates
+    * `p(tok) = (c + 1)/(T + V)` over the RAW corpus vocabulary (V = raw
+    * distinct-token count; target counts of unseen tokens are 0, smoothing
+    * keeps them finite). High scores ≈ target-like documents; resample the
+    * corpus ∝ exp(weight) or keep the top slice.
+    *
+    * Scale shape: the tokenize pass aggregates to per-(doc, token) counts
+    * once; the two vocabulary tables (raw + target counts, vocabulary-
+    * sized) left-join onto it — broadcast by default, shuffle join under
+    * `broadcastVocab = false` for web-scale vocabularies (the
+    * [[unigramBitsPerToken]] dial). The per-doc fold runs over the
+    * token-SORTED count list so the float sum adds identical terms in
+    * identical order on any engine and partitioning. Returns
+    * (idCol, n_tokens, log_ratio_per_token).
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val tok = docs.select(col(idCol), targetPred.as("__tgt"),
+      explode(tokens(col(textCol))).as("tok"))
+    val perDocTok = tok.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("nd"))
+    // One vocabulary pass carries both distributions: raw count + target
+    // count per token (conditional aggregation, no second scan).
+    val vocab = tok.groupBy("tok").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = vocab.agg(
+      sum("cr").cast("double").as("tr"),
+      sum("ct").cast("double").as("tt"),
+      count(lit(1)).cast("double").as("v"))
+    perDocTok.join(if (broadcastVocab) broadcast(vocab) else vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(sum("nd").as("n_tokens"),
+        sort_array(collect_list(struct(col("tok"), col("nd"), col("cr"),
+          col("ct")))).as("tc"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_tokens"),
+        // + 0.0 folds a rounded -0.0 (a balanced doc whose ratio sum is an
+        // infinitesimal negative) to +0.0 — engines format the two zeros
+        // differently.
+        (round(aggregate(col("tc"), lit(0.0), (acc, x) =>
+          acc + x.getField("nd") *
+            (log((x.getField("ct").cast("double") + 1.0) / (col("tt") + col("v"))) -
+              log((x.getField("cr").cast("double") + 1.0) / (col("tr") + col("v"))))) /
+          col("n_tokens"), 6) + lit(0.0)).as("log_ratio_per_token"))
+  }
+
+  /** Linear quality-classifier gate: the margin of a fixed linear model
+    * over [[qualityFilter]]'s published signal columns — the shape of a
+    * fastText/logistic quality classifier (as used by the CCNet/LLaMA
+    * data pipelines) with the training externalized: weights arrive as
+    * data, scoring is one in-plan expression. `margin = bias + Σ w_i·x_i`
+    * in the FIXED order (n_tokens, mean_word_len, punct_ratio,
+    * stopword_ratio, dup_segment_frac, top_bigram_frac); `keep ⇔ margin ≥
+    * 0` (= sigmoid(margin) ≥ 0.5 without evaluating exp — the margin form
+    * keeps the oracle engine-portable, multiply/add only). Signals enter
+    * at their published 6-dp rounding, so the score is reproducible from
+    * the audit columns alone. Returns the signal columns plus
+    * (margin, keep).
+    *
+    * The margin publishes at `roundTo` = 8 decimals, where the EXACT
+    * decimal sum terminates for ≤2-dp weights over the 6-dp signals: a
+    * rounding point on which the decimal terminates has no half-way
+    * cases, so engines with different round-half conventions (Spark's
+    * BigDecimal HALF_UP vs DuckDB's double rounding, which disagree
+    * within 1 ulp of a .5 boundary — measured on this very operator at
+    * 6 dp, where short-decimal weights times 6-dp signals make exact
+    * .5 boundaries structurally COMMON, not a 1e-6 fluke) produce
+    * bit-identical doubles. Callers with ≥3-dp weights should raise
+    * `roundTo` to where their products terminate.
+    *
+    * Scale: [[qualityFilter]]'s signal pass (one tokenize + the q59
+    * repetition aggregate) plus a row-local projection — nothing new
+    * shuffles.
+    */
+  def qualityMargin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[Double],
+      bias: Double,
+      separator: String = "\n",
+      roundTo: Int = 8): DataFrame = {
+    require(weights.length == 6,
+      s"qualityMargin expects 6 weights (n_tokens, mean_word_len, " +
+        s"punct_ratio, stopword_ratio, dup_segment_frac, top_bigram_frac), " +
+        s"got ${weights.length}")
+    val signals = qualityFilter(docs, idCol, textCol, separator = separator)
+      .drop("reason", "keep")
+    val cols = Seq("n_tokens", "mean_word_len", "punct_ratio",
+      "stopword_ratio", "dup_segment_frac", "top_bigram_frac")
+    val margin = cols.zip(weights).foldLeft(lit(bias)) {
+      case (acc, (c, w)) => acc + lit(w) * col(c).cast("double")
+    }
+    signals
+      .withColumn("margin", round(margin, roundTo))
+      .withColumn("keep", col("margin") >= 0)
+  }
 }

@@ -209,6 +209,81 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Exact repeated-SPAN dedup (the Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better" substring recipe, tiled): fixed-
+    * length character windows (`spanLen` chars every `stride`) are hashed
+    * corpus-wide; every window content occurring more than once — across
+    * documents OR repeated inside one — keeps only its first occurrence
+    * (minimum `(doc, pos)`) and every other occurrence's character range
+    * is EXCISED from its document. Overlapping excisions merge. This
+    * removes duplicated passages embedded in otherwise-unique documents —
+    * the mass that document-level dedup ([[exactDedup]], MinHash) cannot
+    * see. Returns (idCol, clean text, n_chars_removed).
+    *
+    * Scale shape: the window pass is a generator explode in the scan
+    * stage; the occurrence table shuffles (id, pos, 16-byte md5) — never
+    * window text. Duplicated-window groups come from one hash aggregate
+    * (count + min-(doc,pos) keeper); occurrences join back on the hash to
+    * mark non-keepers (both sides already keyed — one co-partitioned
+    * shuffle). Marked ranges collect per document (bounded by
+    * len/stride, the document-bounded state contract of
+    * [[Curation.assembleSequences]]) and ONE in-row fold excises them
+    * cursor-wise, so reassembly never shuffles. Window-hash state is the
+    * corpus's distinct-window table — the same footprint as the exact-
+    * dedup fingerprint table, partitionable on the hash at any scale.
+    */
+  def repeatedSpanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLen: Int,
+      stride: Int): DataFrame = {
+    require(spanLen >= 1 && stride >= 1,
+      s"spanLen/stride must be >= 1, got $spanLen/$stride")
+    val occ = docs
+      .filter(length(col(textCol)) >= spanLen)
+      .select(col(idCol),
+        explode(sequence(lit(0), length(col(textCol)) - spanLen,
+          lit(stride))).as("__pos"),
+        col(textCol))
+      .select(col(idCol), col("__pos"),
+        md5(col(textCol).substr(col("__pos") + 1, lit(spanLen))).as("__h"))
+    val dupGroups = occ
+      .groupBy("__h")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol).cast("long").as("kid"),
+          col("__pos").as("kpos"))).as("__keep"))
+      .filter(col("__n") >= 2)
+      .select(col("__h"), col("__keep"))
+    val marked = occ.join(dupGroups, "__h")
+      .filter(!(col(idCol).cast("long") === col("__keep.kid") &&
+        col("__pos") === col("__keep.kpos")))
+      .select(col(idCol), col("__pos").as("__s"),
+        (col("__pos") + spanLen).as("__e"))
+    val ranges = marked
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
+        .as("__rs"))
+    val zero = struct(lit(0).as("cur"), lit("").as("acc"))
+    val cleanExpr = aggregate(col("__rs"), zero,
+      (st, r) => struct(
+        greatest(st.getField("cur"), r.getField("__e")).as("cur"),
+        concat(st.getField("acc"),
+          col(textCol).substr(st.getField("cur") + 1,
+            greatest(lit(0), r.getField("__s") - st.getField("cur"))))
+          .as("acc")),
+      st => concat(st.getField("acc"),
+        col(textCol).substr(st.getField("cur") + 1,
+          greatest(lit(0), length(col(textCol)) - st.getField("cur")))))
+    docs.join(ranges, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__rs").isNull, col(textCol))
+          .otherwise(cleanExpr).as("clean_text"),
+        (length(col(textCol)) -
+          length(when(col("__rs").isNull, col(textCol)).otherwise(cleanExpr)))
+          .cast("long").as("n_chars_removed"))
+  }
+
   /** MinHash signature: `numHashes` per-document minima of hashed shingles.
     * Hash family j is `md5(j || ':' || shingle)` and the minimum is
     * lexicographic — engine-portable (md5 strings compare identically

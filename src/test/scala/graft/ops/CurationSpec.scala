@@ -606,6 +606,53 @@ class CurationSpec extends AnyFunSuite {
     assert(merges.toList == List((1, "a", "a", 8L), (2, "aa", "</w>", 2L)))
   }
 
+  test("importanceWeights: target = whole corpus gives exactly zero everywhere") {
+    // p_target == p_raw when every row is target -> every log ratio is 0.
+    val docs = Seq((1L, "a b c"), (2L, "a a d"), (3L, "b d"))
+      .toDF("doc_id", "text")
+    val got = Curation.importanceWeights(docs, "doc_id", "text", lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 3)
+    assert(got.forall(_._3 == 0.0))
+  }
+
+  test("importanceWeights: hand-computed add-one ratios; target-like docs score higher") {
+    // target = doc 1 only. raw counts: a:3 b:1, T_r=4, V=2.
+    // target counts: a:2 b:0?? -> doc1 = 'a a b': ct(a)=2, ct(b)=1, T_t=3.
+    val docs = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    val got = Curation.importanceWeights(docs, "doc_id", "text",
+        col("doc_id") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (tt, tr, v) = (3.0, 4.0, 2.0)
+    def lr(ct: Double, cr: Double): Double =
+      math.log((ct + 1) / (tt + v)) - math.log((cr + 1) / (tr + v))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc1: (2*lr(a) + 1*lr(b)) / 3 with ct(a)=2 cr(a)=3, ct(b)=1 cr(b)=1
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._2 == r6((2 * lr(2, 3) + lr(1, 1)) / 3))
+    // doc2: lr(a) / 1
+    assert(got(2L)._2 == r6(lr(2, 3)))
+  }
+
+  test("qualityMargin: hand-computed fixed-order margin and keep threshold") {
+    val docs = Seq((1L, Seq.fill(20)("word").mkString(" ") + " the of to is"))
+      .toDF("doc_id", "text")
+    val got = Curation.qualityMargin(docs, "doc_id", "text",
+        weights = Seq(0.01, 0.0, 0.0, 0.0, 0.0, 0.0), bias = -0.2,
+        separator = " ")
+      .select("n_tokens", "margin", "keep").collect().head
+    // 24 tokens * 0.01 - 0.2 = 0.04 -> keep
+    assert(got.getInt(0) == 24)
+    assert(got.getDouble(1) == 0.04)
+    assert(got.getBoolean(2))
+    val neg = Curation.qualityMargin(docs, "doc_id", "text",
+        weights = Seq(0.01, 0.0, 0.0, 0.0, 0.0, 0.0), bias = -0.5,
+        separator = " ")
+      .select("margin", "keep").collect().head
+    assert(neg.getDouble(0) == -0.26 && !neg.getBoolean(1))
+  }
+
   test("temperatureMixture plan: corpus never shuffles — totals broadcast back") {
     val df = (1L to 400L).map(i => (i, "s" + (i % 3), 50L))
       .toDF("doc_id", "source", "n_tokens")

@@ -779,6 +779,87 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.toSet == naive.toSet && got.length == 80)
   }
 
+  test("sqEncode: codes bounded to [0,255], midpoint reconstruction within half a bucket") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = Similarity.sqParams(emb, "embedding")
+    assert(p.dim == 64)
+    val rows = Similarity.sqEncode(emb, "vec_id", "embedding", p)
+      .join(emb, "vec_id").select("sq_code", "embedding").collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      val vec = r.getSeq[Float](1)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      codes.indices.foreach { j =>
+        val scale = (p.maxs(j) - p.mins(j)) / 256.0
+        val recon = p.mins(j) + (codes(j) + 0.5) * scale
+        // midpoint of the right bucket: |x - recon| <= scale/2 (+eps)
+        assert(math.abs(vec(j).toDouble - recon) <= scale / 2 + 1e-9,
+          s"dim $j: x=${vec(j)} recon=$recon scale=$scale")
+      }
+    }
+  }
+
+  test("sqTopK with rerank = corpus size equals the exact search; recall floor at rerank=20") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val n = emb.count().toInt
+    val p = Similarity.sqParams(emb, "embedding")
+    val enc = Similarity.sqEncode(emb, "vec_id", "embedding", p).persist()
+    enc.count()
+    val queries = emb.filter(col("vec_id") < 8)
+    def ids(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .groupBy(_._1).map { case (q, a) =>
+          q -> a.sortBy(_._3).map(_._2).toSeq }
+    val exact = ids(Similarity.topKJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val full = ids(Similarity.sqTopK(enc, emb, "vec_id", "embedding", p,
+      queries, "vec_id", "embedding", k = 10, rerank = n))
+    assert(full == exact) // full rerank restores exactness
+    val approx = ids(Similarity.sqTopK(enc, emb, "vec_id", "embedding", p,
+      queries, "vec_id", "embedding", k = 10, rerank = 20))
+    val recall = approx.map { case (q, got) =>
+      got.toSet.intersect(exact(q).toSet).size.toDouble / 10.0 }
+    val mean = recall.sum / recall.size
+    // int8 midpoint reconstruction is a faithful geometry: high recall
+    assert(mean >= 0.9, s"mean recall@10 $mean")
+    enc.unpersist()
+  }
+
+  test("repeatedSpanDedup: keeper survives, later occurrences excised, overlaps merge") {
+    // span 4, stride 2 over: doc1 "AAAABBBBCCCC", doc2 "XXBBBBYY", doc3 unique.
+    // 'BBBB' occurs at doc1 pos 4 (keeper: doc1 < doc2) and doc2 pos 2.
+    val docs = Seq(
+      (1L, "AAAABBBBCCCC"),
+      (2L, "XXBBBBYY"),
+      (3L, "qrstuvwx")).toDF("doc_id", "text")
+    val byId = Dedup.repeatedSpanDedup(docs, "doc_id", "text",
+        spanLen = 4, stride = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc1 windows: AAAA AABB BBBB(pos4) BBCC CCCC; doc2: XXBB BBBB(pos2) BBYY
+    // Only content 'BBBB' duplicates; keeper (1,4). doc2's [2,6) excised.
+    assert(byId(2L) == ("XXYY", 4L))
+    assert(byId(1L) == ("AAAABBBBCCCC", 0L))
+    assert(byId(3L) == ("qrstuvwx", 0L))
+  }
+
+  test("repeatedSpanDedup: in-doc repeats collapse to the first occurrence; adjacent ranges merge") {
+    // 'ABCD' at pos 0 (keeper), 4, 8 in one doc: ranges [4,8) and [8,12)
+    // merge -> cleaned keeps only the first tile + tail.
+    val docs = Seq((1L, "ABCDABCDABCDZZ")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanDedup(docs, "doc_id", "text",
+        spanLen = 4, stride = 4)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(got == ("ABCDZZ", 8L))
+  }
+
+  test("repeatedSpanDedup: docs shorter than the span pass through untouched") {
+    val docs = Seq((1L, "ab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanDedup(docs, "doc_id", "text",
+        spanLen = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "ab", 0L), (2L, "ab", 0L)))
+  }
+
   test("PQ encode: packed codes round-trip against a brute-force re-derivation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, targetKs = 16)
