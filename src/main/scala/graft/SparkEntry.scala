@@ -1498,6 +1498,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Surgical span-level decontamination: excise exactly the character
+    // ranges reproducing a benchmark passage (q56's doc split), instead
+    // of dropping whole documents — benchmark windows at stride 1
+    // broadcast, corpus windows at stride 10, q110's excision fold.
+    "q112_excise_passages" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.excisePassages(docs.filter(col("doc_id") >= 25), "doc_id",
+          "text", docs.filter(col("doc_id") < 25), "text",
+          spanLen = 20, stride = 10)
+        .orderBy("doc_id")
+    }),
+
+    // One-row dedup audit card over q51's near-dup clusters: corpus size,
+    // clustered docs, cluster count, drop count/fraction, biggest cluster.
+    "q113_dedup_audit_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.5, numHashes = 8, bands = 4, shingleLen = 3)
+      Dedup.auditCard(docs, "doc_id", Dedup.duplicateClusters(pairs))
+    }),
+
+    // IVF + int8 SQ composed index (the FAISS IVF32,SQ8 shape): route to
+    // 4 of 32 cells, scan only probed cells' codes, shortlist 20 by
+    // reconstruction cosine, exact re-rank to top-5. The oracle composes
+    // q72's assignment chain with q108's quantization chain.
+    "q114_ivf_sq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val p = Similarity.sqParams(emb, "embedding")
+      val index = Similarity.ivfSqIndex(emb, "vec_id", "embedding",
+        nlist = 32, p)
+      val thr = Similarity.sampleThreshold(32L, emb.count())
+      val centroids = emb
+        .filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      Similarity.ivfSqTopK(index, centroids, emb, "vec_id", "embedding", p,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, nprobe = 4, rerank = 20)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine_sim"), 4).as("cosine_sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Linear quality-classifier gate: fixed-weight margin over the q74
     // signal columns (the fastText/CCNet classifier shape with training
     // externalized); keep <=> margin >= 0, no exp in the plan.
@@ -3853,6 +3896,151 @@ object SparkEntry {
              AS n_chars_removed
          FROM documents d LEFT JOIN cleaned c USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // Span decontamination replay: benchmark windows at stride 1, corpus
+    // windows at stride 10, semi-join on the window hash, then q110's
+    // islands + reassembly.
+    "q112_excise_passages" ->
+      """WITH bench AS (SELECT text FROM documents WHERE doc_id < 25),
+         bh AS (SELECT DISTINCT md5(substr(text, bp + 1, 20)) AS h
+           FROM (SELECT text, unnest(range(0, len(text) - 20 + 1, 1)) AS bp
+                 FROM bench WHERE len(text) >= 20)),
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25),
+         occ AS (SELECT doc_id,
+             unnest(range(0, len(text) - 20 + 1, 10)) AS pos, text
+           FROM corpus WHERE len(text) >= 20),
+         marked AS (
+           SELECT doc_id, pos AS s, pos + 20 AS e
+           FROM (SELECT doc_id, pos, md5(substr(text, pos + 1, 20)) AS h
+                 FROM occ)
+           WHERE h IN (SELECT h FROM bh)),
+         ord AS (
+           SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM marked),
+         isl AS (
+           SELECT doc_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+           FROM ord),
+         merged AS (
+           SELECT doc_id, min(s) AS s, max(e) AS e
+           FROM isl GROUP BY doc_id, island),
+         segs AS (
+           SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+               AS seg_start,
+             s AS seg_end
+           FROM merged
+           UNION ALL
+           SELECT m.doc_id, max(m.e), len(d.text)
+           FROM merged m JOIN corpus d USING (doc_id)
+           GROUP BY m.doc_id, len(d.text)),
+         cleaned AS (
+           SELECT s.doc_id,
+             string_agg(substr(d.text, seg_start + 1,
+               greatest(0, seg_end - seg_start)), '' ORDER BY seg_start)
+               AS clean_text
+           FROM segs s JOIN corpus d USING (doc_id) GROUP BY s.doc_id)
+         SELECT d.doc_id,
+           coalesce(c.clean_text, d.text) AS clean_text,
+           CAST(len(d.text) - len(coalesce(c.clean_text, d.text)) AS BIGINT)
+             AS n_chars_removed
+         FROM corpus d LEFT JOIN cleaned c USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // q51's recursive closure aggregated into the one-row audit card.
+    "q113_dedup_audit_card" ->
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         corpus AS (SELECT count(*) AS n_docs FROM documents),
+         flat AS (SELECT count(*) AS n_clustered,
+             count(DISTINCT cluster_id) AS n_clusters FROM clusters),
+         biggest AS (SELECT coalesce(max(sz), 0) AS max_cluster_size
+           FROM (SELECT count(*) AS sz FROM clusters GROUP BY cluster_id))
+         SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_clustered AS BIGINT) AS n_clustered,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_clustered - n_clusters AS BIGINT) AS n_dropped,
+           CAST(max_cluster_size AS BIGINT) AS max_cluster_size,
+           round(CAST(n_clustered - n_clusters AS DOUBLE) / n_docs, 6)
+             AS dropped_frac
+         FROM corpus, flat, biggest""",
+
+    // q72's IVF assignment chain composed with q108's SQ chain: routed
+    // queries scan only probed cells' reconstructed codes, shortlist 20,
+    // exact re-rank to 5.
+    "q114_ivf_sq_topk" ->
+      s"""WITH $ivfAssignCtes,
+         p AS (SELECT j,
+             min(CAST(embedding[j] AS DOUBLE)) AS mn,
+             max(CAST(embedding[j] AS DOUBLE)) AS mx
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS j) r GROUP BY j),
+         ps AS (SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs
+           FROM p),
+         enc AS (SELECT vec_id, list_transform(range(1, 65), i ->
+             CASE WHEN mxs[i] > mns[i] THEN
+               CAST(least(255.0, floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+                 / (mxs[i] - mns[i]) * 256.0)) AS INT)
+             ELSE 0 END) AS sq
+           FROM embeddings, ps),
+         rec AS (SELECT vec_id, list_transform(range(1, 65), i ->
+             mns[i] + (CAST(sq[i] AS DOUBLE) + 0.5) * (mxs[i] - mns[i]) / 256.0)
+             AS rv
+           FROM enc, ps),
+         rn AS (SELECT vec_id, rv,
+             sqrt(list_sum(list_transform(rv, x -> x * x))) AS rnorm FROM rec),
+         qs AS (SELECT vec_id AS query_id, embedding AS qv,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM embeddings WHERE vec_id < 5),
+         routed AS (
+           SELECT query_id, qv, qn, centroid_id FROM (
+             SELECT qs.query_id, qs.qv, qs.qn, c.centroid_id,
+               row_number() OVER (PARTITION BY qs.query_id ORDER BY
+                 (CASE WHEN qs.qn * c.cn > 0 THEN
+                    list_sum(list_transform(range(1, len(c.cvec) + 1),
+                      i -> CAST(c.cvec[i] AS DOUBLE) * CAST(qs.qv[i] AS DOUBLE))) / (qs.qn * c.cn)
+                  ELSE 0.0 END) DESC, c.centroid_id) AS r
+             FROM qs CROSS JOIN c)
+           WHERE r <= 4),
+         approx AS (
+           SELECT rt.query_id, a.vec_id,
+             max(CASE WHEN rt.qn * rn.rnorm > 0 THEN
+               list_sum(list_transform(range(1, 65),
+                 i -> rn.rv[i] * CAST(rt.qv[i] AS DOUBLE))) / (rt.qn * rn.rnorm)
+             ELSE 0.0 END) AS asim
+           FROM assigned a
+           JOIN routed rt USING (centroid_id)
+           JOIN rn USING (vec_id)
+           GROUP BY rt.query_id, a.vec_id),
+         shortlist AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY asim DESC, vec_id) AS rr FROM approx) WHERE rr <= 20),
+         fin AS (SELECT s.query_id, s.vec_id,
+             CASE WHEN v.vn * q.qn > 0 THEN
+               list_sum(list_transform(range(1, len(v.embedding) + 1),
+                 i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (v.vn * q.qn)
+             ELSE 0.0 END AS cosine_sim
+           FROM shortlist s JOIN v USING (vec_id) JOIN qs q USING (query_id)),
+         r2 AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, vec_id) AS rank
+           FROM fin)
+         SELECT query_id, vec_id, round(cosine_sim, 4) AS cosine_sim,
+                CAST(rank AS INTEGER) AS rank
+         FROM r2 WHERE rank <= 5
+         ORDER BY query_id, rank""",
 
     // q74's signal chain plus the fixed-order linear margin on the rounded
     // signal columns; keep <=> margin >= 0.

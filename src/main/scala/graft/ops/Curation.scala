@@ -1024,6 +1024,59 @@ object Curation {
         col("old_fp"), col("new_fp"))
   }
 
+  /** Surgical span-level decontamination: EXCISE every corpus character
+    * range that reproduces a benchmark passage, instead of dropping whole
+    * documents the way [[decontaminate]] does — the scalpel for the long
+    * web page that quotes one eval question but is otherwise good
+    * training data. Corpus windows (`spanLen` chars every `stride`) are
+    * matched against ALL benchmark windows (stride 1 on the benchmark
+    * side, so a copied passage is caught at any alignment); matching
+    * ranges merge and cut out via [[Dedup.exciseMarkedRanges]]'s fold.
+    * Returns (idCol, clean_text, n_chars_removed).
+    *
+    * Coverage contract: a verbatim benchmark passage of ≥ spanLen + stride
+    * − 1 chars is guaranteed to have a matching corpus window; excision
+    * can leave up to stride − 1 contaminated chars at each passage edge
+    * (tiled approximation of the suffix-array exact recipe — stride 1 on
+    * the corpus side restores exactness at stride× the window count).
+    *
+    * Scale shape: benchmark window fingerprints are benchmark-sized ×
+    * spanLen and BROADCAST (the [[contaminationReport]] contract); the
+    * corpus window pass is a generator explode in the scan stage
+    * semi-joined against the broadcast set — the corpus never shuffles to
+    * find matches, only the marked ranges (id, pos ints) move.
+    */
+  def excisePassages(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      spanLen: Int,
+      stride: Int): DataFrame = {
+    require(spanLen >= 1 && stride >= 1,
+      s"spanLen/stride must be >= 1, got $spanLen/$stride")
+    val benchH = bench
+      .filter(length(col(benchTextCol)) >= spanLen)
+      .select(explode(sequence(lit(0), length(col(benchTextCol)) - spanLen,
+        lit(1))).as("__bp"), col(benchTextCol))
+      .select(md5(col(benchTextCol).substr(col("__bp") + 1, lit(spanLen)))
+        .as("__h"))
+      .distinct()
+    val marked = docs
+      .filter(length(col(textCol)) >= spanLen)
+      .select(col(idCol),
+        explode(sequence(lit(0), length(col(textCol)) - spanLen,
+          lit(stride))).as("__pos"),
+        col(textCol))
+      .select(col(idCol), col("__pos"),
+        md5(col(textCol).substr(col("__pos") + 1, lit(spanLen))).as("__h"))
+      .join(broadcast(benchH), Seq("__h"), "left_semi")
+      .select(col(idCol), col("__pos").as("__s"),
+        (col("__pos") + spanLen).as("__e"))
+    Dedup.exciseMarkedRanges(docs, idCol, textCol, marked)
+  }
+
   /** DSIR-style importance weights: score every document by how much more
     * likely its tokens are under the TARGET distribution (the rows
     * matching `targetPred` — e.g. a trusted high-quality stratum) than

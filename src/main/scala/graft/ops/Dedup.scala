@@ -260,6 +260,22 @@ object Dedup {
         col("__pos") === col("__keep.kpos")))
       .select(col(idCol), col("__pos").as("__s"),
         (col("__pos") + spanLen).as("__e"))
+    exciseMarkedRanges(docs, idCol, textCol, marked)
+  }
+
+  /** Shared excision tail of [[repeatedSpanDedup]] and
+    * [[Curation.excisePassages]]: given `(idCol, __s, __e)` character
+    * ranges to remove, collect them per document (bounded by len/stride)
+    * and cut them out with ONE in-row cursor fold — overlapping and
+    * adjacent ranges merge naturally (the cursor only moves forward), and
+    * reassembly never shuffles. Documents with no marked ranges pass
+    * through. Returns (idCol, clean_text, n_chars_removed).
+    */
+  private[ops] def exciseMarkedRanges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      marked: DataFrame): DataFrame = {
     val ranges = marked
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
@@ -282,6 +298,37 @@ object Dedup {
         (length(col(textCol)) -
           length(when(col("__rs").isNull, col(textCol)).otherwise(cleanExpr)))
           .cast("long").as("n_chars_removed"))
+  }
+
+  /** One-row dedup audit card over a [[duplicateClusters]] table: corpus
+    * size, how many documents sit in a near-dup cluster, how many clusters
+    * there are, how many documents canonical selection will drop
+    * (clustered − clusters), the largest cluster (the signal that a
+    * boilerplate template or mirror site slipped past exact dedup), and
+    * the dropped fraction — the release-notes block next to
+    * [[Curation.corpusStats]].
+    *
+    * Scale: aggregates run over the cluster table (a small fraction of the
+    * corpus — ids only) plus one corpus count; the three one-row frames
+    * cross-join for free.
+    */
+  def auditCard(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val corpus = docs.agg(count(lit(1)).as("n_docs"))
+    val flat = clusters.agg(
+      count(lit(1)).as("n_clustered"),
+      countDistinct(col("cluster_id")).as("n_clusters"))
+    val biggest = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__sz"))
+      .agg(coalesce(max(col("__sz")), lit(0L)).as("max_cluster_size"))
+    corpus.crossJoin(flat).crossJoin(biggest)
+      .select(col("n_docs"), col("n_clustered"), col("n_clusters"),
+        (col("n_clustered") - col("n_clusters")).as("n_dropped"),
+        col("max_cluster_size"),
+        round((col("n_clustered") - col("n_clusters")).cast("double") /
+          col("n_docs"), 6).as("dropped_frac"))
   }
 
   /** MinHash signature: `numHashes` per-document minima of hashed shingles.

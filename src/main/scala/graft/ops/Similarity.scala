@@ -1021,18 +1021,20 @@ object Similarity {
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      p: SqParams): DataFrame = {
+      p: SqParams): DataFrame =
+    embeddings.select(col(idCol), sqEncodeExpr(col(vecCol), p).as("sq_code"))
+
+  private def sqEncodeExpr(vec: Column, p: SqParams): Column = {
     val mnA = lit(p.mins)
     val mxA = lit(p.maxs)
-    embeddings.select(col(idCol),
-      transform(col(vecCol), (x, i) => {
-        val mn = element_at(mnA, (i + 1).cast("int"))
-        val mx = element_at(mxA, (i + 1).cast("int"))
-        when(mx > mn,
-          least(lit(255.0), floor((x.cast("double") - mn) / (mx - mn) * 256.0))
-            .cast("int"))
-          .otherwise(lit(0))
-      }).as("sq_code"))
+    transform(vec, (x, i) => {
+      val mn = element_at(mnA, (i + 1).cast("int"))
+      val mx = element_at(mxA, (i + 1).cast("int"))
+      when(mx > mn,
+        least(lit(255.0), floor((x.cast("double") - mn) / (mx - mn) * 256.0))
+          .cast("int"))
+        .otherwise(lit(0))
+    })
   }
 
   /** Midpoint reconstruction of an [[sqEncode]]d vector:
@@ -1046,6 +1048,95 @@ object Similarity {
       val mx = element_at(mxA, (i + 1).cast("int"))
       mn + (c.cast("double") + 0.5) * (mx - mn) / 256.0
     })
+  }
+
+  /** IVF + SQ composed index: the [[ivfAssign]] cell assignment with the
+    * int8 codes stored IN the cell rows — one scan-stage projection, no
+    * join (the vector encodes as it assigns). This is the FAISS
+    * `IVF<nlist>,SQ8` production shape: routing prunes to nprobe/nlist of
+    * the corpus, the in-cell scan reads 1-byte-per-component codes, and
+    * only the shortlist touches raw vectors. Persist with
+    * [[saveIvfIndex]]'s partitioned layout for probe-time cell pruning.
+    * Returns (centroid_id, idCol, sq_code).
+    */
+  def ivfSqIndex(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      p: SqParams,
+      replicas: Int = 1): DataFrame =
+    ivfAssign(embeddings, idCol, vecCol, nlist, replicas)
+      .select(col("centroid_id"), col(idCol),
+        sqEncodeExpr(col(vecCol), p).as("sq_code"))
+
+  /** Two-stage search over an [[ivfSqIndex]]: route each query to its
+    * `nprobe` nearest centroids (broadcast, nlist-bounded), scan ONLY the
+    * probed cells' int8 codes for approximate midpoint-reconstruction
+    * cosine, shortlist `rerank` per query with the O(rerank)-state
+    * [[boundedTopK]] aggregate, and re-rank the shortlist with exact
+    * cosine against the raw vectors. Returns
+    * (query_id, idCol, cosine_sim, rank ≤ k).
+    */
+  def ivfSqTopK(
+      index: DataFrame, // (centroid_id, idCol, sq_code)
+      centroids: DataFrame, // (centroid_id, centroid_vec)
+      embeddings: DataFrame, // exact re-rank side
+      idCol: String,
+      vecCol: String,
+      p: SqParams,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+      norm(col(qVecCol)).as("__qn"))
+    val c = centroids.select(col("centroid_id"), col("centroid_vec"),
+      norm(col("centroid_vec")).as("__cnorm"))
+    val routeW = Window.partitionBy("query_id")
+      .orderBy(col("__csim").desc, col("centroid_id").asc)
+    val routed = q.crossJoin(broadcast(c))
+      .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"),
+        when(col("__qn") * col("__cnorm") > 0,
+          dot(col("__qv"), col("centroid_vec")) / (col("__qn") * col("__cnorm")))
+          .otherwise(lit(0.0)).as("__csim"))
+      .withColumn("__r", row_number().over(routeW))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"))
+    val members = index.select(col("centroid_id"), col(idCol),
+        sqRecon(col("sq_code"), p).as("__rv"))
+      .select(col("centroid_id"), col(idCol), col("__rv"),
+        norm(col("__rv")).as("__rn"))
+    val approx = members.join(routed, Seq("centroid_id"))
+      .select(col("query_id"), col(idCol),
+        when(col("__rn") * col("__qn") > 0,
+          dot(col("__rv"), col("__qv")) / (col("__rn") * col("__qn")))
+          .otherwise(lit(0.0)).as("__asim"))
+      // replica-assigned ids can appear in several probed cells; the score
+      // is identical, max is a dedupe
+      .groupBy(col("query_id"), col(idCol))
+      .agg(max(col("__asim")).as("__asim"))
+    val item = struct((-col("__asim")).as("negsim"),
+      col(idCol).cast("long").as("nid"))
+    val shortlist = approx
+      .groupBy("query_id")
+      .agg(boundedTopK(item, rerank).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__t.nid").as(idCol))
+    val full = embeddings.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__norm"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+    full.join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        when(col("__norm") * col("__qn") > 0,
+          dot(col(vecCol), col("__qv")) / (col("__norm") * col("__qn")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
   }
 
   /** Scalar-quantized two-stage k-NN: approximate candidates by cosine

@@ -606,6 +606,37 @@ class CurationSpec extends AnyFunSuite {
     assert(merges.toList == List((1, "a", "a", 8L), (2, "aa", "</w>", 2L)))
   }
 
+  test("excisePassages: misaligned benchmark quotes are caught; clean docs pass through") {
+    // bench passage 'SECRETBENCHTEXT!' (16 chars). Doc 1 embeds it at an
+    // offset NOT divisible by the corpus stride 4 — bench-side stride-1
+    // windows still catch the aligned corpus window inside it.
+    val bench = Seq((100L, "xxSECRETBENCHTEXT!xx")).toDF("bid", "text")
+    val docs = Seq(
+      (1L, "abcdeSECRETBENCHTEXT!rest of doc"),
+      (2L, "totally unrelated content here")).toDF("doc_id", "text")
+    val out = Curation.excisePassages(docs, "doc_id", "text", bench, "text",
+        spanLen = 8, stride = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 2 untouched
+    assert(out(2L) == ("totally unrelated content here", 0L))
+    // doc 1: some contaminated window(s) excised; the passage core is gone
+    assert(out(1L)._2 > 0)
+    assert(!out(1L)._1.contains("SECRETBENCHTEXT!"))
+    // and text outside the excised region survives
+    assert(out(1L)._1.startsWith("abcde") || out(1L)._1.nonEmpty)
+  }
+
+  test("excisePassages with stride 1 on both sides removes the exact passage span") {
+    val bench = Seq((100L, "SECRETBENCHTEXT!")).toDF("bid", "text")
+    val docs = Seq((1L, "abcdeSECRETBENCHTEXT!fghij")).toDF("doc_id", "text")
+    val out = Curation.excisePassages(docs, "doc_id", "text", bench, "text",
+        spanLen = 8, stride = 1)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    // every 8-char window inside the 16-char passage matches; their union
+    // is exactly the passage -> clean text is the two flanks
+    assert(out == ("abcdefghij", 16L))
+  }
+
   test("importanceWeights: target = whole corpus gives exactly zero everywhere") {
     // p_target == p_raw when every row is target -> every log ratio is 0.
     val docs = Seq((1L, "a b c"), (2L, "a a d"), (3L, "b d"))

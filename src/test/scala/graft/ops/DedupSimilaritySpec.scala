@@ -860,6 +860,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, "ab", 0L), (2L, "ab", 0L)))
   }
 
+  test("auditCard: hand-computed counts over a cluster table") {
+    val docs = (1L to 10L).toDF("doc_id")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // size 3
+      (5L, 5L), (6L, 5L)            // size 2
+    ).toDF("id", "cluster_id")
+    val r = Dedup.auditCard(docs, "doc_id", clusters).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == (10L, 5L, 2L, 3L, 3L, 0.3))
+  }
+
+  test("ivfSqTopK: probe-all cells + full rerank equals the exact search; recall floor at nprobe=8") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val n = emb.count().toInt
+    val p = Similarity.sqParams(emb, "embedding")
+    val index = Similarity.ivfSqIndex(emb, "vec_id", "embedding",
+      nlist = 32, p).persist()
+    index.count()
+    val thr = Similarity.sampleThreshold(32L, emb.count())
+    val centroids = emb
+      .filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    val nlist = centroids.count().toInt
+    val queries = emb.filter(col("vec_id") < 8)
+    def ids(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .groupBy(_._1).map { case (q, a) => q -> a.sortBy(_._3).map(_._2).toSeq }
+    val exact = ids(Similarity.topKJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val all = ids(Similarity.ivfSqTopK(index, centroids, emb,
+      "vec_id", "embedding", p, queries, "vec_id", "embedding",
+      k = 10, nprobe = nlist, rerank = n))
+    assert(all == exact) // probe everything + rerank everything = exact
+    val approx = ids(Similarity.ivfSqTopK(index, centroids, emb,
+      "vec_id", "embedding", p, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8, rerank = 40))
+    val recall = approx.map { case (q, got) =>
+      got.toSet.intersect(exact(q).toSet).size.toDouble / 10.0 }
+    val mean = recall.sum / recall.size
+    // hash-sampled (unrefined) centroids at 8/32 cells measure ~0.49 on
+    // the near-uniform sf0.01 embeddings — in line with the recorded IVF
+    // panel (0.33 @ nprobe=4 unrefined); ivfKMeans refinement is the
+    // recall lever and is asserted separately on the IVF panel test.
+    assert(mean >= 0.45, s"mean recall@10 $mean")
+    index.unpersist()
+  }
+
   test("PQ encode: packed codes round-trip against a brute-force re-derivation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, targetKs = 16)
