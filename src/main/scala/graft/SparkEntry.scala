@@ -1553,6 +1553,58 @@ object SparkEntry {
           col("dup_segment_frac"), col("top_bigram_frac"),
           col("margin"), col("keep"))
         .orderBy("doc_id")
+    }),
+
+    // Pattern redaction (PII scrub): the synthetic corpus carries no PII,
+    // so the query first appends deterministic pseudo-PII derived from
+    // doc_id (an email, a dotted IPv4, a 7-digit reference number), then
+    // redacts with the default policy — each rule's count is the spans it
+    // actually rewrote, in rule order.
+    "q115_redact_pii" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1 ref "), (col("doc_id") * 7919 + 1000000).cast("string")))
+      Curation.redactPatterns(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic weighted sample without replacement (priority
+    // sampling): 100 docs, inclusion odds proportional to n_chars, the
+    // priority one IEEE division of integer-exact doubles — the oracle
+    // replays the identical arithmetic from the md5 hex digits.
+    "q116_priority_sample" -> ((s, dir) => {
+      graft.ops.Sampling.prioritySample(t(s, dir, "documents"),
+          "doc_id", "n_chars", n = 100)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Leakage-safe split assignment: every near-dup cluster member hashes
+    // its cluster representative through the q68 md5 range cut, so
+    // near-copies can never straddle train/eval; singletons get exactly
+    // their q68 assignment.
+    "q117_cluster_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.5, numHashes = 8, bands = 4, shingleLen = 3)
+      graft.ops.Sampling.clusterAwareSplit(docs, "doc_id",
+          Dedup.duplicateClusters(pairs),
+          Seq("test" -> 0.1, "validation" -> 0.1))
+        .select("doc_id", "split_rep", "split")
+        .orderBy("doc_id")
+    }),
+
+    // MMR diversified re-ranking: top-8 cosine candidates per query,
+    // greedy λ=0.5 selection of 4 (6-dp-rounded scores, ties to the lowest
+    // id). The oracle unrolls the greedy loop step by step.
+    "q118_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Retrieval.mmrRerank(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          k = 4, m = 8, lambda = 0.5)
+        .orderBy("query_id", "mmr_rank")
     }))
 
   // ---- DuckDB oracles ----
@@ -4097,5 +4149,177 @@ object SparkEntry {
            FROM m JOIN rep USING (doc_id))
          SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
                 dup_segment_frac, top_bigram_frac, margin, margin >= 0 AS keep
-         FROM f ORDER BY doc_id""")
+         FROM f ORDER BY doc_id""",
+
+    // Rule-ordered redaction replay: each stage counts on the PREVIOUS
+    // stage's text (what the rule actually saw), exactly as the Spark fold.
+    "q115_redact_pii" ->
+      """WITH src AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.0.1 ref ' || CAST(doc_id * 7919 + 1000000 AS VARCHAR) AS text
+           FROM documents),
+         r1 AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS text
+           FROM src),
+         r2 AS (
+           SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(text,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+             regexp_replace(text,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+               '<IP>', 'g') AS text
+           FROM r1),
+         r3 AS (
+           SELECT doc_id, n_email, n_ip,
+             CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS INTEGER) AS n_number,
+             regexp_replace(text, '[0-9]{7,}', '<NUM>', 'g') AS text
+           FROM r2)
+         SELECT doc_id, text, n_email, n_ip, n_number,
+                n_email + n_ip + n_number AS n_redactions
+         FROM r3 ORDER BY doc_id""",
+
+    // Priority sampling replay: u is the first 8 md5 hex digits as an
+    // exact-integer double (positional fold against exact powers of 16 —
+    // no pow()), priority ONE IEEE division; top-100 by (priority DESC, id).
+    "q116_priority_sample" ->
+      """WITH u AS (
+           SELECT doc_id, n_chars,
+             list_sum(list_transform(range(1, 9), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+               * ([268435456.0, 16777216.0, 1048576.0, 65536.0,
+                   4096.0, 256.0, 16.0, 1.0])[CAST(i AS INTEGER)])) AS uhex
+           FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars > 0),
+         p AS (
+           SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) / (uhex + 1.0) AS priority
+           FROM u),
+         top AS (
+           SELECT doc_id, n_chars FROM p
+           ORDER BY priority DESC, doc_id LIMIT 100)
+         SELECT doc_id, n_chars FROM top ORDER BY doc_id""",
+
+    // q51's recursive closure for the cluster representative, then exactly
+    // the q68 md5 range cut applied to the representative instead of the id.
+    "q117_cluster_split" ->
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         rep AS (
+           SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_rep
+           FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id)
+         SELECT doc_id, split_rep,
+                CASE WHEN substr(md5(CAST(split_rep AS VARCHAR)), 1, 3) < '19a'
+                       THEN 'test'
+                     WHEN substr(md5(CAST(split_rep AS VARCHAR)), 1, 3) < '334'
+                       THEN 'validation'
+                     ELSE 'train' END AS split
+         FROM rep ORDER BY doc_id""",
+
+    // MMR greedy loop unrolled: unit vectors, 6-dp relevance, top-8
+    // candidates, then four argmax stages — each scores the not-yet-
+    // selected candidates against the accumulated picks (max of 6-dp
+    // pairwise sims), λ = 0.5 so 1−λ is decimal-exact in IEEE.
+    "q118_mmr_rerank" ->
+      """WITH qy AS (
+           SELECT vec_id AS query_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+           FROM embeddings WHERE vec_id < 4),
+         qu AS (
+           SELECT query_id,
+             CASE WHEN n > 0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / n)
+                  ELSE list_transform(embedding, x -> 0.0) END AS quv
+           FROM qy),
+         ey AS (
+           SELECT vec_id AS id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+           FROM embeddings),
+         eu AS (
+           SELECT id,
+             CASE WHEN n > 0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / n)
+                  ELSE list_transform(embedding, x -> 0.0) END AS uv
+           FROM ey),
+         rel AS (
+           SELECT q.query_id, e.id, e.uv,
+             round(list_sum(list_transform(range(1, len(e.uv) + 1),
+               i -> e.uv[i] * q.quv[i])), 6) AS rel
+           FROM eu e CROSS JOIN qu q),
+         cand AS (
+           SELECT query_id, id, uv, rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, id) AS r
+             FROM rel) WHERE r <= 8),
+         p1 AS (
+           SELECT query_id, id, rel, uv, score, 1 AS mmr_rank FROM (
+             SELECT *, round(0.5 * rel, 6) AS score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(0.5 * rel, 6) DESC, id) AS r
+             FROM cand) WHERE r = 1),
+         s1 AS (SELECT query_id, id, uv FROM p1),
+         r2 AS (
+           SELECT c.query_id, c.id, c.rel, c.uv,
+             round(0.5 * c.rel - 0.5 * max(round(list_sum(list_transform(
+               range(1, len(c.uv) + 1), i -> c.uv[i] * s.uv[i])), 6)), 6) AS score
+           FROM cand c JOIN s1 s ON s.query_id = c.query_id
+           WHERE NOT EXISTS (SELECT 1 FROM s1 x
+                             WHERE x.query_id = c.query_id AND x.id = c.id)
+           GROUP BY c.query_id, c.id, c.rel, c.uv),
+         p2 AS (
+           SELECT query_id, id, rel, uv, score, 2 AS mmr_rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, id) AS r
+             FROM r2) WHERE r = 1),
+         s2 AS (SELECT * FROM s1 UNION ALL SELECT query_id, id, uv FROM p2),
+         r3 AS (
+           SELECT c.query_id, c.id, c.rel, c.uv,
+             round(0.5 * c.rel - 0.5 * max(round(list_sum(list_transform(
+               range(1, len(c.uv) + 1), i -> c.uv[i] * s.uv[i])), 6)), 6) AS score
+           FROM cand c JOIN s2 s ON s.query_id = c.query_id
+           WHERE NOT EXISTS (SELECT 1 FROM s2 x
+                             WHERE x.query_id = c.query_id AND x.id = c.id)
+           GROUP BY c.query_id, c.id, c.rel, c.uv),
+         p3 AS (
+           SELECT query_id, id, rel, uv, score, 3 AS mmr_rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, id) AS r
+             FROM r3) WHERE r = 1),
+         s3 AS (SELECT * FROM s2 UNION ALL SELECT query_id, id, uv FROM p3),
+         r4 AS (
+           SELECT c.query_id, c.id, c.rel, c.uv,
+             round(0.5 * c.rel - 0.5 * max(round(list_sum(list_transform(
+               range(1, len(c.uv) + 1), i -> c.uv[i] * s.uv[i])), 6)), 6) AS score
+           FROM cand c JOIN s3 s ON s.query_id = c.query_id
+           WHERE NOT EXISTS (SELECT 1 FROM s3 x
+                             WHERE x.query_id = c.query_id AND x.id = c.id)
+           GROUP BY c.query_id, c.id, c.rel, c.uv),
+         p4 AS (
+           SELECT query_id, id, rel, uv, score, 4 AS mmr_rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, id) AS r
+             FROM r4) WHERE r = 1),
+         sel AS (
+           SELECT query_id, id, rel, score, mmr_rank FROM p1
+           UNION ALL SELECT query_id, id, rel, score, mmr_rank FROM p2
+           UNION ALL SELECT query_id, id, rel, score, mmr_rank FROM p3
+           UNION ALL SELECT query_id, id, rel, score, mmr_rank FROM p4)
+         SELECT query_id, id AS vec_id, rel AS cosine_sim, score AS mmr_score,
+                CAST(mmr_rank AS BIGINT) AS mmr_rank
+         FROM sel ORDER BY query_id, mmr_rank""")
 }

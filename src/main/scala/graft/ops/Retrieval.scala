@@ -98,4 +98,100 @@ object Retrieval {
         (-col("__x.negscore")).as("score"),
         (col("__i") + 1).cast("long").as("rank"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): per query, greedily select `k` of the top-`m` cosine candidates
+    * maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the
+    * diversity-aware final stage of a retrieval stack, so near-duplicate
+    * hits don't crowd out the result page (or the RAG context window).
+    *
+    * Determinism/portability: vectors pre-normalize to unit length (one
+    * IEEE division per component — exact-rounded, engine-identical), every
+    * relevance/pairwise similarity/MMR score rounds to 6 dp before any
+    * comparison, and ties break by ascending id — so an external engine
+    * replaying the greedy loop selects the identical sequence. Pass a `λ`
+    * whose `1−λ` is decimal-exact in binary (0.5, 0.25, 0.75) when an
+    * external oracle must reproduce scores: `1−0.7` is
+    * `0.30000000000000004` in IEEE, not any engine's literal `0.3`.
+    *
+    * Scale shape: relevance is the [[Similarity]] brute-force scan against
+    * the BROADCAST query set; the per-query top-m shortlist is the
+    * O(m)-state bounded `CollectTopK` aggregate (map-side partials
+    * included) carrying each candidate's unit vector; the greedy loop then
+    * runs as ONE row-local higher-order expression over the m-element
+    * array — k×m score evaluations per query row, never a join. Executor
+    * state is O(m × dim) per query at any corpus size.
+    *
+    * Returns (query_id, idCol, cosine_sim, mmr_score, mmr_rank ≤ k).
+    */
+  def mmrRerank(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      m: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= k, s"m must be >= k ($k), got $m")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0, 1], got $lambda")
+    import graft.ops.Similarity.{dot, norm}
+    def unit(v: Column): Column = {
+      val n = norm(v)
+      when(n > 0, transform(v, x => x.cast("double") / n))
+        .otherwise(transform(v, _ => lit(0.0)))
+    }
+    val e = embeddings.select(col(idCol).cast("long").as("__id"),
+      unit(col(vecCol)).as("__uv"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      unit(col(qVecCol)).as("__quv"))
+    val scored = e.crossJoin(broadcast(q))
+      .select(col("query_id"), col("__id"),
+        round(dot(col("__uv"), col("__quv")), 6).as("__rel"), col("__uv"))
+    val item = struct((-col("__rel")).as("negrel"), col("__id").as("id"),
+      col("__uv").as("uv"))
+    val cands = scored.groupBy("query_id")
+      .agg(transform(
+        array_sort(ColumnBridge.collectTopK(item, m, reverse = true)),
+        t => struct(t.getField("id").as("id"), (-t.getField("negrel")).as("rel"),
+          t.getField("uv").as("uv"))).as("__cands"))
+    val lam = lit(lambda)
+    val oneMinusLam = lit(1.0) - lam
+    // Greedy selection as a left fold over k steps: each step scores the
+    // not-yet-selected candidates against the accumulated picks and appends
+    // the argmax (ties to the lowest id via the negid struct field). A
+    // query with fewer than k candidates stops growing (the otherwise
+    // branch) instead of appending null elements.
+    val emptySel = array().cast(
+      "array<struct<id:bigint,rel:double,score:double,uv:array<double>>>")
+    val sel = aggregate(
+      sequence(lit(1), lit(k)),
+      emptySel,
+      (acc, _) => {
+        val remaining = filter(col("__cands"),
+          c => !exists(acc, s => s.getField("id") === c.getField("id")))
+        val withScore = transform(remaining, c => {
+          val maxSim = coalesce(
+            array_max(transform(acc,
+              s => round(dot(c.getField("uv"), s.getField("uv")), 6))),
+            lit(0.0))
+          val score = round(lam * c.getField("rel") - oneMinusLam * maxSim, 6)
+          struct(score.as("score"), (-c.getField("id")).as("negid"), c.as("c"))
+        })
+        val best = array_max(withScore)
+        when(size(remaining) > 0,
+          concat(acc, array(struct(
+            best.getField("c").getField("id").as("id"),
+            best.getField("c").getField("rel").as("rel"),
+            best.getField("score").as("score"),
+            best.getField("c").getField("uv").as("uv"))))).otherwise(acc)
+      })
+    cands
+      .select(col("query_id"), posexplode(sel).as(Seq("__i", "__s")))
+      .select(col("query_id"), col("__s.id").as(idCol),
+        col("__s.rel").as("cosine_sim"), col("__s.score").as("mmr_score"),
+        (col("__i") + 1).cast("long").as("mmr_rank"))
+  }
 }

@@ -390,4 +390,75 @@ object Sampling {
       .filter(keep)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Deterministic WEIGHTED sample without replacement: priority sampling
+    * (Duffield–Lund–Thorup, "Priority sampling for estimation of arbitrary
+    * subset sums", JACM 2007) with the uniform draw derived from `md5(id)`
+    * — row `i` gets priority `w_i / u_i`, the `n` largest priorities win.
+    * Inclusion probability rises with weight (a row with twice the weight
+    * is ~twice as likely in), the sampling-proportional-to-size complement
+    * of this module's uniform md5 cuts — length-weighted eval picks,
+    * quality-weighted seed sets.
+    *
+    * Engine portability without rounding: `u_i` is the first 8 md5 hex
+    * digits of the id parsed as an integer, plus one (never zero), and the
+    * priority is ONE IEEE double division of two integer-exact doubles —
+    * correctly rounded by the standard, so ANY engine computes the
+    * bit-identical priority and selects the identical set. No `ln`/`pow`
+    * (whose libm implementations differ in the last ulp) anywhere.
+    *
+    * Plan shape: `TakeOrderedAndProject` — per-partition partial top-n,
+    * merge of n×partitions rows; no global sort shuffle, no window.
+    * Null/non-positive weights never win (filtered — same contract as
+    * [[topPerGroup]]).
+    */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val uInt = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val priority = col(weightCol).cast("double") / (uInt + lit(1L)).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__priority", priority)
+      .orderBy(col("__priority").desc, col(idCol))
+      .limit(n)
+      .drop("__priority")
+  }
+
+  /** Leakage-safe split assignment: every member of a near-duplicate
+    * cluster lands in the SAME split, so train/eval contamination through
+    * near-copies (the leakage [[nearDupSplitLeakage]] AUDITS) is impossible
+    * by construction. Each row hashes its cluster representative — the
+    * cluster's min-id label from [[Dedup.duplicateClusters]], or its own id
+    * when unclustered — through exactly [[assignSplit]]'s integer-exact md5
+    * range cut, so singleton documents get the same assignment they would
+    * get from plain `assignSplit`.
+    *
+    * `clusters` is [[Dedup.duplicateClusters]] output (id, cluster_id).
+    * Returns `df` plus (`repCol`, `splitCol`).
+    *
+    * Scale: one left join corpus ⋈ clusters on the id key (clusters covers
+    * only clustered docs — typically a few percent of the corpus — AQE
+    * broadcasts it when it fits), then the per-row md5 predicate. The
+    * corpus never shuffles on anything but the join key it is usually
+    * already bucketed by.
+    */
+  def clusterAwareSplit(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      fractions: Seq[(String, Double)],
+      defaultSplit: String = "train",
+      splitCol: String = "split",
+      repCol: String = "split_rep"): DataFrame = {
+    val joined = df.join(
+        clusters.select(col("id").as("__cl_id"), col("cluster_id").as("__cl_rep")),
+        col(idCol) === col("__cl_id"), "left")
+      .withColumn(repCol, coalesce(col("__cl_rep"), col(idCol)))
+      .drop("__cl_id", "__cl_rep")
+    assignSplit(joined, repCol, fractions, defaultSplit, splitCol)
+  }
 }

@@ -693,4 +693,71 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("redactPatterns: rule-ordered audit counts; email digits never leak to the number rule") {
+    val docs = Seq(
+      (1L, "mail user1234567@ex.org ip 10.0.0.1 ref 76543210 end"),
+      (2L, "clean text")).toDF("doc_id", "text")
+    val got = Curation.redactPatterns(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    // email rule runs FIRST, so its 7-digit run is consumed by <EMAIL> and
+    // only the standalone ref number reaches the number rule.
+    assert(r1.getString(1) == "mail <EMAIL> ip <IP> ref <NUM> end")
+    assert(r1.getInt(2) == 1 && r1.getInt(3) == 1 && r1.getInt(4) == 1)
+    assert(r1.getInt(5) == 3)
+    assert(got(2L).getString(1) == "clean text" && got(2L).getInt(5) == 0)
+  }
+
+  test("redactPatterns: caller-supplied policy, multiple hits counted") {
+    val docs = Seq((1L, "agent smith met agent jones")).toDF("doc_id", "text")
+    val got = Curation.redactPatterns(docs, "doc_id", "text",
+      rules = Seq(("agent", "\\bagent [a-z]+", "<AGENT>"))).collect().head
+    assert(got.getString(1) == "<AGENT> met <AGENT>")
+    assert(got.getInt(2) == 2 && got.getInt(3) == 2)
+  }
+
+  test("prioritySample: selection replays the md5 priority arithmetic; zero/null weights never win") {
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 50 == 0) Some(0L) else if (i == 7L) None else Some(i)))
+    val df = rows.toDF("doc_id", "w")
+    val got = Sampling.prioritySample(df, "doc_id", "w", 20)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = rows.collect { case (i, Some(w)) if w > 0 =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      val hex = digest.map("%02x".format(_)).mkString.substring(0, 8)
+      val u = java.lang.Long.parseLong(hex, 16)
+      (i, w.toDouble / (u + 1L).toDouble)
+    }.sortBy { case (id, p) => (-p, id) }.take(20).map(_._1).toSet
+    assert(got == expected)
+    // weight-proportional inclusion: the linear-weight corpus's winners
+    // skew heavy — their mean weight clears the corpus mean comfortably.
+    assert(got.sum.toDouble / got.size > 100.5)
+  }
+
+  test("prioritySample plan: TakeOrderedAndProject, no global sort exchange") {
+    val df = (1L to 500L).map(i => (i, i)).toDF("doc_id", "w")
+    val plan = Sampling.prioritySample(df, "doc_id", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("clusterAwareSplit: cluster members share a split; singletons match assignSplit") {
+    val docs = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L)).toDF("id_a", "id_b")
+    val fractions = Seq("test" -> 0.3, "validation" -> 0.2)
+    val m = Sampling.clusterAwareSplit(docs, "doc_id",
+        Dedup.duplicateClusters(pairs), fractions)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m(1L) == m(2L) && m(2L) == m(3L))
+    assert(m(10L) == m(20L))
+    val plain = Sampling.assignSplit(docs, "doc_id", fractions)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val clustered = Set(1L, 2L, 3L, 10L, 20L)
+    (1L to 300L).filterNot(clustered).foreach(i => assert(m(i) == plain(i)))
+    // all members hash the cluster MINIMUM, so the shared split is the
+    // representative's plain assignment.
+    assert(m(1L) == plain(1L) && m(10L) == plain(10L))
+  }
 }

@@ -67,4 +67,75 @@ class RetrievalSpec extends AnyFunSuite {
     // only doc 1 matches at all
     assert(both.map(_.getLong(1)).toSet == Set(1L))
   }
+
+  // Naive Scala MMR with the operator's exact rounding discipline, for the
+  // differential tests below.
+  private def naiveMmr(
+      corpus: Seq[(Long, Seq[Float])], query: Seq[Float],
+      k: Int, m: Int, lam: Double): Seq[(Long, Double, Double)] = {
+    def unit(v: Seq[Float]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      if (n > 0) v.map(_.toDouble / n) else v.map(_ => 0.0)
+    }
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val uq = unit(query)
+    val cands = corpus.map { case (id, v) => (id, r6(dot(unit(v), uq)), unit(v)) }
+      .sortBy { case (id, rel, _) => (-rel, id) }.take(m)
+    val picked = scala.collection.mutable.Buffer[(Long, Double, Double, Seq[Double])]()
+    (1 to k).foreach { _ =>
+      val remaining = cands.filterNot(c => picked.exists(_._1 == c._1))
+      if (remaining.nonEmpty) {
+        val best = remaining.map { case (id, rel, uv) =>
+          val maxSim = picked.map(s => r6(dot(uv, s._4)))
+            .maxOption.getOrElse(0.0)
+          (r6(lam * rel - (1.0 - lam) * maxSim), id, rel, uv)
+        }.minBy { case (score, id, _, _) => (-score, id) }
+        picked += ((best._2, best._3, best._1, best._4))
+      }
+    }
+    picked.toSeq.map { case (id, rel, score, _) => (id, rel, score) }
+  }
+
+  test("mmrRerank matches a naive greedy reimplementation and diversifies") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.0f, 0.0f)), // collinear copy of 0 — relevance rank 2 by id tie
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.1f, 0.9f, 0.1f)),
+      (4L, Seq(0.5f, 0.5f, 0.2f)),
+      (5L, Seq(0.2f, 0.1f, 0.9f)))
+    val query = Seq(1.0f, 0.2f, 0.1f)
+    val vecs = corpus.toDF("vec_id", "embedding")
+    val qs = Seq((100L, query)).toDF("vec_id", "embedding")
+    val got = Retrieval.mmrRerank(vecs, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 3, m = 6, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val want = naiveMmr(corpus, query, k = 3, m = 6, lam = 0.5)
+    assert(got.toSeq == want)
+    // the near-copy (id 1) is relevance rank 2 but must NOT be MMR rank 2
+    val byRel = corpus.map { case (id, v) =>
+      val uq = query.map(_.toDouble); val uv = v.map(_.toDouble)
+      (id, uv.zip(uq).map { case (x, y) => x * y }.sum /
+        (math.sqrt(uv.map(x => x * x).sum) * math.sqrt(uq.map(x => x * x).sum)))
+    }.sortBy(c => (-c._2, c._1)).map(_._1)
+    assert(byRel(1) == 1L)
+    assert(got(1)._1 != 1L)
+    assert(got.map(_._1).contains(0L)) // top relevance always survives
+  }
+
+  test("mmrRerank: fewer candidates than k stops cleanly, no null rows") {
+    val vecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((9L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Retrieval.mmrRerank(vecs, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 4, m = 4, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(got.length == 2)
+    assert(got.forall(r => !r.isNullAt(1) && !r.isNullAt(3)))
+    assert(got.map(_.getLong(4)).toSeq == Seq(1L, 2L))
+  }
 }
