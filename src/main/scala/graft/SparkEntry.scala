@@ -1596,6 +1596,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE encoding with a fixed 6-merge table (the apply half of q101's
+    // trainer): each distinct word replays the merges in rank order, docs
+    // reassemble in word order. The oracle replays the same greedy
+    // left-to-right rewrites as sentinel-char string replaces — string
+    // replace IS the non-overlapping symbol rewrite when every symbol is
+    // one char.
+    "q119_bpe_encode" -> ((s, dir) => {
+      Curation.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+          merges = Seq(("t", "h"), ("th", "e"), ("the", "</w>"),
+            ("a", "</w>"), ("s", "t"), ("e", "a")))
+        .orderBy("doc_id")
+    }),
+
     // MMR diversified re-ranking: top-8 cosine candidates per query,
     // greedy λ=0.5 selection of 4 (6-dp-rounded scores, ties to the lowest
     // id). The oracle unrolls the greedy loop step by step.
@@ -4150,6 +4163,42 @@ object SparkEntry {
          SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
                 dup_segment_frac, top_bigram_frac, margin, margin >= 0 AS keep
          FROM f ORDER BY doc_id""",
+
+    // BPE-encode replay in string space: when every symbol is one char
+    // (raw chars + one sentinel per merged symbol + chr(1) for the
+    // end-of-word marker), greedy left-to-right non-overlapping string
+    // replace IS the trainer's symbol rewrite — the merge table becomes a
+    // 6-deep replace chain, then each final char decodes back to its
+    // symbol text. A genuinely different formulation of the same
+    // algorithm, which is what makes the hash compare meaningful.
+    "q119_bpe_encode" -> {
+      val enc = """replace(replace(replace(replace(replace(replace(
+                     w || chr(1),
+                     'th', chr(2)),
+                     chr(2) || 'e', chr(3)),
+                     chr(3) || chr(1), chr(4)),
+                     'a' || chr(1), chr(5)),
+                     'st', chr(6)),
+                     'ea', chr(7))"""
+      val decode = s"""list_transform(range(1, len($enc) + 1), i ->
+                     CASE substr($enc, i, 1)
+                       WHEN chr(1) THEN '</w>'
+                       WHEN chr(2) THEN 'th'
+                       WHEN chr(3) THEN 'the'
+                       WHEN chr(4) THEN 'the</w>'
+                       WHEN chr(5) THEN 'a</w>'
+                       WHEN chr(6) THEN 'st'
+                       WHEN chr(7) THEN 'ea'
+                       ELSE substr($enc, i, 1) END)"""
+      s"""WITH base AS (SELECT doc_id, $toks AS tk FROM documents),
+         enc AS (
+           SELECT doc_id,
+             flatten(list_transform(tk, w -> $decode)) AS bpe_tokens
+           FROM base)
+         SELECT doc_id, bpe_tokens,
+                CAST(len(bpe_tokens) AS BIGINT) AS n_bpe_tokens
+         FROM enc ORDER BY doc_id"""
+    },
 
     // Rule-ordered redaction replay: each stage counts on the PREVIOUS
     // stage's text (what the rule actually saw), exactly as the Spark fold.

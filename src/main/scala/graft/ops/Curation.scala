@@ -992,6 +992,75 @@ object Curation {
   private def sqlLit(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+  /** BPE ENCODING with a learned merge table — the apply half of
+    * [[bpeTrainMerges]]: replay the merges in rank order over each word's
+    * symbol array (char split + `endOfWord`), each merge the same greedy
+    * left-to-right non-overlapping rewrite the trainer used, so a word
+    * segments exactly as it did at training time. Returns (idCol,
+    * bpe_tokens, n_bpe_tokens) — the real tokenizer-applied counts the
+    * `ceil(len/4)` heuristic in [[corpusStats]] approximates.
+    *
+    * Scale shape: segmentation is a pure function of the WORD, so the
+    * corpus tokenizes once and each DISTINCT word encodes exactly once
+    * (vocab-sized work — millions of rows at 100 TB, not trillions); the
+    * (word, tokens) table then joins back (broadcast under
+    * `broadcastVocab`, shuffle otherwise — the [[unigramBitsPerToken]]
+    * dial) and per-document sequences reassemble from a sorted
+    * position-struct collect. The merge table itself rides in the encode
+    * expression as an array literal — it is a tokenizer configuration
+    * constant (30–50k entries in production), and the per-word fold is
+    * O(merges × word length).
+    */
+  def bpeEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      endOfWord: String = "</w>",
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(merges.nonEmpty, "bpeEncode needs at least one merge")
+    val mergesArr = "array(" + merges.map { case (l, r) =>
+      s"named_struct('l', ${sqlLit(l)}, 'r', ${sqlLit(r)}, 'm', ${sqlLit(l + r)})"
+    }.mkString(", ") + ")"
+    // Outer fold: merges in rank order. Inner fold: the bpeTrainMerges
+    // greedy rewrite, parameterized by the outer lambda's merge struct.
+    val encodeExpr = expr(
+      s"""aggregate(
+            $mergesArr,
+            concat(transform(sequence(1, length(w)), i -> substr(w, i, 1)),
+                   array(${sqlLit(endOfWord)})),
+            (syms, mg) -> aggregate(sequence(1, size(syms)),
+              named_struct('out', cast(array() AS array<string>), 'skip', false),
+              (acc, i) -> IF(acc.skip,
+                named_struct('out', acc.out, 'skip', false),
+                IF(i < size(syms)
+                     AND element_at(syms, i) = mg.l
+                     AND element_at(syms, i + 1) = mg.r,
+                  named_struct('out', concat(acc.out, array(mg.m)), 'skip', true),
+                  named_struct('out', concat(acc.out, array(element_at(syms, i))),
+                    'skip', false))),
+              acc -> acc.out))""")
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+      .select(col("w"), encodeExpr.as("__toks"))
+    val positioned = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "w")))
+      .join(if (broadcastVocab) broadcast(vocab) else vocab, "w")
+    val encoded = positioned
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__toks")))),
+        x => x.getField("__toks"))).as("bpe_tokens"))
+      .select(col(idCol), col("bpe_tokens"),
+        size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
+    // Token-less documents still get a row (empty tokens, count 0).
+    docs.select(col(idCol)).join(encoded, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("bpe_tokens"), array().cast("array<string>")).as("bpe_tokens"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * versions as `added` (new snapshot only), `removed` (old only),
     * `changed` (both, different content fingerprint) or `unchanged` —

@@ -374,13 +374,17 @@ object Sampling {
     // is not guaranteed bit-identical across engines (fdlibm vs libm), and
     // the floor'd cut must be — rounding snaps both sides to the same
     // 6-decimal value, the outlierReport/round-6 portability discipline.
-    val totals = df.groupBy(strataCol)
+    // The tempered-weight denominator comes from a broadcast cross join of
+    // the one-row grand total, not a window: a constant-partitioned window
+    // folds to "no partition" (WindowExec's single-partition warning) even
+    // though this frame is strata-sized by construction.
+    val powed = df.groupBy(strataCol)
       .agg(sum(col(tokenCol).cast("long")).as("__stratum_tokens"))
       .withColumn("__pow", pow(col("__stratum_tokens").cast("double"), alpha))
-      .withColumn("__weight", round(col("__pow") /
-        sum(col("__pow")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1))), 6))
-      .drop("__pow")
+    val totals = powed
+      .crossJoin(broadcast(powed.agg(sum(col("__pow")).as("__powsum"))))
+      .withColumn("__weight", round(col("__pow") / col("__powsum"), 6))
+      .drop("__pow", "__powsum")
     val cut = floor(lit(budget.toDouble) * col("__weight") * lit(4096.0) /
       col("__stratum_tokens").cast("double")).cast("long")
     val keep = when(cut >= 4096L, lit(true))

@@ -1,7 +1,6 @@
 package graft.report
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.RowOps
 
@@ -87,8 +86,13 @@ object CondensedJoin {
     // Stable row order is fixed BEFORE duplicate-blanking (the reference
     // blanks later duplicates of the fetch order; re-sorting after blanking
     // would push nulled rows ahead of their dense first occurrence).
-    val ordered = joined.withColumn("__ord",
-      row_number().over(Window.orderBy(orderCols: _*)))
+    // Range-partitioned zipWithIndex, not a global window: the report join
+    // is job-scale, and Window.orderBy with no partition would drag it all
+    // to one task. Rows tying on every ordering column are identical in
+    // every OUTPUT column (orderCols covers the full header and all
+    // duplicate keys it displays), so their arbitrary relative ids cannot
+    // change the blanked report.
+    val ordered = Reports.sequentialId(joined, orderCols, "__ord")
 
     val groups = spec.select.map { case (t, visible) =>
       val key = spec.duplicateKey.get(t) match {

@@ -1,7 +1,6 @@
 package graft.report
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.pipeline.ReferenceTables
 import CondensedJoin._
@@ -32,14 +31,40 @@ object Reports {
     aliases.getOrElse(bare, bare)
   }
 
-  /** Stage frames get a surrogate per-row id (the reference tables carry
-    * auto_increment ids used as duplicate keys): row_number over the frame's
-    * full column ordering — deterministic, assigned once per report build.
+  /** Globally dense 1-based ids in `orderCols` order WITHOUT the
+    * single-partition global window (`Window.orderBy` with no partition
+    * moves the whole frame to one task — the WindowExec warning, and a
+    * straight bottleneck on a job-scale stage table): range-partition on
+    * the ordering (ascending nulls first, `SortOrder`'s default), sort
+    * within partitions, then `zipWithIndex` — the [[graft.ops.Ingest]]
+    * FK-resolution idiom. The extra job zipWithIndex runs to learn
+    * partition sizes is a count per partition, not a data movement. Rows
+    * tying on ALL of `orderCols` receive arbitrary-but-dense ids — callers
+    * must pass an ordering that is total over every column they observe.
     */
-  private def withId(df: DataFrame): DataFrame = {
-    val w = Window.orderBy(df.columns.map(c => col(c).asc_nulls_first): _*)
-    df.withColumn("id", row_number().over(w).cast("long"))
+  private[report] def sequentialId(
+      df: DataFrame, orderCols: Seq[Column], idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = df.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      },
+      schema)
   }
+
+  /** Stage frames get a surrogate per-row id (the reference tables carry
+    * auto_increment ids used as duplicate keys) in the frame's full column
+    * ordering — total over every column, so the assignment is
+    * deterministic; computed once per report build via [[sequentialId]].
+    */
+  private def withId(df: DataFrame): DataFrame =
+    sequentialId(df, df.columns.map(c => col(c).asc_nulls_first).toSeq, "id")
 
   private def usingOn(left: Seq[(String, String)], table: String,
       cols: Seq[String]): Column =

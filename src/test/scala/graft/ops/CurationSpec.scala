@@ -694,6 +694,48 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("bpeEncode: Sennrich walkthrough — merges replay in rank order per word") {
+    val docs = Seq((1L, "lower lowest"), (2L, "")).toDF("doc_id", "text")
+    val got = Curation.bpeEncode(docs, "doc_id", "text",
+        merges = Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getLong(2))).toMap
+    // lower: l o w e r </w> -> lo -> low -> er => [low, er, </w>]
+    // lowest: l o w e s t </w> -> lo -> low (e,r absent) => [low, e, s, t, </w>]
+    assert(got(1L)._1 == Seq("low", "er", "</w>", "low", "e", "s", "t", "</w>"))
+    assert(got(1L)._2 == 8L)
+    assert(got(2L)._1 == Seq.empty && got(2L)._2 == 0L)
+  }
+
+  test("bpeEncode: greedy rewrite is non-overlapping and encode matches a naive replay") {
+    // "aaa" under (a,a) -> [aa, a, </w>]; under then (aa,a) -> [aaa, </w>]
+    val docs = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
+    val got = Curation.bpeEncode(docs, "doc_id", "text",
+        merges = Seq(("a", "a"), ("aa", "a")))
+      .collect().head.getSeq[String](1)
+    // aaa: a a a </w> -> (a,a) left-to-right: [aa, a] -> (aa,a): [aaa]
+    // aaaa: [aa, aa] -> (aa,a) needs symbol 'a' AFTER 'aa' — absent
+    assert(got == Seq("aaa", "</w>", "aa", "aa", "</w>"))
+    // naive Scala replay over distinct words agrees on the real corpus shape
+    def applyMerge(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: applyMerge(rest, l, r)
+        case a :: rest => a :: applyMerge(rest, l, r)
+        case Nil => Nil
+      }
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"))
+    val words = Seq("the", "ther", "threther", "x")
+    val docs2 = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got2 = Curation.bpeEncode(docs2, "doc_id", "text", merges)
+      .collect().head.getSeq[String](1)
+    val want = words.flatMap { w =>
+      merges.foldLeft(w.map(_.toString).toList :+ "</w>") {
+        case (s, (l, r)) => applyMerge(s, l, r)
+      }
+    }
+    assert(got2 == want)
+  }
+
   test("redactPatterns: rule-ordered audit counts; email digits never leak to the number rule") {
     val docs = Seq(
       (1L, "mail user1234567@ex.org ip 10.0.0.1 ref 76543210 end"),
