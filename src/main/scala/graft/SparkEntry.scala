@@ -1609,6 +1609,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental re-dedup at snapshot refresh: q95's diff marks the
+    // added∪changed slice, and ONLY that slice bands against the untouched
+    // remainder (q78's cross-corpus machinery) — the composition that
+    // avoids re-deduping the whole corpus on every crawl increment.
+    "q120_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.select(col("doc_id"), col("text"))
+      val nw = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val touched = Curation.snapshotDiff(old, nw, "doc_id", "text")
+        .filter(col("status").isin("added", "changed"))
+        .select(col("doc_id"))
+      Dedup.crossCorpusNearDuplicates(
+          nw.join(touched, Seq("doc_id")), "doc_id",
+          nw.join(touched, Seq("doc_id"), "left_anti"), "doc_id",
+          "text", threshold = 0.5)
+        .orderBy("corpus_id", "ref_id")
+    }),
+
     // MMR diversified re-ranking: top-8 cosine candidates per query,
     // greedy λ=0.5 selection of 4 (6-dp-rounded scores, ties to the lowest
     // id). The oracle unrolls the greedy loop step by step.
@@ -1648,8 +1671,14 @@ object SparkEntry {
     * appends the self-join candidates + Jaccard verification, q78 appends
     * the cross-corpus candidate restriction instead.
     */
-  private lazy val minhashBandedCtes: String =
-    s"""t AS (SELECT doc_id, $toks AS tk FROM documents),
+  private lazy val minhashBandedCtes: String = minhashBandedCtesFrom("documents")
+
+  /** [[minhashBandedCtes]] over an arbitrary source relation carrying
+    * (doc_id, text) — q120 bands an updated snapshot CTE instead of the
+    * base table.
+    */
+  private def minhashBandedCtesFrom(src: String): String =
+    s"""t AS (SELECT doc_id, $toks AS tk FROM $src),
          s AS (SELECT doc_id,
                  list_distinct(list_transform(range(1, len(tk) - 3 + 2),
                    i -> array_to_string(tk[i:i+2], ' '))) AS sh
@@ -4199,6 +4228,38 @@ object SparkEntry {
                 CAST(len(bpe_tokens) AS BIGINT) AS n_bpe_tokens
          FROM enc ORDER BY doc_id"""
     },
+
+    // q95's snapshot construction + md5 diff for the touched slice, then
+    // the q78 cross-corpus banding over the NEW snapshot restricted to
+    // touched × untouched.
+    "q120_incremental_dedup" ->
+      s"""WITH nw AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+         touched AS (
+           SELECT n.doc_id
+           FROM nw n LEFT JOIN documents o ON o.doc_id = n.doc_id
+           WHERE o.doc_id IS NULL OR md5(o.text) <> md5(n.text)),
+         ${minhashBandedCtesFrom("nw")},
+         cand AS (
+           SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS ref_id
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+           WHERE a.doc_id IN (SELECT doc_id FROM touched)
+             AND b.doc_id NOT IN (SELECT doc_id FROM touched)),
+         verified AS (
+           SELECT c.corpus_id, c.ref_id,
+                  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+           FROM cand c
+           JOIN s sa ON sa.doc_id = c.corpus_id
+           JOIN s sb ON sb.doc_id = c.ref_id)
+         SELECT corpus_id, ref_id, round(jaccard, 6) AS jaccard
+         FROM verified WHERE jaccard >= 0.5
+         ORDER BY corpus_id, ref_id""",
 
     // Rule-ordered redaction replay: each stage counts on the PREVIOUS
     // stage's text (what the rule actually saw), exactly as the Spark fold.
