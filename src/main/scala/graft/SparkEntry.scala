@@ -1632,6 +1632,31 @@ object SparkEntry {
         .orderBy("corpus_id", "ref_id")
     }),
 
+    // Hybrid retrieval: BM25 top-20 and dense-cosine top-20 over the
+    // embedding-indexed document subset, fused with reciprocal rank
+    // fusion (1/(60+rank), tag-sorted sum), final top-10 per query. Rank
+    // positions are all that cross the fusion boundary — no score
+    // calibration.
+    "q121_hybrid_rrf" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      val qdocs = corpus.filter(col("doc_id") < 4)
+      val lex = graft.ops.Retrieval.bm25TopK(
+        corpus.select("doc_id", "text"), "doc_id", "text",
+        qdocs.select(col("doc_id").as("query_id"),
+          col("text").as("query_text")),
+        "query_id", "query_text", k = 20)
+      val dense = Similarity.topKJoin(
+        corpus.select(col("doc_id"), col("embedding")), "doc_id", "embedding",
+        qdocs.select(col("doc_id"), col("embedding")), "doc_id", "embedding",
+        k = 20)
+      graft.ops.Retrieval.rrfFuse(
+          Seq(("bm25", lex.select("query_id", "doc_id", "rank")),
+            ("dense", dense.select("query_id", "doc_id", "rank"))),
+          "doc_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // MMR diversified re-ranking: top-8 cosine candidates per query,
     // greedy λ=0.5 selection of 4 (6-dp-rounded scores, ties to the lowest
     // id). The oracle unrolls the greedy loop step by step.
@@ -4228,6 +4253,82 @@ object SparkEntry {
                 CAST(len(bpe_tokens) AS BIGINT) AS n_bpe_tokens
          FROM enc ORDER BY doc_id"""
     },
+
+    // Hybrid-retrieval replay: q107's BM25 chain and q53's dense chain,
+    // both over the embedding-indexed subset with the 4 query docs'
+    // text/vector, then the RRF sum over the tag-sorted contribution list.
+    "q121_hybrid_rrf" ->
+      s"""WITH corpus AS (
+           SELECT d.doc_id, d.text, e.embedding
+           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         t AS (SELECT doc_id, $toks AS tk FROM corpus),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM t),
+         terms AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+           FROM (SELECT doc_id, unnest(tk) AS tok, len(tk) AS dl FROM t)
+           GROUP BY doc_id, tok),
+         q AS (SELECT doc_id AS query_id, text AS qtext
+           FROM corpus WHERE doc_id < 4),
+         qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+             regexp_split_to_array(lower(qtext), '\\s+'), x -> len(x) > 0)))
+             AS tok FROM q),
+         dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM terms
+           WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+         qi AS (SELECT query_id, tok,
+             ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+           FROM qt JOIN dfq USING (tok), stats),
+         contrib AS (SELECT query_id, doc_id, tok,
+             idf * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 +
+               0.75 * CAST(dl AS DOUBLE) / avgdl)) AS s
+           FROM terms JOIN qi USING (tok)),
+         sc AS (SELECT query_id, doc_id,
+             round(list_sum(list_transform(
+               list_sort(list(struct_pack(t := tok, s := s))), x -> x.s)), 6)
+               AS score
+           FROM contrib GROUP BY query_id, doc_id),
+         lex AS (SELECT query_id, doc_id, rank FROM (
+             SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank
+             FROM sc) WHERE rank <= 20),
+         qe AS (SELECT doc_id AS query_id, embedding AS qv,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM corpus WHERE doc_id < 4),
+         ce AS (SELECT doc_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+           FROM corpus),
+         sims AS (SELECT qe.query_id, ce.doc_id,
+             CASE WHEN ce.vn * qe.qn > 0 THEN
+               list_sum(list_transform(range(1, len(ce.embedding) + 1),
+                 i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(qe.qv[i] AS DOUBLE)))
+                 / (ce.vn * qe.qn)
+             ELSE 0.0 END AS sim
+           FROM ce CROSS JOIN qe),
+         dense AS (SELECT query_id, doc_id, rank FROM (
+             SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, doc_id) AS rank
+             FROM sims) WHERE rank <= 20),
+         allr AS (
+           SELECT query_id, doc_id, 'bm25' AS src, rank FROM lex
+           UNION ALL
+           SELECT query_id, doc_id, 'dense' AS src, rank FROM dense),
+         fused AS (SELECT query_id, doc_id,
+             round(list_sum(list_transform(
+               list_sort(list(struct_pack(s := src,
+                 c := 1.0 / (60.0 + CAST(rank AS DOUBLE))))), x -> x.c)), 6)
+               AS rrf_score
+           FROM allr GROUP BY query_id, doc_id),
+         ranked AS (SELECT query_id, doc_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id) AS rank
+           FROM fused)
+         SELECT query_id, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10
+         ORDER BY query_id, rank""",
 
     // q95's snapshot construction + md5 diff for the touched slice, then
     // the q78 cross-corpus banding over the NEW snapshot restricted to

@@ -48,30 +48,63 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    // Tokenization is the expensive per-row work here, and a small/single
+    // parquet file arrives as ONE input split — which would serialize the
+    // whole tokenize→join→score pipeline onto one task (measured: a 3.4 s
+    // single-task stage at sf0.1). Spread under-split inputs behind a
+    // repartition barrier (the [[Similarity]] withNorm discipline); a
+    // properly-split corpus (the 100 TB case) passes through untouched.
+    val parts = spark.sparkContext.defaultParallelism
+    val base = docs.select(col(idCol), col(textCol))
+    val spread =
+      if (base.rdd.getNumPartitions < parts) base.repartition(parts, col(idCol))
+      else base
     // (doc, term, tf, dl): dl rides the tokenize pass through the
     // aggregate — max() over a per-doc constant.
-    val terms = docs
+    val terms = spread
       .select(col(idCol), tokenCount(col(textCol)).as("__dl"),
         explode(tokens(col(textCol))).as("__t"))
       .groupBy(col(idCol), col("__t"))
       .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("__n"),
-      (sum(tokenCount(col(textCol))).cast("double") /
-        count(lit(1)).cast("double")).as("__avgdl"))
-    val qterms = queries.select(col(qIdCol).as("query_id"),
-      explode(array_distinct(tokens(col(qTextCol)))).as("__t"))
-    // df only for the query vocabulary: semi-join against the broadcast
-    // query terms BEFORE the df aggregate.
-    val dfreq = terms
-      .join(broadcast(qterms.select("__t").distinct()), Seq("__t"), "left_semi")
-      .groupBy("__t").agg(count(lit(1)).cast("double").as("__df"))
-    val qidf = qterms.join(dfreq, Seq("__t"), "inner")
-      .crossJoin(stats)
+    // The query term set collects to the driver: it is query-set-sized by
+    // the same contract that lets the scoring join broadcast it (queries
+    // ≪ corpus). Bounded by construction, like the IVF centroid collect.
+    val qtermRows = queries
+      .select(col(qIdCol).cast("long").as("query_id"),
+        explode(array_distinct(tokens(col(qTextCol)))).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val qtermSet = qtermRows.map(_._2).distinct.toSeq
+    // ONE aggregate job delivers document frequencies for the query
+    // vocabulary AND the corpus token total: group the (doc, term) table
+    // by "query term or null", count rows per key (= df), sum tf (Σ tf
+    // over everything ≡ Σ dl — duplicates included — so no separate
+    // corpus-length pass). Output is ≤ |query vocabulary| + 1 rows. The
+    // first formulation ran dfreq/stats/contrib as three differently-
+    // pruned recomputations of `terms` — a 15-job AQE cascade, 5.8 s at
+    // sf0.1 against 1 row of actual statistics; this shape is 3 jobs
+    // (stats collect, doc count, scoring) and 2.1 s.
+    val statRows = terms
+      .groupBy(when(col("__t").isInCollection(qtermSet), col("__t"))
+        .as("__qt"))
+      .agg(count(lit(1)).cast("double").as("__df"),
+        sum(col("__tf")).as("__tok"))
+      .collect()
+    val dfByTerm = statRows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val n = docs.count().toDouble
+    val avgdl = statRows.map(_.getLong(2)).sum.toDouble / n
+    // (query, term, df) as a LOCAL relation — idf still evaluates inside
+    // the plan with the same log() expression as before, so the numeric
+    // path the oracle replays is unchanged.
+    import spark.implicits._
+    val qidf = qtermRows.toSeq
+      .flatMap { case (qid, t) => dfByTerm.get(t).map(df => (qid, t, df)) }
+      .toDF("query_id", "__t", "__df")
       .select(col("query_id"), col("__t"),
-        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+        log(lit(1.0) + (lit(n) - col("__df") + 0.5) / (col("__df") + 0.5))
           .as("__idf"),
-        col("__avgdl"))
+        lit(avgdl).as("__avgdl"))
     val contrib = terms.join(broadcast(qidf), Seq("__t"))
       .select(col("query_id"), col(idCol), col("__t"),
         (col("__idf") * (col("__tf") * (k1 + 1)) /
@@ -96,6 +129,56 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__x")))
       .select(col("query_id"), col("__x.did").as(idCol),
         (-col("__x.negscore")).as("score"),
+        (col("__i") + 1).cast("long").as("rank"))
+  }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: each input ranking
+    * contributes `1 / (rrfK + rank)` for every (query, doc) it ranked,
+    * fused score = the sum, final ranking by (score desc, id asc). Rank
+    * positions are all that transfer, so BM25 scores and cosine
+    * similarities never need calibration against each other — the reason
+    * RRF is the default fusion in production hybrid search.
+    *
+    * Each ranking arrives as a (tag, DataFrame) with (query_id, idCol,
+    * rank) columns; tags must be unique (they order the contribution sum).
+    * Determinism: `1/(rrfK + rank)` is one IEEE division of exact
+    * integers-as-doubles, contributions fold over the tag-sorted list
+    * (identical add order on any engine/partitioning — the q86 pattern),
+    * and the fused score publishes at 6 dp.
+    *
+    * Scale shape: one union of the (already small, ≤ k×queries-row)
+    * ranking frames, one hash aggregate on (query, id), and the per-query
+    * top-k is the O(k)-state bounded `CollectTopK` aggregate.
+    */
+  def rrfFuse(
+      rankings: Seq[(String, DataFrame)],
+      idCol: String,
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rankings.map(_._1).distinct.length == rankings.length,
+      "ranking tags must be unique")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tagged = rankings.map { case (tag, df) =>
+      df.select(col("query_id"), col(idCol), lit(tag).as("__src"),
+        (lit(1.0) / (lit(rrfK).cast("double") + col("rank").cast("double")))
+          .as("__c"))
+    }.reduce(_ unionByName _)
+    val scored = tagged
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sort_array(collect_list(struct(col("__src"), col("__c")))).as("__cs"))
+      .select(col("query_id"), col(idCol),
+        round(aggregate(col("__cs"), lit(0.0),
+          (acc, x) => acc + x.getField("__c")), 6).as("rrf_score"))
+    val item = struct((-col("rrf_score")).as("negscore"),
+      col(idCol).cast("long").as("did"))
+    scored.groupBy("query_id")
+      .agg(array_sort(ColumnBridge.collectTopK(item, k, reverse = true))
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__x")))
+      .select(col("query_id"), col("__x.did").as(idCol),
+        (-col("__x.negscore")).as("rrf_score"),
         (col("__i") + 1).cast("long").as("rank"))
   }
 

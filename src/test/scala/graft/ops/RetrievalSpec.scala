@@ -68,6 +68,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(both.map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("rrfFuse: hand-computed fusion, missing-in-one-ranking docs still score") {
+    val lex = Seq((0L, 10L, 1L), (0L, 20L, 2L), (0L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((0L, 20L, 1L), (0L, 40L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(("bm25", lex), ("dense", dense)),
+        "doc_id", k = 4, rrfK = 60)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 20: in both (rank 2 lex + rank 1 dense) — must fuse on top.
+    val want = Seq(
+      (20L, r6(1.0 / 62 + 1.0 / 61), 1L),
+      (10L, r6(1.0 / 61), 2L),
+      (40L, r6(1.0 / 62), 3L),
+      (30L, r6(1.0 / 63), 4L))
+    assert(got.toSeq == want)
+  }
+
+  test("rrfFuse: score ties break by ascending doc id") {
+    val a = Seq((0L, 5L, 1L), (0L, 3L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 3L, 1L), (0L, 5L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(("x", a), ("y", b)), "doc_id", k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    // both docs score 1/61 + 1/62 — tie, id order wins
+    assert(got.toSeq == Seq((3L, 1L), (5L, 2L)))
+  }
+
   // Naive Scala MMR with the operator's exact rounding discipline, for the
   // differential tests below.
   private def naiveMmr(
