@@ -631,9 +631,15 @@ object Curation {
       docs: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    // Repartition BEFORE the per-character explode (the module idiom:
+    // spread compact rows, explode in parallel) — a single-file scan would
+    // otherwise generate every bigram row, and run the map-side partial
+    // aggregate, in one task.
+    val p = docs.sparkSession.sparkContext.defaultParallelism
     val grams = docs
       .select(col(idCol), lower(col(textCol)).as("__t"))
       .filter(length(col("__t")) >= 2)
+      .repartition(p, col(idCol))
       .select(col(idCol), posexplode(expr(
         "transform(sequence(1, length(__t) - 1), i -> substr(__t, i, 2))"))
         .as(Seq("__i", "g")))
