@@ -1666,6 +1666,44 @@ object SparkEntry {
           emb.filter(col("vec_id") < 4), "vec_id", "embedding",
           k = 4, m = 8, lambda = 0.5)
         .orderBy("query_id", "mmr_rank")
+    }),
+
+    // SCD2 history build: each user's coarse engagement tier
+    // (floor(value/10) over view events) collapsed into type-2 versions —
+    // change-detect lag, valid_from/valid_to half-open bounds, version
+    // ordinal. One shuffle on user_id; both windows ride the same
+    // per-key ordering.
+    "q122_scd2_build" -> ((s, dir) => {
+      import graft.ops.TemporalJoins
+      val src = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 10).cast("long").as("tier"))
+      TemporalJoins.scd2Build(src, Seq("user_id"), "ts", "event_id",
+          Seq("tier"))
+        .orderBy("user_id", "version")
+    }),
+
+    // Ordered funnel over a thinned stream (event_id < 3000 keeps
+    // conversion informative): signup → click → purchase, greedy
+    // first-match chain ≡ the oracle's chained-min SQL funnel.
+    "q123_funnel" -> ((s, dir) => {
+      import graft.ops.EventAnalytics
+      EventAnalytics.funnelReport(
+        EventsStream.readEvents(s, s"$dir/events.parquet")
+          .filter(col("event_id") < 3000),
+        "event_type", "ts", "event_id", "user_id",
+        Seq("signup", "click", "purchase"))
+    }),
+
+    // Cohort retention triangle over a 1-in-7 subsample (spreads first
+    // events across weeks): Monday-week cohorts × integer week offsets.
+    "q124_cohort_retention" -> ((s, dir) => {
+      import graft.ops.EventAnalytics
+      EventAnalytics.cohortRetention(
+        EventsStream.readEvents(s, s"$dir/events.parquet")
+          .filter(col("event_id") % 7 === 0),
+        "ts", "user_id")
     }))
 
   // ---- DuckDB oracles ----
@@ -4532,5 +4570,72 @@ object SparkEntry {
            UNION ALL SELECT query_id, id, rel, score, mmr_rank FROM p4)
          SELECT query_id, id AS vec_id, rel AS cosine_sim, score AS mmr_score,
                 CAST(mmr_rank AS BIGINT) AS mmr_rank
-         FROM sel ORDER BY query_id, mmr_rank""")
+         FROM sel ORDER BY query_id, mmr_rank""",
+
+    // SCD2 via the same two windows: change-detect lag (null-safe
+    // IS DISTINCT FROM ≡ Spark's !<=>), then lead/row_number over the
+    // kept rows ordered by (valid_from, event_id).
+    "q122_scd2_build" ->
+      """WITH src AS (
+           SELECT user_id, ts, event_id,
+                  CAST(floor(value / 10) AS BIGINT) AS tier
+           FROM events WHERE event_type = 'view'),
+         chg AS (
+           SELECT *, tier IS DISTINCT FROM
+               lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS is_chg
+           FROM src),
+         kept AS (
+           SELECT user_id, tier, ts AS valid_from, event_id
+           FROM chg WHERE is_chg)
+         SELECT user_id, tier, valid_from,
+                lead(valid_from) OVER w AS valid_to,
+                CAST(row_number() OVER w AS INT) AS version
+         FROM kept
+         WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+         ORDER BY user_id, version""",
+
+    // Chained-min funnel: s_i = each user's first step-i event strictly
+    // after their matched step-(i-1) event — provably the greedy
+    // first-match chain funnelReport folds per user.
+    "q123_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id < 3000),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id),
+         n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                      (SELECT count(*) FROM s2) AS n2,
+                      (SELECT count(*) FROM s3) AS n3)
+         SELECT * FROM (
+           SELECT 1 AS step, 'signup' AS event_type, n1 AS n_users,
+                  round(n1 / CAST(n1 AS DOUBLE), 6) AS frac_of_first FROM n
+           UNION ALL
+           SELECT 2, 'click', n2, round(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+           UNION ALL
+           SELECT 3, 'purchase', n3, round(n3 / CAST(n1 AS DOUBLE), 6) FROM n)
+         ORDER BY step""",
+
+    // Cohort week = Monday-truncated first-event week; offsets are
+    // integer-exact epoch-second differences over 604800.
+    "q124_cohort_retention" ->
+      """WITH ev AS (
+           SELECT user_id, date_trunc('week', ts) AS wk
+           FROM events WHERE event_id % 7 = 0),
+         pu AS (SELECT user_id, min(wk) AS cohort_week
+                FROM ev GROUP BY user_id),
+         aw AS (SELECT DISTINCT e.user_id, p.cohort_week, e.wk AS active_week
+                FROM ev e JOIN pu p USING (user_id))
+         SELECT cohort_week,
+                CAST((epoch(active_week) - epoch(cohort_week)) / 604800
+                     AS BIGINT) AS week_offset,
+                count(*) AS n_users
+         FROM aw GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""")
 }

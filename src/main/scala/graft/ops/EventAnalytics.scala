@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch event-stream analytics: ordered-funnel conversion and cohort
+  * retention — the two aggregate reports every behavioral/event warehouse
+  * runs daily, expressed so each costs ONE shuffle on the user key.
+  *
+  * Reference scope: the reference engine has no event analytics (its
+  * `events` are genomics pipeline stages); these extend the engine for the
+  * training-data/product-analytics side of the corpus the same way the
+  * dedup/curation operators do, and each is gated by a closed-form SQL
+  * oracle (chained-min funnel, per-user week sets).
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each user, greedily advance through `steps`
+    * (event types) in order — step 1 matches the user's first step-1
+    * event, each later step matches the first step-i event STRICTLY after
+    * the matched step-(i-1) event. Returns one row per step:
+    * `(step, event_type, n_users, frac_of_first)` where `n_users` counts
+    * users whose chain reached that step and `frac_of_first` is the
+    * conversion from step 1 (step 1 row reads 1.0), rounded to 6 dp.
+    *
+    * The greedy first-match chain is provably the chained-min SQL funnel
+    * (`s_i = min ts of step-i events with ts > s_{i-1}`): both pick the
+    * earliest qualifying event at each step — which is what the oracle
+    * re-derives.
+    *
+    * Scale shape: the scan keeps only the step event types (filter pushed
+    * to the source), ONE shuffle groups each user's step events, and the
+    * chain runs as a row-local fold over the (ts, tie, type)-sorted list —
+    * deterministic under any partitioning. The final per-step report is an
+    * aggregate over a `nSteps`-row frame. Skew guard: a user's state is
+    * its step events only; `maxEventsPerUser` rank-caps pathological keys
+    * (a cap large enough to contain the funnel horizon loses nothing —
+    * the chain only ever advances on the first match).
+    */
+  def funnelReport(
+      events: DataFrame,
+      typeCol: String,
+      timeCol: String,
+      tieCol: String,
+      userCol: String,
+      steps: Seq[String],
+      maxEventsPerUser: Int = 10000): DataFrame = {
+    require(steps.nonEmpty, "funnelReport needs at least one step")
+    val nSteps = steps.size
+    val stepArr = array(steps.map(lit): _*)
+    val relevant = events.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol), col(timeCol).as("__ts"), col(tieCol).as("__tie"),
+        col(typeCol).as("__et"))
+    val perUser = relevant
+      .groupBy(col(userCol))
+      .agg(slice(sort_array(collect_list(
+        struct(col("__ts"), col("__tie"), col("__et")))),
+        1, maxEventsPerUser).as("evs"))
+      .select(col(userCol),
+        aggregate(col("evs"),
+          struct(lit(0).as("step"), lit(null).cast("timestamp").as("last_ts")),
+          (acc, x) => {
+            val step = acc.getField("step")
+            val advance = step < nSteps &&
+              x.getField("__et") === element_at(stepArr, step + 1) &&
+              (step === 0 || x.getField("__ts") > acc.getField("last_ts"))
+            when(advance, struct((step + 1).as("step"),
+              x.getField("__ts").as("last_ts"))).otherwise(acc)
+          }).getField("step").as("steps_completed"))
+    val counts = perUser
+      .groupBy(col("steps_completed")).agg(count(lit(1)).as("n"))
+    // Left join from the step dimension so a step nobody reached still
+    // reports n_users = 0 (the oracle's empty-CTE count does the same).
+    val reached = events.sparkSession.range(1, nSteps + 1).toDF("step")
+      .join(counts, col("steps_completed") >= col("step"), "left")
+      .groupBy(col("step")).agg(coalesce(sum("n"), lit(0L)).as("n_users"))
+    val first = reached.filter(col("step") === 1)
+      .select(col("n_users").as("__first"))
+    reached.crossJoin(broadcast(first))
+      .select(col("step").cast("int").as("step"),
+        element_at(stepArr, col("step").cast("int")).as("event_type"),
+        col("n_users"),
+        round(col("n_users").cast("double") / col("__first"), 6)
+          .as("frac_of_first"))
+      .orderBy("step")
+  }
+
+  /** Cohort retention: cohort each user by the Monday-truncated week of
+    * their FIRST event, mark every week they were active, and count users
+    * per `(cohort_week, week_offset)` cell — the classic retention
+    * triangle. `week_offset` is integer-exact
+    * (`(epoch(week) − epoch(cohort_week)) / 604800`).
+    *
+    * Scale shape: ONE shuffle groups each user's events; `min(ts)` and the
+    * distinct active-week set compute in the same aggregate (per-user
+    * state is the bounded week set, not the event list). The exploded
+    * (user, week) rows then aggregate on the (cohort_week, offset)
+    * dimension — a tiny frame at any corpus size.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      timeCol: String,
+      userCol: String): DataFrame = {
+    val week = date_trunc("week", col(timeCol))
+    val perUser = events
+      .select(col(userCol), week.as("__wk"))
+      .groupBy(col(userCol))
+      .agg(min(col("__wk")).as("cohort_week"),
+        collect_set(col("__wk")).as("weeks"))
+    perUser
+      .select(col("cohort_week"), explode(col("weeks")).as("active_week"))
+      .groupBy(col("cohort_week"),
+        ((unix_timestamp(col("active_week")) -
+          unix_timestamp(col("cohort_week"))) / 604800L)
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+}

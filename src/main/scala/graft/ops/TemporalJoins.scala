@@ -134,6 +134,48 @@ object TemporalJoins {
       .drop("__bucket")
   }
 
+  /** SCD2 history build: collapse a per-key change-event stream into
+    * type-2 slowly-changing-dimension intervals — one row per VERSION of
+    * the key's attributes, with `valid_from`/`valid_to` half-open bounds
+    * (`valid_to` null = current version) and a 1-based `version` ordinal.
+    * Consecutive events whose `attrCols` are unchanged collapse into the
+    * earlier version (true change detection, not one-row-per-event), so
+    * the output is exactly the table a [[asofJoin]] or [[rangeJoin]]
+    * probe expects on its dimension side.
+    *
+    * Determinism: events order by `(timeCol, tieCol)` within each key, so
+    * equal-timestamp updates have a defined winner. Attribute comparison
+    * is null-safe (`<=>` on the attr struct).
+    *
+    * Scale shape: ONE shuffle on `keyCols`; the change-detect lag window,
+    * the valid-to lead window, and the version ordinal all run over that
+    * same per-key ordering (the filter between them preserves the
+    * partitioning, so no second Exchange), and per-task window state is
+    * one frame row. No joins, no replication.
+    */
+  def scd2Build(
+      events: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      tieCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "scd2Build needs key and attribute columns")
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col(tieCol).asc)
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = events
+      .withColumn("__chg", !(attrs <=> lag(attrs, 1).over(byKey)))
+      // lag is null on each key's first row, so __chg is true there too
+      // (null-safe <=> makes the comparison itself never-null).
+      .filter(col("__chg"))
+    changed.select(
+      keyCols.map(col) ++ attrCols.map(col) ++ Seq(
+        col(timeCol).as("valid_from"),
+        lead(col(timeCol), 1).over(byKey).as("valid_to"),
+        row_number().over(byKey).as("version")): _*)
+  }
+
   /** Interval-overlap join: every (left, right) interval pair within the
     * same `keyCols` group whose half-open spans intersect
     * (`lStart < rEnd AND rStart < lEnd`) — inner-join semantics, one row
