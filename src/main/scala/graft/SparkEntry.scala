@@ -1603,9 +1603,15 @@ object SparkEntry {
     // replace IS the non-overlapping symbol rewrite when every symbol is
     // one char.
     "q119_bpe_encode" -> ((s, dir) => {
+      // The library returns bpe_tokens as array<string>; the gate surface
+      // space-joins it (tokens never contain whitespace — the tokenizer
+      // split on it) so the hash compare runs over scalar columns.
       Curation.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
           merges = Seq(("t", "h"), ("th", "e"), ("the", "</w>"),
             ("a", "</w>"), ("s", "t"), ("e", "a")))
+        .select(col("doc_id"),
+          array_join(col("bpe_tokens"), " ").as("bpe_text"),
+          col("n_bpe_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -4256,6 +4262,56 @@ object SparkEntry {
                 dup_segment_frac, top_bigram_frac, margin, margin >= 0 AS keep
          FROM f ORDER BY doc_id""",
 
+    // BPE TRAINING replay, 8 merge iterations unrolled into chained CTEs.
+    // Each iteration: weighted adjacent-pair counts over the vocab, the
+    // (count DESC, l, r) argmax, then the greedy left-to-right
+    // non-overlapping rewrite — expressed not as a sequential fold (the
+    // Spark side's formulation) but as run-parity list algebra: a match
+    // position is TAKEN iff its offset within its maximal run of
+    // consecutive match positions is even, which is exactly what a greedy
+    // scan takes ("aaa" under (a,a): run {1,2} → take 1 only). A genuinely
+    // different formulation, so the hash compare is meaningful.
+    "q101_bpe_merges" -> {
+      def iteration(i: Int): String = {
+        val prev = s"vocab_${i - 1}"
+        s"""pairs_$i AS (
+           SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS n
+           FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+                   t -> struct_pack(l := syms[t], r := syms[t + 1]))) AS p
+                 FROM $prev)
+           GROUP BY p.l, p.r),
+         best_$i AS (SELECT l, r, n FROM pairs_$i ORDER BY n DESC, l, r LIMIT 1),
+         vocab_$i AS (
+           SELECT w, freq,
+             flatten(list_transform(range(1, len(syms) + 1), t ->
+               CASE WHEN list_contains(tk, t) THEN [bl || br]
+                    WHEN list_contains(tk, t - 1) THEN CAST([] AS VARCHAR[])
+                    ELSE [syms[t]] END)) AS syms
+           FROM (
+             SELECT w, freq, syms, bl, br,
+               list_filter(mt, t -> (t - list_max(list_filter(mt,
+                 m -> m <= t AND NOT list_contains(mt, m - 1)))) % 2 = 0) AS tk
+             FROM (
+               SELECT v.w, v.freq, v.syms, b.l AS bl, b.r AS br,
+                 list_filter(range(1, len(v.syms)),
+                   t -> v.syms[t] = b.l AND v.syms[t + 1] = b.r) AS mt
+               FROM $prev v, best_$i b)))"""
+      }
+      val numMerges = 8
+      s"""WITH words AS (SELECT unnest($toks) AS w FROM documents),
+         vocab_0 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             list_append(list_transform(range(1, len(w) + 1),
+               t -> substr(w, t, 1)), '</w>') AS syms
+           FROM words GROUP BY w),
+         ${(1 to numMerges).map(iteration).mkString(",\n         ")}
+         SELECT * FROM (
+           ${(1 to numMerges).map(i =>
+             s"""SELECT CAST($i AS INTEGER) AS rank, l AS "left", r AS "right", n FROM best_$i""")
+             .mkString("\n           UNION ALL ")})
+         ORDER BY rank"""
+    },
+
     // BPE-encode replay in string space: when every symbol is one char
     // (raw chars + one sentinel per merged symbol + chr(1) for the
     // end-of-word marker), greedy left-to-right non-overlapping string
@@ -4287,7 +4343,7 @@ object SparkEntry {
            SELECT doc_id,
              flatten(list_transform(tk, w -> $decode)) AS bpe_tokens
            FROM base)
-         SELECT doc_id, bpe_tokens,
+         SELECT doc_id, array_to_string(bpe_tokens, ' ') AS bpe_text,
                 CAST(len(bpe_tokens) AS BIGINT) AS n_bpe_tokens
          FROM enc ORDER BY doc_id"""
     },
@@ -4622,19 +4678,19 @@ object SparkEntry {
            SELECT 3, 'purchase', n3, round(n3 / CAST(n1 AS DOUBLE), 6) FROM n)
          ORDER BY step""",
 
-    // Cohort week = Monday-truncated first-event week; offsets are
-    // integer-exact epoch-second differences over 604800.
+    // Cohort week = Monday-truncated first-event week as a DATE; offsets are
+    // integer-exact day differences over 7 (weeks align, so always a
+    // multiple of 7).
     "q124_cohort_retention" ->
       """WITH ev AS (
-           SELECT user_id, date_trunc('week', ts) AS wk
+           SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
            FROM events WHERE event_id % 7 = 0),
          pu AS (SELECT user_id, min(wk) AS cohort_week
                 FROM ev GROUP BY user_id),
          aw AS (SELECT DISTINCT e.user_id, p.cohort_week, e.wk AS active_week
                 FROM ev e JOIN pu p USING (user_id))
          SELECT cohort_week,
-                CAST((epoch(active_week) - epoch(cohort_week)) / 604800
-                     AS BIGINT) AS week_offset,
+                CAST((active_week - cohort_week) / 7 AS BIGINT) AS week_offset,
                 count(*) AS n_users
          FROM aw GROUP BY cohort_week, week_offset
          ORDER BY cohort_week, week_offset""")

@@ -101,7 +101,9 @@ object EventAnalytics {
       events: DataFrame,
       timeCol: String,
       userCol: String): DataFrame = {
-    val week = date_trunc("week", col(timeCol))
+    // DATE weeks, not timestamp weeks: zone- and engine-version-proof (some
+    // SQL engines return DATE from date_trunc('week'), some TIMESTAMP).
+    val week = date_trunc("week", col(timeCol)).cast("date")
     val perUser = events
       .select(col(userCol), week.as("__wk"))
       .groupBy(col(userCol))
@@ -110,8 +112,7 @@ object EventAnalytics {
     perUser
       .select(col("cohort_week"), explode(col("weeks")).as("active_week"))
       .groupBy(col("cohort_week"),
-        ((unix_timestamp(col("active_week")) -
-          unix_timestamp(col("cohort_week"))) / 604800L)
+        (datediff(col("active_week"), col("cohort_week")) / 7)
           .cast("long").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_week", "week_offset")

@@ -32,28 +32,55 @@ object EventsStream {
       case f => f
     })
 
-  /** Read an events parquet robustly: nanosecond-timestamp files surface as
-    * long nanos (via the legacy conf) and are converted losslessly to
-    * microsecond timestamps (`ts div 1000` keeps 64-bit integer math).
+  /** Read an events parquet robustly across the three physical encodings the
+    * fixture has shipped with: INT64 nanosecond timestamps (surfaced as long
+    * nanos via the legacy conf, converted with integer `div 1000`),
+    * microsecond TIMESTAMP without timezone (Spark 4 infers TIMESTAMP_NTZ —
+    * normalized to instant micros, identity under the UTC session zone), and
+    * plain UTC-adjusted TIMESTAMP. Downstream code always sees
+    * `TimestampType` so `unix_millis`/`unix_micros` and watermarks work.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Cast interprets the wall time in the session zone; sessions here
+        // run with spark.sql.session.timeZone=UTC, so this reads the stored
+        // micros as UTC instants — the same values the nanos path produced.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming flavour of [[readEvents]]: watches `dir` for files matching
-    * `glob` (the streaming file source requires a directory).
+    * `glob` (the streaming file source requires a directory). The streaming
+    * file source needs a declared schema, so the footer of whatever is
+    * already in `dir` is probed with a batch read to pick the right decode.
     */
   def readEventsStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventNanosSchema)
+    val probed = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema("ts").dataType
+    val src = spark.readStream
       .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    probed match {
+      case LongType =>
+        src.schema(eventNanosSchema).parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        val ntzSchema = StructType(eventSchema.fields.map {
+          case f if f.name == "ts" => StructField("ts", TimestampNTZType)
+          case f => f
+        })
+        src.schema(ntzSchema).parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        src.schema(eventSchema).parquet(dir)
+    }
   }
 
   /** Tumbling-window per-type aggregation; watermark bounds state. Works on
