@@ -32,8 +32,16 @@ object Bench {
       val runs = (1 to repeats).map { _ =>
         // Frames persisted inside an operator (pipeline stage
         // materialization, dedup checkpoints) must not leak into the next
-        // repeat or the next query.
+        // repeat or the next query. clearCache only drops catalog-tracked
+        // Dataset caches — localCheckpoint blocks (every iteration of
+        // duplicateClusters/bpeTrainMerges) sit in BlockManager storage
+        // until the driver GCs the RDD object, so across 124 queries they
+        // accumulate gigabytes of dead storage and the storage-vs-execution
+        // memory contention inflated checkpoint-heavy queries ~7x (q105:
+        // 20.1 s in the r6 full suite vs 2.9 s run alone). Unpersisting
+        // every still-registered RDD releases them deterministically.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         // A failed query must surface in the bench JSON (as its exception
         // class), never be silently timed as a fast success.
@@ -42,6 +50,7 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val ok = runs.collect { case (dt, None) => dt }.sorted
       val median = if (ok.isEmpty) 0.0 else ok(ok.size / 2)
       (name, median, runs.collectFirst { case (_, Some(e)) => e })

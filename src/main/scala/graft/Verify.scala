@@ -47,8 +47,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Operators persist multi-branch intermediates; queries are
-      // independent, so release them between dumps.
+      // independent, so release them between dumps — including
+      // localCheckpoint blocks, which clearCache does not track.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     if (twice) println(s"[determinism] total mismatches: $mismatches")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
