@@ -943,13 +943,12 @@ object Curation {
       endOfWord: String = "</w>"): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
-    var vocab = docs
+    var vocab = Checkpoints.truncate(docs
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), concat(
         expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
-        array(lit(endOfWord))).as("syms"))
-      .localCheckpoint()
+        array(lit(endOfWord))).as("syms")))
     val merges = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
     var rank = 1
     while (rank <= numMerges) {
@@ -970,7 +969,8 @@ object Curation {
         // Greedy non-overlapping rewrite: fold the symbol list left to
         // right, emitting the merged symbol and skipping its right half
         // when (l, r) matches — "aaa" under (a,a) becomes ["aa", "a"].
-        vocab = vocab
+        val prev = vocab
+        vocab = prev
           .withColumn("syms", expr(
             s"""aggregate(sequence(1, size(syms)),
                 named_struct('out', cast(array() AS array<string>), 'skip', false),
@@ -984,10 +984,15 @@ object Curation {
                     named_struct('out',
                       concat(acc.out, array(element_at(syms, i))), 'skip', false))),
                 acc -> acc.out)"""))
-          .localCheckpoint()
+        vocab = Checkpoints.truncate(vocab)
+        // The rewrite is materialized; the superseded vocab's blocks can
+        // go — in-flight storage stays one vocab frame for any merge count.
+        Checkpoints.release(prev)
         rank += 1
       }
     }
+    // The merge table is driver-collected; the last vocab frame is dead.
+    Checkpoints.release(vocab)
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "n")
   }

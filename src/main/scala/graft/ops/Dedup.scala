@@ -139,14 +139,14 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIterations: Int = 50): DataFrame = {
-    val edges = pairs
+    val edges = Checkpoints.truncate(pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .distinct())
+    var checkpointed = Checkpoints.truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+    var labels = checkpointed
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
@@ -154,16 +154,22 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("minn"))
-      val updated = labels
+      val updated = Checkpoints.truncate(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("minn"), col("label"))).as("label"),
-          col("label").as("old"))
-        .localCheckpoint()
+          col("label").as("old")))
       converged = updated.filter(col("label") < col("old")).isEmpty
+      // The new labels are materialized (truncate is eager) and the
+      // convergence check has run — the superseded iteration's blocks can
+      // go now, so in-flight storage stays O(1) labels frames for ANY
+      // iteration count instead of O(iterations).
+      Checkpoints.release(checkpointed)
+      checkpointed = updated
       labels = updated.select("id", "label")
       iter += 1
     }
+    Checkpoints.release(edges)
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

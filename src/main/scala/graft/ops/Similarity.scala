@@ -428,11 +428,16 @@ object Similarity {
         kmeansParallelSeeds(embeddings, idCol, vecCol, nlist, oversample),
         idCol, vecCol)
     var centroids: DataFrame = null
+    var prevCheckpoint: DataFrame = null
     (1 to iterations).foreach { _ =>
       // Lineage truncation per Lloyd iteration: the chain grows linearly
       // (single reference), but truncating keeps plan depth O(1) for any
-      // iteration count (same discipline as duplicateClusters).
-      assigned = assigned.localCheckpoint()
+      // iteration count (same discipline as duplicateClusters) — and the
+      // superseded iteration's blocks are released once the new one is
+      // materialized, so in-flight storage is one assignment frame.
+      assigned = Checkpoints.truncate(assigned)
+      if (prevCheckpoint != null) Checkpoints.release(prevCheckpoint)
+      prevCheckpoint = assigned
       val members = assigned.select(col("centroid_id"),
         posexplode(col(vecCol)).as(Seq("__pos", "__v")))
       centroids = members
