@@ -929,9 +929,10 @@ object Curation {
     * via a 1-row TakeOrderedAndProject, then a left-to-right
     * non-overlapping rewrite of each word's symbol array by an
     * `aggregate` fold (sequential by definition — greedy BPE merging IS a
-    * left-to-right scan). The vocab frame is eagerly localCheckpoint'd
-    * each iteration so the plan stays O(1)-deep across merges (the
-    * [[graft.ops.Dedup.duplicateClusters]] discipline).
+    * left-to-right scan). The vocab frame is eagerly checkpointed each
+    * iteration so the plan stays O(1)-deep across merges, and superseded
+    * iterations release their storage (the [[Checkpoints]] discipline
+    * shared with [[graft.ops.Dedup.duplicateClusters]]).
     *
     * Words are char-split with an appended `endOfWord` symbol (the
     * Sennrich-style word-boundary marker), so merges never cross words.

@@ -123,16 +123,16 @@ object Dedup {
     * just-materialized partitions — no extra join or recompute per
     * iteration, one cheap scan action (offline index-build cadence).
     *
-    * Each iteration's labels are `localCheckpoint`ed: the update plan
-    * references the previous labels TWICE (propagation join + convergence
-    * check), so without lineage truncation the logical plan doubles per
-    * iteration — planning cost, not data, becomes the bottleneck (and the
-    * driver can OOM just materializing the plan string when a downstream
-    * operator builds on the result). Checkpointed partitions make each
-    * iteration's plan O(1) deep. Local (executor-storage) checkpoints are
-    * the right durability class for an offline index build; a
-    * fault-tolerant cluster run would set a reliable checkpoint dir and
-    * use `checkpoint()`.
+    * Each iteration's labels are checkpointed ([[Checkpoints.truncate]]):
+    * the update plan references the previous labels TWICE (propagation
+    * join + convergence check), so without lineage truncation the logical
+    * plan doubles per iteration — planning cost, not data, becomes the
+    * bottleneck (and the driver can OOM just materializing the plan string
+    * when a downstream operator builds on the result). Checkpointed
+    * partitions make each iteration's plan O(1) deep; superseded
+    * iterations release their storage immediately, and a session with a
+    * reliable checkpoint dir configured (`sc.setCheckpointDir`) gets
+    * fault-tolerant checkpoints automatically — the cluster posture.
     */
   def duplicateClusters(
       pairs: DataFrame,
