@@ -88,8 +88,8 @@ object EventAnalytics {
   /** Cohort retention: cohort each user by the Monday-truncated week of
     * their FIRST event, mark every week they were active, and count users
     * per `(cohort_week, week_offset)` cell — the classic retention
-    * triangle. `week_offset` is integer-exact
-    * (`(epoch(week) − epoch(cohort_week)) / 604800`).
+    * triangle. Weeks are DATEs and `week_offset` is the integer-exact day
+    * difference over 7 (aligned weeks, so always a whole number).
     *
     * Scale shape: ONE shuffle groups each user's events; `min(ts)` and the
     * distinct active-week set compute in the same aggregate (per-user
