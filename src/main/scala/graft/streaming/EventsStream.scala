@@ -63,8 +63,13 @@ object EventsStream {
   def readEventsStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val probed = spark.read.option("pathGlobFilter", glob).parquet(dir)
-      .schema("ts").dataType
+    // A stream may start on an empty directory (files arrive later); the
+    // probe then has no footer to read and the current fixture encoding
+    // (microsecond TIMESTAMP, read as TimestampType) is assumed.
+    val probed =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir)
+        .schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampType }
     val src = spark.readStream
       .option("pathGlobFilter", glob)
     probed match {

@@ -26,6 +26,16 @@ class EventsStreamSpec extends AnyFunSuite {
       case v => v.toString
     }.mkString("|")).toSet
 
+  test("readEventsStream starts on an empty directory (files arrive later)") {
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty-events")
+    try {
+      val stream = EventsStream.readEventsStream(spark, empty.toString)
+      assert(stream.isStreaming)
+      assert(stream.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+    } finally java.nio.file.Files.deleteIfExists(empty)
+  }
+
   test("windowed counts: streaming memory-sink result equals batch result") {
     val batch = EventsStream.windowedCounts(
       EventsStream.readEvents(spark, s"$dir/events.parquet"))
