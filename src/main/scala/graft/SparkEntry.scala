@@ -1710,6 +1710,15 @@ object SparkEntry {
         EventsStream.readEvents(s, s"$dir/events.parquet")
           .filter(col("event_id") % 7 === 0),
         "ts", "user_id")
+    }),
+
+    // Streaming twin of q123: per-user funnel positions maintained in
+    // mapGroupsWithState (Update mode, two-scalar state per user), sink
+    // drained and folded into the identical report — the kappa posture
+    // for conversion reporting, gated by the same chained-min oracle.
+    "q125_streaming_funnel" -> ((s, dir) => {
+      EventsStream.runFunnelStreamingSmoke(s, dir,
+        Seq("signup", "click", "purchase"), col("event_id") < 3000)
     }))
 
   // ---- DuckDB oracles ----
@@ -4655,6 +4664,32 @@ object SparkEntry {
     // after their matched step-(i-1) event — provably the greedy
     // first-match chain funnelReport folds per user.
     "q123_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id < 3000),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id),
+         n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                      (SELECT count(*) FROM s2) AS n2,
+                      (SELECT count(*) FROM s3) AS n3)
+         SELECT * FROM (
+           SELECT 1 AS step, 'signup' AS event_type, n1 AS n_users,
+                  round(n1 / CAST(n1 AS DOUBLE), 6) AS frac_of_first FROM n
+           UNION ALL
+           SELECT 2, 'click', n2, round(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+           UNION ALL
+           SELECT 3, 'purchase', n3, round(n3 / CAST(n1 AS DOUBLE), 6) FROM n)
+         ORDER BY step""",
+
+    // Streaming funnel drains to the same report as the batch q123 —
+    // one oracle serves both (the q22/q25 pairing, applied to funnels).
+    "q125_streaming_funnel" ->
       """WITH ev AS (SELECT * FROM events WHERE event_id < 3000),
          s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
                 WHERE event_type = 'signup' GROUP BY user_id),

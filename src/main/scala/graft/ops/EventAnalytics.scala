@@ -67,11 +67,32 @@ object EventAnalytics {
             when(advance, struct((step + 1).as("step"),
               x.getField("__ts").as("last_ts"))).otherwise(acc)
           }).getField("step").as("steps_completed"))
-    val counts = perUser
-      .groupBy(col("steps_completed")).agg(count(lit(1)).as("n"))
+    funnelReportFromSteps(perUser, "steps_completed", steps)
+  }
+
+  /** The per-step report half of [[funnelReport]], published separately so
+    * a STREAMING per-user funnel state ([[graft.streaming.EventsStream
+    * .funnelStream]]) can drain into the identical report: takes a
+    * `(user, stepsCol)` frame of chain positions and produces
+    * `(step, event_type, n_users, frac_of_first)`.
+    *
+    * Scale shape: one aggregate over the user-sized frame onto an
+    * `nSteps`-row dimension (theta join on a broadcast `nSteps`-row
+    * range — bounded), then the 1-row first-step count broadcasts back.
+    */
+  def funnelReportFromSteps(
+      perUserSteps: DataFrame,
+      stepsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelReportFromSteps needs at least one step")
+    val nSteps = steps.size
+    val stepArr = array(steps.map(lit): _*)
+    val counts = perUserSteps
+      .groupBy(col(stepsCol).as("steps_completed"))
+      .agg(count(lit(1)).as("n"))
     // Left join from the step dimension so a step nobody reached still
     // reports n_users = 0 (the oracle's empty-CTE count does the same).
-    val reached = events.sparkSession.range(1, nSteps + 1).toDF("step")
+    val reached = perUserSteps.sparkSession.range(1, nSteps + 1).toDF("step")
       .join(counts, col("steps_completed") >= col("step"), "left")
       .groupBy(col("step")).agg(coalesce(sum("n"), lit(0L)).as("n_users"))
     val first = reached.filter(col("step") === 1)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -160,6 +160,76 @@ object EventsStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
+  }
+
+  case class FunnelEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String)
+  case class FunnelState(step: Int, lastTsUs: Long)
+  case class FunnelProgress(user_id: Long, steps_completed: Int)
+
+  /** Streaming ordered funnel: per-user chain position maintained in
+    * `mapGroupsWithState` (Update mode), one progress row per user per
+    * micro-batch it advances in. Greedy semantics match
+    * [[graft.ops.EventAnalytics.funnelReport]] exactly — step 1 matches
+    * the user's first step-1 event, each later step the first step-i
+    * event STRICTLY after the matched predecessor — so draining the sink
+    * and keeping each user's MAX progress (the chain position is
+    * monotone) reproduces the batch report bit-for-bit when events
+    * arrive time-ordered across batches (any order within a batch: each
+    * invocation sorts its group's new events). The same one-shuffle
+    * shape as [[sessionize]]; per-user state is two scalars, so state
+    * size is users × 16 bytes at any event rate.
+    */
+  def funnelStream(
+      spark: SparkSession,
+      events: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnelStream needs at least one step")
+    val nSteps = steps.size
+    val stepOf = steps.toArray
+    def toMicros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def fn(userId: Long, rows: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]): FunnelProgress = {
+      val sorted = rows.toVector.sortBy(e => (toMicros(e.ts), e.event_id))
+      var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+      sorted.foreach { e =>
+        if (cur.step < nSteps && e.event_type == stepOf(cur.step) &&
+            (cur.step == 0 || toMicros(e.ts) > cur.lastTsUs))
+          cur = FunnelState(cur.step + 1, toMicros(e.ts))
+      }
+      state.update(cur)
+      FunnelProgress(userId, cur.step)
+    }
+    events.filter(col("event_type").isin(steps: _*))
+      .select("event_id", "ts", "user_id", "event_type").as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** Drive [[funnelStream]] over the events parquet into a memory sink and
+    * fold the drained per-user progress into the batch report shape
+    * ([[graft.ops.EventAnalytics.funnelReportFromSteps]]): max progress
+    * per user (monotone), then the per-step count/conversion rows.
+    */
+  def runFunnelStreamingSmoke(
+      spark: SparkSession,
+      dir: String,
+      steps: Seq[String],
+      filter: Column = lit(true)): DataFrame = {
+    val stream = readEventsStream(spark, dir).filter(filter)
+    val progress = funnelStream(spark, stream, steps)
+    val name = s"events_funnel_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = progress.writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ops.EventAnalytics.funnelReportFromSteps(
+      spark.table(name).groupBy("user_id")
+        .agg(max(col("steps_completed")).as("steps_completed")),
+      "steps_completed", steps)
   }
 
   /** Batch-equivalent sessionization (same gap semantics) for backfill and

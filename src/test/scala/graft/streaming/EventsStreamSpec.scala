@@ -44,6 +44,16 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("streaming funnel report equals the batch funnel report") {
+    val steps = Seq("signup", "click", "purchase")
+    val batch = graft.ops.EventAnalytics.funnelReport(
+      EventsStream.readEvents(spark, s"$dir/events.parquet"),
+      "event_type", "ts", "event_id", "user_id", steps)
+    val streamed = EventsStream.runFunnelStreamingSmoke(spark, dir, steps)
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() === 3)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val events = EventsStream.readEvents(spark, s"$dir/events.parquet")
     val batch = EventsStream.intervalJoinBatch(events, "click", "purchase")
