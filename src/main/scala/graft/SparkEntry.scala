@@ -1719,6 +1719,13 @@ object SparkEntry {
     "q125_streaming_funnel" -> ((s, dir) => {
       EventsStream.runFunnelStreamingSmoke(s, dir,
         Seq("signup", "click", "purchase"), col("event_id") < 3000)
+    }),
+
+    // Streaming twin of q124: per-user (cohort week, active-week set)
+    // state — bounded by weeks observed, not events — drained into the
+    // identical retention triangle and gated by the same oracle.
+    "q126_streaming_cohort" -> ((s, dir) => {
+      EventsStream.runCohortStreamingSmoke(s, dir, col("event_id") % 7 === 0)
     }))
 
   // ---- DuckDB oracles ----
@@ -4712,6 +4719,21 @@ object SparkEntry {
            UNION ALL
            SELECT 3, 'purchase', n3, round(n3 / CAST(n1 AS DOUBLE), 6) FROM n)
          ORDER BY step""",
+
+    // Streaming cohort state drains to the same triangle as batch q124.
+    "q126_streaming_cohort" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events WHERE event_id % 7 = 0),
+         pu AS (SELECT user_id, min(wk) AS cohort_week
+                FROM ev GROUP BY user_id),
+         aw AS (SELECT DISTINCT e.user_id, p.cohort_week, e.wk AS active_week
+                FROM ev e JOIN pu p USING (user_id))
+         SELECT cohort_week,
+                CAST((active_week - cohort_week) / 7 AS BIGINT) AS week_offset,
+                count(*) AS n_users
+         FROM aw GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
 
     // Cohort week = Monday-truncated first-event week as a DATE; offsets are
     // integer-exact day differences over 7 (weeks align, so always a

@@ -130,12 +130,21 @@ object EventAnalytics {
       .groupBy(col(userCol))
       .agg(min(col("__wk")).as("cohort_week"),
         collect_set(col("__wk")).as("weeks"))
-    perUser
+    cohortRetentionFromWeeks(perUser)
+  }
+
+  /** The triangle half of [[cohortRetention]], published separately so a
+    * STREAMING per-user week-set state ([[graft.streaming.EventsStream
+    * .cohortStream]]) can drain into the identical report: takes a
+    * `(cohort_week DATE, weeks array<DATE>)` frame (one row per user) and
+    * produces `(cohort_week, week_offset, n_users)`.
+    */
+  def cohortRetentionFromWeeks(perUserWeeks: DataFrame): DataFrame =
+    perUserWeeks
       .select(col("cohort_week"), explode(col("weeks")).as("active_week"))
       .groupBy(col("cohort_week"),
         (datediff(col("active_week"), col("cohort_week")) / 7)
           .cast("long").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_week", "week_offset")
-  }
 }

@@ -232,6 +232,73 @@ object EventsStream {
       "steps_completed", steps)
   }
 
+  case class CohortEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class CohortState(cohortDay: Int, weekDays: Set[Int])
+  case class CohortWeeks(user_id: Long, cohort_week: java.sql.Date,
+      weeks: Seq[java.sql.Date], n_weeks: Int)
+
+  /** Streaming cohort state: per-user Monday-truncated first-event week
+    * plus the distinct active-week set, in `mapGroupsWithState` (Update
+    * mode). State is the user's set of epoch-day ints — bounded by weeks
+    * OBSERVED, not events, so a year of activity is ≤ 53 ints regardless
+    * of event rate. Week truncation matches the batch
+    * `date_trunc('week', ts)` under the UTC session zone, so draining the
+    * sink (latest row per user — the week set only grows) into
+    * [[graft.ops.EventAnalytics.cohortRetentionFromWeeks]] reproduces the
+    * batch triangle bit-for-bit when events arrive time-ordered across
+    * batches (any order within one).
+    */
+  def cohortStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    def mondayEpochDay(t: java.sql.Timestamp): Int = {
+      val ld = t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      ld.minusDays(ld.getDayOfWeek.getValue - 1).toEpochDay.toInt
+    }
+    def fn(userId: Long, rows: Iterator[CohortEvent],
+        state: GroupState[CohortState]): CohortWeeks = {
+      val days = rows.map(e => mondayEpochDay(e.ts)).toSet
+      val cur = state.getOption match {
+        case Some(s) => CohortState(math.min(s.cohortDay, days.min),
+          s.weekDays ++ days)
+        case None => CohortState(days.min, days)
+      }
+      state.update(cur)
+      CohortWeeks(userId,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(cur.cohortDay)),
+        cur.weekDays.toSeq.sorted
+          .map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))),
+        cur.weekDays.size)
+    }
+    events.select("event_id", "ts", "user_id").as[CohortEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** Drive [[cohortStream]] into a memory sink and fold the drained
+    * per-user week sets into the batch retention triangle: the week set
+    * only grows, so each user's row with the most weeks is its final
+    * state.
+    */
+  def runCohortStreamingSmoke(
+      spark: SparkSession,
+      dir: String,
+      filter: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stream = readEventsStream(spark, dir).filter(filter)
+    val name = s"events_cohort_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = cohortStream(spark, stream).writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val latest = spark.table(name)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("n_weeks").desc)))
+      .filter(col("__rn") === 1)
+      .select("cohort_week", "weeks")
+    graft.ops.EventAnalytics.cohortRetentionFromWeeks(latest)
+  }
+
   /** Batch-equivalent sessionization (same gap semantics) for backfill and
     * for the DuckDB-oracle check: window lag + cumulative session ids —
     * pure SQL shape, one shuffle on user_id.

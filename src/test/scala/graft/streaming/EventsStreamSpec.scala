@@ -54,6 +54,14 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.count() === 3)
   }
 
+  test("streaming cohort retention equals the batch retention triangle") {
+    val batch = graft.ops.EventAnalytics.cohortRetention(
+      EventsStream.readEvents(spark, s"$dir/events.parquet"), "ts", "user_id")
+    val streamed = EventsStream.runCohortStreamingSmoke(spark, dir)
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val events = EventsStream.readEvents(spark, s"$dir/events.parquet")
     val batch = EventsStream.intervalJoinBatch(events, "click", "purchase")
