@@ -1726,6 +1726,18 @@ object SparkEntry {
     // identical retention triangle and gated by the same oracle.
     "q126_streaming_cohort" -> ((s, dir) => {
       EventsStream.runCohortStreamingSmoke(s, dir, col("event_id") % 7 === 0)
+    }),
+
+    // Streaming CDC twin of q122: each user's current dimension version
+    // is flatMapGroupsWithState state; a change CLOSES it and emits it
+    // exactly once, so the sink holds the closed-version history — the
+    // incremental dimension-maintenance pattern. Gate = the batch build's
+    // closed subset (open versions ARE the in-flight state).
+    "q127_streaming_scd2" -> ((s, dir) => {
+      EventsStream.runScd2StreamingSmoke(s, dir,
+          Seq("tier" -> floor(col("value") / 10).cast("long")),
+          "tier BIGINT", col("event_type") === "view")
+        .orderBy("user_id", "version")
     }))
 
   // ---- DuckDB oracles ----
@@ -4665,6 +4677,29 @@ object SparkEntry {
                 CAST(row_number() OVER w AS INT) AS version
          FROM kept
          WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+         ORDER BY user_id, version""",
+
+    // Streaming SCD2 sink = the batch build's CLOSED versions.
+    "q127_streaming_scd2" ->
+      """WITH src AS (
+           SELECT user_id, ts, event_id,
+                  CAST(floor(value / 10) AS BIGINT) AS tier
+           FROM events WHERE event_type = 'view'),
+         chg AS (
+           SELECT *, tier IS DISTINCT FROM
+               lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS is_chg
+           FROM src),
+         kept AS (
+           SELECT user_id, tier, ts AS valid_from, event_id
+           FROM chg WHERE is_chg),
+         ver AS (
+           SELECT user_id, tier, valid_from,
+                  lead(valid_from) OVER w AS valid_to,
+                  CAST(row_number() OVER w AS INT) AS version
+           FROM kept
+           WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id))
+         SELECT * FROM ver WHERE valid_to IS NOT NULL
          ORDER BY user_id, version""",
 
     // Chained-min funnel: s_i = each user's first step-i event strictly

@@ -62,6 +62,22 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("streaming SCD2 closed versions equal the batch build's closed subset") {
+    import org.apache.spark.sql.functions._
+    val batchClosed = graft.ops.TemporalJoins.scd2Build(
+        EventsStream.readEvents(spark, s"$dir/events.parquet")
+          .filter(col("event_type") === "view")
+          .withColumn("tier", floor(col("value") / 10).cast("long")),
+        Seq("user_id"), "ts", "event_id", Seq("tier"))
+      .filter(col("valid_to").isNotNull)
+      .select("user_id", "tier", "valid_from", "valid_to", "version")
+    val streamed = EventsStream.runScd2StreamingSmoke(spark, dir,
+      Seq("tier" -> floor(col("value") / 10).cast("long")),
+      "tier BIGINT", col("event_type") === "view")
+    assert(canon(streamed) == canon(batchClosed))
+    assert(batchClosed.count() > 0)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val events = EventsStream.readEvents(spark, s"$dir/events.parquet")
     val batch = EventsStream.intervalJoinBatch(events, "click", "purchase")
