@@ -606,6 +606,34 @@ class CurationSpec extends AnyFunSuite {
     assert(merges.toList == List((1, "a", "a", 8L), (2, "aa", "</w>", 2L)))
   }
 
+  test("bpeTrainMerges: local two-phase path is bit-identical to distributed") {
+    // Mixed tie-breaks, repeated chars, and a multi-word corpus — the
+    // shapes where the local argmax/rewrite could diverge if its ordering
+    // or overlap handling differed from the distributed fold.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("aaaa") ++ Seq.fill(2)("banana")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    def run(limit: Long) =
+      Curation.bpeTrainMerges(docs, "text", numMerges = 10,
+          localVocabLimit = limit)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toList
+    val distributed = run(0L)
+    val local = run(1000000L)
+    assert(local === distributed)
+    assert(distributed.size === 10)
+  }
+
+  test("bpeTrainMerges: localVocabLimit smaller than the vocab stays distributed") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val out = Curation.bpeTrainMerges(docs, "text", numMerges = 2,
+        localVocabLimit = 1L)  // vocab has 2 words > 1 -> distributed path
+      .orderBy("rank").collect()
+    assert(out.length === 2)
+  }
+
   test("excisePassages: misaligned benchmark quotes are caught; clean docs pass through") {
     // bench passage 'SECRETBENCHTEXT!' (16 chars). Doc 1 embeds it at an
     // offset NOT divisible by the corpus stride 4 — bench-side stride-1
