@@ -138,11 +138,48 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
     val edges = Checkpoints.truncate(pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct())
+    // Two-phase auto-switch (the broadcast-join instinct applied to the
+    // closure): near-dup edge lists are usually a small fraction of the
+    // corpus, and each distributed iteration prices a join + aggregate +
+    // checkpoint at a scheduler round trip. Within `localEdgeLimit` the
+    // materialized edge list collects once and a driver-local union-find
+    // produces the identical min-label components (differential-tested in
+    // DedupSimilaritySpec); beyond it — or for non-long ids — the
+    // distributed O(diameter) iteration below runs unchanged. 0 disables.
+    if (localEdgeLimit > 0 &&
+        edges.schema("src").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        edges.count() <= localEdgeLimit) {
+      import pairs.sparkSession.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      Checkpoints.release(edges)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+      parent.keys.foreach { id =>
+        val r = find(id)
+        minOf.update(r, math.min(minOf.getOrElse(r, Long.MaxValue), id))
+      }
+      return parent.keys.toSeq.map(id => (id, minOf(find(id))))
+        .toDF("id", "cluster_id")
+    }
     var checkpointed = Checkpoints.truncate(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))

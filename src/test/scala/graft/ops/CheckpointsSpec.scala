@@ -51,7 +51,7 @@ class CheckpointsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("duplicateClusters is correct under a reliable checkpoint dir") {
-    val clusters = Dedup.duplicateClusters(chainPairs)
+    val clusters = Dedup.duplicateClusters(chainPairs, localEdgeLimit = 0L)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(clusters.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
@@ -60,7 +60,7 @@ class CheckpointsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("superseded iterations leave no block-manager storage behind") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    Dedup.duplicateClusters(chainPairs).count()
+    Dedup.duplicateClusters(chainPairs, localEdgeLimit = 0L).count()
     // The chain closure needs multiple iterations (diameter 3); at most
     // the LAST labels checkpoint may remain registered — edges and every
     // superseded iteration must have been unpersisted.

@@ -101,12 +101,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("duplicateClusters converges on a path graph (worst-case diameter)") {
     // 1-2-3-…-20: label 1 must propagate the full diameter, exercising the
-    // localCheckpoint'ed iteration loop well past the clique-typical 1-2
-    // rounds.
+    // checkpointed iteration loop well past the clique-typical 1-2 rounds
+    // (localEdgeLimit = 0 forces the distributed path).
     val edges = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(edges)
+    val got = Dedup.duplicateClusters(edges, localEdgeLimit = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == (1L to 20L).map(i => (i, 1L)).toSet)
+  }
+
+  test("duplicateClusters: local union-find equals the distributed closure") {
+    // Seeded random multigraph with self-contained components, duplicate
+    // and reversed edges — every structural shape the two paths must
+    // agree on. Components span chains, cliques, and singleton pairs.
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 300).map { _ =>
+      val a = rnd.nextInt(120).toLong
+      val b = rnd.nextInt(120).toLong
+      if (a == b) (a, b + 1000L) else (a, b)
+    }.toDF("id_a", "id_b")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = canon(Dedup.duplicateClusters(edges))
+    val distributed = canon(Dedup.duplicateClusters(edges, localEdgeLimit = 0L))
+    assert(local === distributed)
+    assert(local.nonEmpty)
   }
 
   test("ngram containment finds an embedded doc that jaccard misses") {
