@@ -21,6 +21,42 @@ class TemporalJoinsSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("scd2Build and sessionizeBatch are shuffle-FREE over bucketed events") {
+    // The 100 TB layout: events stored hash-bucketed and sorted by the
+    // user key. The scan then reports HashPartitioning(user_id), the
+    // per-key windows' distribution is already satisfied, and the ONE
+    // shuffle these operators normally pay disappears entirely — state
+    // proof that they compose with bucketed storage, not just AQE.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-ev-bkt")
+      val ev = (1 to 200).map { i =>
+        (i.toLong, (i % 7).toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00"),
+          "view", (i % 40).toDouble)
+      }.toDF("event_id", "user_id", "ts", "event_type", "value")
+      ev.write.format("parquet")
+        .option("path", s"$root/events_bucketed")
+        .bucketBy(4, "user_id").sortBy("user_id", "ts")
+        .mode("overwrite").saveAsTable("graft_events_bucketed_spec")
+      val bucketed = spark.table("graft_events_bucketed_spec")
+        .withColumn("tier", floor(col("value") / 10).cast("long"))
+
+      val scd2Plan = TemporalJoins.scd2Build(bucketed, Seq("user_id"), "ts",
+        "event_id", Seq("tier")).queryExecution.executedPlan.toString
+      assert(!scd2Plan.contains("Exchange"),
+        s"unexpected shuffle in SCD2 over bucketed events: $scd2Plan")
+
+      val sessPlan = graft.streaming.EventsStream.sessionizeBatch(bucketed)
+        .queryExecution.executedPlan.toString
+      assert(!sessPlan.contains("Exchange"),
+        s"unexpected shuffle in sessionize over bucketed events: $sessPlan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_events_bucketed_spec")
+    }
+  }
+
   test("asofJoin: latest prior match, equal-timestamp inclusivity, no-prior nulls") {
     val quotes = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100.0),
