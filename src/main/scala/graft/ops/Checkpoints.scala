@@ -36,14 +36,24 @@ private[graft] object Checkpoints {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
-  /** Release the executor-storage blocks behind a [[truncate]]d frame once
-    * a later iteration supersedes it. No-op for frames that are not
-    * checkpoint leaves; reliable checkpoint FILES are left in place (the
-    * context cleaner owns those — only block-manager storage is dropped).
+  /** Release the storage behind a [[truncate]]d frame once a later
+    * iteration supersedes it. No-op for frames that are not checkpoint
+    * leaves. Block-manager storage is dropped for local checkpoints; for
+    * RELIABLE checkpoints the files are deleted too — Spark's context
+    * cleaner does NOT delete reliable checkpoint data under default
+    * config (`spark.cleaner.referenceTracking.cleanCheckpoints` is
+    * false), so without this a thousand-iteration loop would fill the
+    * checkpoint dir with one full frame copy per iteration.
     */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
       case _ => ()
     }
 }

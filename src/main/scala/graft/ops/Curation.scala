@@ -956,10 +956,19 @@ object Curation {
       localVocabLimit: Long = 0L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
+    val freqsPlan = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val charSplit = freqsPlan.select(col("freq"), concat(
+      expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+      array(lit(endOfWord))).as("syms"))
+    var vocab: DataFrame = null
     if (localVocabLimit > 0L) {
-      val freqs = docs
-        .select(explode(tokens(col(textCol))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
+      // The corpus-dominant frequency aggregate runs ONCE: materialized
+      // via truncate, then either collected (local path) or char-split
+      // from the materialized rows (distributed fallback) — never
+      // recomputed from the raw corpus for the size check.
+      val freqs = Checkpoints.truncate(freqsPlan)
       if (freqs.count() <= localVocabLimit) {
         import spark.implicits._
         // Code-POINT split (what Spark's substr does), not UTF-16 units.
@@ -974,16 +983,18 @@ object Curation {
           syms += endOfWord
           (f, syms.toArray)
         }
+        Checkpoints.release(freqs)
         return localBpeTrain(spark, vocabL, numMerges)
       }
-      // Vocabulary outgrew the limit: fall through to the distributed loop.
-    }
-    var vocab = Checkpoints.truncate(docs
-      .select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), concat(
+      // Vocabulary outgrew the limit: char-split the already-materialized
+      // frequency table and continue distributed.
+      vocab = Checkpoints.truncate(freqs.select(col("freq"), concat(
         expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
         array(lit(endOfWord))).as("syms")))
+      Checkpoints.release(freqs)
+    } else {
+      vocab = Checkpoints.truncate(charSplit)
+    }
     val merges = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
     var rank = 1
     while (rank <= numMerges) {

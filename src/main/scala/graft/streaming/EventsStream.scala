@@ -64,8 +64,11 @@ object EventsStream {
       glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A stream may start on an empty directory (files arrive later); the
-    // probe then has no footer to read and the current fixture encoding
-    // (microsecond TIMESTAMP, read as TimestampType) is assumed.
+    // probe then has no footer to read and the CURRENT fixture encoding
+    // (microsecond TIMESTAMP, read as TimestampType) is assumed — a
+    // legacy nanos-int64 file arriving later under that assumption would
+    // fail the stream; seed the directory with one file when watching a
+    // nanos-era source.
     val probed =
       try spark.read.option("pathGlobFilter", glob).parquet(dir)
         .schema("ts").dataType
@@ -107,21 +110,47 @@ object EventsStream {
       session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Int, total: Double)
 
+  /** Epoch-microsecond conversion shared by every stateful operator in this
+    * file (sessionize, funnelStream, scd2Stream). State keeps epoch
+    * MICROseconds (`Timestamp.getTime` alone would drop the
+    * sub-millisecond part the parquet timestamps carry); `floorDiv`/
+    * `floorMod` keep the arithmetic correct for pre-epoch instants, where
+    * truncating division flips the sub-second sign.
+    */
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  /** Drive a streaming frame into a memory sink, drain all available
+    * input, and return the sink contents MATERIALIZED (localCheckpoint) so
+    * the backing temp view can be dropped immediately — per-invocation
+    * UUID sinks would otherwise accumulate their buffered rows in driver
+    * memory for the session lifetime (the temp-view analogue of the
+    * BlockManager leak the bench sweep fixes).
+    */
+  private def drainToBatch(spark: SparkSession, streaming: DataFrame,
+      prefix: String): DataFrame = {
+    val name = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = streaming.writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Stateful sessionization: per-user sessions closed after `gapMs` of
     * inactivity, via `flatMapGroupsWithState` with event-time timeout.
     */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import spark.implicits._
-    // State keeps epoch MICROseconds (java.sql.Timestamp.getTime would drop
-    // the sub-millisecond part the parquet timestamps carry).
-    def toMicros(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-    def fromMicros(us: Long): java.sql.Timestamp = {
-      val ts = new java.sql.Timestamp(us / 1000000L * 1000L)
-      ts.setNanos(((us % 1000000L) * 1000L).toInt)
-      ts
-    }
     val gapUs = gapMs * 1000L
     def fn(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
@@ -164,7 +193,7 @@ object EventsStream {
 
   case class FunnelEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String)
-  case class FunnelState(step: Int, lastTsUs: Long)
+  case class FunnelState(step: Int, lastTsUs: Long, seen: Long)
   case class FunnelProgress(user_id: Long, steps_completed: Int)
 
   /** Streaming ordered funnel: per-user chain position maintained in
@@ -183,21 +212,28 @@ object EventsStream {
   def funnelStream(
       spark: SparkSession,
       events: DataFrame,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      maxEventsPerUser: Long = 10000L): DataFrame = {
     import spark.implicits._
     require(steps.nonEmpty, "funnelStream needs at least one step")
     val nSteps = steps.size
     val stepOf = steps.toArray
-    def toMicros(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
     def fn(userId: Long, rows: Iterator[FunnelEvent],
         state: GroupState[FunnelState]): FunnelProgress = {
       val sorted = rows.toVector.sortBy(e => (toMicros(e.ts), e.event_id))
-      var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+      var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue, 0L))
       sorted.foreach { e =>
-        if (cur.step < nSteps && e.event_type == stepOf(cur.step) &&
-            (cur.step == 0 || toMicros(e.ts) > cur.lastTsUs))
-          cur = FunnelState(cur.step + 1, toMicros(e.ts))
+        // Same rank cap as the batch funnelReport's slice(..., 1, max):
+        // under in-order arrival the first `maxEventsPerUser` step events
+        // seen here ARE the batch slice, so the two stay bit-identical
+        // even for pathological keys.
+        if (cur.seen < maxEventsPerUser) {
+          val advance = cur.step < nSteps && e.event_type == stepOf(cur.step) &&
+            (cur.step == 0 || toMicros(e.ts) > cur.lastTsUs)
+          cur =
+            if (advance) FunnelState(cur.step + 1, toMicros(e.ts), cur.seen + 1)
+            else FunnelState(cur.step, cur.lastTsUs, cur.seen + 1)
+        }
       }
       state.update(cur)
       FunnelProgress(userId, cur.step)
@@ -220,14 +256,10 @@ object EventsStream {
       steps: Seq[String],
       filter: Column = lit(true)): DataFrame = {
     val stream = readEventsStream(spark, dir).filter(filter)
-    val progress = funnelStream(spark, stream, steps)
-    val name = s"events_funnel_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = progress.writeStream.outputMode("update")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val drained = drainToBatch(spark, funnelStream(spark, stream, steps),
+      "events_funnel")
     graft.ops.EventAnalytics.funnelReportFromSteps(
-      spark.table(name).groupBy("user_id")
+      drained.groupBy("user_id")
         .agg(max(col("steps_completed")).as("steps_completed")),
       "steps_completed", steps)
   }
@@ -286,12 +318,9 @@ object EventsStream {
       filter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stream = readEventsStream(spark, dir).filter(filter)
-    val name = s"events_cohort_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = cohortStream(spark, stream).writeStream.outputMode("update")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    val latest = spark.table(name)
+    val drained = drainToBatch(spark, cohortStream(spark, stream),
+      "events_cohort")
+    val latest = drained
       .withColumn("__rn", row_number().over(
         Window.partitionBy("user_id").orderBy(col("n_weeks").desc)))
       .filter(col("__rn") === 1)
@@ -332,13 +361,6 @@ object EventsStream {
       attrCols: Seq[String]): DataFrame = {
     import spark.implicits._
     require(attrCols.nonEmpty, "scd2Stream needs attribute columns")
-    def toMicros(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-    def fromMicros(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
-      t.setNanos(((us % 1000000L) * 1000L).toInt)
-      t
-    }
     def fn(userId: Long, rows: Iterator[ScdEvent],
         state: GroupState[ScdState]): Iterator[ScdClosed] = {
       val sorted = rows.toVector.sortBy(e => (toMicros(e.ts), e.event_id))
@@ -383,13 +405,8 @@ object EventsStream {
       filter: Column = lit(true)): DataFrame = {
     var stream = readEventsStream(spark, dir).filter(filter)
     attrExprs.foreach { case (n, c) => stream = stream.withColumn(n, c) }
-    val name = s"events_scd2_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = scd2Stream(spark, stream, attrExprs.map(_._1))
-      .writeStream.outputMode("update").format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    drainToBatch(spark, scd2Stream(spark, stream, attrExprs.map(_._1)),
+        "events_scd2")
       .select(col("user_id"),
         from_json(col("attrs"), StructType.fromDDL(attrSchema)).as("__a"),
         col("valid_from"), col("valid_to"), col("version"))
