@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap CAP (not a reservation): the driver benches at local[32], and 32
+  // concurrent tasks inside an 8g heap is 250 MB/core — far below any real
+  // executor sizing (1g/core is a modest cluster default) and enough GC
+  // pressure to distort per-query times (the r7 post-heavy-query regression
+  // bands). 24g on the 128 GiB sandbox matches 32 cores × ~0.75 g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

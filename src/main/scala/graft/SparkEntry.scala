@@ -1738,6 +1738,20 @@ object SparkEntry {
           Seq("tier" -> floor(col("value") / 10).cast("long")),
           "tier BIGINT", col("event_type") === "view")
         .orderBy("user_id", "version")
+    }),
+
+    // LSH tuning self-check: per-threshold precision/recall of the
+    // 8-hash/4-band MinHash candidate set against exact shingle-set
+    // Jaccard ground truth — the table that closes the dedup-tuning loop
+    // (q16 candidates, q17-style exact truth). `precision`/`recall`
+    // surface as prec/rec (PRECISION is a DuckDB type keyword).
+    "q128_lsh_quality_sweep" -> ((s, dir) => {
+      Dedup.lshQualityReport(t(s, dir, "documents"), "doc_id", "text",
+          thresholds = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
+          numHashes = 8, bands = 4, shingleLen = 3)
+        .select(col("threshold"), col("n_true"), col("n_cand"), col("tp"),
+          col("precision").as("prec"), col("recall").as("rec"))
+        .orderBy("threshold")
     }))
 
   // ---- DuckDB oracles ----
@@ -4785,5 +4799,45 @@ object SparkEntry {
                 CAST((active_week - cohort_week) / 7 AS BIGINT) AS week_offset,
                 count(*) AS n_users
          FROM aw GROUP BY cohort_week, week_offset
-         ORDER BY cohort_week, week_offset""")
+         ORDER BY cohort_week, week_offset""",
+
+    // Truth = exact Jaccard over every pair sharing >= 1 shingle (inverted
+    // index, NO df cut — a capped index would inflate recall); candidates =
+    // q16's banding CTE. Same rounding/NULL conventions as the Spark side.
+    "q128_lsh_quality_sweep" ->
+      s"""WITH $minhashBandedCtes,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+         inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+         truth AS (
+           SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+           FROM common JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b),
+         th AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8]::DOUBLE[]) AS threshold),
+         tr AS (SELECT th.threshold, t2.id_a, t2.id_b
+                FROM th JOIN truth t2 ON t2.j >= th.threshold),
+         ntrue AS (SELECT threshold, count(*) AS n_true FROM tr GROUP BY 1),
+         tps AS (SELECT threshold, count(*) AS tp
+                 FROM tr JOIN cand USING (id_a, id_b) GROUP BY 1),
+         nc AS (SELECT count(*) AS n_cand FROM cand)
+         SELECT th.threshold,
+                coalesce(ntrue.n_true, 0) AS n_true,
+                nc.n_cand AS n_cand,
+                coalesce(tps.tp, 0) AS tp,
+                CASE WHEN nc.n_cand = 0 THEN NULL
+                     ELSE round(CAST(coalesce(tps.tp, 0) AS DOUBLE) / nc.n_cand, 6)
+                END AS prec,
+                CASE WHEN coalesce(ntrue.n_true, 0) = 0 THEN NULL
+                     ELSE round(CAST(coalesce(tps.tp, 0) AS DOUBLE) / ntrue.n_true, 6)
+                END AS rec
+         FROM th LEFT JOIN ntrue USING (threshold) LEFT JOIN tps USING (threshold)
+         CROSS JOIN nc
+         ORDER BY threshold""")
 }

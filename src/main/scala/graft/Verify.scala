@@ -24,10 +24,22 @@ object Verify {
     // the guard against the rank-collision/float-tie class of bug (q79/q80
     // history) that only order instability across runs exposes.
     val twice = sys.env.get("SPARK_GRAFT_VERIFY_TWICE").contains("1")
+    // Order-insensitive DISTRIBUTED fingerprint: per-row xxhash64 over the
+    // canonical JSON of the whole row, folded with sum + bit-count + row
+    // count. No driver collect — the gate stays scale-safe when a result
+    // frame is large (the old collect()-and-MD5 made the determinism check
+    // itself a driver bottleneck at bigger sf). Commutative folds make the
+    // fingerprint independent of row order, which is exactly the determinism
+    // contract (queries define order only where an oracle checks it).
     def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      df.collect().foreach(r => md.update(r.toString.getBytes("UTF-8")))
-      md.digest().map("%02x".format(_)).mkString
+      import org.apache.spark.sql.functions._
+      val h = xxhash64(to_json(struct(df.columns.map(col): _*),
+        Map("ignoreNullFields" -> "false")))
+      val row = df.select(
+        sum(h.cast("decimal(38,0)")).as("s"),
+        sum(bit_count(h)).as("b"),
+        count(lit(1)).as("n")).head()
+      s"${row.get(0)}_${row.get(1)}_${row.get(2)}"
     }
     var mismatches = 0
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>

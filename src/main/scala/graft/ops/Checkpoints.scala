@@ -44,6 +44,16 @@ private[graft] object Checkpoints {
     * config (`spark.cleaner.referenceTracking.cleanCheckpoints` is
     * false), so without this a thousand-iteration loop would fill the
     * checkpoint dir with one full frame copy per iteration.
+    *
+    * CONTRACT: a released frame must never be referenced again. A
+    * checkpoint leaf has no lineage to recompute from — deleting its
+    * files/blocks makes any later action on it (or on a plan built over
+    * it) fail unrecoverably. Call sites therefore release a frame only
+    * after the frame that replaces it is materialized AND every plan
+    * still to be executed reads the replacement. The FINAL iteration's
+    * frame is intentionally not released here (its rows are the result);
+    * callers that fully consume a returned checkpointed frame may release
+    * it themselves to reclaim the last copy.
     */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {

@@ -140,9 +140,18 @@ object Dedup {
       idB: String = "id_b",
       maxIterations: Int = 50,
       localEdgeLimit: Long = 1000000L): DataFrame = {
+    // Symmetrize with a single-scan explode, NOT a self-union: a union
+    // references the pairs plan twice, and when pairs is an unmaterialized
+    // near-dup pipeline (banded candidates + two verification joins) the
+    // whole pipeline executes once PER BRANCH — the internal persists make
+    // the second pass cheaper, not free. One scan, each row emitting both
+    // directions, halves the dominant cost of every cluster-building
+    // caller (q51/q73/q105/q113/q117/q120).
     val edges = Checkpoints.truncate(pairs
-      .select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct())
     // Two-phase auto-switch (the broadcast-join instinct applied to the
     // closure): near-dup edge lists are usually a small fraction of the
@@ -152,6 +161,14 @@ object Dedup {
     // produces the identical min-label components (differential-tested in
     // DedupSimilaritySpec); beyond it — or for non-long ids — the
     // distributed O(diameter) iteration below runs unchanged. 0 disables.
+    //
+    // Driver-memory bound of the 1M default: one extra count() job plus
+    // ≤1M collected (long, long) tuples (~16 MB) and a ≤2M-entry boxed
+    // HashMap — worst case ~150 MB transient, safe on any driver sized
+    // for Spark at all. This is why the default is ON here while the
+    // analogous bpeTrainMerges localVocabLimit defaults OFF: an edge
+    // tuple's width is fixed and known a priori, a vocab row carries an
+    // unbounded symbol array, so only the caller can bound that collect.
     if (localEdgeLimit > 0 &&
         edges.schema("src").dataType ==
           org.apache.spark.sql.types.LongType &&
@@ -372,6 +389,72 @@ object Dedup {
         col("max_cluster_size"),
         round((col("n_clustered") - col("n_clusters")).cast("double") /
           col("n_docs"), 6).as("dropped_frac"))
+  }
+
+  /** LSH quality report: precision/recall of the MinHash BANDING candidate
+    * set against exact shingle-set Jaccard ground truth, per threshold —
+    * the table that makes (numHashes, bands) tuning self-contained: pick
+    * the cheapest banding whose recall at YOUR dedup threshold is
+    * acceptable, instead of trusting the 1−(1−s^r)^b curve on faith.
+    *
+    * One row per threshold: how many pairs truly have J ≥ t (`n_true`),
+    * the banding's θ-independent candidate count (`n_cand`), the
+    * candidates among the true pairs (`tp`), and precision (tp/n_cand) /
+    * recall (tp/n_true, NULL when no true pairs).
+    *
+    * SCALE: this is an EVALUATION operator — ground truth is exact
+    * Jaccard over every pair sharing ≥1 shingle (inverted-index join,
+    * no df cut: a capped index would silently inflate recall), which is
+    * the quadratic blow-up LSH exists to avoid. Run it on a sample of
+    * the corpus to tune parameters, never on the full 100 TB.
+    */
+  def lshQualityReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholds: Seq[Double],
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3): DataFrame = {
+    require(thresholds.nonEmpty, "lshQualityReport needs thresholds")
+    val sets = shingleSets(df, idCol, textCol, shingleLen).persist()
+    val sigs = sets.select(col(idCol), minHashOfShingles(col("sh"), numHashes).as("sig"))
+    // Referenced twice (tp join + count); persisted so the banded
+    // self-join prices once.
+    val cand = bandedCandidates(sigs, idCol, numHashes, bands).persist()
+    val inv = sets.select(col(idCol).as("__id"), explode(col("sh")).as("__g"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("__c"))
+    val sizes = sets.select(col(idCol).as("__id"), size(col("sh")).as("__n"))
+    val truth = common
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("__c").cast("double") / (col("__na") + col("__nb") - col("__c"))).as("__j"))
+    val th = df.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    // truth × thresholds is |truth| × |thresholds| rows of three numbers —
+    // tiny next to the inverted-index join that produced truth.
+    val trueAt = truth.crossJoin(th).filter(col("__j") >= col("threshold"))
+    val tpAt = trueAt.join(cand, Seq("id_a", "id_b"))
+      .groupBy("threshold").agg(count(lit(1)).as("tp"))
+    val nTrueAt = trueAt.groupBy("threshold").agg(count(lit(1)).as("n_true"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    th.join(nTrueAt, Seq("threshold"), "left")
+      .join(tpAt, Seq("threshold"), "left")
+      .crossJoin(nCand)
+      .select(col("threshold"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        col("n_cand"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        when(col("n_cand") === 0, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("tp"), lit(0L)).cast("double") /
+            col("n_cand"), 6)).as("precision"),
+        when(coalesce(col("n_true"), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("tp"), lit(0L)).cast("double") /
+            col("n_true"), 6)).as("recall"))
   }
 
   /** MinHash signature: `numHashes` per-document minima of hashed shingles.

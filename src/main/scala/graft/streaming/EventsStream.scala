@@ -68,11 +68,22 @@ object EventsStream {
     // (microsecond TIMESTAMP, read as TimestampType) is assumed — a
     // legacy nanos-int64 file arriving later under that assumption would
     // fail the stream; seed the directory with one file when watching a
-    // nanos-era source.
+    // nanos-era source. Only the empty/unreadable-path analysis errors
+    // take that fallback (logged): any other AnalysisException — corrupt
+    // footer, a file without a ts column — is a real read error and
+    // surfaces HERE, not as a confusing decode failure mid-stream.
     val probed =
       try spark.read.option("pathGlobFilter", glob).parquet(dir)
         .schema("ts").dataType
-      catch { case _: org.apache.spark.sql.AnalysisException => TimestampType }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+              (e.getCondition.contains("UNABLE_TO_INFER_SCHEMA") ||
+                e.getCondition.contains("PATH_NOT_FOUND")) =>
+          println(s"[EventsStream] no readable '$glob' in $dir yet " +
+            s"(${e.getCondition}); assuming current micros-TIMESTAMP encoding")
+          TimestampType
+      }
     val src = spark.readStream
       .option("pathGlobFilter", glob)
     probed match {
@@ -132,6 +143,14 @@ object EventsStream {
     * UUID sinks would otherwise accumulate their buffered rows in driver
     * memory for the session lifetime (the temp-view analogue of the
     * BlockManager leak the bench sweep fixes).
+    *
+    * The returned frame's blocks live in BlockManager storage and are
+    * registered in `sc.getPersistentRDDs` — Bench/Verify's between-query
+    * sweep reclaims them; a long-lived session that drains repeatedly
+    * should release each drained frame once consumed
+    * (`Checkpoints.release`, or `df.queryExecution.analyzed`'s RDD
+    * unpersist), or the sink buffers trade a temp-view leak for a
+    * storage one.
     */
   private def drainToBatch(spark: SparkSession, streaming: DataFrame,
       prefix: String): DataFrame = {
@@ -206,8 +225,9 @@ object EventsStream {
     * monotone) reproduces the batch report bit-for-bit when events
     * arrive time-ordered across batches (any order within a batch: each
     * invocation sorts its group's new events). The same one-shuffle
-    * shape as [[sessionize]]; per-user state is two scalars, so state
-    * size is users × 16 bytes at any event rate.
+    * shape as [[sessionize]]; per-user state is three scalars (chain
+    * position, last-matched timestamp, events-seen cap counter), so
+    * state size is users × ~20 bytes at any event rate.
     */
   def funnelStream(
       spark: SparkSession,
