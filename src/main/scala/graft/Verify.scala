@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Static conf, default 100: 128 queries (×2 in TWICE mode) cycle
+      // hundreds of codegen units through the LRU — sizing it to the suite
+      // avoids re-compiling every generated class per query (same rationale
+      // as Bench; compiled classes only, no data cached).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

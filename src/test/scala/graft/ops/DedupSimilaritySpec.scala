@@ -1073,4 +1073,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
           enc.queryExecution.executedPlan)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("lsh quality report: counts match a naive all-pairs exact-Jaccard truth") {
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val texts = docs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val ids = texts.keys.toSeq.sorted
+    val thresholds = Seq(0.3, 0.5, 0.8)
+    val naiveTruth: Map[Double, Set[(Long, Long)]] = thresholds.map { th =>
+      th -> (for {
+        i <- ids; j <- ids if i < j
+        si = shingles(texts(i)); sj = shingles(texts(j))
+        if si.nonEmpty && sj.nonEmpty &&
+          si.intersect(sj).size.toDouble / si.union(sj).size >= th
+      } yield (i, j)).toSet
+    }.toMap
+    val cand = Dedup.minHashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 8, bands = 4, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val report = Dedup.lshQualityReport(docs, "doc_id", "text", thresholds)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(report.keySet == thresholds.toSet)
+    thresholds.foreach { th =>
+      val (nTrue, nCand, tp) = report(th)
+      assert(nTrue == naiveTruth(th).size, s"n_true at $th")
+      assert(nCand == cand.size, s"n_cand at $th")
+      assert(tp == naiveTruth(th).count(cand.contains), s"tp at $th")
+      // Banding candidates share a full band signature, which implies a
+      // shared shingle — every candidate lies in the truth domain.
+      assert(tp <= math.min(nTrue, nCand))
+    }
+  }
+
+  test("lsh quality report: empty truth/candidates give NULL recall/precision") {
+    val disjoint = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val row = Dedup.lshQualityReport(disjoint, "doc_id", "text", Seq(0.5))
+      .collect()(0)
+    assert(row.getLong(1) == 0L && row.getLong(2) == 0L && row.getLong(3) == 0L)
+    assert(row.isNullAt(4) && row.isNullAt(5)) // precision, recall
+  }
 }
