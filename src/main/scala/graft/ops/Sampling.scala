@@ -126,6 +126,13 @@ object Sampling {
     * `substr(md5(id),1,3) < lpad(hex(cut),3,'0')`), so an external oracle
     * reproduces the exact row selection. Strata absent from `weights` are
     * dropped; a stratum under budget (cut ≥ 4096) is kept whole.
+    *
+    * NOTE: `df` is referenced TWICE (stratum totals + the selection join).
+    * When the input is an expensive derived frame (a quality-filter
+    * chain, not a scan), persist it first — its (id, stratum, tokens)
+    * projection is narrow, so the barrier is cheap at any corpus scale
+    * while the re-execution it avoids is not (the q63/q77 stage-barrier
+    * pattern).
     */
   def sampleToTokenBudget(
       df: DataFrame,
