@@ -1787,6 +1787,20 @@ object SparkEntry {
         .select(col("threshold"), col("n_true"), col("n_cand"), col("tp"),
           col("precision").as("prec"), col("recall").as("rec"))
         .orderBy("threshold")
+    }),
+
+    // Release-gate distribution drift: PSI of the n_chars distribution,
+    // src0 slice as the frozen reference vs src3 as the incoming slice,
+    // fixed bucket edges (drift monitoring bins against a frozen
+    // reference binning, not re-derived quantiles). Σ psi_term is the
+    // classic PSI.
+    "q129_drift_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.driftReport(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src3"),
+          "n_chars", Seq(100.0, 200.0, 400.0, 800.0, 1600.0))
+        .orderBy("bucket")
     }))
 
   // ---- DuckDB oracles ----
@@ -4874,5 +4888,39 @@ object SparkEntry {
                 END AS rec
          FROM th LEFT JOIN ntrue USING (threshold) LEFT JOIN tps USING (threshold)
          CROSS JOIN nc
-         ORDER BY threshold""")
+         ORDER BY threshold""",
+
+    // PSI replay: same fixed buckets, same ½-count continuity correction
+    // ((n + 0.5) / (N + 0.5·B), B = 6), psi over the UNROUNDED fractions.
+    "q129_drift_report" ->
+      """WITH e(bucket, lo, hi) AS (VALUES
+           (0, '-infinity'::DOUBLE, 100.0::DOUBLE), (1, 100.0::DOUBLE, 200.0::DOUBLE),
+           (2, 200.0::DOUBLE, 400.0::DOUBLE), (3, 400.0::DOUBLE, 800.0::DOUBLE),
+           (4, 800.0::DOUBLE, 1600.0::DOUBLE), (5, 1600.0::DOUBLE, 'infinity'::DOUBLE)),
+         bb AS (SELECT doc_id, source,
+             CASE WHEN n_chars < 100 THEN 0 WHEN n_chars < 200 THEN 1
+                  WHEN n_chars < 400 THEN 2 WHEN n_chars < 800 THEN 3
+                  WHEN n_chars < 1600 THEN 4 ELSE 5 END AS bucket
+           FROM documents WHERE source IN ('src0', 'src3')),
+         rc AS (SELECT bucket, count(*) AS ref_n FROM bb
+                WHERE source = 'src0' GROUP BY bucket),
+         cc AS (SELECT bucket, count(*) AS cur_n FROM bb
+                WHERE source = 'src3' GROUP BY bucket),
+         tot AS (SELECT
+             (SELECT count(*) FROM bb WHERE source = 'src0') AS rn,
+             (SELECT count(*) FROM bb WHERE source = 'src3') AS cn)
+         SELECT e.bucket, e.lo, e.hi,
+                coalesce(rc.ref_n, 0) AS ref_n,
+                coalesce(cc.cur_n, 0) AS cur_n,
+                round((coalesce(rc.ref_n, 0) + 0.5) / (tot.rn + 3.0), 6) AS ref_frac,
+                round((coalesce(cc.cur_n, 0) + 0.5) / (tot.cn + 3.0), 6) AS cur_frac,
+                round(((coalesce(cc.cur_n, 0) + 0.5) / (tot.cn + 3.0) -
+                       (coalesce(rc.ref_n, 0) + 0.5) / (tot.rn + 3.0)) *
+                      ln(((coalesce(cc.cur_n, 0) + 0.5) / (tot.cn + 3.0)) /
+                         ((coalesce(rc.ref_n, 0) + 0.5) / (tot.rn + 3.0))), 6)
+                  AS psi_term
+         FROM e LEFT JOIN rc ON rc.bucket = e.bucket
+                LEFT JOIN cc ON cc.bucket = e.bucket
+         CROSS JOIN tot
+         ORDER BY e.bucket""")
 }

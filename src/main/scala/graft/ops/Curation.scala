@@ -877,6 +877,70 @@ object Curation {
       sum(bpeTokenCountEstimate(col(textCol))).as("n_bpe_tokens"),
       countDistinct(contentFingerprint(col(textCol))).as("n_unique_docs"))
 
+  /** Distribution-drift report between a REFERENCE corpus slice and a
+    * CURRENT one: per fixed bucket of `valueCol`, both counts and
+    * fractions plus the population-stability-index term
+    * `(cur − ref) · ln(cur/ref)` — the release gate that catches "this
+    * crawl increment shifted the length/quality distribution" before
+    * training does. Σ psi_term is the classic PSI (< 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted).
+    *
+    * Buckets are CALLER-FIXED edges, not quantiles: drift monitoring
+    * compares against a frozen reference binning, and fixed edges keep
+    * the whole report integer-exact up to the final fraction arithmetic
+    * (engine-portable; an external oracle reproduces it bit-for-bit).
+    * Bucket i covers [edges(i), edges(i+1)); values below the first edge
+    * or ≥ the last fall into open end buckets. Fractions carry a ½-count
+    * continuity correction (`(n + 0.5) / (N + 0.5·B)`) so an empty bucket
+    * on either side stays finite — the standard PSI smoothing.
+    *
+    * Scale shape: each side is one map-side-combined aggregate over its
+    * bucket expression (output is B rows); the join of two B-row frames is
+    * free. Neither corpus shuffles.
+    */
+  def driftReport(
+      reference: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      "edges must be non-empty, strictly increasing")
+    val nBuckets = edges.size + 1
+    // bucket = number of edges <= value: a codegen'd when-chain, no UDF.
+    def bucketOf(v: Column): Column =
+      edges.zipWithIndex.foldRight(lit(edges.size)) { case ((e, i), rest) =>
+        when(v < e, lit(i)).otherwise(rest)
+      }
+    def side(df: DataFrame, name: String): DataFrame =
+      df.select(bucketOf(col(valueCol).cast("double")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(s"${name}_n"))
+    val buckets = reference.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = buckets
+      .join(side(reference, "ref"), Seq("bucket"), "left")
+      .join(side(current, "cur"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val refTotal = sum(col("ref_n")).over()
+    val curTotal = sum(col("cur_n")).over()
+    // The totals window is over B rows (the bucket table), not the corpus —
+    // a single-partition window here is B≈10 rows, not a scale hazard.
+    val refFrac = (col("ref_n") + lit(0.5)) / (refTotal + lit(0.5 * nBuckets))
+    val curFrac = (col("cur_n") + lit(0.5)) / (curTotal + lit(0.5 * nBuckets))
+    joined
+      .withColumn("lo", element_at(
+        array((Double.NegativeInfinity +: edges).map(lit): _*), col("bucket") + 1))
+      .withColumn("hi", element_at(
+        array((edges :+ Double.PositiveInfinity).map(lit): _*), col("bucket") + 1))
+      .withColumn("ref_frac", round(refFrac, 6))
+      .withColumn("cur_frac", round(curFrac, 6))
+      .withColumn("psi_term",
+        round((curFrac - refFrac) * log(curFrac / refFrac), 6))
+      .select("bucket", "lo", "hi", "ref_n", "cur_n", "ref_frac", "cur_frac",
+        "psi_term")
+  }
+
   /** Concat-and-chunk sequence packing: documents are concatenated in
     * `idCol` order WITHIN each shard and cut into fixed `seqLen`-token
     * training sequences; a document token-interval [start, end) overlaps

@@ -830,4 +830,38 @@ class CurationSpec extends AnyFunSuite {
     // representative's plain assignment.
     assert(m(1L) == plain(1L) && m(10L) == plain(10L))
   }
+
+  test("driftReport: hand-computed PSI terms, smoothing keeps empty buckets finite") {
+    // edges 10, 20 → 3 buckets; ref: 2 in b0, 2 in b1, 0 in b2;
+    // cur: 1 in b0, 1 in b1, 2 in b2 (drift into the tail).
+    val ref = Seq(1.0, 5.0, 12.0, 15.0).toDF("v")
+    val cur = Seq(3.0, 11.0, 25.0, 30.0).toDF("v")
+    val got = Curation.driftReport(ref, cur, "v", Seq(10.0, 20.0))
+      .orderBy("bucket").collect()
+    assert(got.length == 3)
+    def frac(n: Long) = (n + 0.5) / (4 + 0.5 * 3)
+    val exp = Seq((0, 2L, 1L), (1, 2L, 1L), (2, 0L, 2L)).map {
+      case (b, rn, cn) =>
+        val (rf, cf) = (frac(rn), frac(cn))
+        (b, rn, cn,
+          BigDecimal(rf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(cf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal((cf - rf) * math.log(cf / rf))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    got.zip(exp).foreach { case (r, (b, rn, cn, rf, cf, psi)) =>
+      assert(r.getInt(0) == b)
+      assert(r.getLong(3) == rn && r.getLong(4) == cn)
+      assert(r.getDouble(5) == rf, s"ref_frac bucket $b")
+      assert(r.getDouble(6) == cf, s"cur_frac bucket $b")
+      assert(r.getDouble(7) == psi, s"psi bucket $b")
+      assert(!r.getDouble(7).isNaN && !r.getDouble(7).isInfinite)
+    }
+    // bucket bounds: open ends are ±Infinity
+    assert(got(0).getDouble(1).isNegInfinity && got(2).getDouble(2).isPosInfinity)
+    // identical distributions → every psi_term is exactly 0
+    val zero = Curation.driftReport(ref, ref, "v", Seq(10.0, 20.0))
+      .agg(sum(abs(col("psi_term")))).collect()(0).getDouble(0)
+    assert(zero == 0.0)
+  }
 }
