@@ -320,4 +320,34 @@ class CurationPropertySpec extends AnyFunSuite {
       assert(got == expected, s"seqLen=$seqLen docs=$docs")
     }
   }
+
+  test("driftReport ≡ naive bucketing + PSI arithmetic") {
+    trials(10) { rnd =>
+      val nEdges = 1 + rnd.nextInt(4)
+      val edges = Seq.fill(nEdges)(rnd.nextInt(100).toDouble)
+        .distinct.sorted match {
+          case Nil => Seq(50.0)
+          case e => e
+        }
+      val b = edges.size + 1
+      def bucket(v: Double): Int = edges.count(_ <= v)
+      val refV = Seq.fill(5 + rnd.nextInt(40))(rnd.nextInt(120).toDouble)
+      val curV = Seq.fill(5 + rnd.nextInt(40))(rnd.nextInt(120).toDouble)
+      val got = Curation.driftReport(refV.toDF("v"), curV.toDF("v"), "v", edges)
+        .orderBy("bucket")
+        .select("bucket", "ref_n", "cur_n", "psi_term")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.map(_._1).toSeq == (0 until b))
+      got.foreach { case (i, rn, cn, psi) =>
+        assert(rn == refV.count(bucket(_) == i), s"ref_n bucket $i edges=$edges")
+        assert(cn == curV.count(bucket(_) == i), s"cur_n bucket $i edges=$edges")
+        val rf = (rn + 0.5) / (refV.size + 0.5 * b)
+        val cf = (cn + 0.5) / (curV.size + 0.5 * b)
+        val expPsi = BigDecimal((cf - rf) * math.log(cf / rf))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(psi == expPsi, s"psi bucket $i edges=$edges")
+      }
+      assert(got.map(_._2).sum == refV.size && got.map(_._3).sum == curV.size)
+    }
+  }
 }
