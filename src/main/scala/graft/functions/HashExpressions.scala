@@ -224,6 +224,80 @@ object HashExpressions {
     new GenericArrayData(out)
   }
 
+  /** Per-row char-bigram count + Shannon entropy as a struct — the whole
+    * [[graft.ops.Curation.charEntropyReport]] inner computation in ONE
+    * codegen'd row-level pass. The composable formulation exploded one row
+    * PER CHARACTER and shuffled them twice ((doc, gram) agg + per-doc
+    * fold) — a corpus-character-count shuffle; this keeps the
+    * alphabet-bounded state inside the row, so the report is a pure
+    * projection. Arithmetic replays the fold bit-for-bit: per-gram counts
+    * folded in UTF-8 byte order, log2 = `StrictMath.log(x)/StrictMath
+    * .log(2)` — exactly what Spark's `Log2` runs — so the DuckDB oracle
+    * is unaffected. Input must already be lowercased by the caller (the
+    * operator keeps `lower()` in the plan). Null for < 2 code points.
+    */
+  case class CharBigramEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("bigram_entropy", DoubleType, nullable = false)))
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      charBigramEntropyEval(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.HashExpressions.charBigramEntropyEval($c);
+        ${ev.isNull} = (${ev.value} == null);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Static hot loop for [[CharBigramEntropy]]; called from generated
+    * code. Bigrams are CODE-POINT pairs (matching `substr`'s character
+    * semantics); gram order for the float fold is UTF8String binary
+    * compare (what `sort_array` used).
+    */
+  def charBigramEntropyEval(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val text = input.toString
+    val len = text.length
+    if (len < 2) return null
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    var nGrams = 0L
+    var o0 = 0
+    var o1 = text.offsetByCodePoints(0, 1)
+    if (o1 >= len) return null // single code point (surrogate pair)
+    while (o1 < len) {
+      val o2 = text.offsetByCodePoints(o1, 1)
+      val arr = counts.computeIfAbsent(text.substring(o0, o2),
+        _ => Array(0L))
+      arr(0) += 1
+      nGrams += 1
+      o0 = o1
+      o1 = o2
+    }
+    val keys = counts.keySet().toArray(new Array[String](0))
+    java.util.Arrays.sort(keys,
+      (a: String, b: String) =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+    val log2 = java.lang.StrictMath.log(2.0)
+    var acc = 0.0
+    var i = 0
+    while (i < keys.length) {
+      val c = counts.get(keys(i))(0).toDouble
+      acc += c * (java.lang.StrictMath.log(c) / log2)
+      i += 1
+    }
+    val n = nGrams.toDouble
+    val entropy = java.lang.StrictMath.log(n) / log2 - acc / n
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nGrams, entropy))
+  }
+
+  def charBigramEntropy(loweredText: Column): Column =
+    ColumnBridge.column(CharBigramEntropy(ColumnBridge.expression(loweredText)))
+
   def minHashSig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
 
