@@ -552,6 +552,106 @@ object Curation {
           col("n_tokens"), 6).as("bits_per_token"))
   }
 
+  /** CCNet-style LM quality bucketing: train an interpolated bigram model
+    * on a REFERENCE slice (the "target domain" corpus — e.g. a vetted
+    * source), score every document's cross-entropy under it, and assign
+    * head/middle/tail buckets by fixed thresholds. This is the published
+    * CCNet recipe with the KenLM 5-gram model replaced by an oracle-able
+    * bigram model: per bigram position,
+    * `p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·(c(w2)+1)/(T+V)`
+    * (conditional ML term, zero when `w1` is unseen as a left word, backed
+    * off to a Laplace unigram), and
+    * `bits = −Σ log2 p / n_bigrams`. Low bits = the reference model finds
+    * the document predictable (head); high bits = rare-token soup (tail);
+    * docs with fewer than two tokens carry NULL bits and the `unscored`
+    * bucket.
+    *
+    * Scale shape: the model is two zipf-bounded aggregates over the
+    * REFERENCE slice only (pair counts + left-word totals + unigram
+    * counts); scoring joins each document's distinct-bigram rows against
+    * them — broadcast when the model fits (`broadcastModel`), plain
+    * shuffled joins otherwise (the slow-not-OOM dial shared with
+    * [[unigramBitsPerToken]]). The per-doc fold runs over the
+    * (w1,w2)-sorted term list so both engines add identical IEEE terms in
+    * identical order (the q84/q86 determinism discipline).
+    */
+  def bigramLmQuality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: DataFrame,
+      refTextCol: String,
+      lambda: Double = 0.9,
+      headBits: Double = 8.0,
+      tailBits: Double = 12.0,
+      broadcastModel: Boolean = true): DataFrame = {
+    // Adjacent-token pairs in one pass: zip t[0..n-2] with t[1..n-1].
+    // (element_at inside a transform would re-inline the tokenizer per
+    // element — O(len²) in the scan projection; slice+zip_with is O(len).)
+    def bigrams(textC: Column): Column = {
+      val t = tokens(textC)
+      val m = greatest(size(t) - 1, lit(0))
+      zip_with(slice(t, lit(1), m), slice(t, lit(2), m),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    val hint: DataFrame => DataFrame =
+      if (broadcastModel) broadcast(_) else identity
+
+    // Model (reference slice only): pair counts, left-word totals, Laplace
+    // unigram counts + the (T, V) normalizer row.
+    val refTok = ref.select(explode(tokens(col(refTextCol))).as("tok"))
+    val uni = refTok.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val norm = uni.agg(sum("cu").as("total"), count(lit(1)).as("vsz"))
+    val pairs = ref.select(explode(bigrams(col(refTextCol))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+
+    // Per-doc distinct-bigram multiplicities, joined to the model.
+    val docBg = docs
+      .select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("nd"))
+    val scoredTerms = docBg
+      .join(hint(c12), Seq("w1", "w2"), "left")
+      .join(hint(c1), Seq("w1"), "left")
+      .join(hint(uni.withColumnRenamed("tok", "w2")), Seq("w2"), "left")
+      .select(col(idCol), col("w1"), col("w2"), col("nd"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("cu"), lit(0L)).as("cu"))
+
+    val oneMinus = 1.0 - lambda
+    val folded = scoredTerms
+      .groupBy(col(idCol))
+      .agg(sum("nd").as("n_bigrams"),
+        sort_array(collect_list(struct(col("w1"), col("w2"), col("nd"),
+          col("c12"), col("c1"), col("cu")))).as("tc"))
+      .crossJoin(broadcast(norm))
+      .select(col(idCol), col("n_bigrams"),
+        round(-aggregate(col("tc"), lit(0.0), (acc, x) => {
+          val cond = when(x.getField("c1") > 0,
+            lit(lambda) * x.getField("c12").cast("double") /
+              x.getField("c1").cast("double")).otherwise(lit(0.0))
+          val backoff = lit(oneMinus) *
+            (x.getField("cu").cast("double") + lit(1.0)) /
+            (col("total").cast("double") + col("vsz").cast("double"))
+          acc + x.getField("nd") * log2(cond + backoff)
+        }) / col("n_bigrams"), 6).as("bits_per_bigram"))
+
+    // Every input doc appears: sub-2-token docs carry NULL bits/`unscored`.
+    docs.select(col(idCol))
+      .join(folded, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bits_per_bigram"),
+        when(col("bits_per_bigram").isNull, lit("unscored"))
+          .when(col("bits_per_bigram") < headBits, lit("head"))
+          .when(col("bits_per_bigram") < tailBits, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Per-key ordered sequence assembly: collapse each key's rows into ONE
     * training example — the event-history / conversation-thread / session-
     * transcript construction step of behavioral training-data assembly.
