@@ -1801,6 +1801,45 @@ object SparkEntry {
           docs.filter(col("source") === "src3"),
           "n_chars", Seq(100.0, 200.0, 400.0, 800.0, 1600.0))
         .orderBy("bucket")
+    }),
+
+    // Multi-dimensional data layout: Z-order clustering audit over
+    // lineitem's (part, supplier) keys. 16 = 4² Morton-range buckets →
+    // every bucket's min/max envelope spans ≤ ¼ of EACH dimension (a 1-D
+    // sort leaves one dimension at full span) — the footer statistics a
+    // 100 TB scan prunes multi-predicate queries with.
+    "q130_zorder_layout" -> ((s, dir) => {
+      graft.ops.Layout.zorderLayoutReport(t(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", bits = 8, nBuckets = 16)
+        .orderBy("bucket")
+    }),
+
+    // CCNet-style LM quality bucketing: interpolated bigram model trained
+    // on the vetted src0 slice scores every document's cross-entropy;
+    // fixed thresholds split head/middle/tail (≈p10/p90 of the sf0.01
+    // distribution).
+    "q131_bigram_lm_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.bigramLmQuality(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text",
+          lambda = 0.9, headBits = 5.2, tailBits = 5.8)
+        .orderBy("doc_id")
+    }),
+
+    // Watermark sizing study: replay events in simulated arrival order
+    // (event time + a deterministic md5 network delay ≤ 30 min) and count
+    // what a 10-minute watermark would drop per hour. The running
+    // event-time frontier is an exact distributed prefix scan — never a
+    // single-partition window over events.
+    "q132_late_data_audit" -> ((s, dir) => {
+      val jitter = (conv(substring(md5(col("event_id").cast("string")), 1, 4),
+        16, 10).cast("long") * lit(1800000000L)) // ≤30 min in 65536ths
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .withColumn("arr",
+          unix_micros(col("ts")) + call_function("div", jitter, lit(65536L)))
+      graft.ops.EventAnalytics.lateDataAudit(ev, "arr", "event_id", "ts",
+          delayUs = 600000000L, batchUs = 3600L * 1000000L)
+        .orderBy("window_start")
     }))
 
   // ---- DuckDB oracles ----
@@ -4922,5 +4961,99 @@ object SparkEntry {
          FROM e LEFT JOIN rc ON rc.bucket = e.bucket
                 LEFT JOIN cc ON cc.bucket = e.bucket
          CROSS JOIN tot
-         ORDER BY e.bucket""")
+         ORDER BY e.bucket""",
+
+    // Z-order replay: identical integer arithmetic (min-max scale via
+    // integral division, unrolled 8-bit Morton interleave, equal-width
+    // key-range buckets) — bit-for-bit, no floats anywhere.
+    "q130_zorder_layout" -> {
+      val interleave = (0 until 8).map(i =>
+        s"((((sa >> $i) & 1) << ${2 * i + 1}) | (((sb >> $i) & 1) << ${2 * i}))")
+        .mkString(" | ")
+      s"""WITH bounds AS (
+           SELECT min(l_partkey) AS alo, max(l_partkey) AS ahi,
+                  min(l_suppkey) AS blo, max(l_suppkey) AS bhi FROM lineitem),
+         s AS (
+           SELECT l_partkey AS a, l_suppkey AS b,
+                  ((l_partkey - alo) * 255) // greatest(ahi - alo, 1) AS sa,
+                  ((l_suppkey - blo) * 255) // greatest(bhi - blo, 1) AS sb
+           FROM lineitem, bounds),
+         z AS (SELECT a, b, ($interleave) AS z FROM s),
+         k AS (SELECT a, b, (z * 16) // 65536 AS bucket FROM z)
+         SELECT bucket, count(*) AS n, min(a) AS min_a, max(a) AS max_a,
+                min(b) AS min_b, max(b) AS max_b,
+                max(a) - min(a) AS span_a, max(b) - min(b) AS span_b
+         FROM k GROUP BY bucket ORDER BY bucket"""
+    },
+
+    // Bigram-LM replay: same model counts, same interpolation arithmetic
+    // (λ = 0.9 exactly as written; 1−λ interpolated from the identical
+    // Scala double so both engines multiply the same IEEE literal), fold
+    // over the (w1,w2)-sorted term list (q84/q86 discipline).
+    "q131_bigram_lm_quality" ->
+      s"""WITH rt AS (SELECT $toks AS t FROM documents WHERE source = 'src0'),
+         runi AS (SELECT unnest(t) AS tok FROM rt),
+         uni AS (SELECT tok, count(*) AS cu FROM runi GROUP BY tok),
+         norm AS (SELECT sum(cu) AS total, count(*) AS vsz FROM uni),
+         rbg AS (SELECT unnest(list_transform(range(1, len(t)),
+             i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg FROM rt),
+         cp AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c12
+                FROM rbg GROUP BY 1, 2),
+         cl AS (SELECT bg.w1 AS w1, count(*) AS c1 FROM rbg GROUP BY 1),
+         dt AS (SELECT doc_id, $toks AS t FROM documents),
+         dbg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg FROM dt),
+         dcnt AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS nd
+                  FROM dbg GROUP BY 1, 2, 3),
+         terms AS (SELECT d.doc_id, d.w1, d.w2, d.nd,
+                     coalesce(cp.c12, 0) AS c12, coalesce(cl.c1, 0) AS c1,
+                     coalesce(uni.cu, 0) AS cu
+                   FROM dcnt d LEFT JOIN cp ON d.w1 = cp.w1 AND d.w2 = cp.w2
+                               LEFT JOIN cl ON d.w1 = cl.w1
+                               LEFT JOIN uni ON d.w2 = uni.tok),
+         agg AS (SELECT doc_id, sum(nd) AS n_bigrams,
+                   list_sort(list(struct_pack(w1 := w1, w2 := w2, nd := nd,
+                     c12 := c12, c1 := c1, cu := cu))) AS tc
+                 FROM terms GROUP BY doc_id),
+         scored AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             round(-list_sum(list_transform(tc, x ->
+               x.nd * log2(CASE WHEN x.c1 > 0
+                                THEN 0.9 * CAST(x.c12 AS DOUBLE) / x.c1
+                                ELSE 0.0 END
+                           + ${1.0 - 0.9} * (x.cu + 1.0)
+                             / (norm.total + norm.vsz))))
+               / n_bigrams, 6) AS bits_per_bigram
+            FROM agg, norm)
+         SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+                s.bits_per_bigram,
+                CASE WHEN s.bits_per_bigram IS NULL THEN 'unscored'
+                     WHEN s.bits_per_bigram < 5.2 THEN 'head'
+                     WHEN s.bits_per_bigram < 5.8 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM documents d LEFT JOIN scored s USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // Late-data replay: same md5 arrival jitter, ONE global running
+    // prev-max window (the oracle affords what the engine must not) —
+    // gating that the distributed prefix scan is exact.
+    "q132_late_data_audit" ->
+      """WITH m AS (
+           SELECT event_id, ts, epoch_us(ts) AS tsu,
+                  epoch_us(ts) +
+                    (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                      AS BIGINT) * 1800000000) // 65536 AS arr
+           FROM events),
+         w AS (SELECT ts, tsu,
+                 max(tsu) OVER (ORDER BY arr, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+               FROM m)
+         SELECT date_trunc('hour', ts) AS window_start, count(*) AS n,
+                CAST(sum(CASE WHEN wm IS NOT NULL AND tsu < wm - 600000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                round(CAST(sum(CASE WHEN wm IS NOT NULL AND tsu < wm - 600000000
+                                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+                  AS late_frac,
+                max(CASE WHEN wm IS NOT NULL AND wm > tsu THEN wm - tsu END)
+                  AS max_lag_us
+         FROM w GROUP BY 1 ORDER BY 1""")
 }
