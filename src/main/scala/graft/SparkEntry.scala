@@ -1840,6 +1840,18 @@ object SparkEntry {
       graft.ops.EventAnalytics.lateDataAudit(ev, "arr", "event_id", "ts",
           delayUs = 600000000L, batchUs = 3600L * 1000000L)
         .orderBy("window_start")
+    }),
+
+    // Tokenizer evaluation: per-language fertility (BPE tokens / word) and
+    // compression (chars / BPE token) of q101/q119's fixed merge table —
+    // the cross-lingual bias report every multilingual tokenizer ships
+    // with, riding the distinct-word vocabulary encode.
+    "q133_tokenizer_fertility" -> ((s, dir) => {
+      Curation.tokenizerFertilityReport(t(s, dir, "documents"), "doc_id",
+          "text", "lang", col("n_chars"),
+          merges = Seq(("t", "h"), ("th", "e"), ("the", "</w>"),
+            ("a", "</w>"), ("s", "t"), ("e", "a")))
+        .orderBy("lang")
     }))
 
   // ---- DuckDB oracles ----
@@ -1847,6 +1859,31 @@ object SparkEntry {
   /** DuckDB token list matching TextFunctions.tokens. */
   private val toks =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  /** q119/q133's fixed 6-merge BPE table replayed as sentinel-char string
+    * replaces (string replace IS the non-overlapping greedy symbol rewrite
+    * when every symbol is one char), then decoded back to symbol lists. */
+  private val bpeSentinelEnc =
+    """replace(replace(replace(replace(replace(replace(
+                     w || chr(1),
+                     'th', chr(2)),
+                     chr(2) || 'e', chr(3)),
+                     chr(3) || chr(1), chr(4)),
+                     'a' || chr(1), chr(5)),
+                     'st', chr(6)),
+                     'ea', chr(7))"""
+
+  private val bpeSentinelDecode =
+    s"""list_transform(range(1, len($bpeSentinelEnc) + 1), i ->
+                     CASE substr($bpeSentinelEnc, i, 1)
+                       WHEN chr(1) THEN '</w>'
+                       WHEN chr(2) THEN 'th'
+                       WHEN chr(3) THEN 'the'
+                       WHEN chr(4) THEN 'the</w>'
+                       WHEN chr(5) THEN 'a</w>'
+                       WHEN chr(6) THEN 'st'
+                       WHEN chr(7) THEN 'ea'
+                       ELSE substr($bpeSentinelEnc, i, 1) END)"""
 
   /** The exact seeded hyperplanes q21 buckets with (dim 64, seed 42),
     * rendered as DuckDB VALUES rows of (plane index, DOUBLE[] literal) —
@@ -4449,34 +4486,15 @@ object SparkEntry {
     // 6-deep replace chain, then each final char decodes back to its
     // symbol text. A genuinely different formulation of the same
     // algorithm, which is what makes the hash compare meaningful.
-    "q119_bpe_encode" -> {
-      val enc = """replace(replace(replace(replace(replace(replace(
-                     w || chr(1),
-                     'th', chr(2)),
-                     chr(2) || 'e', chr(3)),
-                     chr(3) || chr(1), chr(4)),
-                     'a' || chr(1), chr(5)),
-                     'st', chr(6)),
-                     'ea', chr(7))"""
-      val decode = s"""list_transform(range(1, len($enc) + 1), i ->
-                     CASE substr($enc, i, 1)
-                       WHEN chr(1) THEN '</w>'
-                       WHEN chr(2) THEN 'th'
-                       WHEN chr(3) THEN 'the'
-                       WHEN chr(4) THEN 'the</w>'
-                       WHEN chr(5) THEN 'a</w>'
-                       WHEN chr(6) THEN 'st'
-                       WHEN chr(7) THEN 'ea'
-                       ELSE substr($enc, i, 1) END)"""
+    "q119_bpe_encode" ->
       s"""WITH base AS (SELECT doc_id, $toks AS tk FROM documents),
          enc AS (
            SELECT doc_id,
-             flatten(list_transform(tk, w -> $decode)) AS bpe_tokens
+             flatten(list_transform(tk, w -> $bpeSentinelDecode)) AS bpe_tokens
            FROM base)
          SELECT doc_id, array_to_string(bpe_tokens, ' ') AS bpe_text,
                 CAST(len(bpe_tokens) AS BIGINT) AS n_bpe_tokens
-         FROM enc ORDER BY doc_id"""
-    },
+         FROM enc ORDER BY doc_id""",
 
     // Hybrid-retrieval replay: q107's BM25 chain and q53's dense chain,
     // both over the embedding-indexed subset with the 4 query docs'
@@ -5055,5 +5073,30 @@ object SparkEntry {
                   AS late_frac,
                 max(CASE WHEN wm IS NOT NULL AND wm > tsu THEN wm - tsu END)
                   AS max_lag_us
-         FROM w GROUP BY 1 ORDER BY 1""")
+         FROM w GROUP BY 1 ORDER BY 1""",
+
+    // Fertility replay: q119's sentinel-replace encode per doc, then one
+    // per-language aggregate; ratios are single divisions of exact BIGINT
+    // sums (no fold-order float hazard to engineer around).
+    "q133_tokenizer_fertility" ->
+      s"""WITH base AS (
+           SELECT doc_id, lang, n_chars, $toks AS tk FROM documents),
+         enc AS (
+           SELECT doc_id,
+             flatten(list_transform(tk, w -> $bpeSentinelDecode)) AS bt
+           FROM base),
+         j AS (
+           SELECT b.lang, len(b.tk) AS nw, b.n_chars AS nc, len(e.bt) AS nb
+           FROM base b JOIN enc e USING (doc_id))
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(nw) AS BIGINT) AS n_words,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+                CASE WHEN sum(nw) > 0
+                     THEN round(CAST(sum(nb) AS DOUBLE) / sum(nw), 6) END
+                  AS fertility,
+                CASE WHEN sum(nb) > 0
+                     THEN round(CAST(sum(nc) AS DOUBLE) / sum(nb), 6) END
+                  AS chars_per_token
+         FROM j GROUP BY lang ORDER BY lang""")
 }

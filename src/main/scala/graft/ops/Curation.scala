@@ -1345,6 +1345,53 @@ object Curation {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer-evaluation report: per group (typically language), the
+    * FERTILITY (BPE tokens per whitespace word) and COMPRESSION
+    * (characters per BPE token) of a trained merge table over a corpus —
+    * the two numbers a multilingual tokenizer is judged by (a vocabulary
+    * trained on English alone shows its bias as high fertility on every
+    * other language), and the denominator side of any tokens-per-byte
+    * cost model for a 100 TB pretraining run.
+    *
+    * `charsCol` supplies the per-doc character count (use a precomputed
+    * metadata column when the corpus carries one — it usually does — so
+    * the report never re-scans text for lengths).
+    *
+    * Scale shape: rides [[bpeEncode]]'s distinct-word vocabulary encode
+    * (each distinct word folds the merge table once, documents join the
+    * result), then ONE group-count aggregate; ratios are single divisions
+    * of exact long sums — no float-fold-order hazard anywhere.
+    */
+  def tokenizerFertilityReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      charsCol: Column,
+      merges: Seq[(String, String)],
+      broadcastVocab: Boolean = true): DataFrame = {
+    val enc = bpeEncode(docs, idCol, textCol, merges,
+        broadcastVocab = broadcastVocab)
+      .select(col(idCol), col("n_bpe_tokens"))
+    docs.select(col(idCol), col(groupCol),
+        size(tokens(col(textCol))).cast("long").as("__nw"),
+        charsCol.cast("long").as("__nc"))
+      .join(enc, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nw").as("n_words"),
+        sum("__nc").as("n_chars"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        when(col("n_words") > 0,
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+          .as("fertility"),
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+          .as("chars_per_token"))
+  }
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * versions as `added` (new snapshot only), `removed` (old only),
     * `changed` (both, different content fingerprint) or `unchanged` —

@@ -864,4 +864,26 @@ class CurationSpec extends AnyFunSuite {
       .agg(sum(abs(col("psi_term")))).collect()(0).getDouble(0)
     assert(zero == 0.0)
   }
+
+  test("tokenizerFertilityReport: hand-computed fertility and compression") {
+    val docs = Seq(
+      (1L, "ab ab", "x", 5L),
+      (2L, "cd", "y", 2L),
+      (3L, "", "y", 0L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = Curation.tokenizerFertilityReport(docs, "doc_id", "text",
+        "lang", col("n_chars"), merges = Seq(("a", "b")))
+      .orderBy("lang").collect()
+    // "ab" encodes [ab, </w>] (2 tokens); "cd" encodes [c, d, </w>] (3).
+    // lang x: 2 words / 4 tokens / 5 chars; lang y: 1 word / 3 tokens /
+    // 2 chars plus an empty doc (counted, contributes zeros).
+    val x = got(0)
+    assert((x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+      x.getLong(4), x.getDouble(5), x.getDouble(6)) ==
+      (("x", 1L, 2L, 5L, 4L, 2.0, 1.25)))
+    val y = got(1)
+    assert((y.getString(0), y.getLong(1), y.getLong(2), y.getLong(3),
+      y.getLong(4), y.getDouble(5), y.getDouble(6)) ==
+      (("y", 2L, 1L, 2L, 3L, 3.0, 0.666667)))
+  }
 }
