@@ -1852,6 +1852,16 @@ object SparkEntry {
           merges = Seq(("t", "h"), ("th", "e"), ("the", "</w>"),
             ("a", "</w>"), ("s", "t"), ("e", "a")))
         .orderBy("lang")
+    }),
+
+    // Objective construction: every curated doc becomes a T5-style
+    // denoising pair — block-stratified span masking (all decisions pure
+    // functions of (id, block), no sequential scan state), ~25% of blocks
+    // masked, spans 1–3 tokens, block-indexed sentinels.
+    "q134_span_corruption" -> ((s, dir) => {
+      Curation.spanCorruption(t(s, dir, "documents"), "doc_id", "text",
+          blockSize = 4, maskNum = 1024, maxSpan = 3)
+        .orderBy("doc_id")
     }))
 
   // ---- DuckDB oracles ----
@@ -5098,5 +5108,42 @@ object SparkEntry {
                 CASE WHEN sum(nb) > 0
                      THEN round(CAST(sum(nc) AS DOUBLE) / sum(nb), 6) END
                   AS chars_per_token
-         FROM j GROUP BY lang ORDER BY lang""")
+         FROM j GROUP BY lang ORDER BY lang""",
+
+    // Span-corruption replay: every mask decision re-derived from the same
+    // md5(id:block) digits; block slices, sentinel splicing, and the
+    // block-sorted reassembly are pure list arithmetic in both engines.
+    "q134_span_corruption" ->
+      s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+         blk AS (SELECT doc_id, t, unnest(range(0, (len(t) + 3) // 4)) AS b
+                 FROM base),
+         det AS (SELECT doc_id, b, t[(b*4+1):(b*4+4)] AS bt,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(b AS VARCHAR)), 1, 4)) AS BIGINT) AS h
+                 FROM blk),
+         p2 AS (SELECT doc_id, b, len(bt) AS nt,
+             CASE WHEN h % 4096 < 1024
+                  THEN ['<extra_id_' || CAST(b AS VARCHAR) || '>']
+                       || bt[(1 + (h // 4096) % 3 + 1):len(bt)]
+                  ELSE bt END AS inp,
+             CASE WHEN h % 4096 < 1024
+                  THEN ['<extra_id_' || CAST(b AS VARCHAR) || '>']
+                       || bt[1:(1 + (h // 4096) % 3)]
+                  ELSE []::VARCHAR[] END AS tgt,
+             CASE WHEN h % 4096 < 1024
+                  THEN least(1 + (h // 4096) % 3, len(bt)) ELSE 0 END AS nm
+           FROM det),
+         agg AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(sum(nm) AS BIGINT) AS n_masked_tokens,
+                   flatten(list_transform(list_sort(list(
+                     struct_pack(b := b, inp := inp))), x -> x.inp)) AS inps,
+                   flatten(list_transform(list_sort(list(
+                     struct_pack(b := b, tgt := tgt))), x -> x.tgt)) AS tgts
+                 FROM p2 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                coalesce(a.n_masked_tokens, 0) AS n_masked_tokens,
+                coalesce(array_to_string(a.inps, ' '), '') AS input_text,
+                coalesce(array_to_string(a.tgts, ' '), '') AS target_text
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""")
 }

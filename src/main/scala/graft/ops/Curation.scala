@@ -1392,6 +1392,85 @@ object Curation {
           .as("chars_per_token"))
   }
 
+  /** T5-style span-corruption example construction: turn each document
+    * into a `(input_text, target_text)` denoising pair — masked spans
+    * replaced by sentinel tokens in the input, emitted after their
+    * sentinel in the target. The objective-construction step that turns a
+    * curated corpus into actual seq2seq training examples.
+    *
+    * The masking is BLOCK-STRATIFIED rather than i.i.d.-per-position:
+    * tokens partition into `blockSize`-token blocks, and each block
+    * independently masks its first `1 + (h÷4096) mod maxSpan` tokens with
+    * probability `maskNum/4096`, both decisions read off one md5 of
+    * `(id, block)`. Stratification keeps every decision a pure function
+    * of `(id, block)` — no sequential scan state, so the construction is
+    * embarrassingly parallel AND exactly replayable by the SQL oracle
+    * (T5's i.i.d. span sampling needs a running span count; the
+    * stratified variant trades a slightly more regular mask layout for
+    * that). Sentinels are numbered by block index (`<extra_id_B>`) —
+    * deterministic without a masked-ordinal prefix scan.
+    *
+    * Scale shape: ONE shuffle groups each document's tokens (the same
+    * discipline as [[assembleSequences]]/[[bpeEncode]]); per-block work
+    * touches ≤ `blockSize` tokens, per-doc reassembly folds the sorted
+    * block list. Row-local alternatives re-evaluate the tokenizer per
+    * block (HOF lambdas re-evaluate captured subtrees) — O(n²/B) per doc;
+    * this shape is O(n log B).
+    */
+  def spanCorruption(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSize: Int = 4,
+      maskNum: Int = 1024,
+      maxSpan: Int = 3): DataFrame = {
+    require(blockSize >= 1 && maxSpan >= 1 && maxSpan <= blockSize,
+      s"need 1 <= maxSpan <= blockSize, got span=$maxSpan block=$blockSize")
+    val tok = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+      .withColumn("__b", floor(col("__pos") / blockSize).cast("long"))
+    val blocks = tok
+      .groupBy(col(idCol), col("__b"))
+      .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__w")))),
+        x => x.getField("__w")).as("bt"))
+      .withColumn("__h",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col("__b").cast("string"))), 1, 4), 16, 10).cast("long"))
+      .withColumn("__masked", pmod(col("__h"), lit(4096L)) < lit(maskNum.toLong))
+      .withColumn("__span",
+        (lit(1L) + pmod(call_function("div", col("__h"), lit(4096L)),
+          lit(maxSpan.toLong))).cast("int"))
+      .withColumn("__sent",
+        concat(lit("<extra_id_"), col("__b").cast("string"), lit(">")))
+      .select(col(idCol), col("__b"),
+        size(col("bt")).cast("long").as("__nt"),
+        when(col("__masked"),
+          concat(array(col("__sent")),
+            slice(col("bt"), col("__span") + 1, lit(blockSize))))
+          .otherwise(col("bt")).as("inp"),
+        when(col("__masked"),
+          concat(array(col("__sent")), slice(col("bt"), lit(1), col("__span"))))
+          .otherwise(array().cast("array<string>")).as("tgt"),
+        when(col("__masked"), least(col("__span").cast("long"),
+          size(col("bt")).cast("long"))).otherwise(lit(0L)).as("nm"))
+    val assembled = blocks
+      .groupBy(col(idCol))
+      .agg(sum("__nt").as("n_tokens"), sum("nm").as("n_masked_tokens"),
+        sort_array(collect_list(struct(col("__b"), col("inp"), col("tgt"))))
+          .as("parts"))
+      .select(col(idCol), col("n_tokens"), col("n_masked_tokens"),
+        array_join(flatten(transform(col("parts"), x => x.getField("inp"))), " ")
+          .as("input_text"),
+        array_join(flatten(transform(col("parts"), x => x.getField("tgt"))), " ")
+          .as("target_text"))
+    docs.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_masked_tokens"), lit(0L)).as("n_masked_tokens"),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+  }
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * versions as `added` (new snapshot only), `removed` (old only),
     * `changed` (both, different content fingerprint) or `unchanged` —
