@@ -1862,6 +1862,17 @@ object SparkEntry {
       Curation.spanCorruption(t(s, dir, "documents"), "doc_id", "text",
           blockSize = 4, maskNum = 1024, maxSpan = 3)
         .orderBy("doc_id")
+    }),
+
+    // Retrieval-quality evaluation: label-relevance nDCG@10 of EXACT
+    // cosine retrieval (leave-one-in) — the measured floor the
+    // approximate indexes (q20/q99/q108/q114) are held to, the dense
+    // mirror of q128's dedup-tuning sweep.
+    "q135_retrieval_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Retrieval.ndcgReport(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+        .orderBy("query_id")
     }))
 
   // ---- DuckDB oracles ----
@@ -5145,5 +5156,51 @@ object SparkEntry {
                 coalesce(array_to_string(a.inps, ' '), '') AS input_text,
                 coalesce(array_to_string(a.tgts, ' '), '') AS target_text
          FROM documents d LEFT JOIN agg a USING (doc_id)
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+
+    // nDCG replay: q19's cosine arithmetic per query, direct non-self
+    // ranking (the k+1-then-drop-self pool always contains the self hit,
+    // so the two formulations coincide), both DCG folds in rank order.
+    "q135_retrieval_ndcg" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qv, label AS ql,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM embeddings WHERE vec_id < 8),
+         e AS (
+           SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS en
+           FROM embeddings),
+         s AS (
+           SELECT q.query_id, q.ql, e.vec_id, e.label,
+             CASE WHEN e.en * q.qn > 0 THEN
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+               / (e.en * q.qn)
+             ELSE 0.0 END AS sim
+           FROM e, q WHERE e.vec_id <> q.query_id),
+         r AS (SELECT query_id, ql, label,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, vec_id) AS rr
+               FROM s),
+         top AS (SELECT query_id, ql, rr,
+                   CAST(label = ql AS BIGINT) AS g FROM r WHERE rr <= 10),
+         lc AS (SELECT label AS ql, count(*) AS nl FROM embeddings
+                GROUP BY label),
+         f AS (SELECT query_id, ql, CAST(sum(g) AS BIGINT) AS hits,
+                 list_sort(list(struct_pack(r := rr, g := g))) AS rg
+               FROM top GROUP BY query_id, ql),
+         d AS (SELECT query_id, coalesce(lc.nl, 1) - 1 AS n_rel, hits,
+                 list_sum(list_transform(rg,
+                   x -> CAST(x.g AS DOUBLE) / log2(x.r + 1))) AS dcg_raw,
+                 coalesce(list_sum(list_transform(
+                   range(1, least(10, coalesce(lc.nl, 1) - 1) + 1),
+                   r -> 1.0 / log2(r + 1))), 0.0) AS idcg_raw
+               FROM f LEFT JOIN lc USING (ql))
+         SELECT query_id, n_rel, hits,
+                round(dcg_raw, 6) AS dcg, round(idcg_raw, 6) AS idcg,
+                CASE WHEN idcg_raw > 0 THEN round(dcg_raw / idcg_raw, 6) END
+                  AS ndcg
+         FROM d ORDER BY query_id""")
 }

@@ -277,4 +277,72 @@ object Retrieval {
         col("__s.rel").as("cosine_sim"), col("__s.score").as("mmr_score"),
         (col("__i") + 1).cast("long").as("mmr_rank"))
   }
+
+  /** Retrieval-quality evaluation: label-relevance nDCG@k of exact-cosine
+    * retrieval over a labeled embedding corpus — the measured half of the
+    * retrieval-tuning loop, next to [[graft.ops.Dedup.lshQualityReport]]'s
+    * dedup-tuning sweep: before swapping in an approximate index (IVF, PQ,
+    * LSH), record what EXACT dense retrieval scores on labeled data, then
+    * hold the approximate variants to it.
+    *
+    * Relevance is binary label agreement: a retrieved item gains 1 iff it
+    * carries the query's label. Queries are assumed drawn FROM the corpus
+    * (the standard leave-one-in eval): the query itself is excluded from
+    * its ranking and from `n_rel`. Per query:
+    * `dcg = Σ_{r≤k} gain_r / log2(r+1)`, `idcg` the same sum over
+    * `min(k, n_rel)` perfect gains, `ndcg = dcg/idcg` (NULL when the
+    * query's label has no other members). Both folds run in rank order —
+    * engine-portable float sums (the q84/q86 discipline).
+    *
+    * Scale shape: rides [[Similarity.topKJoin]] (broadcast query set,
+    * bounded top-k aggregate, corpus never shuffles), then label lookup
+    * joins the (queries × k)-row ranking as the BROADCAST side against
+    * the corpus — one corpus scan, no corpus shuffle; label totals are a
+    * label-cardinality-bounded aggregate.
+    */
+  def ndcgReport(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // k+1 then drop the self-hit wherever it ranked and close the gap.
+    val nbrs = Similarity.topKJoin(corpus, idCol, vecCol,
+        queries, qIdCol, qVecCol, k + 1)
+      .filter(col(idCol) =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val ranked = nbrs.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col(idCol), col("__r"))
+    val qlab = queries.select(col(qIdCol).as("query_id"),
+      col(labelCol).as("__ql"))
+    val labCounts = corpus.groupBy(col(labelCol).as("__ql"))
+      .agg(count(lit(1)).as("__nl"))
+    val gained = corpus.select(col(idCol), col(labelCol).as("__dl"))
+      .join(broadcast(ranked), Seq(idCol))
+      .join(broadcast(qlab), Seq("query_id"))
+      .withColumn("__g", (col("__dl") === col("__ql")).cast("long"))
+    gained
+      .groupBy(col("query_id"), col("__ql"))
+      .agg(sum("__g").as("hits"),
+        sort_array(collect_list(struct(col("__r"), col("__g")))).as("rg"))
+      .join(broadcast(labCounts), Seq("__ql"), "left")
+      .withColumn("n_rel", coalesce(col("__nl"), lit(1L)) - 1)
+      .withColumn("__dcg", aggregate(col("rg"), lit(0.0), (acc, x) =>
+        acc + x.getField("__g").cast("double") /
+          log2(x.getField("__r").cast("double") + 1)))
+      .withColumn("__idcg",
+        when(least(lit(k.toLong), col("n_rel")) > 0,
+          aggregate(sequence(lit(1L), least(lit(k.toLong), col("n_rel"))),
+            lit(0.0), (acc, r) => acc + lit(1.0) / log2(r.cast("double") + 1)))
+          .otherwise(lit(0.0)))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        round(col("__dcg"), 6).as("dcg"), round(col("__idcg"), 6).as("idcg"),
+        when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 6))
+          .as("ndcg"))
+  }
 }

@@ -166,4 +166,43 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.forall(r => !r.isNullAt(1) && !r.isNullAt(3)))
     assert(got.map(_.getLong(4)).toSeq == Seq(1L, 2L))
   }
+
+  test("ndcgReport: hand-computed leave-one-in nDCG") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0.8f, 0.2f), 0),
+      (4L, Seq(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Retrieval.ndcgReport(corpus, "vec_id", "embedding", "label",
+        corpus.filter(col("vec_id") === 1), "vec_id", "embedding", k = 3)
+      .collect().head
+    // Ranking for query 1 (label 0) after self-exclusion:
+    // 2 (gain 0), 3 (gain 1), 4 (gain 1); n_rel = 2.
+    val l2 = (x: Double) => math.log(x) / math.log(2)
+    val dcg = 1.0 / l2(3.0) + 1.0 / l2(4.0)
+    val idcg = 1.0 / l2(2.0) + 1.0 / l2(3.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == 1L)
+    assert(got.getLong(1) == 2L && got.getLong(2) == 2L)
+    assert(got.getDouble(3) == r6(dcg))
+    assert(got.getDouble(4) == r6(idcg))
+    assert(got.getDouble(5) == r6(dcg / idcg))
+  }
+
+  test("ndcgReport: perfect retrieval scores 1.0; lonely label scores NULL") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.95f, 0.05f), 0),
+      (3L, Seq(0.0f, 1.0f), 7),
+      (4L, Seq(0.1f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Retrieval.ndcgReport(corpus, "vec_id", "embedding", "label",
+        corpus.filter(col("vec_id").isin(1L, 3L)), "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(5))))).toMap
+    assert(got(1L) == ((1L, 1L, Some(1.0)))) // nearest neighbor shares label 0
+    assert(got(3L) == ((0L, 0L, None)))      // label 7 has no other member
+  }
 }
