@@ -1873,6 +1873,17 @@ object SparkEntry {
       Retrieval.ndcgReport(emb, "vec_id", "embedding", "label",
           emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
         .orderBy("query_id")
+    }),
+
+    // Exact token-budget prefix: admit docs in deterministic md5 order
+    // until cumulative tokens cross 8000 (q75 hits a budget in
+    // expectation; a release manifest wants the exact minimal-overshoot
+    // cut). Cumulative count = the distributed prefix scan, md5-hex
+    // bucketed — no single-partition sort at any scale.
+    "q136_budget_prefix" -> ((s, dir) => {
+      graft.ops.Sampling.exactBudgetPrefix(t(s, dir, "documents"), "doc_id",
+          TextFunctions.tokenCount(col("text")), budget = 8000L)
+        .orderBy("cum_before", "doc_id")
     }))
 
   // ---- DuckDB oracles ----
@@ -5202,5 +5213,23 @@ object SparkEntry {
                 round(dcg_raw, 6) AS dcg, round(idcg_raw, 6) AS idcg,
                 CASE WHEN idcg_raw > 0 THEN round(dcg_raw / idcg_raw, 6) END
                   AS ndcg
-         FROM d ORDER BY query_id""")
+         FROM d ORDER BY query_id""",
+
+    // Budget-prefix replay: the oracle affords the single global running
+    // sum the engine decomposes; identical md5 order, identical exclusive
+    // cumulative counts, identical admission predicate.
+    "q136_budget_prefix" ->
+      s"""WITH t AS (
+           SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok,
+                  md5(CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+         w AS (
+           SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM t)
+         SELECT doc_id, n_tok, cum_before
+         FROM w WHERE cum_before < 8000
+         ORDER BY cum_before, doc_id""")
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch event-stream analytics: ordered-funnel conversion and cohort
@@ -159,16 +158,13 @@ object EventAnalytics {
     * on batch boundaries at the latest — this audit is the per-event
     * tightest case).
     *
-    * The running prev-max over arrival order is computed as a DISTRIBUTED
-    * prefix scan, not a single-partition window: arrivals bucket into
-    * `batchUs`-wide micro-batches (value-based, deterministic), a
-    * partitioned window handles the within-batch prefix, and the
-    * cross-batch prefix folds over the O(#batches) batch-summary frame —
-    * the only ordered pass is over batch summaries (metadata scale: a year
-    * of 1-minute batches is ~526k tiny rows), never over events. The
-    * decomposition is exact: earlier batches hold strictly smaller arrival
-    * values, so `greatest(within-batch prev-max, previous-batch max)` IS
-    * the global prev-max under the total (arrival, tie) order.
+    * The running prev-max over arrival order is
+    * [[PrefixScan.runningMaxExclusive]] bucketed by `batchUs`-wide
+    * arrival micro-batches — a distributed prefix scan whose only ordered
+    * pass is over the O(#batches) bucket summaries (metadata scale: a
+    * year of 1-minute batches is ~526k tiny rows), never over events, and
+    * whose decomposition is exact (bucket-width invariance is
+    * spec-asserted).
     *
     * Returns `(window_start, n, n_late, late_frac, max_lag_us)` per
     * event-time hour: `late_frac` rounded to 6 dp, `max_lag_us` the worst
@@ -187,21 +183,10 @@ object EventAnalytics {
       col(tieCol).as("__tie"),
       col(tsCol).as("__ts"),
       unix_micros(col(tsCol)).as("__tsu"))
-      .withColumn("__batch", floor(col("__arr") / lit(batchUs)))
-    val inBatch = Window.partitionBy(col("__batch"))
-      .orderBy(col("__arr"), col("__tie"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val scanned = base.withColumn("__prev_in", max(col("__tsu")).over(inBatch))
-    // Batch-summary prefix: O(#batches) rows, ordered fold over metadata.
-    val batchPrev = Window.orderBy(col("__batch"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixes = base.groupBy(col("__batch"))
-      .agg(max(col("__tsu")).as("__bmax"))
-      .withColumn("__prev_batches", max(col("__bmax")).over(batchPrev))
-      .select(col("__batch"), col("__prev_batches"))
-    scanned.join(broadcast(prefixes), Seq("__batch"))
-      // greatest skips NULLs: first event overall has no frontier at all.
-      .withColumn("__wm", greatest(col("__prev_in"), col("__prev_batches")))
+    // The frontier is [[PrefixScan.runningMaxExclusive]] bucketed by
+    // `batchUs`-wide arrival micro-batches (NULL = first arrival overall).
+    PrefixScan.runningMaxExclusive(base, "__arr", "__tie", "__tsu",
+        floor(col("__arr") / lit(batchUs)), "__wm")
       .withColumn("__late",
         col("__wm").isNotNull && col("__tsu") < col("__wm") - lit(delayUs))
       .groupBy(date_trunc("hour", col("__ts")).as("window_start"))

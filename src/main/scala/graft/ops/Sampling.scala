@@ -472,4 +472,37 @@ object Sampling {
       .drop("__cl_id", "__cl_rep")
     assignSplit(joined, repCol, fractions, defaultSplit, splitCol)
   }
+
+  /** EXACT token-budget prefix selection: admit documents in deterministic
+    * `md5(id)` order until the cumulative token count reaches `budget` —
+    * the first row to cross the boundary is included, everything after is
+    * not. [[sampleToTokenBudget]] hits a budget in EXPECTATION through
+    * per-row rate cuts; this is the exact-cut variant a release manifest
+    * wants ("these docs, in this order, total ≥ budget, minimal
+    * overshoot"), and the selection is a pure function of ids and token
+    * counts — reproducible anywhere, appendable (a larger budget extends
+    * the same prefix, it never reshuffles the selection).
+    *
+    * The cumulative count is [[PrefixScan.runningSumExclusive]] bucketed
+    * by the first two hex digits of the md5 key (256 buckets, monotone in
+    * the scan order by construction) — no single-partition sort at any
+    * corpus size.
+    *
+    * Returns the selected rows as `(idCol, n_tok, cum_before)` where
+    * `cum_before` is the budget consumed BEFORE the row (so
+    * `cum_before < budget` IS the admission predicate).
+    */
+  def exactBudgetPrefix(
+      docs: DataFrame,
+      idCol: String,
+      nTokens: Column,
+      budget: Long): DataFrame = {
+    val keyed = docs.select(col(idCol),
+        md5(col(idCol).cast("string")).as("__k"),
+        nTokens.cast("long").as("n_tok"))
+    PrefixScan.runningSumExclusive(keyed, "__k", idCol, "n_tok",
+        conv(substring(col("__k"), 1, 2), 16, 10).cast("long"), "cum_before")
+      .filter(col("cum_before") < budget)
+      .select(col(idCol), col("n_tok"), col("cum_before"))
+  }
 }
