@@ -1884,6 +1884,26 @@ object SparkEntry {
       graft.ops.Sampling.exactBudgetPrefix(t(s, dir, "documents"), "doc_id",
           TextFunctions.tokenCount(col("text")), budget = 8000L)
         .orderBy("cum_before", "doc_id")
+    }),
+
+    // Mixture feasibility planning: the requested mix over-asks the four
+    // headline sources (src0 wants 30% of 10k tokens from a ~1.4k-token
+    // source at sf0.01), so water-filling caps them and redistributes —
+    // the reconciliation run BEFORE the samplers execute a mix.
+    "q137_mixture_plan" -> ((s, dir) => {
+      val stats = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("tokens"))
+        .withColumn("weight",
+          when(col("source") === "src0", 0.30)
+            .when(col("source") === "src1", 0.20)
+            .when(col("source") === "src2", 0.15)
+            .when(col("source") === "src3", 0.10)
+            .otherwise(0.015625))
+      graft.ops.Sampling.mixturePlan(stats, "source", "tokens", "weight",
+          budget = 10000L)
+        .orderBy("source")
     }))
 
   // ---- DuckDB oracles ----
@@ -5231,5 +5251,48 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, n_tok, cum_before
          FROM w WHERE cum_before < 8000
-         ORDER BY cum_before, doc_id""")
+         ORDER BY cum_before, doc_id""",
+
+    // Water-filling replay: the same three unrolled redistribution rounds
+    // over the source-sorted stats list — every float fold in sorted
+    // order, every literal cast to DOUBLE (DuckDB parses bare decimals as
+    // DECIMAL, which would drift from Spark's double arithmetic).
+    "q137_mixture_plan" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "s0" else s"s${i - 1}"
+        s""",
+         a$i AS (SELECT st,
+             list_sum(list_transform(st, x ->
+               CASE WHEN NOT x.ex THEN x.w ELSE 0.0::DOUBLE END)) AS wsum,
+             CAST(10000.0 AS DOUBLE) -
+               list_sum(list_transform(st, x -> x.take)) AS rem
+           FROM $prev),
+         s$i AS (SELECT list_transform(st, x -> struct_pack(
+             s := x.s, cap := x.cap, w := x.w,
+             take := CASE WHEN NOT x.ex AND wsum > 0 AND rem > 0
+                          THEN least(x.cap, x.take + rem * x.w / wsum)
+                          ELSE x.take END,
+             ex := (CASE WHEN NOT x.ex AND wsum > 0 AND rem > 0
+                         THEN least(x.cap, x.take + rem * x.w / wsum)
+                         ELSE x.take END) >= x.cap)) AS st
+           FROM a$i)"""
+      }.mkString
+      s"""WITH stats AS (
+           SELECT source, CAST(sum(len($toks)) AS BIGINT) AS tokens,
+             CAST(CASE source WHEN 'src0' THEN 0.30 WHEN 'src1' THEN 0.20
+                  WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.10
+                  ELSE 0.015625 END AS DOUBLE) AS w
+           FROM documents GROUP BY source),
+         one AS (SELECT list_sort(list(struct_pack(s := source,
+             cap := CAST(tokens AS DOUBLE), w := w))) AS xs FROM stats),
+         s0 AS (SELECT list_transform(xs, x -> struct_pack(s := x.s,
+             cap := x.cap, w := x.w, take := 0.0::DOUBLE,
+             ex := x.cap <= 0.0)) AS st FROM one)$rounds,
+         ex3 AS (SELECT unnest(st) AS x FROM s3)
+         SELECT x.s AS source, CAST(x.cap AS BIGINT) AS tokens,
+                x.w AS weight, round(x.take, 6) AS allocated,
+                CASE WHEN x.cap > 0 THEN round(x.take / x.cap, 6) END AS rate,
+                x.ex AS exhausted
+         FROM ex3 ORDER BY source"""
+    })
 }

@@ -492,6 +492,78 @@ object Sampling {
     * `cum_before` is the budget consumed BEFORE the row (so
     * `cum_before < budget` IS the admission predicate).
     */
+  /** Mixture feasibility planner (water-filling): given per-source
+    * capacities (available tokens), target mixture weights, and a token
+    * budget, compute the ACHIEVABLE per-source allocation — each round
+    * hands every non-exhausted source its weight-share of the remaining
+    * budget, caps at capacity, and redistributes the shortfall; `rounds`
+    * rounds of redistribution (3 is enough for any mixture whose
+    * shortfall chain is 3 deep; the `exhausted` flags say whether the
+    * plan converged). This is the planning step run BEFORE the samplers
+    * ([[stratifiedHashSample]] / [[sampleToTokenBudget]] execute a plan;
+    * this reconciles the plan with reality when a requested mixture
+    * over-asks a small source — silently keeping the nominal weights
+    * there UNDER-fills the budget).
+    *
+    * The whole computation happens on ONE row holding the source-sorted
+    * stats array (mixtures are dimension-scale: dozens of sources), so
+    * every float fold runs in sorted-source order — engine-portable
+    * (q84/q86 discipline) — and no iteration touches the corpus: the
+    * input is the per-source aggregate, typically from one scan.
+    *
+    * Returns `(source, tokens, weight, allocated, rate, exhausted)`:
+    * `allocated` the granted token count (6 dp), `rate` =
+    * allocated/tokens (NULL for an empty source), `exhausted` whether the
+    * source hit capacity.
+    */
+  def mixturePlan(
+      stats: DataFrame,
+      sourceCol: String,
+      tokensCol: String,
+      weightCol: String,
+      budget: Long,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val one = stats.agg(sort_array(collect_list(struct(
+      col(sourceCol).cast("string").as("s"),
+      col(tokensCol).cast("double").as("cap"),
+      col(weightCol).cast("double").as("w")))).as("xs"))
+    val st0 = transform(col("xs"), x => struct(
+      x.getField("s").as("s"), x.getField("cap").as("cap"),
+      x.getField("w").as("w"), lit(0.0).as("take"),
+      (x.getField("cap") <= 0.0).as("ex")))
+    val seeded = one.select(st0.as("st"))
+    val stepped = (1 to rounds).foldLeft(seeded) { (df, _) =>
+      // Scalars of this round, folded in sorted-source order.
+      val wsum = aggregate(col("st"), lit(0.0), (acc, x) =>
+        acc + when(!x.getField("ex"), x.getField("w")).otherwise(lit(0.0)))
+      val taken = aggregate(col("st"), lit(0.0), (acc, x) =>
+        acc + x.getField("take"))
+      val rem = lit(budget.toDouble) - taken
+      df.select(col("st"), wsum.as("__wsum"), rem.as("__rem"))
+        .select(transform(col("st"), { x =>
+          val grant = when(!x.getField("ex") && col("__wsum") > 0 &&
+              col("__rem") > 0,
+            least(x.getField("cap"),
+              x.getField("take") +
+                col("__rem") * x.getField("w") / col("__wsum")))
+            .otherwise(x.getField("take"))
+          struct(x.getField("s").as("s"), x.getField("cap").as("cap"),
+            x.getField("w").as("w"), grant.as("take"),
+            (grant >= x.getField("cap")).as("ex"))
+        }).as("st"))
+    }
+    stepped
+      .select(explode(col("st")).as("x"))
+      .select(col("x.s").as(sourceCol),
+        col("x.cap").cast("long").as(tokensCol),
+        col("x.w").as(weightCol),
+        round(col("x.take"), 6).as("allocated"),
+        when(col("x.cap") > 0, round(col("x.take") / col("x.cap"), 6))
+          .as("rate"),
+        col("x.ex").as("exhausted"))
+  }
+
   def exactBudgetPrefix(
       docs: DataFrame,
       idCol: String,
