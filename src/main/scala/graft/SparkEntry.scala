@@ -1904,6 +1904,19 @@ object SparkEntry {
       graft.ops.Sampling.mixturePlan(stats, "source", "tokens", "weight",
           budget = 10000L)
         .orderBy("source")
+    }),
+
+    // Streaming-shape: SLIDING-window aggregation (batch form) — the
+    // overlapping-window member next to tumbling (q22) and session (q23).
+    // The window generator multiplies rows inside the scan; the one hash
+    // aggregate shuffles O(groups).
+    "q138_sliding_window" -> ((s, dir) => {
+      EventsStream.slidingCounts(
+          EventsStream.readEvents(s, s"$dir/events.parquet"),
+          "1 hour", "15 minutes")
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy("window_start", "event_type")
     }))
 
   // ---- DuckDB oracles ----
@@ -5294,5 +5307,22 @@ object SparkEntry {
                 CASE WHEN x.cap > 0 THEN round(x.take / x.cap, 6) END AS rate,
                 x.ex AS exhausted
          FROM ex3 ORDER BY source"""
-    })
+    },
+
+    // Sliding-window replay: each event expands to the slide-aligned
+    // window starts s with s <= ts < s + length (Spark's epoch-aligned
+    // window() semantics: k from (tsu-len)//slide + 1, strict because an
+    // event at exactly s+len is outside [s, s+len)).
+    "q138_sliding_window" ->
+      """WITH m AS (SELECT epoch_us(ts) AS tsu, event_type, value
+                    FROM events),
+         w AS (SELECT event_type, value,
+                 unnest(range((tsu - 3600000000) // 900000000 + 1,
+                              tsu // 900000000 + 1)) AS k
+               FROM m)
+         SELECT make_timestamp(k * 900000000) AS window_start,
+                make_timestamp(k * 900000000 + 3600000000) AS window_end,
+                event_type, count(*) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""")
 }

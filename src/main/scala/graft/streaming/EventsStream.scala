@@ -115,6 +115,26 @@ object EventsStream {
         col("n_events"), col("total_value"))
   }
 
+  /** Sliding-window aggregation — the overlapping-window member of the
+    * streaming-shape family next to [[windowedCounts]] (tumbling) and
+    * [[sessionizeBatch]] (session): each event contributes to
+    * `length/slide` overlapping windows (Spark's `window()` generator
+    * emits them inline in the scan — the row multiplication happens
+    * BEFORE the one hash aggregate on (window, type), so shuffle volume
+    * is O(groups), not O(events × overlap)). Works identically on a
+    * stream (add a watermark upstream) — the same generator+aggregate is
+    * incrementally maintained there.
+    */
+  def slidingCounts(events: DataFrame, length: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(window(col("ts"), length, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -157,4 +157,29 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(canon(streamed) == canon(batch))
     assert(batch.count() > 0)
   }
+
+  test("slidingCounts: every event lands in exactly length/slide windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val evs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), 1L, "click", 2.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 2L, "click", 3.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 3L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventsStream.slidingCounts(evs, "1 hour", "15 minutes")
+      .orderBy("window_start", "event_type").collect()
+    // 4 windows per event (60/15); the two clicks share one window set
+    // member: starts 9:30..10:15 for e1, 9:45..10:15 for shared coverage.
+    assert(got.map(_.getAs[Long]("n_events")).sum == 3L * 4L)
+    // e1 (10:07) windows start at 9:15? no: starts s with s <= ts < s+1h,
+    // s in 15-min grid: 9:15 < 10:07 ... exact: 9:15,9:30,9:45,10:00.
+    val e1 = got.filter(r => r.getString(2) == "click" &&
+      r.getTimestamp(0).toString.startsWith("2024-01-01 09:15"))
+    assert(e1.length == 1 && e1.head.getAs[Long]("n_events") == 1L)
+    // A window covering both clicks: 10:00-11:00.
+    val both = got.filter(r => r.getString(2) == "click" &&
+      r.getTimestamp(0).toString.startsWith("2024-01-01 10:00"))
+    assert(both.length == 1 && both.head.getAs[Long]("n_events") == 2L &&
+      both.head.getAs[Double]("total_value") == 5.0)
+  }
 }
