@@ -1917,6 +1917,15 @@ object SparkEntry {
         .select(col("window_start"), col("window_end"), col("event_type"),
           col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy("window_start", "event_type")
+    }),
+
+    // Score calibration: map n_chars to its approximate corpus percentile
+    // via a fixed bucket grid (q129's edges) — deterministic, scan-shaped
+    // (no corpus sort, no sketch), comparable across sources.
+    "q139_quantile_normalize" -> ((s, dir) => {
+      Curation.quantileNormalize(t(s, dir, "documents"), "doc_id",
+          "n_chars", Seq(100.0, 200.0, 400.0, 800.0, 1600.0))
+        .orderBy("doc_id")
     }))
 
   // ---- DuckDB oracles ----
@@ -5324,5 +5333,38 @@ object SparkEntry {
                 make_timestamp(k * 900000000 + 3600000000) AS window_end,
                 event_type, count(*) AS n_events,
                 round(sum(value), 2) AS total_value
-         FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""")
+         FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
+
+    // ECDF replay: same fixed buckets, exclusive cumulative over the
+    // B-row bucket frame, same interpolation (midpoint in the unbounded
+    // end buckets, frac 0 exactly on an edge).
+    "q139_quantile_normalize" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) AS v,
+             CASE WHEN n_chars < 100 THEN 0 WHEN n_chars < 200 THEN 1
+                  WHEN n_chars < 400 THEN 2 WHEN n_chars < 800 THEN 3
+                  WHEN n_chars < 1600 THEN 4 ELSE 5 END AS bucket
+           FROM documents),
+         c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+         g AS (SELECT bucket, n,
+                 CAST(coalesce(sum(n) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cb,
+                 CAST(sum(n) OVER () AS BIGINT) AS nn
+               FROM c),
+         e(bucket, lo, hi) AS (VALUES
+           (0, '-infinity'::DOUBLE, 100.0::DOUBLE),
+           (1, 100.0::DOUBLE, 200.0::DOUBLE),
+           (2, 200.0::DOUBLE, 400.0::DOUBLE),
+           (3, 400.0::DOUBLE, 800.0::DOUBLE),
+           (4, 800.0::DOUBLE, 1600.0::DOUBLE),
+           (5, 1600.0::DOUBLE, 'infinity'::DOUBLE))
+         SELECT b.doc_id, b.n_chars, b.bucket,
+                CAST(floor((g.cb + CASE WHEN isinf(e.lo) OR isinf(e.hi)
+                                        THEN 0.5
+                                        ELSE (b.v - e.lo) / (e.hi - e.lo) END
+                            * g.n) / g.nn * 1000000.0 + 0.5) AS BIGINT)
+                  AS pct_ppm
+         FROM b JOIN g USING (bucket) JOIN e USING (bucket)
+         ORDER BY b.doc_id""")
 }

@@ -1038,6 +1038,68 @@ object Curation {
         "psi_term")
   }
 
+  /** Fixed-edge ECDF score calibration: map a raw per-row metric (quality
+    * score, length, perplexity) to its approximate corpus percentile via
+    * a FIXED bucket grid — the deterministic, scan-shaped alternative to
+    * rank-based normalization (an exact global rank is a corpus sort;
+    * a sketch quantile is partition-order-dependent). Scores calibrated
+    * this way compare ACROSS heterogeneous sources, which is what a
+    * mixed-corpus quality threshold actually needs.
+    *
+    * `pct = (count_below_bucket + frac_within × bucket_count) / N` with
+    * linear interpolation inside bounded buckets; the two unbounded end
+    * buckets use the midpoint convention (frac = 0.5) — documented bias,
+    * bounded by the end buckets' mass (size the grid so the tails are
+    * thin). Rows exactly on an edge belong to the upper bucket, so the
+    * mapping is continuous at edges (frac 0 there).
+    *
+    * Scale shape: ONE bucket-count aggregate (B rows), an ordered fold
+    * over that B-row frame (same metadata-scale justification as
+    * [[driftReport]]'s totals window), broadcast back into a pure
+    * projection — the corpus is scanned once and never shuffled.
+    *
+    * The percentile publishes as `pct_ppm` (parts-per-million, long):
+    * `floor(p·10⁶ + 0.5)` is pure IEEE double arithmetic — bit-identical
+    * on any engine computing the same `p` — where a decimal `round(p, 6)`
+    * hits engine-specific tie behavior exactly when values/edges are
+    * integral and the rational `p` terminates near the 6th decimal (the
+    * q80 robust_z lesson).
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      "edges must be non-empty, strictly increasing")
+    def bucketOf(v: Column): Column =
+      edges.zipWithIndex.foldRight(lit(edges.size)) { case ((e, i), rest) =>
+        when(v < e, lit(i)).otherwise(rest)
+      }
+    val v = col(valueCol).cast("double")
+    val counts = df.select(bucketOf(v).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    // Exclusive cumulative + total over the B-row bucket frame.
+    val bw = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = counts
+      .withColumn("cb", coalesce(sum(col("n")).over(bw), lit(0L)))
+      .withColumn("nn", sum(col("n")).over())
+    val lo = element_at(
+      array((Double.NegativeInfinity +: edges).map(lit): _*), col("bucket") + 1)
+    val hi = element_at(
+      array((edges :+ Double.PositiveInfinity).map(lit): _*), col("bucket") + 1)
+    df.select(col(idCol), col(valueCol), bucketOf(v).as("bucket"), v.as("__v"))
+      .join(broadcast(cum), Seq("bucket"))
+      .withColumn("__frac",
+        when(lo === lit(Double.NegativeInfinity) ||
+            hi === lit(Double.PositiveInfinity), lit(0.5))
+          .otherwise((col("__v") - lo) / (hi - lo)))
+      .select(col(idCol), col(valueCol), col("bucket"),
+        floor((col("cb") + col("__frac") * col("n")) / col("nn")
+          * lit(1000000.0) + lit(0.5)).cast("long").as("pct_ppm"))
+  }
+
   /** Concat-and-chunk sequence packing: documents are concatenated in
     * `idCol` order WITHIN each shard and cut into fixed `seqLen`-token
     * training sequences; a document token-interval [start, end) overlaps

@@ -886,4 +886,15 @@ class CurationSpec extends AnyFunSuite {
       y.getLong(4), y.getDouble(5), y.getDouble(6)) ==
       (("y", 2L, 1L, 2L, 3L, 3.0, 0.666667)))
   }
+
+  test("quantileNormalize: hand-computed ECDF with midpoint tails") {
+    val df = (1L to 10L).map(i => (i, i)).toDF("doc_id", "v")
+    val got = Curation.quantileNormalize(df, "doc_id", "v", Seq(3.0, 7.0))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    // buckets: (-inf,3)={1,2} n=2; [3,7)={3..6} n=4; [7,inf)={7..10} n=4.
+    assert(got(1L) == ((0, 100000L)))  // unbounded: (0 + 0.5*2)/10
+    assert(got(5L) == ((1, 400000L)))  // (2 + ((5-3)/4)*4)/10
+    assert(got(3L) == ((1, 200000L)))  // edge row: frac 0, continuous
+    assert(got(8L) == ((2, 800000L)))  // unbounded: (6 + 0.5*4)/10
+  }
 }
