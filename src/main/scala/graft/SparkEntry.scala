@@ -1926,6 +1926,27 @@ object SparkEntry {
       Curation.quantileNormalize(t(s, dir, "documents"), "doc_id",
           "n_chars", Seq(100.0, 200.0, 400.0, 800.0, 1600.0))
         .orderBy("doc_id")
+    }),
+
+    // Kappa twin of q138: the SAME sliding-window generator+aggregate
+    // maintained incrementally over the event stream; state is one row
+    // per open (window, type) group. Oracle = q138's batch SQL.
+    "q140_streaming_sliding" -> ((s, dir) => {
+      EventsStream.runStreamingSlidingSmoke(s, dir)
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Crawl-increment novelty: distinct word-3-grams of every document
+    // anti-joined against the seen corpus's (src0) gram fingerprints —
+    // both sides corpus-scale, so both shuffle on 16-byte md5 keys (the
+    // benchmark-decontamination broadcast does NOT apply here).
+    "q141_novelty_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.noveltyReport(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", n = 3)
+        .orderBy("doc_id")
     }))
 
   // ---- DuckDB oracles ----
@@ -5366,5 +5387,49 @@ object SparkEntry {
                             * g.n) / g.nn * 1000000.0 + 0.5) AS BIGINT)
                   AS pct_ppm
          FROM b JOIN g USING (bucket) JOIN e USING (bucket)
-         ORDER BY b.doc_id""")
+         ORDER BY b.doc_id""",
+
+    // Stream ≡ batch: the sliding windows accumulated by the streaming
+    // query equal the q138 batch derivation.
+    "q140_streaming_sliding" ->
+      """WITH m AS (SELECT epoch_us(ts) AS tsu, event_type, value
+                    FROM events),
+         w AS (SELECT event_type, value,
+                 unnest(range((tsu - 3600000000) // 900000000 + 1,
+                              tsu // 900000000 + 1)) AS k
+               FROM m)
+         SELECT make_timestamp(k * 900000000) AS window_start,
+                make_timestamp(k * 900000000 + 3600000000) AS window_end,
+                event_type, count(*) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
+
+    // Novelty replay: same distinct word-3-grams both sides, anti join on
+    // the raw grams (Spark joins md5 fingerprints of the same grams), the
+    // q139 floor-ppm discipline for the ratio.
+    "q141_novelty_report" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+         dg AS (SELECT DISTINCT doc_id, gram FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3 + 2),
+                    i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                      CAST(i + 2 AS INTEGER)), ' '))) AS gram
+                  FROM d WHERE len(tk) >= 3)),
+         rg AS (SELECT DISTINCT gram FROM (
+                  SELECT unnest(list_transform(range(1, len(tk) - 3 + 2),
+                    i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                      CAST(i + 2 AS INTEGER)), ' '))) AS gram
+                  FROM d JOIN documents USING (doc_id)
+                  WHERE source = 'src0' AND len(tk) >= 3)),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+         nv AS (SELECT doc_id, count(*) AS novel FROM dg
+                ANTI JOIN rg USING (gram) GROUP BY doc_id)
+         SELECT d2.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+                coalesce(nv.novel, 0) AS novel_grams,
+                CASE WHEN coalesce(s.n_grams, 0) > 0
+                     THEN CAST(floor(CAST(coalesce(nv.novel, 0) AS DOUBLE)
+                       / s.n_grams * 1000000.0 + 0.5) AS BIGINT) END
+                  AS novelty_ppm
+         FROM documents d2 LEFT JOIN sizes s USING (doc_id)
+                           LEFT JOIN nv USING (doc_id)
+         ORDER BY d2.doc_id""")
 }

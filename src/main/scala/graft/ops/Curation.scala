@@ -76,6 +76,55 @@ object Curation {
     out
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus: what
+    * fraction of each document's distinct word n-grams the reference has
+    * never seen — the memorization/near-duplication audit run when
+    * deciding whether a crawl increment adds information or re-serves the
+    * existing corpus (high novelty = genuinely new text; near-zero
+    * novelty = already covered, a dedup candidate the MinHash pipeline
+    * may have missed across paraphrase boundaries at small n).
+    *
+    * The structural difference from [[contaminationReport]]: the
+    * reference side is CORPUS-scale (a benchmark is MBs; the seen corpus
+    * is TBs), so its distinct-gram set cannot broadcast — both sides
+    * shuffle on 16-byte md5 gram fingerprints and the unseen count is a
+    * LEFT ANTI join, the shape that stays balanced at any corpus ratio.
+    * Gram extraction is the [[graft.functions.HashExpressions.ShingleSet]]
+    * tight loop on both sides.
+    *
+    * Returns `(idCol, n_grams, novel_grams, novelty_ppm)` —
+    * `novelty_ppm = floor(novel/n_grams·10⁶ + 0.5)` (the q139 tie-proof
+    * discipline), NULL for docs with no n-grams.
+    */
+  def noveltyReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: DataFrame,
+      refTextCol: String,
+      n: Int = 3): DataFrame = {
+    def grams(df: DataFrame, textC: String, cols: Column*): DataFrame = df
+      .select(cols :+
+        graft.functions.HashExpressions.shingleSet(col(textC), n).as("__sh"): _*)
+      .select(cols :+ explode(col("__sh")).as("__gram"): _*)
+      .select(cols :+ md5(col("__gram")).as("__fp"): _*)
+    val docGrams = grams(docs, textCol, col(idCol))
+    val refGrams = grams(ref, refTextCol).select("__fp").distinct()
+    val sizes = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val novel = docGrams.join(refGrams, Seq("__fp"), "left_anti")
+      .groupBy(idCol).agg(count(lit(1)).as("novel_grams"))
+    docs.select(col(idCol))
+      .join(sizes, Seq(idCol), "left")
+      .join(novel, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        when(col("n_grams") > 0,
+          floor(coalesce(col("novel_grams"), lit(0L)).cast("double") /
+            col("n_grams") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("novelty_ppm"))
+  }
+
   /** Persist a benchmark's distinct gram fingerprints — the
     * decontamination index. Building it scans the benchmark once; probing
     * ([[contaminationReportWithIndex]]) then costs one broadcast of the

@@ -552,6 +552,12 @@ object Sampling {
             x.getField("w").as("w"), grant.as("take"),
             (grant >= x.getField("cap")).as("ex"))
         }).as("st"))
+        // Exchange barrier between rounds: CollapseProject would otherwise
+        // merge all rounds into one projection where each round's state
+        // expression inlines the previous round's SEVERAL times — the
+        // tree grows exponentially in `rounds` and codegen compilation
+        // dominates the query. The frame is one row; the barrier is free.
+        .repartition(1)
     }
     stepped
       .select(explode(col("st")).as("x"))

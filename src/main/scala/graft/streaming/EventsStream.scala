@@ -555,4 +555,19 @@ object EventsStream {
     finally q.stop()
     spark.table("events_windowed")
   }
+
+  /** Streaming smoke for [[slidingCounts]] — the kappa twin of the batch
+    * sliding-window report: the same generator+aggregate maintained
+    * incrementally; state is one row per open (window, type) group,
+    * bounded by the watermark horizon × overlap factor, never by events.
+    */
+  def runStreamingSlidingSmoke(spark: SparkSession, dir: String): DataFrame = {
+    val stream = readEventsStream(spark, dir)
+    val agg = slidingCounts(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("events_sliding").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table("events_sliding")
+  }
 }

@@ -897,4 +897,17 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L) == ((1, 200000L)))  // edge row: frac 0, continuous
     assert(got(8L) == ((2, 800000L)))  // unbounded: (6 + 0.5*4)/10
   }
+
+  test("noveltyReport: unseen-gram fractions against a reference corpus") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val ref = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val got = Curation.noveltyReport(docs, "doc_id", "text", ref, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    // doc 1 grams {a b c, b c d}: "b c d" unseen -> 1/2.
+    assert(got(1L) == ((2L, 1L, Some(500000L))))
+    assert(got(2L) == ((1L, 0L, Some(0L))))    // fully covered
+    assert(got(3L) == ((0L, 0L, None)))        // too short for a 3-gram
+  }
 }
