@@ -532,33 +532,35 @@ object Sampling {
       x.getField("s").as("s"), x.getField("cap").as("cap"),
       x.getField("w").as("w"), lit(0.0).as("take"),
       (x.getField("cap") <= 0.0).as("ex")))
-    val seeded = one.select(st0.as("st"))
-    val stepped = (1 to rounds).foldLeft(seeded) { (df, _) =>
-      // Scalars of this round, folded in sorted-source order.
-      val wsum = aggregate(col("st"), lit(0.0), (acc, x) =>
-        acc + when(!x.getField("ex"), x.getField("w")).otherwise(lit(0.0)))
-      val taken = aggregate(col("st"), lit(0.0), (acc, x) =>
-        acc + x.getField("take"))
-      val rem = lit(budget.toDouble) - taken
-      df.select(col("st"), wsum.as("__wsum"), rem.as("__rem"))
-        .select(transform(col("st"), { x =>
-          val grant = when(!x.getField("ex") && col("__wsum") > 0 &&
-              col("__rem") > 0,
+    // The rounds iterate as DATA (a fold over sequence(1, rounds)), not as
+    // Scala-unrolled selects: unrolling inlines each round's state
+    // expression into the next round's several references, the tree grows
+    // ~6× per round, and the per-row interpreted walk of the round-3
+    // expression was measured at seconds — an exchange barrier between
+    // rounds doesn't survive the optimizer (projects push through
+    // repartition and re-collapse). One HOF keeps the tree CONSTANT in
+    // `rounds` and evaluates iteratively. The round scalars (wsum,
+    // remaining) re-derive per element — O(sources²) per round on a
+    // dimension-scale array, and bit-identical on every re-derivation, so
+    // oracle parity is unaffected.
+    def roundScalar(st: Column, f: Column => Column): Column =
+      aggregate(st, lit(0.0), (acc, x) => acc + f(x))
+    val stepped = one.select(
+      aggregate(sequence(lit(1), lit(rounds)), st0, (st, _) => {
+        def wsum = roundScalar(st, x =>
+          when(!x.getField("ex"), x.getField("w")).otherwise(lit(0.0)))
+        def rem = lit(budget.toDouble) -
+          roundScalar(st, x => x.getField("take"))
+        transform(st, { x =>
+          val grant = when(!x.getField("ex") && wsum > 0 && rem > 0,
             least(x.getField("cap"),
-              x.getField("take") +
-                col("__rem") * x.getField("w") / col("__wsum")))
+              x.getField("take") + rem * x.getField("w") / wsum))
             .otherwise(x.getField("take"))
           struct(x.getField("s").as("s"), x.getField("cap").as("cap"),
             x.getField("w").as("w"), grant.as("take"),
             (grant >= x.getField("cap")).as("ex"))
-        }).as("st"))
-        // Exchange barrier between rounds: CollapseProject would otherwise
-        // merge all rounds into one projection where each round's state
-        // expression inlines the previous round's SEVERAL times — the
-        // tree grows exponentially in `rounds` and codegen compilation
-        // dominates the query. The frame is one row; the barrier is free.
-        .repartition(1)
-    }
+        })
+      }).as("st"))
     stepped
       .select(explode(col("st")).as("x"))
       .select(col("x.s").as(sourceCol),
