@@ -62,4 +62,36 @@ object Skew {
       .join(replicatedBuild, keys :+ "__salt", joinType)
       .drop("__salt")
   }
+
+  /** Key-skew diagnostics: the measurement that decides WHETHER to reach
+    * for [[saltedAggregate]]/[[saltedJoin]] (or trust AQE) — per hot key,
+    * its row count, corpus share, and the salt-bucket count that would
+    * bring its salted sub-groups back to the average key's size
+    * (`ceil(count / avg) = ceil(count·n_keys / total)`, exact integer
+    * arithmetic). A key with `salt_buckets = 1` doesn't need salting;
+    * the report's top entry IS the partition that stalls a 1000-executor
+    * stage.
+    *
+    * Scale shape: one map-side-combined count aggregate on the key, a
+    * 1-row totals aggregate broadcast back, and a bounded top-k sort —
+    * the corpus shuffles only count partials. Share ships as floor-ppm
+    * (the tie-proof discipline).
+    */
+  def skewReport(
+      df: DataFrame,
+      keyCol: String,
+      topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum("n").as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n"),
+        floor(col("n").cast("double") / col("__total") * lit(1000000.0) +
+          lit(0.5)).cast("long").as("share_ppm"),
+        call_function("div",
+          col("n") * col("__nkeys") + col("__total") - 1, col("__total"))
+          .cast("long").as("salt_buckets"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topK)
+  }
 }

@@ -73,4 +73,17 @@ class SkewFunctionsSpec extends AnyFunSuite {
     assert(row.getLong(2) != 0L)
     assert(row.getInt(3) > 0)
   }
+
+  test("skewReport: hot key gets the salt factor that rebalances it") {
+    // 4 keys: a=60, b=20, c=15, d=5 -> total 100, avg 25.
+    val rows = Seq.fill(60)("a") ++ Seq.fill(20)("b") ++
+      Seq.fill(15)("c") ++ Seq.fill(5)("d")
+    val got = Skew.skewReport(rows.toDF("k"), "k", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 3)
+    // a: share 60%, salt ceil(60/25) = 3; b: ceil(20/25) = 1 (no salting).
+    assert(got(0) == (("a", 60L, 600000L, 3L)))
+    assert(got(1) == (("b", 20L, 200000L, 1L)))
+    assert(got(2) == (("c", 15L, 150000L, 1L)))
+  }
 }
