@@ -57,6 +57,49 @@ object Bench {
     runs(runs.size / 2)
   }
 
+  // ---------------------------------------------------------------------
+  // Contention evidence (round-9): the r8 driver artifact reported q63 at
+  // 22.3 s where the identical binary measured 2.1 s on a quiet box, and
+  // NOTHING in the JSON let a reader tell environment from engine. Three
+  // independent witnesses fix that:
+  //  1. a CALIBRATION PROBE — a fixed single-threaded xorshift spin whose
+  //     work is calibrated once (≈100 ms) before the first pass and then
+  //     never changes; it runs interleaved every PROBE_EVERY query-runs.
+  //     The spin touches no Spark state, no disk and no allocation, so the
+  //     ONLY thing that can stretch it is the machine itself. probe.max /
+  //     probe.base ≫ 1 ⇒ ambient load during the run.
+  //  2. /proc/loadavg snapshots at every pass boundary.
+  //  3. per-query RAW SAMPLES: the full per-pass sample lists go to a
+  //     detail file, and any query whose samples disagree with each other
+  //     (spread ratio > 1.5 and absolute spread > 0.3 s, or median > 3 s)
+  //     ships its samples INLINE in the one-line JSON, so an outlier
+  //     classifies itself: consistent samples ⇒ engine, one wild sample
+  //     with probe drift ⇒ environment.
+  // `total_min` (sum of per-query minima) is the contention-robust suite
+  // total: for a deterministic workload the minimum over shuffled passes is
+  // the best estimate of uncontended cost.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic single-threaded CPU spin: `iters` xorshift64 steps.
+    * Returns (seconds, sink) — sink defeats dead-code elimination. */
+  private def spin(iters: Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    ((System.nanoTime() - t0) / 1e9, x)
+  }
+
+  /** First token of /proc/loadavg (1-minute load), or -1 if unreadable. */
+  private def loadavg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  private def fmt(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,20 +111,22 @@ object Bench {
     // Shuffling per pass turns neighbor effects into cross-repeat variance,
     // which the median then rejects.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Static conf, default 100: a 128-query suite cycles hundreds of
+      // Static conf, default 100: a 141-query suite cycles hundreds of
       // codegen units through a 100-entry LRU, so with isolated shuffled
       // passes every run re-compiles (janino) and re-JITs its generated
       // classes — measured ~2 s on composite curation plans (q77
-      // 3.9→1.7 s, q17 3.0→1.8 s). A long-lived production executor holds exactly this
-      // cache warm; sizing it to the suite prices steady-state execution,
-      // not compiler churn. Compiled classes only — no data survives the
-      // between-query sweep.
+      // 3.9→1.7 s, q17 3.0→1.8 s). A long-lived production executor holds
+      // exactly this cache warm; sizing it to the suite prices steady-state
+      // execution, not compiler churn. Compiled classes only — no data
+      // survives the between-query sweep.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,6 +136,25 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.catalog.clearCache()
+
+    // Calibrate the probe ONCE to ≈100 ms of fixed work, then freeze the
+    // iteration count: every later probe run does identical work, so its
+    // wall time moves only with machine contention. Baseline = median of 5.
+    val probeIters: Long = {
+      var it = 1L << 22
+      var t = spin(it)._1
+      while (t < 0.02) { it *= 4; t = spin(it)._1 } // coarse floor
+      math.max(1L, (it * 0.1 / t).toLong)
+    }
+    val probeBase: Double = {
+      val xs = (1 to 5).map(_ => spin(probeIters)._1).sorted
+      xs(xs.size / 2)
+    }
+    val probeEvery = 20
+    val probeLog = collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val loadLog = collection.mutable.ArrayBuffer.empty[(String, Double)]
+    loadLog += (("start", loadavg()))
+
     // SPARK_GRAFT_BENCH_ONLY=q25,q46 restricts to a prefix-matched subset
     // (local iteration; the driver leaves it unset).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -100,10 +164,13 @@ object Bench {
     val times = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val errors = collection.mutable.Map.empty[String, String]
+    var seq = 0
     for (pass <- 1 to repeats) {
       val order = new scala.util.Random(42 + pass).shuffle(suite)
       for ((name, fn) <- order) {
         isolate(spark)
+        if (seq % probeEvery == 0) probeLog += ((seq, spin(probeIters)._1))
+        seq += 1
         val t0 = System.nanoTime()
         // A failed query must surface in the bench JSON (as its exception
         // class), never be silently timed as a fast success.
@@ -112,33 +179,84 @@ object Bench {
           times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
         } catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
       }
+      loadLog += ((s"pass$pass", loadavg()))
     }
     isolate(spark)
+    probeLog += ((seq, spin(probeIters)._1))
     val floor = streamFloor(spark, sfDir, math.max(repeats, 3))
+    loadLog += (("end", loadavg()))
 
     def median(xs: List[Double]): Double =
       if (xs.isEmpty) 0.0 else { val s = xs.sorted; s(s.size / 2) }
+    // samples are prepended per pass; reverse back to pass order for output
     val results = suite.map { case (name, _) =>
-      (name, median(times(name)), errors.get(name))
+      (name, median(times(name)), times(name).reverse, errors.get(name))
     }
+    def short(name: String): String = name.split("_")(0)
+
+    // Full per-pass samples + probe timeline + loadavg to the detail file
+    // (unbounded size is fine there — it is a repo artifact, not driver
+    // stdout). The one-line JSON stays within the driver's tail capture.
+    val detail = {
+      val samples = results.map { case (k, _, xs, _) =>
+        "\"" + short(k) + "\":[" + xs.map(fmt).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val probes = probeLog.map { case (s, t) => s"[$s,${fmt(t)}]" }
+        .mkString("[", ",", "]")
+      val loads = loadLog.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, _, Some(e)) =>
+        "\"" + short(k) + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+      s"""{"sf":"$sfDir","repeats":$repeats,"probe_base":${fmt(probeBase)},"probe_iters":$probeIters,"probe_timeline":$probes,"loadavg":$loads,"samples":$samples,"errors":$errs}"""
+    }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // detail file is best-effort
+
     // Keep the JSON line SHORT: the driver captures only the tail of the
     // run output, and a 127-query line with full names + 9-decimal values
     // overflows that capture (round-4 bench parsed as null). qNN keys +
     // millisecond precision keep the whole line well under the budget.
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def short(name: String): String = name.split("_")(0)
-    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + short(k) + "\":\"" + e + "\"" }
-      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      "\"" + short(k) + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     // Floor-subtracted times for the streaming queries: each pays the
     // measured micro-batch setup floor at least once, so `raw − floor` is
     // the round-over-round comparable part (a sub-floor raw clamps to 0).
-    val adj = results.collect { case (k, v, None) if k.contains("_streaming") =>
-      s"\"" + short(k) + "\":" + fmt(math.max(0.0, v - floor))
+    val adj = results.collect { case (k, v, _, None) if k.contains("_streaming") =>
+      "\"" + short(k) + "\":" + fmt(math.max(0.0, v - floor))
     }.mkString("{", ",", "}")
+    // Inline evidence for any sample set that cannot speak for itself via
+    // the median alone: high spread among WARM samples (ratio > 1.5 AND
+    // > 0.3 s absolute) or a slow median (> 3 s). The chronological first
+    // sample is excluded from the spread test — it structurally carries
+    // that query's one-time codegen compile (janino), so first-vs-warm
+    // spread is expected, not evidence. Near-empty on a quiet machine; on
+    // a contended one the wild samples sit right next to the quiet ones.
+    val suspect = results.collect {
+      case (k, med, xs, None) if xs.nonEmpty && {
+        val steady = xs.drop(1)
+        val spread = steady.size >= 2 && {
+          val mn = steady.min; val mx = steady.max
+          mx / math.max(mn, 1e-9) > 1.5 && mx - mn > 0.3
+        }
+        spread || med > 3.0
+      } => "\"" + short(k) + "\":[" + xs.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val probeMed = {
+      val xs = probeLog.map(_._2).toList.sorted
+      if (xs.isEmpty) probeBase else xs(xs.size / 2)
+    }
+    val probeMax = if (probeLog.isEmpty) probeBase else probeLog.map(_._2).max
+    val probeJson =
+      s"""{"base":${fmt(probeBase)},"med":${fmt(probeMed)},"max":${fmt(probeMax)},"drift":${fmt(probeMax / math.max(probeBase, 1e-9))}}"""
+    val loads = loadLog.map { case (_, v) => fmt(v) }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"repeats":$repeats,"sf":"$sfDir"}""")
+    val totalMin = results.map { case (_, _, xs, _) =>
+      if (xs.isEmpty) 0.0 else xs.min }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"suspect":$suspect,"probe":$probeJson,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

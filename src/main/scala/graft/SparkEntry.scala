@@ -19,6 +19,32 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Session-scoped /tmp scratch dir for the interchange/streaming queries
+    * (q81/q82/q88/q89/q92/q97). The returned DataFrame of those queries
+    * READS from the dir (roundtrip files, streaming state), so the dir
+    * cannot be deleted inside the query function — the caller consumes the
+    * plan after we return. Instead every scratch dir is registered with ONE
+    * JVM shutdown hook that removes them all, so a full Verify+Bench
+    * session leaves /tmp exactly as it found it (the r8 leak: ~150
+    * `graft-*` dirs per session — an operational problem on shared
+    * cluster-local disks).
+    */
+  private val scratchDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.io.File]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { f =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: Throwable => () }
+      }
+    }))
+  }
+  private def scratch(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p.toFile)
+    p.toString
+  }
+
   /** Shared near-dup clusters for the dedup RELEASE pair — q105 (keep-best
     * survivors) and q113 (audit card) are two artifacts of ONE pipeline run
     * (pairs → closure), so the cluster table is computed once per corpus
@@ -629,7 +655,7 @@ object SparkEntry {
     // new events sorted-merge into each user's stored element list and
     // only touched hash buckets rewrite. Oracle = q85's batch SQL.
     "q88_streaming_assembly" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q88").toString
+      val base = scratch("graft-q88")
       Curation.streamingAssembleSequences(
           EventsStream.readEventsStream(s, dir, "events.parquet"),
           "user_id", "ts", "event_id", "event_type", sep = ">",
@@ -680,7 +706,7 @@ object SparkEntry {
       val centroids = emb
         .filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
-      val base = java.nio.file.Files.createTempDirectory("graft-q82").toString
+      val base = scratch("graft-q82")
       Similarity.streamingIvfIngest(s, dir, "embeddings.parquet",
           "vec_id", "embedding", centroids,
           indexDir = s"$base/index", checkpointDir = s"$base/ckpt")
@@ -693,7 +719,7 @@ object SparkEntry {
     // accumulated band index serves cross-batch candidates. The oracle is
     // q16's batch SQL: pair discovery is batch-split-invariant.
     "q81_streaming_minhash" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q81").toString
+      val base = scratch("graft-q81")
       Dedup.streamingMinHashNearDuplicates(s, dir, "documents.parquet",
           "doc_id", "text", stateDir = s"$base/state",
           checkpointDir = s"$base/ckpt", threshold = 0.5)
@@ -1188,7 +1214,7 @@ object SparkEntry {
     // projection), must round-trip to the parquet original. The 25-row
     // collect is fixture GENERATION, not a data path.
     "q89_dsv_regex" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q89")
+      val base = java.nio.file.Paths.get(scratch("graft-q89"))
       val rows = t(s, dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey").collect()
@@ -1268,7 +1294,7 @@ object SparkEntry {
     // JSONL reader must reproduce the parquet original — the interchange
     // format most LLM corpus tooling ships.
     "q92_jsonl_roundtrip" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q92").toString
+      val base = scratch("graft-q92")
       val docs = t(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
       graft.io.JsonLines.write(docs, s"$base/docs.jsonl", shards = 4)
@@ -1338,7 +1364,7 @@ object SparkEntry {
     // back through the explicit-schema reader must reproduce the parquet
     // original — the Hive-lineage columnar interchange twin of q92.
     "q97_orc_roundtrip" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q97").toString
+      val base = scratch("graft-q97")
       val docs = t(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
       graft.io.Orc.write(docs, s"$base/docs.orc", shards = 4)
