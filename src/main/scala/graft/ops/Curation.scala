@@ -108,7 +108,11 @@ object Curation {
         graft.functions.HashExpressions.shingleSet(col(textC), n).as("__sh"): _*)
       .select(cols :+ explode(col("__sh")).as("__gram"): _*)
       .select(cols :+ md5(col("__gram")).as("__fp"): _*)
-    val docGrams = grams(docs, textCol, col(idCol))
+    // Two consumers below (the sizes aggregate and the left-anti novel
+    // count) — persist so the corpus-scale shingle explosion + md5
+    // fingerprinting runs once per action, exactly as contaminationReport
+    // does for the same dual-consumer shape.
+    val docGrams = grams(docs, textCol, col(idCol)).persist()
     val refGrams = grams(ref, refTextCol).select("__fp").distinct()
     val sizes = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     val novel = docGrams.join(refGrams, Seq("__fp"), "left_anti")

@@ -473,25 +473,6 @@ object Sampling {
     assignSplit(joined, repCol, fractions, defaultSplit, splitCol)
   }
 
-  /** EXACT token-budget prefix selection: admit documents in deterministic
-    * `md5(id)` order until the cumulative token count reaches `budget` —
-    * the first row to cross the boundary is included, everything after is
-    * not. [[sampleToTokenBudget]] hits a budget in EXPECTATION through
-    * per-row rate cuts; this is the exact-cut variant a release manifest
-    * wants ("these docs, in this order, total ≥ budget, minimal
-    * overshoot"), and the selection is a pure function of ids and token
-    * counts — reproducible anywhere, appendable (a larger budget extends
-    * the same prefix, it never reshuffles the selection).
-    *
-    * The cumulative count is [[PrefixScan.runningSumExclusive]] bucketed
-    * by the first two hex digits of the md5 key (256 buckets, monotone in
-    * the scan order by construction) — no single-partition sort at any
-    * corpus size.
-    *
-    * Returns the selected rows as `(idCol, n_tok, cum_before)` where
-    * `cum_before` is the budget consumed BEFORE the row (so
-    * `cum_before < budget` IS the admission predicate).
-    */
   /** Mixture feasibility planner (water-filling): given per-source
     * capacities (available tokens), target mixture weights, and a token
     * budget, compute the ACHIEVABLE per-source allocation — each round
@@ -572,6 +553,25 @@ object Sampling {
         col("x.ex").as("exhausted"))
   }
 
+  /** EXACT token-budget prefix selection: admit documents in deterministic
+    * `md5(id)` order until the cumulative token count reaches `budget` —
+    * the first row to cross the boundary is included, everything after is
+    * not. [[sampleToTokenBudget]] hits a budget in EXPECTATION through
+    * per-row rate cuts; this is the exact-cut variant a release manifest
+    * wants ("these docs, in this order, total ≥ budget, minimal
+    * overshoot"), and the selection is a pure function of ids and token
+    * counts — reproducible anywhere, appendable (a larger budget extends
+    * the same prefix, it never reshuffles the selection).
+    *
+    * The cumulative count is [[PrefixScan.runningSumExclusive]] bucketed
+    * by the first two hex digits of the md5 key (256 buckets, monotone in
+    * the scan order by construction) — no single-partition sort at any
+    * corpus size.
+    *
+    * Returns the selected rows as `(idCol, n_tok, cum_before)` where
+    * `cum_before` is the budget consumed BEFORE the row (so
+    * `cum_before < budget` IS the admission predicate).
+    */
   def exactBudgetPrefix(
       docs: DataFrame,
       idCol: String,

@@ -67,8 +67,9 @@ object Skew {
     * for [[saltedAggregate]]/[[saltedJoin]] (or trust AQE) — per hot key,
     * its row count, corpus share, and the salt-bucket count that would
     * bring its salted sub-groups back to the average key's size
-    * (`ceil(count / avg) = ceil(count·n_keys / total)`, exact integer
-    * arithmetic). A key with `salt_buckets = 1` doesn't need salting;
+    * (`ceil(count / avg) = ceil(count·n_keys / total)`, computed in
+    * doubles — see the overflow note at the expression). A key with
+    * `salt_buckets = 1` doesn't need salting;
     * the report's top entry IS the partition that stalls a 1000-executor
     * stage.
     *
@@ -88,8 +89,13 @@ object Skew {
       .select(col(keyCol), col("n"),
         floor(col("n").cast("double") / col("__total") * lit(1000000.0) +
           lit(0.5)).cast("long").as("share_ppm"),
-        call_function("div",
-          col("n") * col("__nkeys") + col("__total") - 1, col("__total"))
+        // ceil(n·n_keys/total) via doubles: the integer form
+        // div(n·n_keys + total − 1, total) overflows Long on the extreme
+        // corpora this diagnostic targets (a ~1e9-row hot key in a
+        // ~1e10-distinct-key table puts n·n_keys past 2^63 and the salt
+        // factor goes negative). Exactness is not needed for a sizing
+        // hint; doubles keep the value sane at any scale.
+        ceil(col("n").cast("double") * col("__nkeys") / col("__total"))
           .cast("long").as("salt_buckets"))
       .orderBy(col("n").desc, col(keyCol))
       .limit(topK)
