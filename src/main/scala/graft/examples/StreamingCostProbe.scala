@@ -43,17 +43,17 @@ object StreamingCostProbe {
     }
 
     import graft.streaming.EventsStream
-    // q140 shape: sliding windows, complete-mode memory sink
-    report("q140 sliding complete-mode") {
-      EventsStream.slidingCounts(EventsStream.readEventsStream(spark, sfDir))
-        .writeStream.outputMode("complete").format("memory")
-        .queryName("probe_sliding").start()
-    }
-    // Same aggregate, update mode (what would the sink mode buy?)
-    report("q140 sliding update-mode") {
-      EventsStream.slidingCounts(EventsStream.readEventsStream(spark, sfDir))
-        .writeStream.outputMode("update").format("memory")
-        .queryName("probe_sliding_upd").start()
+    // Each mode twice in one JVM: run 1 of whichever mode goes first also
+    // pays the streaming-path classload/JIT, so only run-2 numbers are
+    // mode-comparable.
+    var i = 0
+    for (run <- 1 to 2; mode <- Seq("complete", "update")) {
+      i += 1
+      report(s"q140 sliding $mode-mode run$run") {
+        EventsStream.slidingCounts(EventsStream.readEventsStream(spark, sfDir))
+          .writeStream.outputMode(mode).format("memory")
+          .queryName(s"probe_sliding_$i").start()
+      }
     }
     // batch twin for the data-cost baseline
     val tb = System.nanoTime()

@@ -680,8 +680,15 @@ object Dedup {
           .select(least(col("id_new"), col("id_other")).as("id_a"),
             greatest(col("id_new"), col("id_other")).as("id_b"),
             round(col("jaccard"), 6).as("jaccard"))
-        if (!verified.isEmpty)
-          verified.write.mode("append").parquet(pairsDir)
+        // Materialize the verified pairs ONCE: `isEmpty` is an action, so
+        // guarding the append with it on the lazy frame would run the
+        // whole candidate+jaccard-verify plan twice (once for the guard,
+        // once for the write). The guard itself is needed — an empty
+        // append would create a file-less parquet dir the final read
+        // can't infer a schema from.
+        val v = verified.localCheckpoint(true)
+        try { if (!v.isEmpty) v.write.mode("append").parquet(pairsDir) }
+        finally v.unpersist()
         // Index appends AFTER candidate generation: a doc never pairs
         // with itself, and the next batch sees this one's state.
         banded.write.mode("append").parquet(bandedDir)

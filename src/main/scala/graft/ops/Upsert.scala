@@ -127,13 +127,34 @@ object Upsert {
           .join(withBucket.select(keys.map(col): _*).distinct(), keys, "left_anti")
           .unionByName(withBucket.select(existing.columns.map(col): _*))
       }
-    val out = merged.localCheckpoint(true)
+    writeBuckets(merged, path, nBuckets)
+  }
+
+  /** Shared tail of the keyed sinks: co-locate each bucket in one task
+    * before the dynamic overwrite, so a write produces exactly one file
+    * per touched bucket. Without the repartition the write inherits the
+    * batch's partitioning and every task emits a file for every bucket it
+    * happens to hold — up to tasks × buckets one-row fragments per batch
+    * (measured ~1500 files for a 1,500-key first batch), and the sink's
+    * read-back pays that listing forever. One file per bucket is also the
+    * scale posture: K buckets ⇒ K well-sized files, listing O(K).
+    * The `localCheckpoint` materializes the merged rows before the
+    * overwrite (the sink path is also the read path); a FRESH sink read
+    * nothing from `path`, so it skips the lineage break and writes
+    * directly.
+    */
+  private def writeBuckets(merged: DataFrame, path: String, nBuckets: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(merged.sparkSession.sparkContext.hadoopConfiguration)
+    val fresh = !fs.exists(new org.apache.hadoop.fs.Path(path))
+    val bucketed = merged.repartition(nBuckets, col("__bucket"))
+    val out = if (fresh) bucketed else bucketed.localCheckpoint(true)
     try
       out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(path)
-    finally out.unpersist()
+    finally if (!fresh) out.unpersist()
   }
 
   /** MERGE-by-key into a bucket-partitioned parquet directory: like
@@ -175,13 +196,7 @@ object Upsert {
         merge(existing, withBucket.select(existing.columns.map(col): _*),
           keys, mergeCols)
       }
-    val out = combined.localCheckpoint(true)
-    try
-      out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket")
-        .parquet(path)
-    finally out.unpersist()
+    writeBuckets(combined, path, nBuckets)
   }
 
   /** Read a [[upsertKeyedParquet]] sink back as a plain table. */

@@ -1,0 +1,93 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Keyed parquet sink discipline: replace/merge semantics across batches
+  * AND the file layout the sink leaves behind. The layout assertion is the
+  * point — a streaming sink is read back every batch, so a write that
+  * fragments (one file per task per bucket) makes every later batch pay
+  * the listing; `Upsert.writeBuckets` must leave exactly one data file per
+  * touched bucket regardless of the batch's incoming partitioning.
+  */
+class UpsertSinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-upsert-sink-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tempDir(): Path = {
+    val d = Files.createTempDirectory("graft-upsert-sink-spec")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  /** parquet data files per __bucket=N partition dir. */
+  private def filesPerBucket(path: String): Map[String, Int] = {
+    val root = Paths.get(path)
+    val buckets = Files.list(root).iterator()
+    val out = scala.collection.mutable.Map[String, Int]()
+    while (buckets.hasNext) {
+      val b = buckets.next()
+      val name = b.getFileName.toString
+      if (name.startsWith("__bucket=")) {
+        val n = Files.list(b).iterator()
+        var c = 0
+        while (n.hasNext) { if (n.next().getFileName.toString.endsWith(".parquet")) c += 1 }
+        out(name) = c
+      }
+    }
+    out.toMap
+  }
+
+  test("upsertKeyedParquet: replace-by-key across batches, one file per bucket") {
+    val dir = tempDir().resolve("sink").toString
+    val nBuckets = 8
+    // Batch 1: 500 keys spread over many input partitions — the
+    // fragmentation trigger (tasks x buckets files without the repartition).
+    val b1 = spark.range(500).repartition(16)
+      .select(col("id").as("k"), lit("v1").as("v"))
+    Upsert.upsertKeyedParquet(b1, dir, Seq("k"), nBuckets)
+    val f1 = filesPerBucket(dir)
+    assert(f1.nonEmpty && f1.values.forall(_ == 1),
+      s"expected exactly 1 file per bucket after batch 1, got $f1")
+
+    // Batch 2: updates half the keys, inserts 100 new ones.
+    val b2 = spark.range(250).select(col("id").as("k"), lit("v2").as("v"))
+      .union(spark.range(500, 600).select(col("id").as("k"), lit("v2").as("v")))
+      .repartition(16)
+    Upsert.upsertKeyedParquet(b2, dir, Seq("k"), nBuckets)
+    val f2 = filesPerBucket(dir)
+    assert(f2.values.forall(_ == 1),
+      s"expected exactly 1 file per bucket after batch 2, got $f2")
+
+    val got = Upsert.readKeyedParquet(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 600)
+    assert(got(0L) == "v2" && got(249L) == "v2", "updated keys take the new value")
+    assert(got(250L) == "v1" && got(499L) == "v1", "untouched keys keep the old value")
+    assert(got(599L) == "v2", "inserted keys present")
+  }
+
+  test("mergeKeyedParquet: accumulate semantics, one file per bucket") {
+    val dir = tempDir().resolve("merge").toString
+    val nBuckets = 4
+    val mergeCols = Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column](
+      "n" -> ((old, nw) => old + nw))
+    val b1 = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "n").repartition(6)
+    Upsert.mergeKeyedParquet(b1, dir, Seq("k"), mergeCols, nBuckets)
+    val b2 = Seq(("a", 10L), ("d", 4L)).toDF("k", "n").repartition(6)
+    Upsert.mergeKeyedParquet(b2, dir, Seq("k"), mergeCols, nBuckets)
+    assert(filesPerBucket(dir).values.forall(_ == 1))
+    val got = Upsert.readKeyedParquet(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 11L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+  }
+}
