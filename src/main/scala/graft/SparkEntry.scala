@@ -656,10 +656,15 @@ object SparkEntry {
     // only touched hash buckets rewrite. Oracle = q85's batch SQL.
     "q88_streaming_assembly" -> ((s, dir) => {
       val base = scratch("graft-q88")
+      // nBuckets sized to the smoke's key volume (1.5k users → 8 buckets),
+      // the same rule a deployment applies upward (one bucket ≪ executor
+      // memory); 64 tiny bucket files cost ~0.5 s of pure file churn here
+      // (StreamingCostProbe) with zero data-side difference.
       Curation.streamingAssembleSequences(
           EventsStream.readEventsStream(s, dir, "events.parquet"),
           "user_id", "ts", "event_id", "event_type", sep = ">",
-          sinkDir = s"$base/sink", checkpointDir = s"$base/ckpt")
+          sinkDir = s"$base/sink", checkpointDir = s"$base/ckpt",
+          nBuckets = 8)
         .orderBy("user_id")
     }),
 

@@ -47,13 +47,18 @@ object StreamingCostProbe {
     // pays the streaming-path classload/JIT, so only run-2 numbers are
     // mode-comparable.
     var i = 0
-    for (run <- 1 to 2; mode <- Seq("complete", "update")) {
+    for (run <- 1 to 2; mode <- Seq("complete", "update"); parts <- Seq(32, 8, 1)) {
       i += 1
-      report(s"q140 sliding $mode-mode run$run") {
+      // A streaming query pins its state-partition count from
+      // spark.sql.shuffle.partitions at FIRST start; vary it per query to
+      // measure the per-store commit overhead (32 stores for 14k state
+      // rows is the oversizing hypothesis).
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try report(s"q140 sliding $mode-mode parts=$parts run$run") {
         EventsStream.slidingCounts(EventsStream.readEventsStream(spark, sfDir))
           .writeStream.outputMode(mode).format("memory")
           .queryName(s"probe_sliding_$i").start()
-      }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
     // batch twin for the data-cost baseline
     val tb = System.nanoTime()

@@ -175,13 +175,44 @@ object EventsStream {
   private def drainToBatch(spark: SparkSession, streaming: DataFrame,
       prefix: String): DataFrame = {
     val name = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = streaming.writeStream.outputMode("update")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    val out = spark.table(name).localCheckpoint(true)
+    val out = withStatePartitions(spark) {
+      val q = streaming.writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name).localCheckpoint(true)
+    }
     spark.catalog.dropTempView(name)
     out
+  }
+
+  /** State-partition count for the single-node smokes (overridable via
+    * `SPARK_GRAFT_STATE_PARTITIONS`). A streaming query pins its
+    * state-store count from `spark.sql.shuffle.partitions` at FIRST
+    * start, and every store pays a fixed HDFSBackedStateStore
+    * commit/maintenance cost PER MICRO-BATCH regardless of how few rows
+    * it holds — measured by `examples/StreamingCostProbe` at sf0.1:
+    * the q140 sliding aggregate's 14k state rows cost ~7–9 s of summed
+    * commit time across 32 stores vs ~0.6 s across 8 (wall 3.3 s → 1.5 s);
+    * the data-side cost is identical. So the smokes size stores to their
+    * state volume (8), the same rule a cluster deployment applies upward
+    * (state rows ÷ target rows-per-store), not a test-only shortcut.
+    */
+  private val smokeStatePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8").toInt
+
+  /** Run `body` (which STARTS a streaming query) with
+    * `spark.sql.shuffle.partitions` scoped to [[smokeStatePartitions]],
+    * restoring the session value after — only the streaming query keeps
+    * the scoped count (pinned at start); batch plans built later are
+    * unaffected. Safe because smokes drive their query to completion
+    * inside the scope (single-threaded session use).
+    */
+  private def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", smokeStatePartitions.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Stateful sessionization: per-user sessions closed after `gapMs` of
@@ -549,10 +580,12 @@ object EventsStream {
   def runStreamingSmoke(spark: SparkSession, dir: String): DataFrame = {
     val stream = readEventsStream(spark, dir)
     val agg = windowedCounts(stream)
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName("events_windowed").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("events_windowed").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table("events_windowed")
   }
 
@@ -564,10 +597,12 @@ object EventsStream {
   def runStreamingSlidingSmoke(spark: SparkSession, dir: String): DataFrame = {
     val stream = readEventsStream(spark, dir)
     val agg = slidingCounts(stream)
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName("events_sliding").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("events_sliding").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table("events_sliding")
   }
 }
