@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.ops.{Curation, Dedup, GroupedRowsToColumns, Retrieval, RowOps, SetContainment, Similarity, Upsert}
+import graft.ops.{Curation, Dedup, GroupedRowsToColumns, Retrieval, RowOps, SetContainment, Similarity, Upsert, Web}
 import graft.pipeline.{Pipeline, ReferenceTables}
 import graft.streaming.EventsStream
 
@@ -1978,7 +1978,50 @@ object SparkEntry {
       Curation.noveltyReport(docs, "doc_id", "text",
           docs.filter(col("source") === "src0"), "text", n = 3)
         .orderBy("doc_id")
+    }),
+
+    // URL canonicalization over a constructed messy-URL column (the
+    // tables carry no URLs, so BOTH engines derive the same raw URL from
+    // (doc_id, source) — the rule matrix under test: case folding,
+    // default ports, userinfo, www/root-dot, tracking params, param
+    // sort, fragments, trailing slashes). Pure scan-projection work —
+    // regexps + array HOFs, no shuffle.
+    "q142_url_canonicalize" -> ((s, dir) => {
+      t(s, dir, "documents").withColumn("url", expr(messyUrlSpark))
+        .select(col("doc_id"), Web.urlHost(col("url")).as("host"),
+          Web.canonicalizeUrl(col("url")).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // Host-level crawl statistics on the same constructed URLs: raw URL
+    // count vs distinct canonical pages per host, collapse rate in exact
+    // integer ppm — the host-budget signal (a host whose URLs collapse
+    // heavily serves churned tracking params). One hash aggregate.
+    "q143_host_report" -> ((s, dir) => {
+      Web.hostReport(
+          t(s, dir, "documents").withColumn("url", expr(messyUrlSpark)),
+          "url")
+        .orderBy("host")
     }))
+
+  /** Deterministic messy-URL fixture expression (Spark SQL) for
+    * q142/q143: five raw-URL shapes keyed on doc_id % 5, each stressing
+    * different canonicalization rules. The DuckDB oracle builds the
+    * SAME strings from the same columns.
+    */
+  private val messyUrlSpark =
+    """CASE cast(doc_id % 5 AS int)
+       WHEN 0 THEN concat('HTTP://WWW.', source, '.Example.COM:80/Docs/',
+         cast(doc_id AS string), '/?utm_source=feed&b=2&a=1#frag')
+       WHEN 1 THEN concat('https://u:p@', source, '.example.com:443/docs/',
+         cast(doc_id AS string))
+       WHEN 2 THEN concat('https://cdn.example.com/', source, '/Page///?gclid=',
+         cast(doc_id AS string))
+       WHEN 3 THEN concat('http://www.', source,
+         '.example.com:8080/path?ref=tw&z=9&y=8')
+       ELSE concat('  https://', source, '.example.com./docs?fbclid=1&Q=',
+         cast(doc_id AS string), '  ')
+       END"""
 
   // ---- DuckDB oracles ----
 
@@ -5462,5 +5505,82 @@ object SparkEntry {
                   AS novelty_ppm
          FROM documents d2 LEFT JOIN sizes s USING (doc_id)
                            LEFT JOIN nv USING (doc_id)
-         ORDER BY d2.doc_id""")
+         ORDER BY d2.doc_id""",
+
+    // Rule-for-rule canonicalization replay over the same constructed
+    // raw URLs (fixture expression mirrored from messyUrlSpark).
+    "q142_url_canonicalize" ->
+      s"""WITH $urlCanonDuckCtes
+         SELECT doc_id, host, canonical FROM canon ORDER BY doc_id""",
+
+    // Host aggregate over the canon CTE; exact integer-ppm collapse.
+    "q143_host_report" ->
+      s"""WITH $urlCanonDuckCtes
+         SELECT host, count(*) AS n_urls,
+                count(DISTINCT canonical) AS n_pages,
+                (count(*) - count(DISTINCT canonical)) * 1000000 // count(*)
+                  AS collapse_ppm
+         FROM canon WHERE canonical IS NOT NULL
+         GROUP BY host ORDER BY host""")
+
+  /** DuckDB replay of [[graft.ops.Web.canonicalizeUrl]] (plus the messy-URL
+    * fixture) as a WITH-clause body ending in `canon(doc_id, host,
+    * canonical)`; shared by the q142/q143 oracles. Regex set restricted to
+    * the Java∩RE2 dialect, all patterns anchored so first-match
+    * `regexp_replace` equals Spark's replace-all.
+    */
+  private lazy val urlCanonDuckCtes: String = {
+    val messyUrlDuck =
+      """CASE CAST(doc_id % 5 AS INTEGER)
+         WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Docs/'
+           || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+         WHEN 1 THEN 'https://u:p@' || source || '.example.com:443/docs/'
+           || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN 'https://cdn.example.com/' || source || '/Page///?gclid='
+           || CAST(doc_id AS VARCHAR)
+         WHEN 3 THEN 'http://www.' || source
+           || '.example.com:8080/path?ref=tw&z=9&y=8'
+         ELSE '  https://' || source || '.example.com./docs?fbclid=1&Q='
+           || CAST(doc_id AS VARCHAR) || '  '
+         END"""
+    s"""raw AS (SELECT doc_id, $messyUrlDuck AS url FROM documents),
+         up AS (SELECT doc_id, trim(url) AS u FROM raw),
+         parts AS (SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$$', 1))
+               AS scheme,
+             lower(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$$', 1)) AS netloc,
+             regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*$$', 1) AS path,
+             regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*).*$$', 1)
+               AS query
+           FROM up),
+         hostp AS (SELECT *, regexp_replace(netloc, '^[^@]*@', '') AS noinfo
+           FROM parts),
+         hostq AS (SELECT *,
+             regexp_replace(regexp_replace(regexp_replace(noinfo,
+               ':[0-9]*$$', ''), '^www\\.', ''), '\\.$$', '') AS host,
+             regexp_extract(noinfo, ':([0-9]+)$$', 1) AS port
+           FROM hostp),
+         qkeep AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+             string_split(query, '&'),
+             x -> len(x) > 0 AND NOT regexp_matches(string_split(x, '=')[1],
+               '^(utm_.*|gclid|fbclid|msclkid|ref|mc_eid|igshid)$$'))), '&'),
+             '') AS kept
+           FROM hostq),
+         canon AS (SELECT doc_id, host,
+             CASE WHEN scheme = '' OR host = '' THEN NULL
+                  ELSE scheme || '://' || host
+                    || CASE WHEN port <> ''
+                          AND NOT ((scheme = 'http' AND port = '80')
+                            OR (scheme = 'https' AND port = '443'))
+                        THEN ':' || port ELSE '' END
+                    || CASE WHEN regexp_replace(path, '/+$$', '') = ''
+                        THEN '/' ELSE regexp_replace(path, '/+$$', '') END
+                    || CASE WHEN kept = '' THEN ''
+                        ELSE '?' || kept END
+             END AS canonical
+           FROM qkeep)"""
+  }
 }

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and host-level crawl statistics — the first
+  * operators every crawl-curation pipeline runs before any dedup or
+  * quality gate: two raw URLs that differ only in case, default port,
+  * tracking parameters, fragments, or trailing slashes are the SAME
+  * page, and every downstream exact-dedup / host-budget / robots-policy
+  * decision keys on the canonical form.
+  *
+  * Everything here is a pure `Column` expression chain (regexp extracts
+  * plus array HOFs — no UDFs, no shuffle): canonicalization runs inside
+  * the scan projection at any scale, and the only shuffle in
+  * [[Web.hostReport]] is its one hash aggregate on the canonical host.
+  * The regex vocabulary is restricted to the dialect shared by Java
+  * (Spark) and RE2 (DuckDB oracle): character classes, anchors,
+  * alternation — no lookaround, no backreferences.
+  *
+  * Canonicalization rules (each deterministic and engine-portable):
+  *   1. trim surrounding whitespace; parse `scheme://netloc path ?query
+  *      #fragment` — inputs that don't parse (no scheme/host) yield NULL
+  *   2. scheme and host lowercase; userinfo (`user:pass@`) stripped
+  *   3. default ports dropped (`:80` for http, `:443` for https); other
+  *      explicit ports kept
+  *   4. leading `www.` and trailing root-dot stripped from the host
+  *   5. trailing slashes stripped from the path; empty path becomes `/`
+  *      (path case is PRESERVED — paths are case-sensitive per RFC 3986)
+  *   6. tracking parameters dropped (`utm_*`, gclid, fbclid, msclkid,
+  *      ref, mc_eid, igshid), the rest sorted bytewise for a canonical
+  *      parameter order; an emptied query drops its `?`
+  *   7. fragment dropped
+  */
+object Web {
+
+  /** Query parameters that never change page identity: analytics /
+    * click-tracking tags. Matched against the full parameter key. */
+  private val trackingKeyRe =
+    "^(utm_.*|gclid|fbclid|msclkid|ref|mc_eid|igshid)$"
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://.*$"
+  private val netlocRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$"
+  private val pathRe   = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*$"
+  private val queryRe  = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*).*$"
+
+  /** Lowercased scheme, or '' for non-URLs. */
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(trim(url), schemeRe, 1))
+
+  /** Canonical host: lowercased, userinfo and port stripped, `www.`
+    * prefix and root-dot dropped. '' for non-URLs. */
+  def urlHost(url: Column): Column = {
+    val netloc = lower(regexp_extract(trim(url), netlocRe, 1))
+    val noInfo = regexp_replace(netloc, "^[^@]*@", "")
+    val noPort = regexp_replace(noInfo, ":[0-9]*$", "")
+    regexp_replace(regexp_replace(noPort, "^www\\.", ""), "\\.$", "")
+  }
+
+  /** Canonical full URL per the object contract; NULL when the input
+    * doesn't parse as `scheme://host...`. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, schemeRe, 1))
+    val host = urlHost(url)
+    val netloc = lower(regexp_extract(u, netlocRe, 1))
+    val noInfo = regexp_replace(netloc, "^[^@]*@", "")
+    val port = regexp_extract(noInfo, ":([0-9]+)$", 1)
+    val keepPort = (port =!= "") &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val netlocOut = concat(host, when(keepPort, concat(lit(":"), port))
+      .otherwise(lit("")))
+    val rawPath = regexp_extract(u, pathRe, 1)
+    val stripped = regexp_replace(rawPath, "/+$", "")
+    val pathOut = when(stripped === "", lit("/")).otherwise(stripped)
+    val rawQuery = regexp_extract(u, queryRe, 1)
+    val kept = array_join(
+      array_sort(filter(split(rawQuery, "&"), p =>
+        (length(p) > 0) &&
+          !element_at(split(p, "="), 1).rlike(trackingKeyRe))),
+      "&")
+    val queryOut = when(kept === "", lit("")).otherwise(concat(lit("?"), kept))
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), netlocOut, pathOut, queryOut))
+  }
+
+  /** Per-host crawl statistics over a URL column: raw URL count, distinct
+    * canonical pages, and the canonicalization-collapse rate in ppm
+    * (integer arithmetic — exact in any engine). The host-budget /
+    * domain-blocklist signal: a host whose raw URLs collapse heavily is
+    * serving the same pages under churned tracking parameters.
+    *
+    * One projection + one hash aggregate on the canonical host (partials
+    * combine map-side); rows that don't parse as URLs are dropped. At
+    * crawl scale hosts are zipf-skewed — the aggregate state per host is
+    * O(1) scalars except `n_pages`'s distinct, which rides the same
+    * shuffle as a two-column (host, canonical) pre-distinct.
+    */
+  def hostReport(df: DataFrame, urlCol: String): DataFrame = {
+    val canon = df
+      .select(urlHost(col(urlCol)).as("host"),
+        canonicalizeUrl(col(urlCol)).as("canonical"))
+      .filter(col("canonical").isNotNull)
+    canon
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("canonical")).as("n_pages"))
+      .withColumn("collapse_ppm",
+        expr("(n_urls - n_pages) * 1000000L div n_urls"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL canonicalization: hand-computed rule matrix, idempotence, and the
+  * host-report collapse arithmetic.
+  */
+class WebSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-web-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Web.canonicalizeUrl(col("url"))).as[String]
+      .collect().toSeq
+
+  test("canonicalizeUrl: rule matrix, one case per rule") {
+    val got = canon(
+      // case-folding scheme+host, default http port, tracking param,
+      // param sort, fragment, trailing slash
+      "HTTP://WWW.News.Example.COM:80/Docs/7/?utm_source=feed&b=2&a=1#x",
+      // https default port + userinfo strip
+      "https://u:p@news.example.com:443/docs/7",
+      // non-default port kept; www stripped
+      "http://www.news.example.com:8080/path?ref=tw&z=9&y=8",
+      // root-dot host, surrounding whitespace, emptied-query '?' drop,
+      // param-key case preserved
+      "  https://news.example.com./docs?fbclid=1&Q=3  ",
+      // path case preserved; repeated trailing slashes
+      "https://cdn.example.com/A/Page///?gclid=xyz",
+      // empty path becomes /
+      "https://news.example.com",
+      // query with valueless and empty params
+      "https://news.example.com/?a&&b=1")
+    assert(got == Seq(
+      "http://news.example.com/Docs/7?a=1&b=2",
+      "https://news.example.com/docs/7",
+      "http://news.example.com:8080/path?y=8&z=9",
+      "https://news.example.com/docs?Q=3",
+      "https://cdn.example.com/A/Page",
+      "https://news.example.com/",
+      "https://news.example.com/?a&b=1"))
+  }
+
+  test("canonicalizeUrl: non-URLs yield NULL") {
+    val got = Seq("not a url", "", "example.com/no-scheme", "http//bad")
+      .toDF("url").select(Web.canonicalizeUrl(col("url")).isNull)
+      .as[Boolean].collect()
+    assert(got.forall(identity))
+  }
+
+  test("canonicalizeUrl is idempotent on its own output") {
+    val raw = Seq(
+      "HTTP://WWW.A.Example.COM:80/X/?utm_source=f&b=2&a=1#x",
+      "https://u:p@a.example.com:443/docs/7",
+      "http://www.a.example.com:8080/path?ref=tw&z=9&y=8",
+      "https://cdn.example.com/A/Page///?gclid=xyz")
+    val once = canon(raw: _*)
+    assert(canon(once: _*) == once)
+  }
+
+  test("urlHost strips userinfo, port, www, and root dot") {
+    val got = Seq("HTTPS://u@WWW.Host.Example.ORG.:8443/x")
+      .toDF("url").select(Web.urlHost(col("url"))).as[String].head()
+    assert(got == "host.example.org")
+  }
+
+  test("hostReport: collapse arithmetic is exact integer ppm") {
+    // 3 raw URLs on one host collapse to 1 page; 1 URL on another stays.
+    val df = Seq(
+      "https://a.example.com/p?utm_source=1",
+      "https://a.example.com/p?utm_source=2",
+      "https://a.example.com/p/",
+      "https://b.example.com/q").toDF("url")
+    val rows = Web.hostReport(df, "url")
+      .orderBy("host").as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      ("a.example.com", 3L, 1L, 666666L),
+      ("b.example.com", 1L, 1L, 0L)))
+  }
+}
