@@ -2002,6 +2002,19 @@ object SparkEntry {
           t(s, dir, "documents").withColumn("url", expr(messyUrlSpark)),
           "url")
         .orderBy("host")
+    }),
+
+    // Unigram-LM (SentencePiece-style) tokenizer training: substring seed
+    // vocabulary + 2 hard-EM rounds (Viterbi E-step as one aggregate HOF
+    // per word, integer micro-nat costs so every DP comparison is exact).
+    // The corpus is scanned once (word frequencies); EM runs over the
+    // zipf-bounded distinct-word table with the model-sized cost map
+    // broadcast. Completes the second major tokenizer family next to
+    // BPE (q101/q119/q133).
+    "q144_unigram_lm" -> ((s, dir) => {
+      graft.ops.UnigramLm.train(t(s, dir, "documents"), "text",
+          vocabSize = 50, maxPieceLen = 4, emIters = 2, maxWordLen = 30)
+        .orderBy(col("n").desc, col("piece"))
     }))
 
   /** Deterministic messy-URL fixture expression (Spark SQL) for
@@ -5521,7 +5534,88 @@ object SparkEntry {
                 (count(*) - count(DISTINCT canonical)) * 1000000 // count(*)
                   AS collapse_ppm
          FROM canon WHERE canonical IS NOT NULL
-         GROUP BY host ORDER BY host""")
+         GROUP BY host ORDER BY host""",
+
+    // Unigram-LM replay: same seed vocabulary, then each EM round as a
+    // recursive-CTE Viterbi DP (integer micro-nat costs make the DP
+    // exact in both engines; the longest-piece tie rule is the CASE
+    // order l=4..1) + backtrack + piece recount with +1 smoothing.
+    "q144_unigram_lm" -> unigramLmDuck)
+
+  /** DuckDB replay of [[graft.ops.UnigramLm.train]] with q144's fixed
+    * parameters (vocabSize 50, maxPieceLen 4, emIters 2, maxWordLen 30).
+    * Each EM block: MAP of piece costs → recursive DP over word positions
+    * (list accumulators for best cost and best piece length) → recursive
+    * backtrack → weighted piece recount → re-quantized costs.
+    */
+  private lazy val unigramLmDuck: String = {
+    val inf = "4611686018427387903"
+    def term(l: Int) =
+      s"""CASE WHEN $l <= d.j + 1 AND d.c[d.j + 2 - $l] < $inf
+          THEN d.c[d.j + 2 - $l]
+               + map_extract(m.mp, substr(d.w, d.j + 2 - $l, $l))[1]
+          ELSE NULL END"""
+    def emBlock(k: Int): String = {
+      val prev = s"costs${k - 1}"
+      s"""m$k AS (SELECT MAP(list(piece), list(cost_u)) AS mp FROM $prev),
+         dp$k AS (
+           SELECT w.w AS w, w.freq AS freq, 0 AS j,
+                  [CAST(0 AS BIGINT)] AS c, [0] AS bl
+           FROM words w
+           UNION ALL
+           SELECT w, freq, j + 1, list_append(c, coalesce(bc, $inf)),
+                  list_append(bl, CASE WHEN bc IS NULL THEN 0
+                    WHEN t4 = bc THEN 4 WHEN t3 = bc THEN 3
+                    WHEN t2 = bc THEN 2 ELSE 1 END)
+           FROM (
+             SELECT d.w, d.freq, d.j, d.c, d.bl,
+                    ${term(1)} AS t1, ${term(2)} AS t2,
+                    ${term(3)} AS t3, ${term(4)} AS t4,
+                    least(t1, t2, t3, t4) AS bc
+             FROM dp$k d, m$k m WHERE d.j < len(d.w))),
+         bt$k AS (
+           SELECT w, freq, len(w) AS pos, CAST([] AS VARCHAR[]) AS ps, bl
+           FROM dp$k WHERE j = len(w)
+           UNION ALL
+           SELECT w, freq, pos - bl[pos + 1],
+                  list_prepend(substr(w, pos - bl[pos + 1] + 1,
+                    bl[pos + 1]), ps), bl
+           FROM bt$k WHERE pos > 0),
+         counts$k AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS vn FROM (
+             SELECT freq, unnest(ps) AS piece FROM bt$k WHERE pos = 0)
+           GROUP BY piece),
+         vocab$k AS (SELECT v.piece, coalesce(cc.vn, 0) + 1 AS n
+           FROM $prev v LEFT JOIN counts$k cc USING (piece)),
+         costs$k AS (SELECT piece, n,
+             CAST(floor(-ln(CAST(n AS DOUBLE) / (SELECT sum(n) FROM vocab$k))
+               * 1000000 + 0.5) AS BIGINT) AS cost_u
+           FROM vocab$k)"""
+    }
+    s"""WITH RECURSIVE
+         tok AS (SELECT unnest($toks) AS w FROM documents),
+         words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok
+                   WHERE len(w) <= 30 GROUP BY w),
+         subs AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM (
+             SELECT freq,
+               unnest(flatten(list_transform(generate_series(1, len(w)),
+                 i -> list_transform(
+                   generate_series(1, least(4, len(w) - i + 1)),
+                   l -> substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER))))))
+               AS piece
+             FROM words) GROUP BY piece),
+         vocab0 AS (SELECT piece, n FROM subs WHERE len(piece) = 1
+                    UNION ALL
+                    SELECT piece, n FROM (
+                      SELECT piece, n FROM subs WHERE len(piece) > 1
+                      ORDER BY n DESC, piece LIMIT 50)),
+         costs0 AS (SELECT piece, n,
+             CAST(floor(-ln(CAST(n AS DOUBLE) / (SELECT sum(n) FROM vocab0))
+               * 1000000 + 0.5) AS BIGINT) AS cost_u
+           FROM vocab0),
+         ${emBlock(1)},
+         ${emBlock(2)}
+         SELECT piece, n, cost_u FROM costs2 ORDER BY n DESC, piece"""
+  }
 
   /** DuckDB replay of [[graft.ops.Web.canonicalizeUrl]] (plus the messy-URL
     * fixture) as a WITH-clause body ending in `canon(doc_id, host,

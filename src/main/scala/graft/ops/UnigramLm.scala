@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Unigram-LM (SentencePiece-style) tokenizer training — the second major
+  * tokenizer family next to BPE ([[Curation.bpeTrainMerges]]). Where BPE
+  * grows a vocabulary bottom-up by merging, the unigram LM starts from an
+  * over-complete substring vocabulary and re-estimates piece weights by
+  * EM over the corpus's best segmentations (hard EM: the E-step is a
+  * Viterbi segmentation of every distinct word, the M-step re-counts
+  * pieces along those segmentations).
+  *
+  * Determinism across engines is engineered, not hoped for:
+  *   - piece costs are QUANTIZED to integer micro-nats
+  *     (`floor(-ln(n/total)*1e6 + 0.5)`), so every Viterbi comparison is
+  *     exact Long arithmetic — no float-fold order can flip an argmin;
+  *   - cost ties prefer the LONGEST piece (both engines implement the
+  *     same rule);
+  *   - Laplace +1 smoothing keeps every piece's count positive after the
+  *     M-step, so single-character pieces never drop out and full
+  *     segmentation coverage is invariant.
+  *
+  * Scale shape: the corpus is touched ONCE (the word-frequency
+  * aggregate); everything after runs over the DISTINCT-word table
+  * (zipf-bounded — orders of magnitude smaller than the corpus). Each EM
+  * iteration is one scan of that table: the Viterbi DP folds inside a
+  * single `aggregate` HOF per word (loop-as-data, the q137 lesson — the
+  * expression tree is constant-size in word length), with the
+  * model-sized cost map broadcast as one MAP literal row, plus one
+  * piece-count shuffle of O(words × pieces/word) rows. No driver loop
+  * over the vocabulary; the only collects are the (model-sized) cost map
+  * and nothing else.
+  */
+object UnigramLm {
+
+  /** Sentinel cost for "unreachable": large enough to never win, small
+    * enough that one addition per DP step cannot overflow Long. */
+  private val Inf = 4611686018427387903L // 2^62 - 1
+
+  /** Distinct words with frequencies: the one corpus-scale aggregate.
+    * Words longer than `maxWordLen` code units are junk for tokenizer
+    * training (URLs, DNA, base64) and are excluded — also bounding the
+    * DP length. */
+  def wordFrequencies(docs: DataFrame, textCol: String,
+      maxWordLen: Int): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Seed vocabulary: every substring of length 1..maxPieceLen weighted
+    * by word frequency (overlapping occurrences all count). ALL
+    * single-character pieces are kept (coverage guarantee); multi-char
+    * pieces keep the top `vocabSize` by (weight desc, piece asc). */
+  def seedVocab(words: DataFrame, vocabSize: Int,
+      maxPieceLen: Int): DataFrame = {
+    val subs = words
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+            i -> transform(sequence(1, least($maxPieceLen, length(w) - i + 1)),
+            l -> substr(w, i, l))))""")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("n"))
+    val singles = subs.filter(length(col("piece")) === 1)
+    val multis = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("n").desc, col("piece")).limit(vocabSize)
+    singles.unionByName(multis)
+  }
+
+  /** Attach `cost_u` (integer micro-nats) to a (piece, n) vocabulary:
+    * `floor(-ln(n/Σn)*1e6 + 0.5)`. The single float op in the whole
+    * trainer; its 1 ppm quantization grid makes the (already ULP-scale)
+    * engine difference in `ln` unobservable. */
+  def withCosts(vocab: DataFrame): DataFrame =
+    vocab.crossJoin(broadcast(vocab.agg(sum(col("n")).as("__tot"))))
+      .withColumn("cost_u",
+        floor(-log(col("n").cast("double") / col("__tot")) * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .drop("__tot")
+
+  /** The Viterbi DP + backtrack as ONE `aggregate` HOF over `wordCol`,
+    * reading piece costs from map column `mapCol`: returns the best
+    * (min total cost, ties to the longest piece at each step)
+    * segmentation as an array of pieces. The DP array builds in the
+    * merge lambda; the backtrack runs in the FINISH lambda so the DP
+    * array is computed exactly once (no project-collapse re-inlining).
+    */
+  def segmentExpr(wordCol: String, mapCol: String, maxPieceLen: Int): Column = {
+    val w = wordCol
+    val best = s"element_at(__bests, __st.pos + 1).l"
+    expr(
+      s"""aggregate(
+           sequence(1, length($w)),
+           array(named_struct('c', cast(0 AS bigint), 'l', 0)),
+           (__acc, __j) -> concat(__acc, array(
+             aggregate(sequence(1, least(__j, $maxPieceLen)),
+               named_struct('c', cast($Inf AS bigint), 'l', 0),
+               (__b, __l) -> IF(
+                 element_at(__acc, __j - __l + 1).c < cast($Inf AS bigint)
+                   AND try_element_at($mapCol,
+                         substr($w, __j - __l + 1, __l)) IS NOT NULL
+                   AND element_at(__acc, __j - __l + 1).c
+                       + try_element_at($mapCol,
+                           substr($w, __j - __l + 1, __l)) <= __b.c,
+                 named_struct('c',
+                   element_at(__acc, __j - __l + 1).c
+                     + try_element_at($mapCol, substr($w, __j - __l + 1, __l)),
+                   'l', __l),
+                 __b)))),
+           __bests -> aggregate(
+             sequence(1, length($w)),
+             named_struct('pos', length($w),
+               'ps', cast(array() AS array<string>)),
+             (__st, __i) -> IF(__st.pos <= 0, __st,
+               named_struct('pos', __st.pos - $best,
+                 'ps', concat(
+                   array(substr($w, __st.pos - $best + 1, $best)),
+                   __st.ps))),
+             __st -> __st.ps))""")
+  }
+
+  /** Segment a distinct-word table under a (piece, cost_u) vocabulary:
+    * (word columns…, pieces array<string>). The cost map is model-sized
+    * and broadcast; the corpus-side frame is never reshuffled. */
+  def viterbiSegment(words: DataFrame, wordCol: String, costedVocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    val mapRow = costedVocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("cost_u"))))
+        .as("__cmap"))
+    words.withColumnRenamed(wordCol, "w")
+      .crossJoin(broadcast(mapRow))
+      .withColumn("pieces", segmentExpr("w", "__cmap", maxPieceLen))
+      .drop("__cmap")
+      .withColumnRenamed("w", wordCol)
+  }
+
+  /** Train: seed → `emIters` hard-EM rounds → (piece, n, cost_u).
+    * `n` is the final M-step count (Viterbi count + 1 smoothing); seed
+    * counts are the raw substring weights. */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int = 200,
+      maxPieceLen: Int = 4, emIters: Int = 2,
+      maxWordLen: Int = 30): DataFrame = {
+    require(emIters >= 0, s"emIters must be >= 0, got $emIters")
+    val words = Checkpoints.truncate(wordFrequencies(docs, textCol, maxWordLen))
+    var costed = Checkpoints.truncate(
+      withCosts(seedVocab(words, vocabSize, maxPieceLen)))
+    for (_ <- 1 to emIters) {
+      val counts = viterbiSegment(words, "w", costed, maxPieceLen)
+        .select(col("freq"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("__vn"))
+      val prev = costed
+      costed = Checkpoints.truncate(withCosts(
+        prev.select(col("piece"))
+          .join(counts, Seq("piece"), "left")
+          .select(col("piece"),
+            (coalesce(col("__vn"), lit(0L)) + lit(1L)).as("n"))))
+      Checkpoints.release(prev)
+    }
+    Checkpoints.release(words)
+    costed
+  }
+}
