@@ -2015,6 +2015,19 @@ object SparkEntry {
       graft.ops.UnigramLm.train(t(s, dir, "documents"), "text",
           vocabSize = 50, maxPieceLen = 4, emIters = 2, maxWordLen = 30)
         .orderBy(col("n").desc, col("piece"))
+    }),
+
+    // Deploy-time twin of q144: encode the corpus with the trained
+    // unigram vocabulary and report per-language fertility (pieces/word)
+    // and compression (chars/token) in exact integer ppm — the BPE
+    // fertility report's (q133) second-tokenizer-family counterpart.
+    "q145_unigram_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.ops.UnigramLm.train(docs, "text",
+        vocabSize = 50, maxPieceLen = 4, emIters = 2, maxWordLen = 30)
+      graft.ops.UnigramLm.fertilityReport(docs, "doc_id", "text", "lang",
+          col("n_chars"), vocab, maxPieceLen = 4, maxWordLen = 30)
+        .orderBy("lang")
     }))
 
   /** Deterministic messy-URL fixture expression (Spark SQL) for
@@ -5540,47 +5553,88 @@ object SparkEntry {
     // recursive-CTE Viterbi DP (integer micro-nat costs make the DP
     // exact in both engines; the longest-piece tie rule is the CASE
     // order l=4..1) + backtrack + piece recount with +1 smoothing.
-    "q144_unigram_lm" -> unigramLmDuck)
+    "q144_unigram_lm" ->
+      s"""WITH RECURSIVE $unigramLmBodyCtes
+         SELECT piece, n, cost_u FROM costs2 ORDER BY n DESC, piece""",
 
-  /** DuckDB replay of [[graft.ops.UnigramLm.train]] with q144's fixed
-    * parameters (vocabSize 50, maxPieceLen 4, emIters 2, maxWordLen 30).
-    * Each EM block: MAP of piece costs → recursive DP over word positions
-    * (list accumulators for best cost and best piece length) → recursive
-    * backtrack → weighted piece recount → re-quantized costs.
+    // Encode pass under the trained (costs2) vocabulary: one more DP +
+    // backtrack over the distinct words, then per-doc word/piece sums
+    // joined back on the word key and the q139 integer-ppm ratios.
+    "q145_unigram_fertility" ->
+      s"""WITH RECURSIVE $unigramLmBodyCtes,
+         ${unigramDpBt(3, "costs2")},
+         wp AS (SELECT w, CAST(len(ps) AS BIGINT) AS np
+                FROM bt3 WHERE pos = 0),
+         docw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT doc_id, unnest($toks) AS w FROM documents)
+           WHERE len(w) <= 30 GROUP BY doc_id, w),
+         perdoc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nw,
+             CAST(sum(cnt * np) AS BIGINT) AS nt
+           FROM docw JOIN wp USING (w) GROUP BY doc_id)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(coalesce(nw, 0)) AS BIGINT) AS n_words,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                CAST(sum(coalesce(nt, 0)) AS BIGINT) AS n_tokens,
+                CASE WHEN sum(coalesce(nw, 0)) > 0 THEN
+                  CAST(floor(CAST(sum(coalesce(nt, 0)) AS DOUBLE)
+                    / sum(coalesce(nw, 0)) * 1000000 + 0.5) AS BIGINT)
+                END AS fertility_ppm,
+                CASE WHEN sum(coalesce(nt, 0)) > 0 THEN
+                  CAST(floor(CAST(sum(n_chars) AS DOUBLE)
+                    / sum(coalesce(nt, 0)) * 1000000 + 0.5) AS BIGINT)
+                END AS chars_per_token_ppm
+         FROM documents LEFT JOIN perdoc USING (doc_id)
+         GROUP BY lang ORDER BY lang""")
+
+  /** One Viterbi DP + backtrack round as recursive CTEs `m$k`/`dp$k`/
+    * `bt$k` reading piece costs from `prevCosts`: list accumulators for
+    * best cost (`c`, BIGINT micro-nats — exact) and best piece length
+    * (`bl`); the t4..t1 CASE order implements the longest-piece tie
+    * rule. Shared by the q144 EM replay and the q145 encode pass.
     */
-  private lazy val unigramLmDuck: String = {
+  private def unigramDpBt(k: Int, prevCosts: String): String = {
     val inf = "4611686018427387903"
     def term(l: Int) =
       s"""CASE WHEN $l <= d.j + 1 AND d.c[d.j + 2 - $l] < $inf
           THEN d.c[d.j + 2 - $l]
                + map_extract(m.mp, substr(d.w, d.j + 2 - $l, $l))[1]
           ELSE NULL END"""
+    s"""m$k AS (SELECT MAP(list(piece), list(cost_u)) AS mp FROM $prevCosts),
+       dp$k AS (
+         SELECT w.w AS w, w.freq AS freq, 0 AS j,
+                [CAST(0 AS BIGINT)] AS c, [0] AS bl
+         FROM words w
+         UNION ALL
+         SELECT w, freq, j + 1, list_append(c, coalesce(bc, $inf)),
+                list_append(bl, CASE WHEN bc IS NULL THEN 0
+                  WHEN t4 = bc THEN 4 WHEN t3 = bc THEN 3
+                  WHEN t2 = bc THEN 2 ELSE 1 END)
+         FROM (
+           SELECT d.w, d.freq, d.j, d.c, d.bl,
+                  ${term(1)} AS t1, ${term(2)} AS t2,
+                  ${term(3)} AS t3, ${term(4)} AS t4,
+                  least(t1, t2, t3, t4) AS bc
+           FROM dp$k d, m$k m WHERE d.j < len(d.w))),
+       bt$k AS (
+         SELECT w, freq, len(w) AS pos, CAST([] AS VARCHAR[]) AS ps, bl
+         FROM dp$k WHERE j = len(w)
+         UNION ALL
+         SELECT w, freq, pos - bl[pos + 1],
+                list_prepend(substr(w, pos - bl[pos + 1] + 1,
+                  bl[pos + 1]), ps), bl
+         FROM bt$k WHERE pos > 0)"""
+  }
+
+  /** DuckDB replay of [[graft.ops.UnigramLm.train]] with q144's fixed
+    * parameters (vocabSize 50, maxPieceLen 4, emIters 2, maxWordLen 30)
+    * as a WITH-clause body ending in `costs2(piece, n, cost_u)`. Each EM
+    * block: [[unigramDpBt]] → weighted piece recount → +1 smoothing →
+    * re-quantized costs.
+    */
+  private lazy val unigramLmBodyCtes: String = {
     def emBlock(k: Int): String = {
       val prev = s"costs${k - 1}"
-      s"""m$k AS (SELECT MAP(list(piece), list(cost_u)) AS mp FROM $prev),
-         dp$k AS (
-           SELECT w.w AS w, w.freq AS freq, 0 AS j,
-                  [CAST(0 AS BIGINT)] AS c, [0] AS bl
-           FROM words w
-           UNION ALL
-           SELECT w, freq, j + 1, list_append(c, coalesce(bc, $inf)),
-                  list_append(bl, CASE WHEN bc IS NULL THEN 0
-                    WHEN t4 = bc THEN 4 WHEN t3 = bc THEN 3
-                    WHEN t2 = bc THEN 2 ELSE 1 END)
-           FROM (
-             SELECT d.w, d.freq, d.j, d.c, d.bl,
-                    ${term(1)} AS t1, ${term(2)} AS t2,
-                    ${term(3)} AS t3, ${term(4)} AS t4,
-                    least(t1, t2, t3, t4) AS bc
-             FROM dp$k d, m$k m WHERE d.j < len(d.w))),
-         bt$k AS (
-           SELECT w, freq, len(w) AS pos, CAST([] AS VARCHAR[]) AS ps, bl
-           FROM dp$k WHERE j = len(w)
-           UNION ALL
-           SELECT w, freq, pos - bl[pos + 1],
-                  list_prepend(substr(w, pos - bl[pos + 1] + 1,
-                    bl[pos + 1]), ps), bl
-           FROM bt$k WHERE pos > 0),
+      s"""${unigramDpBt(k, prev)},
          counts$k AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS vn FROM (
              SELECT freq, unnest(ps) AS piece FROM bt$k WHERE pos = 0)
            GROUP BY piece),
@@ -5591,8 +5645,7 @@ object SparkEntry {
                * 1000000 + 0.5) AS BIGINT) AS cost_u
            FROM vocab$k)"""
     }
-    s"""WITH RECURSIVE
-         tok AS (SELECT unnest($toks) AS w FROM documents),
+    s"""tok AS (SELECT unnest($toks) AS w FROM documents),
          words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok
                    WHERE len(w) <= 30 GROUP BY w),
          subs AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM (
@@ -5613,8 +5666,7 @@ object SparkEntry {
                * 1000000 + 0.5) AS BIGINT) AS cost_u
            FROM vocab0),
          ${emBlock(1)},
-         ${emBlock(2)}
-         SELECT piece, n, cost_u FROM costs2 ORDER BY n DESC, piece"""
+         ${emBlock(2)}"""
   }
 
   /** DuckDB replay of [[graft.ops.Web.canonicalizeUrl]] (plus the messy-URL

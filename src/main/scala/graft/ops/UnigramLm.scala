@@ -134,6 +134,49 @@ object UnigramLm {
       .withColumnRenamed("w", wordCol)
   }
 
+  /** Fertility / compression report for a TRAINED unigram vocabulary —
+    * the deploy-time twin of [[Curation.tokenizerFertilityReport]] (BPE):
+    * per `groupCol`, document/word/char/token totals plus
+    * pieces-per-word (fertility) and chars-per-token, both as exact
+    * integer ppm (the q139 discipline — no float rounding at a decimal
+    * tie). Words over `maxWordLen` are excluded exactly as in training.
+    *
+    * Scale shape: the corpus collapses to (doc, word, count) first
+    * (zipf-cheap), the DISTINCT word table segments once (the same
+    * broadcast-map Viterbi as training), and the join back is on the
+    * word key — the corpus text itself is never reshuffled.
+    */
+  def fertilityReport(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, charsCol: Column, costedVocab: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val docWords = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("__cnt"))
+    val wordPieces = viterbiSegment(
+        docWords.select("w").distinct(), "w", costedVocab, maxPieceLen)
+      .select(col("w"), size(col("pieces")).cast("long").as("__np"))
+    val perDoc = docWords.join(wordPieces, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("__nw"),
+        sum(col("__cnt") * col("__np")).as("__nt"))
+    docs.select(col(idCol), col(groupCol), charsCol.cast("long").as("__nc"))
+      .join(perDoc, Seq(idCol), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__nw"), lit(0L))).as("n_words"),
+        sum(col("__nc")).as("n_chars"),
+        sum(coalesce(col("__nt"), lit(0L))).as("n_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        when(col("n_words") > 0,
+          floor(col("n_tokens").cast("double") / col("n_words") * lit(1e6)
+            + lit(0.5)).cast("long")).as("fertility_ppm"),
+        when(col("n_tokens") > 0,
+          floor(col("n_chars").cast("double") / col("n_tokens") * lit(1e6)
+            + lit(0.5)).cast("long")).as("chars_per_token_ppm"))
+  }
+
   /** Train: seed → `emIters` hard-EM rounds → (piece, n, cost_u).
     * `n` is the final M-step count (Viterbi count + 1 smoothing); seed
     * counts are the raw substring weights. */

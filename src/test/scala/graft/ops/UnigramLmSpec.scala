@@ -61,6 +61,21 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(2) > 0L && r.getLong(2) < (1L << 62)))
   }
 
+  test("fertilityReport: hand-computed counts and exact ppm ratios") {
+    // vocab: ab costs less than a+b -> "abab" segments to 2 pieces,
+    // "b" to 1. Doc 1: "abab b" = 2 words, 3 pieces, 6 chars.
+    val docs = Seq((1L, "abab b", "en", 6L), (2L, "b", "en", 1L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val vocab = Seq("a" -> 100L, "b" -> 100L, "ab" -> 150L)
+      .toDF("piece", "cost_u")
+    val got = UnigramLm.fertilityReport(docs, "doc_id", "text", "lang",
+        col("n_chars"), vocab, maxPieceLen = 4, maxWordLen = 30)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // 3 words, 4 pieces, 7 chars: fertility 4/3 -> 1333333 ppm,
+    // chars/token 7/4 -> 1750000 ppm
+    assert(got == Seq(("en", 2L, 3L, 7L, 4L, 1333333L, 1750000L)))
+  }
+
   // ---- naive replay ----
 
   private def naiveTrain(texts: Seq[String], vocabSize: Int, maxPieceLen: Int,
