@@ -96,7 +96,7 @@ class DsvSpec extends AnyFunSuite {
   }
 
   test("first-line probe works through the Hadoop FS API on a directory") {
-    val dir = java.nio.file.Files.createTempDirectory("dsvdir")
+    val dir = graft.TestScratch.path("dsvdir")
     java.nio.file.Files.writeString(dir.resolve("part-000.txt"), "x\ty\n1\t2")
     val got = Dsv.read(spark, dir.toString, header = Seq("x", "y")).collect()
     assert(got.length == 1 && got(0).getString(0) == "1")

@@ -17,14 +17,14 @@ class JsonLinesSpec extends AnyFunSuite {
     StructField("id", LongType), StructField("text", StringType)))
 
   private def writeLines(lines: Seq[String]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val dir = graft.TestScratch.path("graft-jsonl")
     java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
       lines.mkString("\n").getBytes("UTF-8"))
     dir.toString
   }
 
   test("explicit-schema read; special characters survive the round trip") {
-    val base = java.nio.file.Files.createTempDirectory("graft-jsonl-rt").toString
+    val base = graft.TestScratch.dir("graft-jsonl-rt")
     import spark.implicits._
     val src = Seq((1L, "plain"), (2L, "tab\tand \"quotes\" and \\slash"),
       (3L, "unicode: naïve café 日本語")).toDF("id", "text")

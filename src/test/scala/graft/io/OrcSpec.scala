@@ -18,7 +18,7 @@ class OrcSpec extends AnyFunSuite {
     StructField("id", LongType), StructField("text", StringType)))
 
   test("explicit-schema round trip; shard convention") {
-    val base = java.nio.file.Files.createTempDirectory("graft-orc-rt").toString
+    val base = graft.TestScratch.dir("graft-orc-rt")
     import spark.implicits._
     val src = Seq((1L, "plain"), (2L, "tab\tand \"quotes\" and \\slash"),
       (3L, "unicode: naïve café 日本語")).toDF("id", "text")
@@ -31,7 +31,7 @@ class OrcSpec extends AnyFunSuite {
   }
 
   test("scan properties: filters push into the ORC scan, columns prune") {
-    val base = java.nio.file.Files.createTempDirectory("graft-orc-scan").toString
+    val base = graft.TestScratch.dir("graft-orc-scan")
     import spark.implicits._
     val src = (1L to 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
     Orc.write(src, s"$base/out")

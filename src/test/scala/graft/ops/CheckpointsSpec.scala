@@ -20,7 +20,7 @@ class CheckpointsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .appName("CheckpointsSpec")
       .getOrCreate()
-    ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    ckptDir = graft.TestScratch.path("graft-ckpt")
     s.sparkContext.setCheckpointDir(ckptDir.toString)
     s
   }

@@ -210,8 +210,7 @@ class CurationSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val bench = docs.filter($"doc_id" < 10)
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_bench_idx").toString + "/grams"
+    val idx = graft.TestScratch.dir("graft_bench_idx") + "/grams"
     Curation.saveBenchmarkIndex(bench, "text", n = 6, idx)
     val direct = Curation.contaminationReport(
         docs.filter($"doc_id" >= 10), "doc_id", "text", bench, "text", n = 6)
@@ -243,7 +242,7 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("update-mode contamination sink ≡ complete-mode ≡ batch on multi-batch input") {
-    val base = java.nio.file.Files.createTempDirectory("graft-contam-upd").toString
+    val base = graft.TestScratch.dir("graft-contam-upd")
     val docs = Seq((1L, "a b c d"), (2L, "x y z"), (3L, "a"), (4L, "c d e f"))
       .toDF("doc_id", "text")
     // Several part files + maxFilesPerTrigger=1 -> genuinely multi-batch.
@@ -406,7 +405,7 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("streaming sequence assembly ≡ batch on multi-batch input") {
-    val base = java.nio.file.Files.createTempDirectory("graft-seq-stream").toString
+    val base = graft.TestScratch.dir("graft-seq-stream")
     // rows of one key deliberately scattered across part files so batches
     // split mid-sequence — the merge sink must re-sort accumulated state
     val rows = (1L to 120L).map(i => (i % 10, i, i * 7 % 13, "e" + (i % 5)))

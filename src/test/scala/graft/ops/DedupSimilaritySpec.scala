@@ -195,7 +195,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", nlist = 10)
     val centroids = assigned.filter(col("vec_id") === col("centroid_id"))
       .select(col("centroid_id"), col("embedding").as("centroid_vec"))
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val dir = graft.TestScratch.dir("graft-ivf")
     Similarity.saveIvfIndex(assigned, centroids, dir)
     val (a2, c2) = Similarity.loadIvfIndex(spark, dir)
     val q = Seq(1.0f, 0.0f)
@@ -407,7 +407,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("streaming exact-dedup equals the batch aggregate") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val dir = graft.TestScratch.dir("graft-stream-dedup")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // Here documents.parquet is a directory of part files (Spark's write
     // layout); the glob selects the parts. The sf testdata layout — a
@@ -421,7 +421,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("update-mode streaming dedup sink ≡ batch aggregate on multi-batch input") {
-    val base = java.nio.file.Files.createTempDirectory("graft-dedup-upd").toString
+    val base = graft.TestScratch.dir("graft-dedup-upd")
     // Several part files + maxFilesPerTrigger=1 -> multiple micro-batches,
     // so duplicate groups split across batches exercise the keyed upsert
     // (a later batch must REPLACE the fingerprint's earlier count).
@@ -437,7 +437,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("streaming incremental minhash dedup ≡ batch pairs on multi-batch input") {
-    val base = java.nio.file.Files.createTempDirectory("graft-mh-stream").toString
+    val base = graft.TestScratch.dir("graft-mh-stream")
     // 3 part files + maxFilesPerTrigger=1 -> multiple micro-batches, so
     // near-dup pairs split across batches exercise the band-index probe
     // (the pair must be found when its LATER member arrives).
@@ -478,7 +478,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("streaming minhash on a duplicate-free corpus returns an EMPTY frame with the pairs schema") {
-    val base = java.nio.file.Files.createTempDirectory("graft-mh-empty").toString
+    val base = graft.TestScratch.dir("graft-mh-empty")
     val unique = (1L to 20L).map(i => (i, s"totally distinct content number $i with token salad $i$i"))
       .toDF("doc_id", "text")
     unique.write.mode("overwrite").parquet(s"$base/documents.parquet")
@@ -493,7 +493,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("applyBatchOnce: an already-applied batch id is skipped (foreachBatch replay guard)") {
-    val base = java.nio.file.Files.createTempDirectory("graft-once").toString
+    val base = graft.TestScratch.dir("graft-once")
     var runs = 0
     Upsert.applyBatchOnce(spark, s"$base/_applied", 7L) { runs += 1 }
     Upsert.applyBatchOnce(spark, s"$base/_applied", 7L) { runs += 1 } // replay: skipped
@@ -503,7 +503,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("streaming IVF ingest ≡ batch assignment; index stays probe-ready") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val base = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val base = graft.TestScratch.dir("graft-ivf-stream")
     emb.repartition(3).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
     val thr = Similarity.sampleThreshold(8L, emb.count())
     val centroids = emb.filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))

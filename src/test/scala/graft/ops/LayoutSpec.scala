@@ -63,7 +63,7 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("zorderWrite produces per-file envelopes that actually prune") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val dir = graft.TestScratch.dir("graft-zorder")
     val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
       .toDF("a", "b")
     Layout.zorderWrite(grid, dir, "a", "b", bits = 6, nBuckets = 16)

@@ -30,7 +30,7 @@ class TemporalJoinsSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft-ev-bkt")
+      val root = graft.TestScratch.path("graft-ev-bkt")
       val ev = (1 to 200).map { i =>
         (i.toLong, (i % 7).toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00"),
           "view", (i % 40).toDouble)

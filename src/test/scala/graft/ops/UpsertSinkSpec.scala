@@ -24,7 +24,7 @@ class UpsertSinkSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def tempDir(): Path = {
-    val d = Files.createTempDirectory("graft-upsert-sink-spec")
+    val d = graft.TestScratch.path("graft-upsert-sink-spec")
     d.toFile.deleteOnExit()
     d
   }

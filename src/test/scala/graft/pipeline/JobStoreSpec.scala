@@ -21,7 +21,7 @@ class JobStoreSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("re-running a job overwrites only its partition") {
-    val root = Files.createTempDirectory("graft-jobstore").toString
+    val root = graft.TestScratch.dir("graft-jobstore")
     val store = new JobStore(root)
     val j1 = Seq((1L, "p1", "g1", "*1")).toDF("job_id", "patient_id", "gene_name", "haplotype_name")
     val j2 = Seq((2L, "p2", "g1", "*2")).toDF("job_id", "patient_id", "gene_name", "haplotype_name")
@@ -41,7 +41,7 @@ class JobStoreSpec extends AnyFunSuite {
   }
 
   test("appendJob adds rows without replacing the job's prior rows (selectAs 'existing')") {
-    val root = Files.createTempDirectory("graft-jobstore-app").toString
+    val root = graft.TestScratch.dir("graft-jobstore-app")
     val store = new JobStore(root)
     val j1 = Seq((1L, "p1", "g1", "*1")).toDF("job_id", "patient_id", "gene_name", "haplotype_name")
     store.writeJob(j1, "job_patient_gene_haplotype", 1L)
@@ -53,7 +53,7 @@ class JobStoreSpec extends AnyFunSuite {
   }
 
   test("bucketed stage tables: groupBy/join on the bucket column shuffles nothing") {
-    val root = Files.createTempDirectory("graft-jobstore-bkt").toString
+    val root = graft.TestScratch.dir("graft-jobstore-bkt")
     val store = new JobStore(root)
     val gh = (1 to 100).map(i => (1L, s"p${i % 10}", "g1", s"*${i % 3}"))
       .toDF("job_id", "patient_id", "gene_name", "haplotype_name")

@@ -55,7 +55,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("job-scoped stage reads prune to one job_id partition") {
-    val base = java.nio.file.Files.createTempDirectory("graft-planshape").toString
+    val base = graft.TestScratch.dir("graft-planshape")
     val store = new JobStore(base)
     import spark.implicits._
     val stage = Seq((1L, "p1", "g1"), (2L, "p2", "g2"))

@@ -27,7 +27,7 @@ class EventsStreamSpec extends AnyFunSuite {
     }.mkString("|")).toSet
 
   test("readEventsStream starts on an empty directory (files arrive later)") {
-    val empty = java.nio.file.Files.createTempDirectory("graft-empty-events")
+    val empty = graft.TestScratch.path("graft-empty-events")
     try {
       val stream = EventsStream.readEventsStream(spark, empty.toString)
       assert(stream.isStreaming)
