@@ -2017,6 +2017,18 @@ object SparkEntry {
         .orderBy(col("n").desc, col("piece"))
     }),
 
+    // Per-host crawl-budget cap (C4/RefinedWeb domain-diversity rule):
+    // at most 30 docs per canonical host by the deterministic (md5, id)
+    // priority; bounded CollectTopK per host — a zipf-hot host costs the
+    // same as a cold one, no per-host sort/window over raw rows.
+    "q146_host_cap_sample" -> ((s, dir) => {
+      Web.hostCapSample(
+          t(s, dir, "documents").withColumn("url", expr(messyUrlSpark)),
+          "url", "doc_id", maxPerHost = 30)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Deploy-time twin of q144: encode the corpus with the trained
     // unigram vocabulary and report per-language fertility (pieces/word)
     // and compression (chars/token) in exact integer ppm — the BPE
@@ -5548,6 +5560,18 @@ object SparkEntry {
                   AS collapse_ppm
          FROM canon WHERE canonical IS NOT NULL
          GROUP BY host ORDER BY host""",
+
+    // Host-cap replay: rank per host by the same (md5, id) priority and
+    // keep the cap; the window-rank formulation is the oracle-side
+    // equivalent of the bounded CollectTopK aggregate.
+    "q146_host_cap_sample" ->
+      s"""WITH $urlCanonDuckCtes,
+         sel AS (SELECT doc_id, row_number() OVER (PARTITION BY host
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                 FROM canon WHERE host <> '')
+         SELECT d.doc_id, d.source FROM documents d
+         JOIN sel USING (doc_id) WHERE sel.rn <= 30
+         ORDER BY d.doc_id""",
 
     // Unigram-LM replay: same seed vocabulary, then each EM round as a
     // recursive-CTE Viterbi DP (integer micro-nat costs make the DP

@@ -97,6 +97,26 @@ object Web {
     * O(1) scalars except `n_pages`'s distinct, which rides the same
     * shuffle as a two-column (host, canonical) pre-distinct.
     */
+  /** Per-host crawl-budget cap: keep at most `maxPerHost` rows per
+    * canonical host, selected by the library-wide deterministic
+    * `(md5(id), id)` priority — the C4/RefinedWeb-style domain-diversity
+    * rule that stops one mega-host from dominating a training mix.
+    * Rows whose URL doesn't parse carry no host and are dropped.
+    *
+    * Scale shape: rides [[Sampling.perGroupSampleExact]]'s bounded
+    * `CollectTopK` aggregate — per-host state is O(maxPerHost) at every
+    * aggregation level including map-side partials, so a zipf-hot host
+    * (the norm in crawls) costs the same as a cold one; no per-host sort
+    * or window over the raw rows exists in the plan.
+    */
+  def hostCapSample(df: DataFrame, urlCol: String, idCol: String,
+      maxPerHost: Int): DataFrame = {
+    val withHost = df.withColumn("__host", urlHost(col(urlCol)))
+      .filter(col("__host").isNotNull && col("__host") =!= "")
+    Sampling.perGroupSampleExact(withHost, idCol, "__host", maxPerHost)
+      .drop("__host")
+  }
+
   def hostReport(df: DataFrame, urlCol: String): DataFrame = {
     val canon = df
       .select(urlHost(col(urlCol)).as("host"),

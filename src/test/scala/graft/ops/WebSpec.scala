@@ -73,6 +73,24 @@ class WebSpec extends AnyFunSuite {
     assert(got == "host.example.org")
   }
 
+  test("hostCapSample: caps per host, deterministic under repartition") {
+    val rows = (1L to 40L).map(i =>
+      (i, s"https://h${i % 2}.example.com/p$i"))
+    val df = rows.toDF("id", "url")
+    val kept = Web.hostCapSample(df, "url", "id", maxPerHost = 7)
+    assert(kept.count() == 14)
+    assert(kept.select(Web.urlHost(col("url"))).distinct().count() == 2)
+    val a = kept.select("id").as[Long].collect().sorted.toSeq
+    val b = Web.hostCapSample(df.repartition(13), "url", "id", 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // small hosts keep everything; non-URLs are dropped
+    val mixed = Seq((1L, "https://x.example.com/a"), (2L, "nope"))
+      .toDF("id", "url")
+    assert(Web.hostCapSample(mixed, "url", "id", 5)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("hostReport: collapse arithmetic is exact integer ppm") {
     // 3 raw URLs on one host collapse to 1 page; 1 URL on another stays.
     val df = Seq(
