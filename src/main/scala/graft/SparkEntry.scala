@@ -2029,6 +2029,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Host-authority ranking (Common-Crawl-style seed prioritization):
+    // integer-exact PageRank over a deterministic host link graph derived
+    // from doc_ids (both engines build the same multigraph). Per
+    // iteration ONE edge-side equi-join + ONE dst-key aggregate; rank
+    // arithmetic is all-Long micro-units, so the result is a pure
+    // function of the edge list — no float folds to drift.
+    "q147_host_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def ed(m: Int, a: Int, b: Int) = docs.select(
+        expr("concat('h', cast(doc_id % 23 AS string))").as("src"),
+        expr(s"concat('h', cast((doc_id * $m + $a) % $b AS string))").as("dst"))
+      graft.ops.Graphs.pageRank(
+          ed(7, 3, 23).unionByName(ed(5, 1, 23)), "src", "dst", iters = 3)
+        .orderBy(col("rank_u").desc, col("node"))
+    }),
+
     // Deploy-time twin of q144: encode the corpus with the trained
     // unigram vocabulary and report per-language fertility (pieces/word)
     // and compression (chars/token) in exact integer ppm — the BPE
@@ -5573,6 +5589,11 @@ object SparkEntry {
          JOIN sel USING (doc_id) WHERE sel.rn <= 30
          ORDER BY d.doc_id""",
 
+    // PageRank replay: identical multigraph, 3 unrolled iterations of
+    // integer floor-division rank flow — exact BIGINT arithmetic, no
+    // recursion needed for a fixed iteration count.
+    "q147_host_pagerank" -> pageRankDuck,
+
     // Unigram-LM replay: same seed vocabulary, then each EM round as a
     // recursive-CTE Viterbi DP (integer micro-nat costs make the DP
     // exact in both engines; the longest-piece tie rule is the CASE
@@ -5609,6 +5630,46 @@ object SparkEntry {
                 END AS chars_per_token_ppm
          FROM documents LEFT JOIN perdoc USING (doc_id)
          GROUP BY lang ORDER BY lang""")
+
+  /** DuckDB replay of [[graft.ops.Graphs.pageRank]] on q147's derived
+    * host multigraph: 3 unrolled iterations, all-BIGINT floor-division
+    * arithmetic (`//` ≡ Spark's `div` for the positive values here).
+    */
+  private lazy val pageRankDuck: String = {
+    def iterAt(k: Int): String = {
+      val prev = s"r${k - 1}"
+      s"""c$k AS (SELECT e2.dst AS node,
+             CAST(sum(r.rank_u // d.outdeg) AS BIGINT) AS s
+           FROM e2 JOIN $prev r ON r.node = e2.src
+                   JOIN deg d ON d.src = e2.src
+           GROUP BY e2.dst),
+         r$k AS (SELECT n.node,
+             (150000 * (SELECT init FROM params)) // 1000000
+               + (850000 * coalesce(c$k.s, 0)) // 1000000 AS rank_u
+           FROM nodes n LEFT JOIN c$k USING (node))"""
+    }
+    s"""WITH e AS (
+           SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                  'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst
+           FROM documents
+           UNION ALL
+           SELECT 'h' || CAST(doc_id % 23 AS VARCHAR),
+                  'h' || CAST((doc_id * 5 + 1) % 23 AS VARCHAR)
+           FROM documents),
+         e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+         nodes AS (SELECT DISTINCT node FROM (
+           SELECT src AS node FROM e2 UNION SELECT dst FROM e2)),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                 FROM e2 GROUP BY src),
+         params AS (SELECT 1000000000000 // (SELECT count(*) FROM nodes)
+                      AS init),
+         r0 AS (SELECT node, CAST((SELECT init FROM params) AS BIGINT)
+                  AS rank_u FROM nodes),
+         ${iterAt(1)},
+         ${iterAt(2)},
+         ${iterAt(3)}
+         SELECT node, rank_u FROM r3 ORDER BY rank_u DESC, node"""
+  }
 
   /** One Viterbi DP + backtrack round as recursive CTEs `m$k`/`dp$k`/
     * `bt$k` reading piece costs from `prevCosts`: list accumulators for

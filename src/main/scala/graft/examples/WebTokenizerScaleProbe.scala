@@ -89,6 +89,19 @@ object WebTokenizerScaleProbe {
       UnigramLm.train(docs, "text", vocabSize = 2000, maxPieceLen = 4,
         emIters = 2).count()
     }
+    timed("pageRank 3 iters (zipf host graph, ~n edges)") {
+      // Directed edges between zipf-popular hosts (re-derives the same
+      // skew as the URL hosts): the hot node owns ~60% of endpoints.
+      val zipfNode = (c: org.apache.spark.sql.Column) =>
+        concat(lit("g"), floor(lit(1.0) / sqrt(
+          (pmod(xxhash64(c), lit(1000000L)).cast("double") + lit(1.0)) / 1e6))
+          .cast("long"))
+      val edges = spark.range(n.toLong).select(
+        zipfNode(col("id")).as("src"),
+        zipfNode(col("id") * lit(31L) + lit(7L)).as("dst"))
+      graft.ops.Graphs.pageRank(edges, "src", "dst", iters = 3).count()
+    }
+
     val vocab = UnigramLm.train(docs, "text", vocabSize = 2000,
       maxPieceLen = 4, emIters = 2)
     timed("unigram fertilityReport (encode pass only, trained vocab)") {

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integer-exact PageRank: hand-computed tiny graph, partitioning
+  * invariance, and a naive-replay differential on a random graph.
+  */
+class GraphsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-graphs-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def naivePageRank(edges: Seq[(String, String)], iters: Int,
+      dampingPpm: Long = 850000L): Map[String, Long] = {
+    val e = edges.filter { case (s, d) => s != d }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val init = Graphs.RankUnits / nodes.size
+    val base = ((1000000L - dampingPpm) * init) / 1000000L
+    var ranks = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.Map.empty[String, Long]
+      for ((s, d) <- e)
+        sums(d) = sums.getOrElse(d, 0L) + ranks(s) / outdeg(s)
+      ranks = nodes.map(nd =>
+        nd -> (base + (dampingPpm * sums.getOrElse(nd, 0L)) / 1000000L)).toMap
+    }
+    ranks
+  }
+
+  private def run(edges: Seq[(String, String)], iters: Int,
+      partitions: Int = 4): Map[String, Long] =
+    Graphs.pageRank(edges.toDF("s", "d").repartition(partitions), "s", "d",
+      iters).as[(String, Long)].collect().toMap
+
+  test("pageRank: hand-computed 3-node chain with a cycle") {
+    // a -> b, b -> c, c -> a: symmetric cycle, ranks stay equal at
+    // init-ish; a -> c extra edge breaks the symmetry toward c.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+    val got = run(edges, 2)
+    assert(got == naivePageRank(edges, 2))
+    // b only ever receives half of a's rank: strictly bottom-ranked
+    assert(got("b") < got("a") && got("b") < got("c"))
+  }
+
+  test("pageRank: self-loops dropped, dangling mass shed, base floor holds") {
+    // d is dangling (in-link only); x -> x self loop must not count.
+    val edges = Seq(("a", "d"), ("a", "a"), ("d", "d"))
+    val got = run(edges, 3)
+    assert(got == naivePageRank(edges, 3))
+    // a has no in-links: exactly the base term after any iteration
+    val init = Graphs.RankUnits / 2
+    assert(got("a") == (150000L * init) / 1000000L)
+  }
+
+  test("pageRank is invariant under input partitioning") {
+    val rng = new scala.util.Random(5)
+    val edges = Seq.fill(300)((s"n${rng.nextInt(20)}", s"n${rng.nextInt(20)}"))
+    assert(run(edges, 3, partitions = 2) == run(edges, 3, partitions = 17))
+  }
+
+  test("pageRank matches the naive replay on a random multigraph") {
+    val rng = new scala.util.Random(9)
+    val edges = Seq.fill(500)((s"h${rng.nextInt(30)}", s"h${rng.nextInt(30)}"))
+    assert(run(edges, 4) == naivePageRank(edges, 4))
+  }
+}
