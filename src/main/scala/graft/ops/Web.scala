@@ -49,20 +49,35 @@ object Web {
     lower(regexp_extract(trim(url), schemeRe, 1))
 
   /** Canonical host: lowercased, userinfo and port stripped, `www.`
-    * prefix and root-dot dropped. '' for non-URLs. */
-  def urlHost(url: Column): Column = {
+    * prefix and root-dot dropped. '' for non-URLs. Single-pass codegen
+    * expression ([[graft.functions.UrlExpressions.UrlHost]]). */
+  def urlHost(url: Column): Column =
+    graft.functions.UrlExpressions.urlHost(url)
+
+  /** Canonical full URL per the object contract; NULL when the input
+    * doesn't parse as `scheme://host...`. Single-pass codegen expression
+    * ([[graft.functions.UrlExpressions.UrlCanonicalize]]) — one parse
+    * per row instead of the ~12 regex executions of
+    * [[canonicalizeUrlColumns]]; ~10× on the 2M-URL probe. The Column
+    * chain remains as the independent reference the spec differentials
+    * against (the DuckDB oracle replays the rules a third way). */
+  def canonicalizeUrl(url: Column): Column =
+    graft.functions.UrlExpressions.urlCanonicalize(url)
+
+  /** [[urlHost]] as built-in-function composition (reference semantics). */
+  def urlHostColumns(url: Column): Column = {
     val netloc = lower(regexp_extract(trim(url), netlocRe, 1))
     val noInfo = regexp_replace(netloc, "^[^@]*@", "")
     val noPort = regexp_replace(noInfo, ":[0-9]*$", "")
     regexp_replace(regexp_replace(noPort, "^www\\.", ""), "\\.$", "")
   }
 
-  /** Canonical full URL per the object contract; NULL when the input
-    * doesn't parse as `scheme://host...`. */
-  def canonicalizeUrl(url: Column): Column = {
+  /** [[canonicalizeUrl]] as built-in-function composition (reference
+    * semantics for the differential; not the hot path). */
+  def canonicalizeUrlColumns(url: Column): Column = {
     val u = trim(url)
     val scheme = lower(regexp_extract(u, schemeRe, 1))
-    val host = urlHost(url)
+    val host = urlHostColumns(url)
     val netloc = lower(regexp_extract(u, netlocRe, 1))
     val noInfo = regexp_replace(netloc, "^[^@]*@", "")
     val port = regexp_extract(noInfo, ":([0-9]+)$", 1)

@@ -73,6 +73,38 @@ class WebSpec extends AnyFunSuite {
     assert(got == "host.example.org")
   }
 
+  test("codegen expression matches the Column-chain reference on random URLs") {
+    // Adversarial fragments: userinfo '@'s, bare/multi colons, empty and
+    // tracking params, fragments before queries, root dots, mixed case,
+    // non-URLs, surrounding spaces.
+    val rng = new scala.util.Random(17)
+    val schemes = Seq("http", "HTTPS", "ftp", "x+y.z-1", "9bad", "")
+    val hosts = Seq("WWW.Example.COM", "a.b.c.", "host", "u:p@Host", "@h",
+      "h@@x", "", "www.")
+    val ports = Seq("", ":80", ":443", ":8080", ":", ":0443", ":12:34", ":x1")
+    val paths = Seq("", "/", "/A/b/", "///", "/p?x", "/p#y")
+    val queries = Seq("", "?", "?a=1&utm_source=f&B=2", "?&&", "?ref=t",
+      "?k", "?utm_x", "?z=1#f", "?Q=%20&q=+")
+    val frags = Seq("", "#f", "#?a=1")
+    val urls = Seq.fill(4000) {
+      val pad = if (rng.nextBoolean()) " " else ""
+      pad + schemes(rng.nextInt(schemes.size)) +
+        (if (rng.nextInt(10) == 0) ":/" else "://") +
+        hosts(rng.nextInt(hosts.size)) + ports(rng.nextInt(ports.size)) +
+        paths(rng.nextInt(paths.size)) + queries(rng.nextInt(queries.size)) +
+        frags(rng.nextInt(frags.size)) + pad
+    } ++ Seq("", "   ", "no url at all", "http://")
+    val df = urls.toDF("url")
+    val diff = df.select(
+        Web.canonicalizeUrl(col("url")).as("fast"),
+        Web.canonicalizeUrlColumns(col("url")).as("ref"),
+        Web.urlHost(col("url")).as("hfast"),
+        Web.urlHostColumns(col("url")).as("href"),
+        col("url"))
+      .filter(!(col("fast") <=> col("ref")) || !(col("hfast") <=> col("href")))
+    assert(diff.count() == 0, diff.collect().take(5).mkString("\n"))
+  }
+
   test("hostCapSample: caps per host, deterministic under repartition") {
     val rows = (1L to 40L).map(i =>
       (i, s"https://h${i % 2}.example.com/p$i"))
