@@ -29,6 +29,12 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         UnicodeExpressions.UnicodeNormalize(exprs(0), strArg(exprs(1), "unicode_normalize")),
       "scala_udf")
+    registry.createOrReplaceTempFunction("url_canonicalize",
+      (exprs: Seq[Expression]) => UrlExpressions.UrlCanonicalize(exprs(0)),
+      "scala_udf")
+    registry.createOrReplaceTempFunction("url_host",
+      (exprs: Seq[Expression]) => UrlExpressions.UrlHost(exprs(0)),
+      "scala_udf")
   }
 
   private def strArg(e: Expression, fn: String): String = e match {

@@ -123,6 +123,15 @@ class WebSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("SQL surface: url_canonicalize / url_host registered") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT url_canonicalize('HTTP://WWW.X.COM:80/A/?utm_source=1&b=2#f'),
+                url_host('https://u@WWW.Host.ORG.:8443/x')""")
+      .as[(String, String)].head()
+    assert(got == (("http://x.com/A?b=2", "host.org")))
+  }
+
   test("hostReport: collapse arithmetic is exact integer ppm") {
     // 3 raw URLs on one host collapse to 1 page; 1 URL on another stays.
     val df = Seq(
