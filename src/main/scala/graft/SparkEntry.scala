@@ -5620,14 +5620,18 @@ object SparkEntry {
                 CAST(sum(coalesce(nw, 0)) AS BIGINT) AS n_words,
                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
                 CAST(sum(coalesce(nt, 0)) AS BIGINT) AS n_tokens,
-                CASE WHEN sum(coalesce(nw, 0)) > 0 THEN
-                  CAST(floor(CAST(sum(coalesce(nt, 0)) AS DOUBLE)
-                    / sum(coalesce(nw, 0)) * 1000000 + 0.5) AS BIGINT)
-                END AS fertility_ppm,
-                CASE WHEN sum(coalesce(nt, 0)) > 0 THEN
-                  CAST(floor(CAST(sum(n_chars) AS DOUBLE)
-                    / sum(coalesce(nt, 0)) * 1000000 + 0.5) AS BIGINT)
-                END AS chars_per_token_ppm
+                CAST(CASE WHEN sum(coalesce(nw, 0)) > 0 THEN
+                  (sum(coalesce(nt, 0)) // sum(coalesce(nw, 0))) * 1000000
+                    + (2 * (sum(coalesce(nt, 0)) % sum(coalesce(nw, 0)))
+                        * 1000000 + sum(coalesce(nw, 0)))
+                      // (2 * sum(coalesce(nw, 0)))
+                END AS BIGINT) AS fertility_ppm,
+                CAST(CASE WHEN sum(coalesce(nt, 0)) > 0 THEN
+                  (sum(n_chars) // sum(coalesce(nt, 0))) * 1000000
+                    + (2 * (sum(n_chars) % sum(coalesce(nt, 0)))
+                        * 1000000 + sum(coalesce(nt, 0)))
+                      // (2 * sum(coalesce(nt, 0)))
+                END AS BIGINT) AS chars_per_token_ppm
          FROM documents LEFT JOIN perdoc USING (doc_id)
          GROUP BY lang ORDER BY lang""")
 
@@ -5707,7 +5711,7 @@ object SparkEntry {
          SELECT w, freq, pos - bl[pos + 1],
                 list_prepend(substr(w, pos - bl[pos + 1] + 1,
                   bl[pos + 1]), ps), bl
-         FROM bt$k WHERE pos > 0)"""
+         FROM bt$k WHERE pos > 0 AND bl[pos + 1] > 0)"""
   }
 
   /** DuckDB replay of [[graft.ops.UnigramLm.train]] with q144's fixed
@@ -5757,7 +5761,9 @@ object SparkEntry {
   /** DuckDB replay of [[graft.ops.Web.canonicalizeUrl]] (plus the messy-URL
     * fixture) as a WITH-clause body ending in `canon(doc_id, host,
     * canonical)`; shared by the q142/q143 oracles. Regex set restricted to
-    * the Java∩RE2 dialect, all patterns anchored so first-match
+    * the Java∩RE2 dialect in exact-text form (`\A`/`\z` anchors +
+    * DOTALL — bit-aligned with [[graft.ops.Web]]'s Column chain even for
+    * newline-bearing URLs), all patterns anchored so first-match
     * `regexp_replace` equals Spark's replace-all.
     */
   private lazy val urlCanonDuckCtes: String = {
@@ -5777,27 +5783,30 @@ object SparkEntry {
     s"""raw AS (SELECT doc_id, $messyUrlDuck AS url FROM documents),
          up AS (SELECT doc_id, trim(url) AS u FROM raw),
          parts AS (SELECT doc_id,
-             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$$', 1))
-               AS scheme,
              lower(regexp_extract(u,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$$', 1)) AS netloc,
+               '(?s)\\A([A-Za-z][A-Za-z0-9+.-]*)://.*\\z', 1)) AS scheme,
+             lower(regexp_extract(u,
+               '(?s)\\A[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*\\z', 1))
+               AS netloc,
              regexp_extract(u,
-               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*$$', 1) AS path,
+               '(?s)\\A[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*\\z', 1)
+               AS path,
              regexp_extract(u,
-               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*).*$$', 1)
-               AS query
+               '(?s)\\A[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*).*\\z',
+               1) AS query
            FROM up),
-         hostp AS (SELECT *, regexp_replace(netloc, '^[^@]*@', '') AS noinfo
+         hostp AS (SELECT *, regexp_replace(netloc, '\\A[^@]*@', '') AS noinfo
            FROM parts),
          hostq AS (SELECT *,
              regexp_replace(regexp_replace(regexp_replace(noinfo,
-               ':[0-9]*$$', ''), '^www\\.', ''), '\\.$$', '') AS host,
-             regexp_extract(noinfo, ':([0-9]+)$$', 1) AS port
+               ':[0-9]*\\z', ''), '\\Awww\\.', ''), '\\.\\z', '') AS host,
+             regexp_extract(noinfo, ':([0-9]+)\\z', 1) AS port
            FROM hostp),
          qkeep AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
              string_split(query, '&'),
              x -> len(x) > 0 AND NOT regexp_matches(string_split(x, '=')[1],
-               '^(utm_.*|gclid|fbclid|msclkid|ref|mc_eid|igshid)$$'))), '&'),
+               '(?s)\\A(utm_.*|gclid|fbclid|msclkid|ref|mc_eid|igshid)\\z'))),
+             '&'),
              '') AS kept
            FROM hostq),
          canon AS (SELECT doc_id, host,
@@ -5807,8 +5816,8 @@ object SparkEntry {
                           AND NOT ((scheme = 'http' AND port = '80')
                             OR (scheme = 'https' AND port = '443'))
                         THEN ':' || port ELSE '' END
-                    || CASE WHEN regexp_replace(path, '/+$$', '') = ''
-                        THEN '/' ELSE regexp_replace(path, '/+$$', '') END
+                    || CASE WHEN regexp_replace(path, '/+\\z', '') = ''
+                        THEN '/' ELSE regexp_replace(path, '/+\\z', '') END
                     || CASE WHEN kept = '' THEN ''
                         ELSE '?' || kept END
              END AS canonical

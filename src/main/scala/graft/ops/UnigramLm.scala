@@ -39,6 +39,12 @@ object UnigramLm {
     * enough that one addition per DP step cannot overflow Long. */
   private val Inf = 4611686018427387903L // 2^62 - 1
 
+  /** Round-half-up of `a*1e6/b` in pure Long arithmetic (b > 0):
+    * quotient and remainder split so no product exceeds `2e6 * b`. */
+  private def ppmRatio(a: String, b: String): Column =
+    expr(s"($a div $b) * 1000000L" +
+      s" + (2L * ($a % $b) * 1000000L + $b) div (2L * $b)")
+
   /** Distinct words with frequencies: the one corpus-scale aggregate.
     * Words longer than `maxWordLen` code units are junk for tokenizer
     * training (URLs, DNA, base64) and are excluded — also bounding the
@@ -84,6 +90,15 @@ object UnigramLm {
     * segmentation as an array of pieces. The DP array builds in the
     * merge lambda; the backtrack runs in the FINISH lambda so the DP
     * array is computed exactly once (no project-collapse re-inlining).
+    *
+    * Unsegmentable words — a character absent from the vocabulary leaves
+    * the final DP state at cost `Inf` — return NULL, never a bogus
+    * segmentation: without the guard the backtrack's best-length is 0,
+    * the position never advances, and the word would silently "segment"
+    * into `length(w)` empty pieces. NULL can only occur against an
+    * externally-trained vocabulary ([[fertilityReport]] documents how it
+    * handles that); [[train]]'s seed keeps every single character, so
+    * training itself always has full coverage.
     */
   def segmentExpr(wordCol: String, mapCol: String, maxPieceLen: Int): Column = {
     val w = wordCol
@@ -107,16 +122,19 @@ object UnigramLm {
                      + try_element_at($mapCol, substr($w, __j - __l + 1, __l)),
                    'l', __l),
                  __b)))),
-           __bests -> aggregate(
-             sequence(1, length($w)),
-             named_struct('pos', length($w),
-               'ps', cast(array() AS array<string>)),
-             (__st, __i) -> IF(__st.pos <= 0, __st,
-               named_struct('pos', __st.pos - $best,
-                 'ps', concat(
-                   array(substr($w, __st.pos - $best + 1, $best)),
-                   __st.ps))),
-             __st -> __st.ps))""")
+           __bests -> IF(
+             element_at(__bests, length($w) + 1).c >= cast($Inf AS bigint),
+             cast(NULL AS array<string>),
+             aggregate(
+               sequence(1, length($w)),
+               named_struct('pos', length($w),
+                 'ps', cast(array() AS array<string>)),
+               (__st, __i) -> IF(__st.pos <= 0, __st,
+                 named_struct('pos', __st.pos - $best,
+                   'ps', concat(
+                     array(substr($w, __st.pos - $best + 1, $best)),
+                     __st.ps))),
+               __st -> __st.ps)))""")
   }
 
   /** Segment a distinct-word table under a (piece, cost_u) vocabulary:
@@ -138,8 +156,17 @@ object UnigramLm {
     * the deploy-time twin of [[Curation.tokenizerFertilityReport]] (BPE):
     * per `groupCol`, document/word/char/token totals plus
     * pieces-per-word (fertility) and chars-per-token, both as exact
-    * integer ppm (the q139 discipline — no float rounding at a decimal
-    * tie). Words over `maxWordLen` are excluded exactly as in training.
+    * integer ppm: round-half-up of `a*1e6/b` computed as
+    * `(a div b)*1e6 + (2*(a mod b)*1e6 + b) div (2*b)` — pure Long
+    * arithmetic (the q139 discipline), overflow-safe (each product is
+    * bounded by `2e6 * b`), and engine-exact by construction rather
+    * than by both engines happening to evaluate the same IEEE
+    * expression. Words over `maxWordLen` are excluded exactly as in
+    * training; words the vocabulary CANNOT segment (an out-of-vocabulary
+    * character — possible because `costedVocab` may be trained on a
+    * different corpus) are likewise excluded from `n_words`/`n_tokens`
+    * rather than silently miscounted ([[segmentExpr]] returns NULL for
+    * them). `n_chars`/`n_docs` always cover every document.
     *
     * Scale shape: the corpus collapses to (doc, word, count) first
     * (zipf-cheap), the DISTINCT word table segments once (the same
@@ -155,6 +182,7 @@ object UnigramLm {
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("__cnt"))
     val wordPieces = viterbiSegment(
         docWords.select("w").distinct(), "w", costedVocab, maxPieceLen)
+      .filter(col("pieces").isNotNull) // drop unsegmentable (OOV-char) words
       .select(col("w"), size(col("pieces")).cast("long").as("__np"))
     val perDoc = docWords.join(wordPieces, Seq("w"))
       .groupBy(col(idCol))
@@ -169,12 +197,10 @@ object UnigramLm {
         sum(coalesce(col("__nt"), lit(0L))).as("n_tokens"))
       .select(col(groupCol), col("n_docs"), col("n_words"), col("n_chars"),
         col("n_tokens"),
-        when(col("n_words") > 0,
-          floor(col("n_tokens").cast("double") / col("n_words") * lit(1e6)
-            + lit(0.5)).cast("long")).as("fertility_ppm"),
-        when(col("n_tokens") > 0,
-          floor(col("n_chars").cast("double") / col("n_tokens") * lit(1e6)
-            + lit(0.5)).cast("long")).as("chars_per_token_ppm"))
+        when(col("n_words") > 0, ppmRatio("n_tokens", "n_words"))
+          .as("fertility_ppm"),
+        when(col("n_tokens") > 0, ppmRatio("n_chars", "n_tokens"))
+          .as("chars_per_token_ppm"))
   }
 
   /** Train: seed → `emIters` hard-EM rounds → (piece, n, cost_u).

@@ -35,14 +35,28 @@ import org.apache.spark.sql.functions._
 object Web {
 
   /** Query parameters that never change page identity: analytics /
-    * click-tracking tags. Matched against the full parameter key. */
+    * click-tracking tags. Matched against the FULL parameter key with
+    * exact-text anchors (`\A`/`\z`, DOTALL): Java's default `$` matches
+    * before a trailing newline and `.` stops at one, which would make a
+    * key like `"ref\n"` or `"utm_a\nb"` classify differently from the
+    * codegen fast path's `equals`/`startsWith`
+    * ([[graft.functions.UrlExpressions]]) and from RE2 (DuckDB), whose
+    * `^`/`$` are text anchors. `(?s)\A...\z` pins all three engines to
+    * the same exact-full-string semantics. */
   private val trackingKeyRe =
-    "^(utm_.*|gclid|fbclid|msclkid|ref|mc_eid|igshid)$"
+    "(?s)\\A(utm_.*|gclid|fbclid|msclkid|ref|mc_eid|igshid)\\z"
 
-  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://.*$"
-  private val netlocRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$"
-  private val pathRe   = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*$"
-  private val queryRe  = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*).*$"
+  // Parse regexes in exact-text form: `\A`/`\z` anchors and DOTALL, so
+  // a newline anywhere in a URL neither aborts the parse (Java '.'
+  // stops at '\n') nor shifts an anchor (Java '$' matches before a
+  // trailing '\n'). Keeps the Column chain bit-aligned with the
+  // single-pass codegen parser and with RE2, whose '.' also stops at
+  // '\n' but whose '^'/'$' are already text anchors.
+  private val schemeRe = "(?s)\\A([A-Za-z][A-Za-z0-9+.-]*)://.*\\z"
+  private val netlocRe = "(?s)\\A[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*\\z"
+  private val pathRe   = "(?s)\\A[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*\\z"
+  private val queryRe  =
+    "(?s)\\A[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*).*\\z"
 
   /** Lowercased scheme, or '' for non-URLs. */
   def urlScheme(url: Column): Column =
@@ -67,9 +81,9 @@ object Web {
   /** [[urlHost]] as built-in-function composition (reference semantics). */
   def urlHostColumns(url: Column): Column = {
     val netloc = lower(regexp_extract(trim(url), netlocRe, 1))
-    val noInfo = regexp_replace(netloc, "^[^@]*@", "")
-    val noPort = regexp_replace(noInfo, ":[0-9]*$", "")
-    regexp_replace(regexp_replace(noPort, "^www\\.", ""), "\\.$", "")
+    val noInfo = regexp_replace(netloc, "\\A[^@]*@", "")
+    val noPort = regexp_replace(noInfo, ":[0-9]*\\z", "")
+    regexp_replace(regexp_replace(noPort, "\\Awww\\.", ""), "\\.\\z", "")
   }
 
   /** [[canonicalizeUrl]] as built-in-function composition (reference
@@ -79,15 +93,15 @@ object Web {
     val scheme = lower(regexp_extract(u, schemeRe, 1))
     val host = urlHostColumns(url)
     val netloc = lower(regexp_extract(u, netlocRe, 1))
-    val noInfo = regexp_replace(netloc, "^[^@]*@", "")
-    val port = regexp_extract(noInfo, ":([0-9]+)$", 1)
+    val noInfo = regexp_replace(netloc, "\\A[^@]*@", "")
+    val port = regexp_extract(noInfo, ":([0-9]+)\\z", 1)
     val keepPort = (port =!= "") &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
     val netlocOut = concat(host, when(keepPort, concat(lit(":"), port))
       .otherwise(lit("")))
     val rawPath = regexp_extract(u, pathRe, 1)
-    val stripped = regexp_replace(rawPath, "/+$", "")
+    val stripped = regexp_replace(rawPath, "/+\\z", "")
     val pathOut = when(stripped === "", lit("/")).otherwise(stripped)
     val rawQuery = regexp_extract(u, queryRe, 1)
     val kept = array_join(
@@ -100,18 +114,6 @@ object Web {
       .otherwise(concat(scheme, lit("://"), netlocOut, pathOut, queryOut))
   }
 
-  /** Per-host crawl statistics over a URL column: raw URL count, distinct
-    * canonical pages, and the canonicalization-collapse rate in ppm
-    * (integer arithmetic — exact in any engine). The host-budget /
-    * domain-blocklist signal: a host whose raw URLs collapse heavily is
-    * serving the same pages under churned tracking parameters.
-    *
-    * One projection + one hash aggregate on the canonical host (partials
-    * combine map-side); rows that don't parse as URLs are dropped. At
-    * crawl scale hosts are zipf-skewed — the aggregate state per host is
-    * O(1) scalars except `n_pages`'s distinct, which rides the same
-    * shuffle as a two-column (host, canonical) pre-distinct.
-    */
   /** Per-host crawl-budget cap: keep at most `maxPerHost` rows per
     * canonical host, selected by the library-wide deterministic
     * `(md5(id), id)` priority — the C4/RefinedWeb-style domain-diversity
@@ -132,6 +134,18 @@ object Web {
       .drop("__host")
   }
 
+  /** Per-host crawl statistics over a URL column: raw URL count, distinct
+    * canonical pages, and the canonicalization-collapse rate in ppm
+    * (integer arithmetic — exact in any engine). The host-budget /
+    * domain-blocklist signal: a host whose raw URLs collapse heavily is
+    * serving the same pages under churned tracking parameters.
+    *
+    * One projection + one hash aggregate on the canonical host (partials
+    * combine map-side); rows that don't parse as URLs are dropped. At
+    * crawl scale hosts are zipf-skewed — the aggregate state per host is
+    * O(1) scalars except `n_pages`'s distinct, which rides the same
+    * shuffle as a two-column (host, canonical) pre-distinct.
+    */
   def hostReport(df: DataFrame, urlCol: String): DataFrame = {
     val canon = df
       .select(urlHost(col(urlCol)).as("host"),

@@ -76,6 +76,35 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(got == Seq(("en", 2L, 3L, 7L, 4L, 1333333L, 1750000L)))
   }
 
+  test("viterbiSegment: unsegmentable words yield NULL, not empty pieces") {
+    // 'q' is not in the vocabulary: the final DP state is unreachable,
+    // so the segmentation must be NULL — not length(w) empty strings.
+    val wdf = Seq("ab", "aqb", "q").toDF("w")
+    val vdf = Seq("a" -> 100L, "b" -> 100L, "ab" -> 150L)
+      .toDF("piece", "cost_u")
+    val got = UnigramLm.viterbiSegment(wdf, "w", vdf, maxPieceLen = 4)
+      .select("w", "pieces").as[(String, Option[Seq[String]])]
+      .collect().toMap
+    assert(got("ab") == Some(Seq("ab")))
+    assert(got("aqb") == None)
+    assert(got("q") == None)
+  }
+
+  test("fertilityReport: OOV-char words are excluded, not miscounted") {
+    // doc 2's only word is unsegmentable: it contributes n_docs/n_chars
+    // but zero words/tokens; doc 1 is unaffected.
+    val docs = Seq((1L, "abab b", "en", 6L), (2L, "qq", "en", 2L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val vocab = Seq("a" -> 100L, "b" -> 100L, "ab" -> 150L)
+      .toDF("piece", "cost_u")
+    val got = UnigramLm.fertilityReport(docs, "doc_id", "text", "lang",
+        col("n_chars"), vocab, maxPieceLen = 4, maxWordLen = 30)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // 2 docs, 2 words (abab, b), 8 chars, 3 pieces:
+    // fertility 3/2 -> 1500000, chars/token 8/3 -> 2666667 (round half up)
+    assert(got == Seq(("en", 2L, 2L, 8L, 3L, 1500000L, 2666667L)))
+  }
+
   // ---- naive replay ----
 
   private def naiveTrain(texts: Seq[String], vocabSize: Int, maxPieceLen: Int,

@@ -84,7 +84,11 @@ class WebSpec extends AnyFunSuite {
     val ports = Seq("", ":80", ":443", ":8080", ":", ":0443", ":12:34", ":x1")
     val paths = Seq("", "/", "/A/b/", "///", "/p?x", "/p#y")
     val queries = Seq("", "?", "?a=1&utm_source=f&B=2", "?&&", "?ref=t",
-      "?k", "?utm_x", "?z=1#f", "?Q=%20&q=+")
+      "?k", "?utm_x", "?z=1#f", "?Q=%20&q=+",
+      // newline-bearing keys: Java '$' matches before a trailing '\n'
+      // and '.' stops at one — (?s)\A...\z anchoring must keep the
+      // Column path aligned with the codegen equals/startsWith path
+      "?ref\n=1", "?utm_a\nb=2", "?ref\n&z=1", "?\nref=x")
     val frags = Seq("", "#f", "#?a=1")
     val urls = Seq.fill(4000) {
       val pad = if (rng.nextBoolean()) " " else ""
@@ -103,6 +107,21 @@ class WebSpec extends AnyFunSuite {
         col("url"))
       .filter(!(col("fast") <=> col("ref")) || !(col("hfast") <=> col("href")))
     assert(diff.count() == 0, diff.collect().take(5).mkString("\n"))
+  }
+
+  test("tracking-key match is exact-full-string: newline keys") {
+    // "utm_a\nb" IS a tracking key (utm_ prefix); "ref\n" is NOT "ref".
+    val got = canon(
+      "https://h.example.com/p?utm_a\nb=1&z=2",
+      "https://h.example.com/p?ref\n=1&z=2")
+    assert(got == Seq(
+      "https://h.example.com/p?z=2",
+      "https://h.example.com/p?ref\n=1&z=2"))
+    // and the Column reference agrees
+    val ref = Seq("https://h.example.com/p?utm_a\nb=1&ref\n=2")
+      .toDF("url").select(Web.canonicalizeUrlColumns(col("url")))
+      .as[String].head()
+    assert(ref == "https://h.example.com/p?ref\n=2")
   }
 
   test("hostCapSample: caps per host, deterministic under repartition") {
