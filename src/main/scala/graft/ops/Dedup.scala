@@ -597,6 +597,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Hash bucket for the keyed streaming state dirs: a pure function of
+    * the key columns, so a probe by key touches exactly one bucket. */
+  private def stateBucket(keys: Seq[String], nBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int").as("__bucket")
+
+  /** Distinct bucket ids present in a one-column frame — bounded by
+    * nBuckets ints, the same driver-side footprint as
+    * [[Upsert.upsertKeyedParquet]]'s affected-bucket collect. */
+  private def touchedBuckets(buckets: DataFrame): Seq[Int] =
+    buckets.distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Read only the given hash buckets of a `__bucket=K`-partitioned state
+    * dir — partition pruning at the scan, so probe cost follows the
+    * touched buckets, not the accumulated state size. */
+  private def readStateBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String, buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("__bucket").isin(buckets: _*))
+      .drop("__bucket")
+
+  /** Append into `path/__bucket=K/` dirs, one file per touched bucket
+    * (the repartition co-locates each bucket in one task — the
+    * [[Upsert.upsertKeyedParquet]] anti-fragmentation discipline). Empty
+    * frames are skipped: a zero-row partitioned write creates no files,
+    * leaving a dir the next read cannot infer a schema from. */
+  private def appendStateBuckets(df: DataFrame, path: String,
+      keys: Seq[String], nBuckets: Int): Unit =
+    if (!df.isEmpty)
+      df.withColumn("__bucket", stateBucket(keys, nBuckets))
+        // explicit partition count: a bare repartition(col) re-plans under
+        // AQE and measured 3× slower on the dynamic-partition write path
+        .repartition(nBuckets, col("__bucket"))
+        .write.mode("append").partitionBy("__bucket").parquet(path)
+
+  /** Rewrite any of the given buckets whose parquet-file count exceeds
+    * `maxFiles` down to one file each — a dynamic partition overwrite of
+    * just those buckets (the localCheckpoint breaks the read-own-path
+    * cycle). At one appended file per bucket per batch this fires at
+    * most once per `maxFiles` batches per bucket, bounding both the
+    * amortized rewrite cost and the sink's file listing. */
+  private def compactStateBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String, buckets: Seq[Int], maxFiles: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oversized = buckets.filter { b =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b")
+      fs.exists(dir) && fs.listStatus(dir)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+    }
+    if (oversized.nonEmpty) {
+      val rows = spark.read.parquet(path)
+        .filter(col("__bucket").isin(oversized: _*))
+        .repartition(oversized.size, col("__bucket"))
+        .localCheckpoint(true)
+      try rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket").parquet(path)
+      finally rows.unpersist()
+    }
+  }
+
   /** Streaming incremental MinHash near-dedup: documents arrive in
     * micro-batches and each batch pays only ITS OWN work — shingle + sign +
     * band the new docs, probe the accumulated band index for cross-batch
@@ -610,10 +671,23 @@ object Dedup {
     * `bands × corpus` rows of fixed width; the shingle store is the
     * per-doc token-shingle sets the verifier needs — the same data a
     * batch re-dedup would re-derive from the corpus each run, persisted
-    * once and appended incrementally instead. Both are append-only (docs
-    * never update), so the sink is plain parquet; production would bucket
-    * both by id and make the pairs append transactional alongside the
-    * checkpoint.
+    * once and appended incrementally instead. Both stores are HASH-BUCKET
+    * PARTITIONED (`__bucket=K` dirs, `nStateBuckets` of them — the
+    * [[Upsert.upsertKeyedParquet]] discipline): the band index by its
+    * join key (band, band_sig), the shingle store by doc id. Each batch
+    * probes ONLY the buckets its own keys hash into — partition pruning
+    * at the scan, so cross-batch candidate cost follows the batch's key
+    * spread, not the accumulated index size, and the verifier reads only
+    * the shingle buckets holding actual candidate ids (for a trickle
+    * batch that is a handful of buckets out of `nStateBuckets`, however
+    * large the corpus has grown). Appends write one file per touched
+    * bucket per batch; any touched bucket that accumulates more than
+    * `compactAfterFiles` files is rewritten in place (amortized: at one
+    * file/bucket/batch, ≤ one index rewrite per `compactAfterFiles`
+    * batches), so the sink's file listing stays O(nStateBuckets).
+    * Both stores are append-only in CONTENT (docs never update); the
+    * pairs sink is a plain append whose replay is fenced by
+    * [[Upsert.applyBatchOnce]].
     */
   def streamingMinHashNearDuplicates(
       spark: org.apache.spark.sql.SparkSession,
@@ -627,7 +701,9 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       shingleLen: Int = 3,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
+      maxFilesPerTrigger: Int = 0,
+      nStateBuckets: Int = 32,
+      compactAfterFiles: Int = 32): DataFrame = {
     val bandedDir = s"$stateDir/banded"
     val shinglesDir = s"$stateDir/shingles"
     val pairsDir = s"$stateDir/pairs"
@@ -654,10 +730,20 @@ object Dedup {
               col("a.band_sig") === col("b.band_sig") &&
               col(s"a.$idCol") < col(s"b.$idCol"))
           .select(col(s"a.$idCol").as("id_new"), col(s"b.$idCol").as("id_other"))
-        // Cross-batch candidates: probe the accumulated band index.
-        val cross = if (exists(bandedDir)) Some(
+        // Cross-batch candidates: probe ONLY the band-index buckets this
+        // batch's (band, band_sig) keys hash into — the bucket is a pure
+        // function of the join key, so every possible collision lives in
+        // a touched bucket and the pruned probe is exactly equivalent to
+        // a full-index join. (Bucket computation is skipped entirely on
+        // the first batch — there is no index to probe yet.)
+        val hasIndex = exists(bandedDir)
+        val bandBuckets = if (hasIndex) touchedBuckets(
+          banded.select(stateBucket(Seq("band", "band_sig"), nStateBuckets)))
+        else Nil
+        val cross = if (bandBuckets.nonEmpty) Some(
           banded.withColumnRenamed(idCol, "id_new").join(
-            spark.read.parquet(bandedDir).withColumnRenamed(idCol, "id_other"),
+            readStateBuckets(spark, bandedDir, bandBuckets)
+              .withColumnRenamed(idCol, "id_other"),
             Seq("band", "band_sig"))
             .select("id_new", "id_other"))
         else None
@@ -665,11 +751,24 @@ object Dedup {
         // the band index somehow already holds this batch's bands (partial
         // replay past the marker guard), the cross probe would pair each
         // doc with itself at jaccard 1.0.
-        val cand = cross.fold(within)(within.unionByName(_))
+        val candRaw = cross.fold(within)(within.unionByName(_))
           .filter(col("id_new") =!= col("id_other"))
           .distinct()
-        val others = if (exists(shinglesDir))
-          sets.unionByName(spark.read.parquet(shinglesDir)) else sets
+        // The verifier needs shingle sets only for docs that actually
+        // appear as candidates: batch docs come from `sets` (in memory);
+        // prior docs from the id-bucketed shingle store, pruned to the
+        // buckets the candidate id_others hash into. Persist + bucket
+        // collect only when a store exists to prune (from the second
+        // batch on) — candidates are consumed twice then and are small
+        // by LSH construction.
+        val hasShingles = exists(shinglesDir)
+        val cand = if (hasShingles) candRaw.persist() else candRaw
+        val shBuckets = if (hasShingles) touchedBuckets(
+          cand.select(stateBucket(Seq("id_other"), nStateBuckets)))
+        else Nil
+        val others = if (shBuckets.nonEmpty)
+          sets.unionByName(readStateBuckets(spark, shinglesDir, shBuckets))
+        else sets
         val verified = cand
           .join(sets.select(col(idCol).as("id_new"), col("sh").as("sh_a")), "id_new")
           .join(others.select(col(idCol).as("id_other"), col("sh").as("sh_b")), "id_other")
@@ -687,12 +786,34 @@ object Dedup {
         // append would create a file-less parquet dir the final read
         // can't infer a schema from.
         val v = verified.localCheckpoint(true)
-        try { if (!v.isEmpty) v.write.mode("append").parquet(pairsDir) }
-        finally v.unpersist()
-        // Index appends AFTER candidate generation: a doc never pairs
-        // with itself, and the next batch sees this one's state.
-        banded.write.mode("append").parquet(bandedDir)
-        sets.write.mode("append").parquet(shinglesDir)
+        if (hasShingles) cand.unpersist()
+        // The three sink writes are mutually independent (pairs, band
+        // index, shingle store — the next batch reads the indexes only
+        // after this foreachBatch returns), so they run as concurrent
+        // jobs; `local[32]` and a real cluster both overlap them. Index
+        // appends still happen AFTER candidate generation: a doc never
+        // pairs with itself, and the next batch sees this one's state.
+        // Each append lands one file per touched bucket; oversized
+        // buckets are compacted in place so the listing stays
+        // O(nStateBuckets). (Compaction scans bucket DIRS, not data — a
+        // driver fs listing over ≤ nStateBuckets dirs per store; nothing
+        // fires until some bucket accumulates compactAfterFiles files.)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val writes = Seq(
+          Future {
+            try { if (!v.isEmpty) v.write.mode("append").parquet(pairsDir) }
+            finally v.unpersist()
+          },
+          Future(appendStateBuckets(banded, bandedDir,
+            Seq("band", "band_sig"), nStateBuckets)),
+          Future(
+            appendStateBuckets(sets, shinglesDir, Seq(idCol), nStateBuckets)))
+        writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+        compactStateBuckets(spark, bandedDir,
+          0 until nStateBuckets, compactAfterFiles)
+        compactStateBuckets(spark, shinglesDir,
+          0 until nStateBuckets, compactAfterFiles)
         sets.unpersist()
         banded.unpersist()
        }

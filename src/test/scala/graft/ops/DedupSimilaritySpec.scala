@@ -457,6 +457,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(raw.count() == raw.distinct().count())
   }
 
+  test("streaming minhash: bucketed state prunes probes and compacts; pairs unchanged") {
+    val base = graft.TestScratch.dir("graft-mh-compact")
+    // 5 micro-batches against a tiny bucket count with compaction forced
+    // every batch (compactAfterFiles=1): every batch probes pruned
+    // buckets of a store that compaction has rewritten under it, and the
+    // result must STILL equal the batch operator exactly.
+    docs.repartition(5).write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val got = Dedup.streamingMinHashNearDuplicates(spark, s"$base/documents.parquet",
+        "*.parquet", "doc_id", "text",
+        stateDir = s"$base/state", checkpointDir = s"$base/ckpt",
+        threshold = 0.4, maxFilesPerTrigger = 1,
+        nStateBuckets = 4, compactAfterFiles = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.4, numHashes = 8, bands = 4, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+    // State layout: hash-bucket partition dirs, file count bounded by the
+    // compaction threshold (ploy: 5 appends uncompacted would exceed 2).
+    for (store <- Seq("banded", "shingles")) {
+      val dirs = new java.io.File(s"$base/state/$store").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith("__bucket=")))
+      dirs.foreach { d =>
+        val n = new java.io.File(s"$base/state/$store/$d").listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        assert(n <= 2, s"$store/$d holds $n files (compaction not bounding)")
+      }
+    }
+  }
+
   test("minhash maxBucket guard: mega-cluster buckets are clipped, other pairs survive") {
     // 12 identical docs (one band bucket of 12 per band) + one near-dup
     // pair of distinct docs. maxBucket=8 must drop the cluster's buckets
