@@ -718,8 +718,11 @@ object Dedup {
     val q = tuned.parquet(dir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-       // All three state appends are non-idempotent; skip a checkpoint-
-       // recovery replay of an already-applied batch (Upsert.applyBatchOnce).
+       // The appends are non-idempotent; the OUTER marker skips a
+       // checkpoint-recovery replay of a fully-applied batch, and each
+       // individual write below carries its own marker so a PARTIALLY
+       // applied batch replays without double-appending (see the
+       // per-write comment).
        graft.ops.Upsert.applyBatchOnce(spark, s"$stateDir/_applied", batchId) {
         val sets = shingleSets(batch, idCol, textCol, shingleLen).persist()
         val sigs = sets.select(col(idCol), minHashOfShingles(col("sh"), numHashes).as("sig"))
@@ -800,15 +803,28 @@ object Dedup {
         // fires until some bucket accumulates compactAfterFiles files.)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
+        // Each write carries its OWN replay marker (inside the outer
+        // whole-batch marker): a crash after SOME writes completed means
+        // the whole-batch marker was never written, so the batch replays
+        // — candidate generation is re-derivation (same pairs, the
+        // id-inequality + distinct() guards absorb a half-appended band
+        // index), and the per-write markers skip every append that
+        // already landed, so nothing double-appends. The remaining
+        // window is a crash INSIDE one write's job commit — the generic
+        // non-transactional-sink caveat applyBatchOnce documents.
         val writes = Seq(
           Future {
-            try { if (!v.isEmpty) v.write.mode("append").parquet(pairsDir) }
-            finally v.unpersist()
+            try Upsert.applyBatchOnce(spark, s"$stateDir/_pairs_w", batchId) {
+              if (!v.isEmpty) v.write.mode("append").parquet(pairsDir)
+            } finally v.unpersist()
           },
-          Future(appendStateBuckets(banded, bandedDir,
-            Seq("band", "band_sig"), nStateBuckets)),
-          Future(
-            appendStateBuckets(sets, shinglesDir, Seq(idCol), nStateBuckets)))
+          Future(Upsert.applyBatchOnce(spark, s"$stateDir/_banded_w", batchId) {
+            appendStateBuckets(banded, bandedDir,
+              Seq("band", "band_sig"), nStateBuckets)
+          }),
+          Future(Upsert.applyBatchOnce(spark, s"$stateDir/_shingles_w", batchId) {
+            appendStateBuckets(sets, shinglesDir, Seq(idCol), nStateBuckets)
+          }))
         writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
         compactStateBuckets(spark, bandedDir,
           0 until nStateBuckets, compactAfterFiles)

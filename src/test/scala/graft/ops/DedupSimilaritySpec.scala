@@ -524,6 +524,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.orderBy("id_a").select("id_a", "id_b", "jaccard").count() == 0)
   }
 
+  test("streaming minhash replay after a lost batch marker: per-write markers prevent double-appends") {
+    val base = graft.TestScratch.dir("graft-mh-replay")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$base/documents.parquet")
+    def run() = Dedup.streamingMinHashNearDuplicates(spark, s"$base/documents.parquet",
+        "*.parquet", "doc_id", "text",
+        stateDir = s"$base/state", checkpointDir = s"$base/ckpt",
+        threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val first = run()
+    assert(first.nonEmpty)
+    def fileCount(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    val filesBefore = (fileCount(s"$base/state/pairs"),
+      fileCount(s"$base/state/banded"), fileCount(s"$base/state/shingles"))
+    // Simulate the recovery gap applyBatchOnce documents: the batch fully
+    // applied but its whole-batch marker (committed last) was lost, and
+    // the checkpoint forces the batch to replay. The body re-runs — and
+    // every per-write marker must skip its already-landed append.
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$base/state/_applied"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/ckpt"))
+    val second = run()
+    assert(second == first) // no duplicate pairs
+    val filesAfter = (fileCount(s"$base/state/pairs"),
+      fileCount(s"$base/state/banded"), fileCount(s"$base/state/shingles"))
+    assert(filesAfter == filesBefore) // no state store grew
+    val raw = spark.read.parquet(s"$base/state/pairs")
+    assert(raw.count() == raw.distinct().count())
+  }
+
   test("applyBatchOnce: an already-applied batch id is skipped (foreachBatch replay guard)") {
     val base = graft.TestScratch.dir("graft-once")
     var runs = 0
