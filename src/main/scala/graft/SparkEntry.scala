@@ -5553,10 +5553,11 @@ object SparkEntry {
                 ANTI JOIN rg USING (gram) GROUP BY doc_id)
          SELECT d2.doc_id, coalesce(s.n_grams, 0) AS n_grams,
                 coalesce(nv.novel, 0) AS novel_grams,
-                CASE WHEN coalesce(s.n_grams, 0) > 0
-                     THEN CAST(floor(CAST(coalesce(nv.novel, 0) AS DOUBLE)
-                       / s.n_grams * 1000000.0 + 0.5) AS BIGINT) END
-                  AS novelty_ppm
+                CAST(CASE WHEN coalesce(s.n_grams, 0) > 0 THEN
+                  (coalesce(nv.novel, 0) // s.n_grams) * 1000000
+                    + (2 * (coalesce(nv.novel, 0) % s.n_grams) * 1000000
+                        + s.n_grams) // (2 * s.n_grams)
+                END AS BIGINT) AS novelty_ppm
          FROM documents d2 LEFT JOIN sizes s USING (doc_id)
                            LEFT JOIN nv USING (doc_id)
          ORDER BY d2.doc_id""",

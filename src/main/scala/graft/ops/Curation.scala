@@ -122,11 +122,15 @@ object Curation {
       .join(novel, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
-        when(col("n_grams") > 0,
-          floor(coalesce(col("novel_grams"), lit(0L)).cast("double") /
-            col("n_grams") * lit(1000000.0) + lit(0.5)).cast("long"))
-          .as("novelty_ppm"))
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      // round-half-up ppm in pure Long arithmetic (the fertilityReport
+      // discipline): engine-exact by construction, not by two engines
+      // mirroring one IEEE expression
+      .select(col(idCol), col("n_grams"), col("novel_grams"),
+        when(col("n_grams") > 0, expr(
+          "(novel_grams div n_grams) * 1000000L" +
+            " + (2L * (novel_grams % n_grams) * 1000000L + n_grams)" +
+            " div (2L * n_grams)")).as("novelty_ppm"))
   }
 
   /** Persist a benchmark's distinct gram fingerprints — the

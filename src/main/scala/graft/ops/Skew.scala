@@ -87,8 +87,11 @@ object Skew {
       count(lit(1)).as("__nkeys"))
     counts.crossJoin(broadcast(totals))
       .select(col(keyCol), col("n"),
-        floor(col("n").cast("double") / col("__total") * lit(1000000.0) +
-          lit(0.5)).cast("long").as("share_ppm"),
+        // round-half-up ppm in pure Long arithmetic (engine-exact; safe
+        // while total < ~4.6e12 rows — 2·(n mod total)·10⁶ stays in Long)
+        expr("(n div __total) * 1000000L" +
+          " + (2L * (n % __total) * 1000000L + __total) div (2L * __total)")
+          .as("share_ppm"),
         // ceil(n·n_keys/total) via doubles: the integer form
         // div(n·n_keys + total − 1, total) overflows Long on the extreme
         // corpora this diagnostic targets (a ~1e9-row hot key in a
