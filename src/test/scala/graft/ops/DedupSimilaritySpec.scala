@@ -475,6 +475,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == batch)
     assert(got.nonEmpty)
+    // The bucket filter must prune PARTITIONS at the scan (the whole
+    // point of the layout): a touched-bucket read plans with a partition
+    // filter and scans one directory, not the store.
+    val pruned = spark.read.parquet(s"$base/state/shingles")
+      .filter(col("__bucket").isin(1))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("__bucket"),
+      s"bucket probe must push a partition filter:\n$scan")
+    // and the filter actually prunes: the scanned row count equals the
+    // probed bucket's rows, not the store's
+    val bucketRows = spark.read.parquet(s"$base/state/shingles")
+      .filter(col("__bucket") === 1).count()
+    val storeRows = spark.read.parquet(s"$base/state/shingles").count()
+    assert(pruned.count() == bucketRows && bucketRows < storeRows)
     // State layout: hash-bucket partition dirs, file count bounded by the
     // compaction threshold (ploy: 5 appends uncompacted would exceed 2).
     for (store <- Seq("banded", "shingles")) {
