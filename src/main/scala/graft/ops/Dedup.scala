@@ -599,64 +599,33 @@ object Dedup {
 
   /** Hash bucket for the keyed streaming state dirs: a pure function of
     * the key columns, so a probe by key touches exactly one bucket. */
+  // Keyed-state discipline (hash-bucket partition dirs, one-file appends,
+  // threshold compaction) — shared with the streaming IVF index via
+  // [[KeyedState]]; these wrappers fix the `__bucket` column name.
   private def stateBucket(keys: Seq[String], nBuckets: Int): Column =
-    pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int").as("__bucket")
+    KeyedState.bucketColumn(keys, nBuckets).as("__bucket")
 
-  /** Distinct bucket ids present in a one-column frame — bounded by
-    * nBuckets ints, the same driver-side footprint as
-    * [[Upsert.upsertKeyedParquet]]'s affected-bucket collect. */
-  private def touchedBuckets(buckets: DataFrame): Seq[Int] =
-    buckets.distinct().collect().map(_.getInt(0)).toSeq
+  private def touchedBuckets(buckets: DataFrame): Seq[Any] =
+    KeyedState.touchedValues(buckets)
 
   /** Read only the given hash buckets of a `__bucket=K`-partitioned state
     * dir — partition pruning at the scan, so probe cost follows the
     * touched buckets, not the accumulated state size. */
   private def readStateBuckets(spark: org.apache.spark.sql.SparkSession,
-      path: String, buckets: Seq[Int]): DataFrame =
+      path: String, buckets: Seq[Any]): DataFrame =
     spark.read.parquet(path)
       .filter(col("__bucket").isin(buckets: _*))
       .drop("__bucket")
 
-  /** Append into `path/__bucket=K/` dirs, one file per touched bucket
-    * (the repartition co-locates each bucket in one task — the
-    * [[Upsert.upsertKeyedParquet]] anti-fragmentation discipline). Empty
-    * frames are skipped: a zero-row partitioned write creates no files,
-    * leaving a dir the next read cannot infer a schema from. */
   private def appendStateBuckets(df: DataFrame, path: String,
       keys: Seq[String], nBuckets: Int): Unit =
-    if (!df.isEmpty)
-      df.withColumn("__bucket", stateBucket(keys, nBuckets))
-        // explicit partition count: a bare repartition(col) re-plans under
-        // AQE and measured 3× slower on the dynamic-partition write path
-        .repartition(nBuckets, col("__bucket"))
-        .write.mode("append").partitionBy("__bucket").parquet(path)
+    KeyedState.appendPartitioned(
+      df.withColumn("__bucket", stateBucket(keys, nBuckets)),
+      path, "__bucket", nBuckets)
 
-  /** Rewrite any of the given buckets whose parquet-file count exceeds
-    * `maxFiles` down to one file each — a dynamic partition overwrite of
-    * just those buckets (the localCheckpoint breaks the read-own-path
-    * cycle). At one appended file per bucket per batch this fires at
-    * most once per `maxFiles` batches per bucket, bounding both the
-    * amortized rewrite cost and the sink's file listing. */
   private def compactStateBuckets(spark: org.apache.spark.sql.SparkSession,
-      path: String, buckets: Seq[Int], maxFiles: Int): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oversized = buckets.filter { b =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b")
-      fs.exists(dir) && fs.listStatus(dir)
-        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
-    }
-    if (oversized.nonEmpty) {
-      val rows = spark.read.parquet(path)
-        .filter(col("__bucket").isin(oversized: _*))
-        .repartition(oversized.size, col("__bucket"))
-        .localCheckpoint(true)
-      try rows.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket").parquet(path)
-      finally rows.unpersist()
-    }
-  }
+      path: String, buckets: Seq[Int], maxFiles: Int): Unit =
+    KeyedState.compactPartitions(spark, path, "__bucket", buckets, maxFiles)
 
   /** Streaming incremental MinHash near-dedup: documents arrive in
     * micro-batches and each batch pays only ITS OWN work — shingle + sign +

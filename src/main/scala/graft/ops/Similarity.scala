@@ -632,6 +632,12 @@ object Similarity {
     * continuous-ingest contract is "assignments accumulate, geometry is an
     * offline rebuild", the same as any production IVF service. Returns the
     * accumulated assignment after draining available input.
+    *
+    * Sink discipline ([[KeyedState]]): each batch appends one file per
+    * touched cell and any cell exceeding the file threshold is compacted
+    * in place, so the per-cell listing a probe pays stays bounded across
+    * unbounded ingest; the append is fenced by [[Upsert.applyBatchOnce]]
+    * so a checkpoint-recovery replay cannot double-insert vectors.
     */
   def streamingIvfIngest(
       spark: org.apache.spark.sql.SparkSession,
@@ -653,14 +659,30 @@ object Similarity {
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
     val q = tuned.parquet(dir).writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // No withNorm barrier: a micro-batch is already partitioned by
-        // arrival, and the replicas=1 assignment is one codegen projection.
-        assignToNearest(
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // The cell append is non-idempotent: fence checkpoint-recovery
+        // replays of an already-applied batch (else recovered batches
+        // duplicate every vector in their cells).
+        Upsert.applyBatchOnce(spark, s"$indexDir/_applied", batchId) {
+          // No withNorm barrier: a micro-batch is already partitioned by
+          // arrival, and the replicas=1 assignment is one codegen
+          // projection.
+          val assigned = assignToNearest(
             batch.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm")),
-            cents, idCol, vecCol)
-          .write.mode("append").partitionBy("centroid_id")
-          .parquet(s"$indexDir/assigned")
+            cents, idCol, vecCol).persist()
+          // Keyed-state discipline (KeyedState): one file per touched
+          // cell per batch, oversized cells compacted in place — the
+          // index is PROBED partition-pruned on centroid_id, so its
+          // per-cell file listing must stay bounded across batches.
+          KeyedState.appendPartitioned(assigned, s"$indexDir/assigned",
+            "centroid_id", parallelism(batch))
+          KeyedState.compactPartitions(spark, s"$indexDir/assigned",
+            "centroid_id",
+            KeyedState.touchedValues(assigned.select("centroid_id")),
+            maxFiles = 32)
+          assigned.unpersist()
+          ()
+        }
         ()
       }
       .start()

@@ -610,6 +610,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
         centroids, "vec_id", "embedding", q, k = 5, nprobe = 2)
       .collect().map(_.getLong(0)).toSeq
     assert(viaStream == viaBatch)
+    // replay fence: a recovered batch whose marker survives must not
+    // double-insert — rerunning the drained stream (fresh checkpoint,
+    // markers intact) leaves the index byte-identical
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/ckpt"))
+    val again = Similarity.streamingIvfIngest(spark, s"$base/embeddings.parquet",
+        "*.parquet", "vec_id", "embedding", centroids,
+        indexDir = s"$base/index", checkpointDir = s"$base/ckpt",
+        maxFilesPerTrigger = 1)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == batch) // no duplicates, same assignment
+    assert(Similarity.loadIvfIndex(spark, s"$base/index")._1.count() == emb.count())
   }
 
   test("k-means refinement keeps assignment total and improves compactness") {
