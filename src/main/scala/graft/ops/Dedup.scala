@@ -783,8 +783,16 @@ object Dedup {
         // non-transactional-sink caveat applyBatchOnce documents.
         val writes = Seq(
           Future {
+            // coalesce(1): the verified-pairs frame is small (candidates
+            // that survived the jaccard cut) but inherits the verify
+            // plan's partitioning — without it every batch appends up to
+            // shuffle-partitions files; with it, one. The flat sink is
+            // additionally compacted once its listing crosses the same
+            // threshold as the keyed stores.
             try Upsert.applyBatchOnce(spark, s"$stateDir/_pairs_w", batchId) {
-              if (!v.isEmpty) v.write.mode("append").parquet(pairsDir)
+              if (!v.isEmpty)
+                v.coalesce(1).write.mode("append").parquet(pairsDir)
+              KeyedState.compactFlat(spark, pairsDir, compactAfterFiles)
             } finally v.unpersist()
           },
           Future(Upsert.applyBatchOnce(spark, s"$stateDir/_banded_w", batchId) {

@@ -73,4 +73,32 @@ object KeyedState {
     * [[Upsert.upsertKeyedParquet]]'s affected-bucket collect. */
   def touchedValues(values: DataFrame): Seq[Any] =
     values.distinct().collect().map(_.get(0)).toSeq
+
+  /** Rewrite a FLAT (unpartitioned) append sink down to `numFiles` files
+    * once its parquet-file count exceeds `maxFiles` — for append-only
+    * OUTPUT dirs (e.g. a streaming query's accumulated result rows) that
+    * gain one file per batch and are read in full at the end, where the
+    * keyed layouts above don't apply. The decision is one driver
+    * `listStatus`; the rewrite stages to a sibling temp dir and swaps via
+    * two renames (the brief gap is only visible to a concurrent reader —
+    * a foreachBatch caller is serial by construction). */
+  def compactFlat(spark: SparkSession, path: String, maxFiles: Int,
+      numFiles: Int = 8): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val nFiles = fs.listStatus(p)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    if (nFiles <= maxFiles) return
+    val rows = spark.read.parquet(path).localCheckpoint(true)
+    try {
+      val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+      fs.delete(tmp, true)
+      // clamp so the rewrite always lands back under the threshold
+      rows.coalesce(math.max(1, math.min(numFiles, maxFiles)))
+        .write.parquet(tmp.toString)
+      fs.delete(p, true)
+      fs.rename(tmp, p)
+    } finally rows.unpersist()
+  }
 }

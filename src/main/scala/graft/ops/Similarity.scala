@@ -648,7 +648,8 @@ object Similarity {
       centroids: DataFrame, // (centroid_id, centroid_vec)
       indexDir: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
+      maxFilesPerTrigger: Int = 0,
+      compactAfterFiles: Int = 32): DataFrame = {
     val cents = centroids.select(col("centroid_id"), col("centroid_vec"),
       norm(col("centroid_vec")).as("__cnorm"))
     cents.select("centroid_id", "centroid_vec").write.mode("overwrite")
@@ -679,7 +680,7 @@ object Similarity {
           KeyedState.compactPartitions(spark, s"$indexDir/assigned",
             "centroid_id",
             KeyedState.touchedValues(assigned.select("centroid_id")),
-            maxFiles = 32)
+            compactAfterFiles)
           assigned.unpersist()
           ()
         }

@@ -489,6 +489,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .filter(col("__bucket") === 1).count()
     val storeRows = spark.read.parquet(s"$base/state/shingles").count()
     assert(pruned.count() == bucketRows && bucketRows < storeRows)
+    // The flat pairs OUTPUT is bounded too (coalesce(1) per batch +
+    // threshold compaction): 5 batches uncompacted would hold 5 files.
+    val pairFiles = new java.io.File(s"$base/state/pairs").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(pairFiles <= 2, s"pairs sink holds $pairFiles files")
     // State layout: hash-bucket partition dirs, file count bounded by the
     // compaction threshold (ploy: 5 appends uncompacted would exceed 2).
     for (store <- Seq("banded", "shingles")) {
