@@ -107,6 +107,9 @@ object DedupStreamScaleProbe {
         threshold = 0.7, maxFilesPerTrigger = 1, nStateBuckets = nb)
       val nPairs = pairs.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      // progress events are delivered async on the listener bus — let it
+      // drain before reading, or the last batches' stats go missing
+      Thread.sleep(2000)
       spark.streams.removeListener(listener)
       val byBatch = durations.sortBy(_._1)
       val trickleDurs = byBatch.drop(4).map(_._2) // bulk = 4 files = 4 batches

@@ -693,6 +693,12 @@ object Dedup {
        // applied batch replays without double-appending (see the
        // per-write comment).
        graft.ops.Upsert.applyBatchOnce(spark, s"$stateDir/_applied", batchId) {
+        // Heal any compaction swap a previous run's crash interrupted
+        // BEFORE this batch probes the stores (one `exists` each when
+        // clean — see KeyedState's crash-safety protocol).
+        KeyedState.repairPartitions(spark, bandedDir)
+        KeyedState.repairPartitions(spark, shinglesDir)
+        KeyedState.repairFlat(spark, pairsDir)
         val sets = shingleSets(batch, idCol, textCol, shingleLen).persist()
         val sigs = sets.select(col(idCol), minHashOfShingles(col("sh"), numHashes).as("sig"))
         val banded = bandProjection(sigs, idCol, numHashes, bands).persist()
@@ -738,8 +744,15 @@ object Dedup {
         val shBuckets = if (hasShingles) touchedBuckets(
           cand.select(stateBucket(Seq("id_other"), nStateBuckets)))
         else Nil
+        // Anti-join the store against the batch's own ids: normally a
+        // no-op (the store holds only PRIOR batches), but on a partial-
+        // batch replay whose shingle append already landed, the batch's
+        // docs would otherwise appear on BOTH sides of the union and
+        // every candidate row would verify twice.
         val others = if (shBuckets.nonEmpty)
-          sets.unionByName(readStateBuckets(spark, shinglesDir, shBuckets))
+          sets.unionByName(
+            readStateBuckets(spark, shinglesDir, shBuckets)
+              .join(sets.select(idCol), Seq(idCol), "left_anti"))
         else sets
         val verified = cand
           .join(sets.select(col(idCol).as("id_new"), col("sh").as("sh_a")), "id_new")
@@ -751,6 +764,13 @@ object Dedup {
           .select(least(col("id_new"), col("id_other")).as("id_a"),
             greatest(col("id_new"), col("id_other")).as("id_b"),
             round(col("jaccard"), 6).as("jaccard"))
+          // The candidate distinct() is ORIENTED (id_new, id_other): when
+          // a replayed batch's bands already sit in the index, a within-
+          // batch pair surfaces both as (a,b) from the self-join and as
+          // (b,a) from the cross probe, and only HERE — after the
+          // least/greatest normalization — do the two collapse. Without
+          // this a partial replay would append duplicate pairs rows.
+          .distinct()
         // Materialize the verified pairs ONCE: `isEmpty` is an action, so
         // guarding the append with it on the lazy frame would run the
         // whole candidate+jaccard-verify plan twice (once for the guard,
@@ -775,24 +795,22 @@ object Dedup {
         // Each write carries its OWN replay marker (inside the outer
         // whole-batch marker): a crash after SOME writes completed means
         // the whole-batch marker was never written, so the batch replays
-        // — candidate generation is re-derivation (same pairs, the
-        // id-inequality + distinct() guards absorb a half-appended band
-        // index), and the per-write markers skip every append that
-        // already landed, so nothing double-appends. The remaining
-        // window is a crash INSIDE one write's job commit — the generic
+        // — candidate generation is re-derivation (the store anti-join,
+        // id inequality, and post-normalization distinct above make the
+        // replayed pairs identical even against a half-appended index) —
+        // and the per-write markers skip every append that already
+        // landed, so nothing double-appends. The remaining window is a
+        // crash INSIDE one write's job commit — the generic
         // non-transactional-sink caveat applyBatchOnce documents.
         val writes = Seq(
           Future {
             // coalesce(1): the verified-pairs frame is small (candidates
             // that survived the jaccard cut) but inherits the verify
             // plan's partitioning — without it every batch appends up to
-            // shuffle-partitions files; with it, one. The flat sink is
-            // additionally compacted once its listing crosses the same
-            // threshold as the keyed stores.
+            // shuffle-partitions files; with it, one.
             try Upsert.applyBatchOnce(spark, s"$stateDir/_pairs_w", batchId) {
               if (!v.isEmpty)
                 v.coalesce(1).write.mode("append").parquet(pairsDir)
-              KeyedState.compactFlat(spark, pairsDir, compactAfterFiles)
             } finally v.unpersist()
           },
           Future(Upsert.applyBatchOnce(spark, s"$stateDir/_banded_w", batchId) {
@@ -803,6 +821,13 @@ object Dedup {
             appendStateBuckets(sets, shinglesDir, Seq(idCol), nStateBuckets)
           }))
         writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+        // Compaction runs OUTSIDE the replay markers: it is idempotent
+        // and content-preserving, so re-running it on replay is free,
+        // whereas a crash inside a marker-guarded compaction would
+        // reopen the append's fence and double-apply the batch. Crash
+        // safety of the rewrites themselves (and healing of interrupted
+        // swaps) lives in KeyedState's staged-swap + repair protocol.
+        KeyedState.compactFlat(spark, pairsDir, compactAfterFiles)
         compactStateBuckets(spark, bandedDir,
           0 until nStateBuckets, compactAfterFiles)
         compactStateBuckets(spark, shinglesDir,
@@ -815,6 +840,10 @@ object Dedup {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    // A crash in a PREVIOUS invocation may have interrupted the pairs
+    // compaction with no new batch arriving to heal it — repair before
+    // the final read (no-op normally).
+    KeyedState.repairFlat(spark, pairsDir)
     if (exists(pairsDir)) spark.read.parquet(pairsDir)
     else {
       // A duplicate-free corpus must still yield the pairs schema so

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,15 +14,28 @@ import org.apache.spark.sql.functions._
   *     repartition count before the dynamic-partition write — a bare
   *     `repartition(col)` re-plans under AQE and measured 3× slower);
   *   - any touched partition that accumulates more than `maxFiles`
-  *     parquet files is rewritten in place (dynamic partition overwrite
-  *     of just those dirs), so the sink's file listing stays
-  *     O(partitions) however many batches arrive — at one appended file
-  *     per partition per batch the rewrite fires at most once per
-  *     `maxFiles` batches per partition, bounding the amortized cost.
+  *     parquet files is rewritten down to one file, so the sink's file
+  *     listing stays O(partitions) however many batches arrive — at one
+  *     appended file per partition per batch the rewrite fires at most
+  *     once per `maxFiles` batches per partition, bounding the amortized
+  *     cost.
   *
   * Compaction decisions are driver fs LISTINGS (≤ one `listStatus` per
   * candidate partition), never data reads; nothing fires until some
   * partition crosses the threshold.
+  *
+  * CRASH SAFETY: compaction must never be the operation that loses
+  * accumulated state — the appends it rewrites are fenced by replay
+  * markers, so a lost row cannot be re-derived. Both compactors
+  * therefore stage the rewrite into a SIBLING dir and swap with renames,
+  * keeping a restorable copy of the original until the swap completes;
+  * [[repairPartitions]]/[[repairFlat]] heal any interruption (called at
+  * the start of every compaction, and cheap enough — one `exists` when
+  * clean — for sinks to call before their final read). At every instant
+  * the original rows exist under the live path or under the `__old`
+  * sibling, never nowhere. (Stage/old dirs are siblings, NOT inside the
+  * partitioned root: a stray `<partCol>=K__old` dir inside the root
+  * would break partition-value inference for every read.)
   */
 object KeyedState {
 
@@ -43,29 +57,69 @@ object KeyedState {
       df.repartition(numTasks, col(partCol))
         .write.mode("append").partitionBy(partCol).parquet(path)
 
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stageRoot(path: String) = new Path(path + "__compact_tmp")
+  private def oldRoot(path: String) = new Path(path + "__compact_old")
+
+  /** Heal an interrupted [[compactPartitions]] swap: any partition dir
+    * preserved under the `__old` sibling whose live dir is MISSING was
+    * caught between the two renames — restore it; one whose live dir
+    * exists was already swapped — drop the preserved copy. One `exists`
+    * call when there is nothing to heal. */
+  def repairPartitions(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val old = oldRoot(path)
+    if (!fs.exists(old)) return
+    fs.listStatus(old).foreach { st =>
+      val live = new Path(path, st.getPath.getName)
+      if (!fs.exists(live)) fs.rename(st.getPath, live)
+      else fs.delete(st.getPath, true)
+    }
+    fs.delete(old, true)
+    fs.delete(stageRoot(path), true)
+  }
+
   /** Rewrite any of the given partition values whose parquet-file count
-    * exceeds `maxFiles` down to one file each — a dynamic partition
-    * overwrite of just those dirs (the localCheckpoint breaks the
-    * read-own-path cycle). */
+    * exceeds `maxFiles` down to one file each. The compacted copy is
+    * staged to a sibling dir, then each partition swaps via
+    * preserve-rename / stage-rename / drop-preserved — a crash at any
+    * point leaves the original rows restorable by [[repairPartitions]]
+    * (which also runs first, healing any earlier interruption). */
   def compactPartitions(spark: SparkSession, path: String, partCol: String,
       values: Seq[Any], maxFiles: Int): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairPartitions(spark, path)
+    val fs = fsOf(spark, path)
     val oversized = values.filter { v =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/$partCol=$v")
+      val dir = new Path(s"$path/$partCol=$v")
       fs.exists(dir) && fs.listStatus(dir)
         .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
     }
-    if (oversized.nonEmpty) {
-      val rows = spark.read.parquet(path)
-        .filter(col(partCol).isin(oversized: _*))
-        .repartition(oversized.size, col(partCol))
-        .localCheckpoint(true)
-      try rows.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCol).parquet(path)
-      finally rows.unpersist()
+    if (oversized.isEmpty) return
+    val stage = stageRoot(path)
+    val old = oldRoot(path)
+    fs.delete(stage, true)
+    val rows = spark.read.parquet(path)
+      .filter(col(partCol).isin(oversized: _*))
+      .repartition(oversized.size, col(partCol))
+      .localCheckpoint(true)
+    try rows.write.partitionBy(partCol).parquet(stage.toString)
+    finally rows.unpersist()
+    fs.mkdirs(old)
+    oversized.foreach { v =>
+      val name = s"$partCol=$v"
+      val staged = new Path(stage, name)
+      val live = new Path(path, name)
+      if (fs.exists(staged)) {
+        // preserve, swap, drop — original restorable until the swap lands
+        if (fs.exists(live)) fs.rename(live, new Path(old, name))
+        fs.rename(staged, live)
+        fs.delete(new Path(old, name), true)
+      }
     }
+    fs.delete(old, true)
+    fs.delete(stage, true)
   }
 
   /** Distinct partition values present in a one-column frame — bounded
@@ -74,31 +128,48 @@ object KeyedState {
   def touchedValues(values: DataFrame): Seq[Any] =
     values.distinct().collect().map(_.get(0)).toSeq
 
-  /** Rewrite a FLAT (unpartitioned) append sink down to `numFiles` files
-    * once its parquet-file count exceeds `maxFiles` — for append-only
-    * OUTPUT dirs (e.g. a streaming query's accumulated result rows) that
-    * gain one file per batch and are read in full at the end, where the
-    * keyed layouts above don't apply. The decision is one driver
-    * `listStatus`; the rewrite stages to a sibling temp dir and swaps via
-    * two renames (the brief gap is only visible to a concurrent reader —
-    * a foreachBatch caller is serial by construction). */
+  /** Heal an interrupted [[compactFlat]] swap: a preserved `__old` copy
+    * with no live dir was caught between the renames — restore it. */
+  def repairFlat(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val old = oldRoot(path)
+    if (!fs.exists(old)) return
+    val live = new Path(path)
+    if (!fs.exists(live)) fs.rename(old, live)
+    else fs.delete(old, true)
+    fs.delete(stageRoot(path), true)
+  }
+
+  /** Rewrite a FLAT (unpartitioned) append sink down to at most
+    * `min(numFiles, maxFiles)` files once its parquet-file count exceeds
+    * `maxFiles` — for append-only OUTPUT dirs (e.g. a streaming query's
+    * accumulated result rows) that gain one file per batch and are read
+    * in full at the end, where the keyed layouts above don't apply. The
+    * decision is one driver `listStatus`; the rewrite stages to a
+    * sibling dir and swaps via preserve-rename / stage-rename /
+    * drop-preserved, so a crash at any point leaves the original
+    * restorable by [[repairFlat]] (which also runs first). */
   def compactFlat(spark: SparkSession, path: String, maxFiles: Int,
       numFiles: Int = 8): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairFlat(spark, path)
+    val p = new Path(path)
+    val fs = fsOf(spark, path)
     if (!fs.exists(p)) return
     val nFiles = fs.listStatus(p)
       .count(_.getPath.getName.endsWith(".parquet"))
     if (nFiles <= maxFiles) return
     val rows = spark.read.parquet(path).localCheckpoint(true)
+    val stage = stageRoot(path)
     try {
-      val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-      fs.delete(tmp, true)
+      fs.delete(stage, true)
       // clamp so the rewrite always lands back under the threshold
       rows.coalesce(math.max(1, math.min(numFiles, maxFiles)))
-        .write.parquet(tmp.toString)
-      fs.delete(p, true)
-      fs.rename(tmp, p)
+        .write.parquet(stage.toString)
     } finally rows.unpersist()
+    val old = oldRoot(path)
+    fs.delete(old, true)
+    fs.rename(p, old)
+    fs.rename(stage, p)
+    fs.delete(old, true)
   }
 }

@@ -661,29 +661,30 @@ object Similarity {
     val q = tuned.parquet(dir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // No withNorm barrier: a micro-batch is already partitioned by
+        // arrival, and the replicas=1 assignment is one codegen
+        // projection.
+        val assigned = assignToNearest(
+          batch.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm")),
+          cents, idCol, vecCol).persist()
         // The cell append is non-idempotent: fence checkpoint-recovery
         // replays of an already-applied batch (else recovered batches
-        // duplicate every vector in their cells).
+        // duplicate every vector in their cells). ONLY the append sits
+        // inside the fence — compaction is idempotent and must not
+        // reopen it by crashing mid-rewrite.
         Upsert.applyBatchOnce(spark, s"$indexDir/_applied", batchId) {
-          // No withNorm barrier: a micro-batch is already partitioned by
-          // arrival, and the replicas=1 assignment is one codegen
-          // projection.
-          val assigned = assignToNearest(
-            batch.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm")),
-            cents, idCol, vecCol).persist()
           // Keyed-state discipline (KeyedState): one file per touched
-          // cell per batch, oversized cells compacted in place — the
-          // index is PROBED partition-pruned on centroid_id, so its
-          // per-cell file listing must stay bounded across batches.
+          // cell per batch — the index is PROBED partition-pruned on
+          // centroid_id, so its per-cell file listing must stay bounded
+          // across batches (the compaction below).
           KeyedState.appendPartitioned(assigned, s"$indexDir/assigned",
             "centroid_id", parallelism(batch))
-          KeyedState.compactPartitions(spark, s"$indexDir/assigned",
-            "centroid_id",
-            KeyedState.touchedValues(assigned.select("centroid_id")),
-            compactAfterFiles)
-          assigned.unpersist()
-          ()
         }
+        KeyedState.compactPartitions(spark, s"$indexDir/assigned",
+          "centroid_id",
+          KeyedState.touchedValues(assigned.select("centroid_id")),
+          compactAfterFiles)
+        assigned.unpersist()
         ()
       }
       .start()
@@ -691,6 +692,9 @@ object Similarity {
     finally q.stop()
     // Partition-directory values read back as int by inference; restore
     // the assignment's long centroid ids.
+    // Heal a compaction swap a previous run's crash may have interrupted
+    // (no-op normally), then read the accumulated assignment back.
+    KeyedState.repairPartitions(spark, s"$indexDir/assigned")
     spark.read.parquet(s"$indexDir/assigned")
       .withColumn("centroid_id", col("centroid_id").cast("long"))
   }

@@ -112,7 +112,9 @@ object Upsert {
     // A batch with no updates must be a no-op: writing an empty frame would
     // leave a schema-less parquet directory the next batch can't read.
     if (updates.isEmpty) return
-    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+    // the shared keyed-state bucket hash — Upsert-written sinks and
+    // KeyedState-probed state must bucket bit-identically
+    val bucketOf = KeyedState.bucketColumn(keys, nBuckets)
     val withBucket = updates.withColumn("__bucket", bucketOf)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -179,7 +181,9 @@ object Upsert {
       nBuckets: Int = 64): Unit = {
     val spark = updates.sparkSession
     if (updates.isEmpty) return
-    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+    // the shared keyed-state bucket hash — Upsert-written sinks and
+    // KeyedState-probed state must bucket bit-identically
+    val bucketOf = KeyedState.bucketColumn(keys, nBuckets)
     val withBucket = updates.withColumn("__bucket", bucketOf)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -577,6 +577,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(raw.count() == raw.distinct().count())
   }
 
+  test("streaming minhash PARTIAL replay: index applied, pairs lost — no duplicate or reversed pairs") {
+    // The crash the per-write markers exist for: the band/shingle appends
+    // committed (markers present) but the pairs write did not. The batch
+    // replays with its OWN docs already in the index, so the cross probe
+    // re-finds every within-batch pair in BOTH orientations and the
+    // shingle store holds the batch docs a second time — the
+    // least/greatest-normalized distinct and the store-vs-batch anti-join
+    // must absorb both, leaving the pairs exactly the batch operator's.
+    val base = graft.TestScratch.dir("graft-mh-partial")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$base/documents.parquet")
+    def run() = Dedup.streamingMinHashNearDuplicates(spark, s"$base/documents.parquet",
+        "*.parquet", "doc_id", "text",
+        stateDir = s"$base/state", checkpointDir = s"$base/ckpt",
+        threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val first = run()
+    assert(first.nonEmpty)
+    def storeRows(p: String) = spark.read.parquet(s"$base/state/$p").count()
+    val (bandedRows, shingleRows) = (storeRows("banded"), storeRows("shingles"))
+    // simulate: pairs write lost, everything else (incl. markers) landed
+    for (d <- Seq("ckpt", "state/_applied", "state/_pairs_w", "state/pairs"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/$d"))
+    val second = run()
+    assert(second == first) // same pairs, no reversed duplicates
+    val raw = spark.read.parquet(s"$base/state/pairs")
+    assert(raw.count() == raw.distinct().count() && raw.count() == first.size)
+    // the index appends were fenced: store row counts unchanged
+    assert((storeRows("banded"), storeRows("shingles")) == ((bandedRows, shingleRows)))
+  }
+
   test("applyBatchOnce: an already-applied batch id is skipped (foreachBatch replay guard)") {
     val base = graft.TestScratch.dir("graft-once")
     var runs = 0

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The keyed-state compaction swap protocol: interrupted swaps are
+  * healed losslessly, completed compactions bound the file listing.
+  */
+class KeyedStateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-keyedstate-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def writeBucketed(path: String, times: Int): Unit =
+    for (_ <- 1 to times)
+      KeyedState.appendPartitioned(
+        (0L until 40L).toDF("k")
+          .withColumn("__bucket", KeyedState.bucketColumn(Seq("k"), 4)),
+        path, "__bucket", 4)
+
+  test("compactPartitions bounds per-partition files; rows preserved") {
+    val base = graft.TestScratch.dir("graft-ks-compact")
+    val p = s"$base/store"
+    writeBucketed(p, 5) // 5 files per bucket
+    val before = spark.read.parquet(p).orderBy("k", "__bucket").collect().toSeq
+    KeyedState.compactPartitions(spark, p, "__bucket", 0 until 4, maxFiles = 2)
+    val after = spark.read.parquet(p).orderBy("k", "__bucket").collect().toSeq
+    assert(after == before)
+    for (b <- 0 until 4) {
+      val n = new java.io.File(s"$p/__bucket=$b").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"bucket $b holds $n files after compaction")
+    }
+    // stage/old siblings cleaned up
+    assert(!new java.io.File(p + "__compact_tmp").exists())
+    assert(!new java.io.File(p + "__compact_old").exists())
+  }
+
+  test("repairPartitions restores a swap interrupted between the renames") {
+    val base = graft.TestScratch.dir("graft-ks-repair")
+    val p = s"$base/store"
+    writeBucketed(p, 2)
+    val before = spark.read.parquet(p).orderBy("k", "__bucket").collect().toSeq
+    // simulate the crash window: bucket 1 preserved under __old, live dir
+    // gone, stale staged copy lying around
+    val old = new java.io.File(p + "__compact_old"); old.mkdirs()
+    assert(new java.io.File(s"$p/__bucket=1")
+      .renameTo(new java.io.File(old, "__bucket=1")))
+    new java.io.File(p + "__compact_tmp").mkdirs()
+    KeyedState.repairPartitions(spark, p)
+    val after = spark.read.parquet(p).orderBy("k", "__bucket").collect().toSeq
+    assert(after == before)
+    assert(!old.exists() && !new java.io.File(p + "__compact_tmp").exists())
+    // idempotent when clean
+    KeyedState.repairPartitions(spark, p)
+    assert(spark.read.parquet(p).count() == before.size)
+  }
+
+  test("repairFlat restores a flat-sink swap interrupted between the renames") {
+    val base = graft.TestScratch.dir("graft-ks-flat")
+    val p = s"$base/pairs"
+    (1L to 10L).toDF("v").coalesce(1).write.parquet(p)
+    val before = spark.read.parquet(p).orderBy("v").collect().toSeq
+    // crash window: live dir renamed away, compacted copy not yet in place
+    assert(new java.io.File(p).renameTo(new java.io.File(p + "__compact_old")))
+    KeyedState.repairFlat(spark, p)
+    assert(spark.read.parquet(p).orderBy("v").collect().toSeq == before)
+    // completed compaction bounds the listing
+    for (_ <- 1 to 4)
+      (1L to 5L).toDF("v").coalesce(1).write.mode("append").parquet(p)
+    val rows = spark.read.parquet(p).count()
+    KeyedState.compactFlat(spark, p, maxFiles = 2)
+    assert(spark.read.parquet(p).count() == rows)
+    assert(new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet")) <= 2)
+  }
+}
