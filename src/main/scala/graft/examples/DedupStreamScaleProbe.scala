@@ -17,11 +17,13 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *     the shingle buckets holding actual candidate ids, and the band
   *     probe prunes to touched band buckets.
   *
-  * Measured (local[16], 20k-doc trickle batches, mean trigger seconds):
+  * Measured (local[16], 20k-doc trickle batches; steady-state = LAST
+  * trickle batch's trigger seconds — early trickle batches carry JIT/
+  * codegen warmup, so the mean overstates both configs):
   *
   *   accumulated state   flat (nb=1)   bucketed (nb=64)
-  *   1.0M docs           4.10          3.35
-  *   2.0M docs           6.63          3.40
+  *   1.0M docs           4.85          3.80
+  *   2.0M docs           6.73          3.79
   *
   * The flat layout's per-batch cost grows linearly with accumulated
   * state (it re-reads the whole shingle store to verify each batch's
