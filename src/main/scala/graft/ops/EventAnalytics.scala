@@ -53,9 +53,18 @@ object EventAnalytics {
         col(typeCol).as("__et"))
     val perUser = relevant
       .groupBy(col(userCol))
-      .agg(slice(sort_array(collect_list(
-        struct(col("__ts"), col("__tie"), col("__et")))),
-        1, maxEventsPerUser).as("evs"))
+      // Bounded top-k aggregate, NOT collect_list-then-slice: CollectTopK
+      // holds a k-element priority queue at every aggregation level (map-
+      // side partials included), so a pathological key costs O(k) buffer
+      // — a full collect_list would materialize the whole key's events
+      // before the cap and is exactly the skew OOM the cap exists to
+      // prevent. reverse=true keeps the SMALLEST k under the struct's
+      // natural (ts, tie, type) order; the re-sort makes the fold see the
+      // identical prefix the sorted-list slice produced.
+      .agg(array_sort(
+        org.apache.spark.sql.graftbridge.ColumnBridge.collectTopK(
+          struct(col("__ts"), col("__tie"), col("__et")),
+          maxEventsPerUser, reverse = true)).as("evs"))
       .select(col(userCol),
         aggregate(col("evs"),
           struct(lit(0).as("step"), lit(null).cast("timestamp").as("last_ts")),

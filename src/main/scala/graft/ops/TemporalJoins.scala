@@ -57,7 +57,9 @@ object TemporalJoins {
     // keeping it in the payload list would duplicate the column name.
     val lCols = left.columns.filterNot(c => keyCols.contains(c) || c == lTimeCol)
     val rCols = right.columns.filterNot(keyCols.contains)
-    val clash = lCols.toSet intersect rCols.toSet
+    // lTimeCol re-enters the output under its own name, so a right column
+    // sharing it is just as much a clash as a payload collision.
+    val clash = (lCols.toSet + lTimeCol) intersect rCols.toSet
     require(clash.isEmpty, s"rename right-side columns first: clash on $clash")
     val lTagged = left.select(
       keyCols.map(col) ++
@@ -82,8 +84,12 @@ object TemporalJoins {
       case None => filled
       case Some(tol) =>
         // A match older than the tolerance horizon reverts to no-match.
+        // Microsecond arithmetic: unix_timestamp truncates to whole
+        // seconds, which would keep a match up to ~1s past the horizon
+        // on sub-second-precision timestamps.
         val stale = col(rTimeCol).isNotNull &&
-          (unix_timestamp(col("__t")) - unix_timestamp(col(rTimeCol))) > tol
+          (unix_micros(col("__t")) - unix_micros(col(rTimeCol))) >
+            tol * 1000000L
         filled.select(
           (keyCols.map(col) :+ col("__t") :+ col("__side")) ++
             lCols.map(col) ++
@@ -213,7 +219,12 @@ object TemporalJoins {
     val r = right.withColumn("__bucket", explode(sequence(
       bucketOf(col(rStartCol)), bucketOf(col(rEndCol)))))
     l.join(r, keyCols :+ "__bucket")
-      .filter(col(lStartCol) < col(rEndCol) && col(rStartCol) < col(lEndCol))
+      // non-empty intersection of half-open spans: max(start) < min(end).
+      // (Equivalent to lStart < rEnd && rStart < lEnd for non-empty
+      // intervals, but also correct for a zero-length [t, t) — an empty
+      // span strictly inside the other interval intersects NOTHING.)
+      .filter(greatest(col(lStartCol), col(rStartCol)) <
+        least(col(lEndCol), col(rEndCol)))
       .filter(col("__bucket") ===
         bucketOf(greatest(col(lStartCol), col(rStartCol))))
       .drop("__bucket")

@@ -41,6 +41,14 @@ object EventsStream {
     * `TimestampType` so `unix_millis`/`unix_micros` and watermarks work.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
+    // Deliberately session-global, not scope-restored: parquet readers
+    // consult this conf at EXECUTION time (and a streaming query at every
+    // trigger), so restoring it after plan construction would break the
+    // nanos decode mid-query. Blast radius is narrow — the conf only
+    // changes behavior for files that physically carry INT64-nanos
+    // timestamp columns, where the alternative is a hard
+    // "Illegal Parquet type" error, never a silent value change for
+    // normal timestamp encodings.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path)
     raw.schema("ts").dataType match {
@@ -62,6 +70,7 @@ object EventsStream {
     */
   def readEventsStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
+    // session-global on purpose — see the readEvents note
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A stream may start on an empty directory (files arrive later); the
     // probe then has no footer to read and the CURRENT fixture encoding
@@ -173,17 +182,19 @@ object EventsStream {
     * storage one.
     */
   private def drainToBatch(spark: SparkSession, streaming: DataFrame,
-      prefix: String): DataFrame = {
+      prefix: String, outputMode: String = "update"): DataFrame = {
     val name = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val out = withStatePartitions(spark) {
-      val q = streaming.writeStream.outputMode("update")
+    try withStatePartitions(spark) {
+      val q = streaming.writeStream.outputMode(outputMode)
         .format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
       spark.table(name).localCheckpoint(true)
-    }
-    spark.catalog.dropTempView(name)
-    out
+    } finally
+      // inside a finally: a FAILED drain must not leak the sink's
+      // buffered rows for the session lifetime — the exact leak this
+      // helper exists to prevent
+      spark.catalog.dropTempView(name)
   }
 
   /** State-partition count for the single-node smokes (overridable via
@@ -230,12 +241,24 @@ object EventsStream {
       sorted.foreach { e =>
         val t = toMicros(e.ts)
         cur match {
-          case Some(s) if t - s.end <= gapUs =>
-            cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
-          case Some(s) =>
+          // Merge when t falls inside the session or within the gap on
+          // EITHER side: the watermark admits cross-batch out-of-order
+          // events, so t may precede s.end (or even s.start) — bounds
+          // extend with min/max, never move backward.
+          case Some(s) if t >= s.start - gapUs && t - s.end <= gapUs =>
+            cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+              s.n + 1, s.total + e.value))
+          case Some(s) if t > s.end =>
             closed :+= Session(userId, fromMicros(s.start), fromMicros(s.end),
               s.n, s.total)
             cur = Some(SessionState(t, t, 1, e.value))
+          case Some(_) =>
+            // watermark-admitted event more than a gap BEFORE the current
+            // session: it can no longer bridge to anything (its own era's
+            // sessions are closed), so it closes immediately as a
+            // singleton session, leaving the current session intact
+            closed :+= Session(userId, fromMicros(t), fromMicros(t),
+              1, e.value)
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
         }
@@ -571,38 +594,25 @@ object EventsStream {
       dim: DataFrame,
       eventKey: String,
       dimKey: String): DataFrame =
+    // drop the DIM side's key by Column reference: a name-based drop
+    // removes every column with that name, so eventKey == dimKey would
+    // silently drop the event's own key too
     events.join(dim, events(eventKey) === dim(dimKey), "left")
-      .drop(dimKey)
+      .drop(dim(dimKey))
 
   /** Streaming smoke: drive the events parquet through readStream into a
     * memory sink; returns collected windowed counts.
     */
-  def runStreamingSmoke(spark: SparkSession, dir: String): DataFrame = {
-    val stream = readEventsStream(spark, dir)
-    val agg = windowedCounts(stream)
-    withStatePartitions(spark) {
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName("events_windowed").start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
-    spark.table("events_windowed")
-  }
+  def runStreamingSmoke(spark: SparkSession, dir: String): DataFrame =
+    drainToBatch(spark, windowedCounts(readEventsStream(spark, dir)),
+      "events_windowed", outputMode = "complete")
 
   /** Streaming smoke for [[slidingCounts]] — the kappa twin of the batch
     * sliding-window report: the same generator+aggregate maintained
     * incrementally; state is one row per open (window, type) group,
     * bounded by the watermark horizon × overlap factor, never by events.
     */
-  def runStreamingSlidingSmoke(spark: SparkSession, dir: String): DataFrame = {
-    val stream = readEventsStream(spark, dir)
-    val agg = slidingCounts(stream)
-    withStatePartitions(spark) {
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName("events_sliding").start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
-    spark.table("events_sliding")
-  }
+  def runStreamingSlidingSmoke(spark: SparkSession, dir: String): DataFrame =
+    drainToBatch(spark, slidingCounts(readEventsStream(spark, dir)),
+      "events_sliding", outputMode = "complete")
 }

@@ -55,6 +55,25 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3, "purchase", 1L, 0.333333)))
   }
 
+  test("funnel: per-user buffer is the bounded top-k aggregate, and the cap binds") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", "signup", 1),
+      (1L, "2024-01-01 10:05:00", "click", 2),
+      (1L, "2024-01-01 10:10:00", "purchase", 3))
+    val plan = EventAnalytics.funnelReport(ev, "event_type", "ts", "event_id",
+        "user_id", Seq("signup", "click", "purchase"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    // bounded priority-queue aggregate, NOT collect_list-then-slice: a
+    // pathological key must cost O(cap) buffer at every aggregation level
+    assert(plan.contains("collect_top_k"), s"expected CollectTopK:\n$plan")
+    assert(!plan.contains("collect_list"), "unbounded collect_list in plan")
+    // the cap keeps the EARLIEST events: capping at 2 drops the purchase
+    val capped = EventAnalytics.funnelReport(ev, "event_type", "ts", "event_id",
+        "user_id", Seq("signup", "click", "purchase"), maxEventsPerUser = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(capped == Seq((1, 1L), (2, 1L), (3, 0L)))
+  }
+
   test("funnel: equal-timestamp events advance in tie order, not time order") {
     // signup and click at the SAME instant: the chain requires strictly
     // later, so the click at the same ts must NOT advance step 2.

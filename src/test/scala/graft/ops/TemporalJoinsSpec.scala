@@ -94,6 +94,47 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == Set(("fresh", Some("v1")), ("stale", None)))
   }
 
+  test("asofJoin: right column sharing the left time column's name is rejected") {
+    val dims = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "d_ts", "f_ts") // payload column named like left time
+    val facts = Seq((1L, ts("2024-01-01 00:30:00")))
+      .toDF("user_id", "f_ts")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(facts, "f_ts", dims, "d_ts", Seq("user_id"))
+    }
+    assert(e.getMessage.contains("f_ts")) // named in the clash error,
+    // not a silent duplicate output column
+  }
+
+  test("asofJoin tolerance is microsecond-exact at the horizon") {
+    val dims = Seq((1L, ts("2024-01-01 00:00:00"), "v1"))
+      .toDF("user_id", "d_ts", "version")
+    // 3600.5 s after v1: a second-truncating lag reads 3600 and would
+    // wrongly keep the match at tolerance 3600
+    val facts = Seq((1L, ts("2024-01-01 01:00:00.5"), "just_over"))
+      .toDF("user_id", "f_ts", "tag")
+    val got = TemporalJoins.asofJoin(facts, "f_ts", dims, "d_ts", Seq("user_id"),
+        toleranceSeconds = Some(3600L))
+      .select("version").collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(None))
+  }
+
+  test("intervalJoin: a zero-length interval intersects nothing") {
+    // [t, t) is EMPTY even when t sits strictly inside the other span
+    val l = Seq((1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), "z"))
+      .toDF("k", "l_start", "l_end", "l_tag")
+    val r = Seq((1L, ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00"), "w"))
+      .toDF("k", "r_start", "r_end", "r_tag")
+    assert(TemporalJoins.intervalJoin(l, "l_start", "l_end",
+      r, "r_start", "r_end", Seq("k"), bucketSeconds = 3600).count() == 0)
+    // while a one-microsecond span inside it DOES intersect
+    val l2 = Seq((1L, ts("2024-01-01 12:00:00"),
+        ts("2024-01-01 12:00:00.000001"), "u"))
+      .toDF("k", "l_start", "l_end", "l_tag")
+    assert(TemporalJoins.intervalJoin(l2, "l_start", "l_end",
+      r, "r_start", "r_end", Seq("k"), bucketSeconds = 3600).count() == 1)
+  }
+
   test("asofJoin differential: equals the brute-force latest-prior computation") {
     // deterministic pseudo-random fixture over 5 keys
     val left = (1L to 200L).map(i =>

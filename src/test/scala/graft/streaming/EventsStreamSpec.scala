@@ -104,6 +104,18 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("enrichWithDim keeps the event key when both sides name it identically") {
+    import spark.implicits._
+    val events = Seq((1L, 10L), (2L, 99L)).toDF("event_id", "user_id")
+    val dim = Seq((10L, "gold")).toDF("user_id", "tier")
+    val got = EventsStream.enrichWithDim(events, dim, "user_id", "user_id")
+    // a name-based drop would remove BOTH user_id columns
+    assert(got.columns.toSeq == Seq("event_id", "user_id", "tier"))
+    assert(got.orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .toSeq == Seq((1L, 10L, Some("gold")), (2L, 99L, None)))
+  }
+
   test("stream-static enrichment join equals the batch join") {
     val events = EventsStream.readEvents(spark, s"$dir/events.parquet")
     val dim = spark.read.parquet(s"$dir/customer.parquet")
@@ -127,6 +139,39 @@ class EventsStreamSpec extends AnyFunSuite {
     finally q.stop()
     assert(canon(spark.table("enrich_out")) == canon(batch))
     assert(batch.count() > 0)
+  }
+
+  test("sessionize: watermark-admitted out-of-order event merges without moving bounds backward") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, u: Long) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(t), u, "x", 1.0)
+    val mem = MemoryStream[EventsStream.Event]
+    // Batch 1: user 1 session [12:00, 14:00] (gap 2h); user 2's 14:30
+    // event drives the 1h watermark to 13:30 at batch end.
+    mem.addData(Seq(ev(1, "2024-01-01 12:00:00", 1),
+      ev(2, "2024-01-01 14:00:00", 1), ev(3, "2024-01-01 14:30:00", 2)))
+    val sessions = EventsStream.sessionize(spark, mem.toDF(),
+      gapMs = 2 * 60 * 60 * 1000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_ooo").start()
+    try {
+      q.processAllAvailable()
+      // Batch 2: user 1 at 13:45 — above the 13:30 watermark but BEFORE
+      // the session's current end. Must merge WITHOUT regressing the end
+      // (the old unconditional `end = t` set it back to 13:45).
+      mem.addData(Seq(ev(4, "2024-01-01 13:45:00", 1)))
+      q.processAllAvailable()
+      // flush: close everything
+      mem.addData(Seq(ev(9, "2030-01-01 00:00:00", -1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_ooo").filter($"user_id" === 1L)
+      .select("session_start", "session_end", "n_events")
+      .collect().map(r => (r.getTimestamp(0).toString,
+        r.getTimestamp(1).toString, r.getInt(2))).toSeq
+    assert(got == Seq(("2024-01-01 12:00:00.0", "2024-01-01 14:00:00.0", 3)))
   }
 
   test("stateful sessionization equals batch gap-window formulation") {
