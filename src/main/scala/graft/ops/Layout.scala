@@ -73,13 +73,25 @@ object Layout {
       min(col(colB).cast("long")).as("__blo"),
       max(col(colB).cast("long")).as("__bhi"))
     val maxScaled = (1L << bits) - 1
+    // min-max scaling in decimal(38,0): `(v - lo) * maxScaled` wraps Long
+    // silently for wide-range columns (epoch-nanos, snowflake ids — any
+    // span past ~2^63/maxScaled), and `hi - lo` itself can wrap when the
+    // column spans more than half the long range. Decimal keeps every
+    // intermediate exact; `div` on decimals still returns an integral
+    // long, so the scaled values (and fixture-scale results) are
+    // bit-identical to the long path wherever that path didn't overflow.
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     df.crossJoin(broadcast(bounds))
       .withColumn("__sa",
-        intDiv((col(colA).cast("long") - col("__alo")) * lit(maxScaled),
-          greatest(col("__ahi") - col("__alo"), lit(1L))).cast("long"))
+        intDiv((dec(col(colA).cast("long")) - dec(col("__alo")))
+            * lit(maxScaled),
+          greatest(dec(col("__ahi")) - dec(col("__alo")),
+            lit(1L).cast("decimal(38,0)"))).cast("long"))
       .withColumn("__sb",
-        intDiv((col(colB).cast("long") - col("__blo")) * lit(maxScaled),
-          greatest(col("__bhi") - col("__blo"), lit(1L))).cast("long"))
+        intDiv((dec(col(colB).cast("long")) - dec(col("__blo")))
+            * lit(maxScaled),
+          greatest(dec(col("__bhi")) - dec(col("__blo")),
+            lit(1L).cast("decimal(38,0)"))).cast("long"))
       .withColumn(zCol, interleaveBits(col("__sa"), col("__sb"), bits))
       .drop("__alo", "__ahi", "__blo", "__bhi", "__sa", "__sb")
   }
@@ -104,10 +116,14 @@ object Layout {
       colB: String,
       bits: Int = 8,
       nBuckets: Int = 16): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val keyed = withZorderKey(df, colA, colB, bits)
     keyed
+      // decimal: z reaches 2^(2·bits)-1, so z * nBuckets wraps Long for
+      // bits >= 30 — same overflow discipline as the scaling above
       .withColumn("bucket",
-        intDiv(col("z") * lit(nBuckets.toLong), lit(1L << (2 * bits))).cast("long"))
+        intDiv(col("z").cast("decimal(38,0)") * lit(nBuckets.toLong),
+          lit(1L << (2 * bits))).cast("long"))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n"),

@@ -67,14 +67,16 @@ object Retrieval {
         explode(tokens(col(textCol))).as("__t"))
       .groupBy(col(idCol), col("__t"))
       .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
-    // The query term set collects to the driver: it is query-set-sized by
-    // the same contract that lets the scoring join broadcast it (queries
-    // ≪ corpus). Bounded by construction, like the IVF centroid collect.
-    val qtermRows = queries
-      .select(col(qIdCol).cast("long").as("query_id"),
+    // The query VOCABULARY collects to the driver: it is query-set-sized
+    // by the same contract that lets the scoring join broadcast it
+    // (queries ≪ corpus). Bounded by construction, like the IVF centroid
+    // collect. Only term STRINGS collect — query ids stay in the plan, so
+    // any id type (long, string, UUID) works unchanged.
+    val qterms = queries
+      .select(col(qIdCol).as("query_id"),
         explode(array_distinct(tokens(col(qTextCol)))).as("__t"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    val qtermSet = qtermRows.map(_._2).distinct.toSeq
+    val qtermSet = qterms.select("__t").distinct()
+      .collect().map(_.getString(0)).toSeq
     // ONE aggregate job delivers document frequencies for the query
     // vocabulary AND the corpus token total: group the (doc, term) table
     // by "query term or null", count rows per key (= df), sum tf (Σ tf
@@ -94,13 +96,13 @@ object Retrieval {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val n = docs.count().toDouble
     val avgdl = statRows.map(_.getLong(2)).sum.toDouble / n
-    // (query, term, df) as a LOCAL relation — idf still evaluates inside
-    // the plan with the same log() expression as before, so the numeric
-    // path the oracle replays is unchanged.
+    // (query, term, df): the query-side frame joined to the LOCAL df
+    // table — idf still evaluates inside the plan with the same log()
+    // expression as before, so the numeric path the oracle replays is
+    // unchanged.
     import spark.implicits._
-    val qidf = qtermRows.toSeq
-      .flatMap { case (qid, t) => dfByTerm.get(t).map(df => (qid, t, df)) }
-      .toDF("query_id", "__t", "__df")
+    val qidf = qterms
+      .join(broadcast(dfByTerm.toSeq.toDF("__t", "__df")), Seq("__t"))
       .select(col("query_id"), col("__t"),
         log(lit(1.0) + (lit(n) - col("__df") + 0.5) / (col("__df") + 0.5))
           .as("__idf"),
@@ -121,14 +123,25 @@ object Retrieval {
       .select(col("query_id"), col(idCol),
         round(aggregate(col("__ts"), lit(0.0),
           (acc, x) => acc + x.getField("__s")), 6).as("score"))
-    val item = struct((-col("score")).as("negscore"),
-      col(idCol).cast("long").as("did"))
+    topKEmit(scored, "score", idCol, k)
+  }
+
+  /** Shared per-query top-k emission: bounded `CollectTopK` over the
+    * (negated score, id) struct, re-sorted and position-exploded to
+    * (query_id, id, score, rank). ONE definition for [[bm25TopK]] and
+    * [[rrfFuse]] so their ranking/tie-break semantics cannot drift; the
+    * id keeps its source type (no silent numeric cast — string/UUID ids
+    * rank fine under the struct's natural ordering).
+    */
+  private def topKEmit(scored: DataFrame, scoreCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val item = struct((-col(scoreCol)).as("negscore"), col(idCol).as("did"))
     scored.groupBy("query_id")
       .agg(array_sort(ColumnBridge.collectTopK(item, k, reverse = true))
         .as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__x")))
       .select(col("query_id"), col("__x.did").as(idCol),
-        (-col("__x.negscore")).as("score"),
+        (-col("__x.negscore")).as(scoreCol),
         (col("__i") + 1).cast("long").as("rank"))
   }
 
@@ -171,15 +184,7 @@ object Retrieval {
       .select(col("query_id"), col(idCol),
         round(aggregate(col("__cs"), lit(0.0),
           (acc, x) => acc + x.getField("__c")), 6).as("rrf_score"))
-    val item = struct((-col("rrf_score")).as("negscore"),
-      col(idCol).cast("long").as("did"))
-    scored.groupBy("query_id")
-      .agg(array_sort(ColumnBridge.collectTopK(item, k, reverse = true))
-        .as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__x")))
-      .select(col("query_id"), col("__x.did").as(idCol),
-        (-col("__x.negscore")).as("rrf_score"),
-        (col("__i") + 1).cast("long").as("rank"))
+    topKEmit(scored, "rrf_score", idCol, k)
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
@@ -221,13 +226,19 @@ object Retrieval {
     require(m >= k, s"m must be >= k ($k), got $m")
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0, 1], got $lambda")
     import graft.ops.Similarity.{dot, norm}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    require(Seq[org.apache.spark.sql.types.DataType](IntegerType, LongType)
+        .contains(embeddings.schema(idCol).dataType),
+      s"mmrRerank requires an integral id column (the greedy tie-break " +
+        s"negates ids); got ${embeddings.schema(idCol).dataType} — " +
+        "derive a numeric surrogate id first")
     def unit(v: Column): Column = {
       val n = norm(v)
       when(n > 0, transform(v, x => x.cast("double") / n))
         .otherwise(transform(v, _ => lit(0.0)))
     }
     val e = embeddings.select(col(idCol).cast("long").as("__id"),
-      unit(col(vecCol)).as("__uv"))
+      unit(col(vecCol)).as("__uv")) // integral by the require above
     val q = queries.select(col(qIdCol).as("query_id"),
       unit(col(qVecCol)).as("__quv"))
     val scored = e.crossJoin(broadcast(q))

@@ -74,8 +74,12 @@ object Sampling {
       .groupBy(col(groupCol))
       .agg(ColumnBridge.collectTopK(item, n, reverse = true).as("__top"))
       .select(col(groupCol), explode(col("__top")).as("__item"))
-      .select(col(groupCol), col("__item.i").as(idCol))
-    df.join(broadcast(winners), Seq(idCol, groupCol))
+      .select(col(groupCol).as("__wg"), col("__item.i").as("__wi"))
+    // null-safe join-back: a plain equi-join on the group column would
+    // silently drop every NULL-group row (null never equi-matches), even
+    // when that group is under n and must keep all its rows
+    df.join(broadcast(winners),
+        col(idCol) <=> col("__wi") && col(groupCol) <=> col("__wg"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
@@ -93,6 +97,8 @@ object Sampling {
       fractions: Seq[(String, Double)],
       defaultSplit: String = "train",
       splitCol: String = "split"): DataFrame = {
+    require(fractions.forall(_._2 >= 0),
+      s"fractions must be >= 0, got $fractions")
     require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
     val prefix = substring(md5(col(idCol).cast("string")), 1, 3)
     // Cumulative thresholds in 4096ths, then a foldRight so the when-chain
@@ -149,15 +155,28 @@ object Sampling {
       case ((stratum, w), rest) =>
         when(col(strataCol) === stratum, lit(w)).otherwise(rest)
     }
-    val cut = floor(lit(budget.toDouble) * weightExpr * lit(4096.0) /
-      col("__stratum_tokens").cast("double")).cast("long")
-    val keep = when(cut >= 4096L, lit(true))
+    val keep = tokenBudgetKeep(idCol, weightExpr,
+      col("__stratum_tokens"), budget)
+    df.join(broadcast(totals.withColumnRenamed(strataCol, "__ts")),
+        col(strataCol) <=> col("__ts"))
+      .filter(weightExpr.isNotNull && keep)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** The integer-exact md5 budget cut shared by [[sampleToTokenBudget]]
+    * and [[temperatureMixture]] — ONE definition, because an external
+    * oracle replays this expression verbatim and the two samplers must
+    * never drift apart: `floor(budget × weight × 4096 / stratum_tokens)`
+    * compared against the first 3 md5 hex chars of the id; a cut ≥ 4096
+    * keeps the stratum whole.
+    */
+  private def tokenBudgetKeep(idCol: String, weight: Column,
+      stratumTokens: Column, budget: Long): Column = {
+    val cut = floor(lit(budget.toDouble) * weight * lit(4096.0) /
+      stratumTokens.cast("double")).cast("long")
+    when(cut >= 4096L, lit(true))
       .otherwise(substring(md5(col(idCol).cast("string")), 1, 3) <
         lpad(lower(hex(cut)), 3, "0"))
-    df.join(broadcast(totals), strataCol)
-      .filter(weightExpr.isNotNull && keep)
-      .drop("__stratum_tokens")
-      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Deterministic global shuffle into training shards: each row gets a
@@ -228,9 +247,11 @@ object Sampling {
       .groupBy(col(groupCol))
       .agg(array_sort(ColumnBridge.collectTopK(item, k, reverse = true)).as("__top"))
       .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__item")))
-      .select(col(groupCol), col("__item.i").as(idCol),
+      .select(col(groupCol).as("__wg"), col("__item.i").as("__wi"),
         (col("__pos") + 1).cast("int").as("rank"))
-    df.join(broadcast(winners), Seq(idCol, groupCol))
+    // null-safe join-back — see perGroupSampleExact
+    df.join(broadcast(winners),
+        col(idCol) <=> col("__wi") && col(groupCol) <=> col("__wg"))
       .select(df.columns.map(col).toIndexedSeq :+ col("rank"): _*)
   }
 
@@ -344,6 +365,8 @@ object Sampling {
       keepFraction: Double): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1,
       s"keepFraction must be in (0, 1], got $keepFraction")
+    require(!df.columns.contains("rank") && !df.columns.contains("stratum_n"),
+      "percentileGate emits 'rank' and 'stratum_n' columns; rename the input's")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
       .orderBy(col(orderCol).desc, col(idCol).asc)
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
@@ -392,12 +415,13 @@ object Sampling {
       .crossJoin(broadcast(powed.agg(sum(col("__pow")).as("__powsum"))))
       .withColumn("__weight", round(col("__pow") / col("__powsum"), 6))
       .drop("__pow", "__powsum")
-    val cut = floor(lit(budget.toDouble) * col("__weight") * lit(4096.0) /
-      col("__stratum_tokens").cast("double")).cast("long")
-    val keep = when(cut >= 4096L, lit(true))
-      .otherwise(substring(md5(col(idCol).cast("string")), 1, 3) <
-        lpad(lower(hex(cut)), 3, "0"))
-    df.join(broadcast(totals), strataCol)
+    val keep = tokenBudgetKeep(idCol, col("__weight"),
+      col("__stratum_tokens"), budget)
+    // null-safe: a NULL stratum is a stratum like any other — the plain
+    // equi-join dropped its rows AFTER its pow() mass had already
+    // deflated every named stratum's weight, under-filling the budget
+    df.join(broadcast(totals.withColumnRenamed(strataCol, "__ts")),
+        col(strataCol) <=> col("__ts"))
       .filter(keep)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }

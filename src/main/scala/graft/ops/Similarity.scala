@@ -200,8 +200,13 @@ object Similarity {
     * comparison cannot express that, so it short-circuits to `true`).
     */
   def hashSample(idCol: Column, fraction: Double): Column = {
-    val thr = math.min(4096L, math.max(1L, math.round(fraction * 4096)))
+    // round to the nearest 4096th with NO lower clamp: fraction 0 must
+    // keep nothing (a clamp to 1/4096 silently leaked ~0.024% of a
+    // stratum the caller meant to exclude). Count-based sampling that
+    // needs "at least one" uses sampleThreshold/hashSampleByThreshold.
+    val thr = math.min(4096L, math.round(fraction * 4096))
     if (thr >= 4096L) lit(true)
+    else if (thr <= 0L) lit(false)
     else hashSampleByThreshold(idCol, thr)
   }
 

@@ -812,6 +812,34 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("null-group rows survive the per-group samplers; fraction 0 keeps NOTHING") {
+    // a NULL group under n must keep every row (the null-safe join-back)
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, null), (4L, null))
+      .toDF("doc_id", "grp")
+    val kept = Sampling.perGroupSampleExact(docs, "doc_id", "grp", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+    val scored = Seq((1L, "a", 2.0), (2L, null, 9.0), (3L, null, 1.0))
+      .toDF("doc_id", "grp", "score")
+    val top = Sampling.topPerGroup(scored, "doc_id", "grp", "score", k = 1)
+      .select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(top == Set((1L, 1), (2L, 1))) // null group ranks like any other
+    // fraction 0.0 must EXCLUDE the stratum entirely (the old >=1/4096
+    // clamp leaked ~0.024% of a stratum the caller meant to drop)
+    val many = (1L to 4000L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("doc_id", "grp")
+    val out = Sampling.stratifiedHashSample(many, "doc_id", "grp",
+      Seq(("drop", 0.0), ("keep", 1.0)))
+    assert(out.filter($"grp" === "drop").count() == 0)
+    assert(out.filter($"grp" === "keep").count() == 2000)
+    // negative split fractions are a caller error, not a near-total split
+    val e = intercept[IllegalArgumentException] {
+      Sampling.assignSplit(many, "doc_id", Seq(("test", -0.1), ("val", 0.2)))
+    }
+    assert(e.getMessage.contains(">= 0"))
+  }
+
   test("clusterAwareSplit: cluster members share a split; singletons match assignSplit") {
     val docs = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L)).toDF("id_a", "id_b")

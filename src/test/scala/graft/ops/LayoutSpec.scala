@@ -54,6 +54,25 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("withZorderKey: wide-range columns (epoch-nanos scale) stay exact, no overflow") {
+    import spark.implicits._
+    // span ~4.6e18: (v - lo) * 255 would wrap Long (silent garbage keys
+    // before the decimal-scaling fix); both extremes and the midpoint
+    // must land in order
+    val wide = Seq((1L, Long.MinValue / 2, 0L), (2L, 0L, 0L),
+      (3L, Long.MaxValue / 2, 0L)).toDF("id", "a", "b")
+    val keyed = Layout.withZorderKey(wide, "a", "b", bits = 8)
+      .orderBy("id").select("z").as[Long].collect().toSeq
+    assert(keyed.forall(_ >= 0L), s"negative Morton keys: $keyed")
+    assert(keyed == keyed.sorted, "z must be monotone in a for constant b")
+    assert(keyed.distinct.size == 3)
+    // report buckets stay in [0, nBuckets) at the top of the bits range
+    val buckets = Layout.zorderLayoutReport(wide, "a", "b",
+        bits = 31, nBuckets = 16)
+      .select("bucket").as[Long].collect().toSeq
+    assert(buckets.forall(b => b >= 0 && b < 16), s"bad buckets: $buckets")
+  }
+
   test("withZorderKey: constant column degrades to 1-D ordering, no crash") {
     val df = (0L until 100L).map(i => (i, 42L)).toDF("a", "b")
     val keyed = Layout.withZorderKey(df, "a", "b", bits = 4)

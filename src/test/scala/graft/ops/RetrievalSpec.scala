@@ -39,6 +39,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.sortBy(_._3).toSeq == expect)
   }
 
+  test("bm25TopK and rrfFuse work with STRING doc and query ids") {
+    // the old silent cast-to-long nulled every non-numeric id
+    val docs = Seq(("d-one", "cat dog cat mouse"), ("d-two", "dog mouse"),
+      ("d-three", "cat fish fish")).toDF("doc_id", "text")
+    val qs = Seq(("q-a", "cat")).toDF("query_id", "query_text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", qs,
+        "query_id", "query_text", k = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(got.toSeq == Seq(("q-a", "d-one", 1L), ("q-a", "d-three", 2L)))
+    val ranking = Retrieval.bm25TopK(docs, "doc_id", "text", qs,
+      "query_id", "query_text", k = 10)
+    val fused = Retrieval.rrfFuse(Seq("only" -> ranking), "doc_id", k = 2)
+      .orderBy("rank").select("doc_id").collect().map(_.getString(0))
+    assert(fused.toSeq == Seq("d-one", "d-three"))
+  }
+
   test("bm25TopK: multi-term queries sum per-term contributions; ties break by id") {
     val docs = Seq(
       (1L, "alpha beta"),
