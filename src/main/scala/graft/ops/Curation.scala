@@ -144,13 +144,19 @@ object Curation {
       bench: DataFrame,
       benchTextCol: String,
       n: Int,
-      path: String): Unit =
+      path: String): Unit = {
     bench
       .select(graft.functions.HashExpressions.shingleSet(col(benchTextCol), n).as("__sh"))
       .select(explode(col("__sh")).as("__gram"))
       .select(md5(col("__gram")).as("__fp"))
       .distinct()
       .write.mode("overwrite").parquet(path)
+    // Stamp the gram width the fingerprints were built with: probing an
+    // n=8 index with n=13 doc grams can never match and would read as a
+    // clean corpus — the reader refuses the mismatch loudly instead.
+    import bench.sparkSession.implicits._
+    Seq(n).toDF("n").write.mode("overwrite").parquet(s"$path/_gram_n")
+  }
 
   /** [[contaminationReport]] against a persisted benchmark index
     * ([[saveBenchmarkIndex]]) instead of raw benchmark text. Same result
@@ -164,6 +170,14 @@ object Curation {
       n: Int = 13,
       minMatches: Int = 1): DataFrame = {
     val spark = docs.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/_gram_n")
+    if (metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(metaPath)) {
+      val indexN = spark.read.parquet(metaPath.toString).head().getInt(0)
+      require(indexN == n,
+        s"benchmark index at $indexPath was built with n=$indexN grams; " +
+          s"probing with n=$n would silently report zero contamination")
+    }
     val p = spark.sparkContext.defaultParallelism
     val docGrams = docs
       .select(col(idCol),
@@ -263,11 +277,14 @@ object Curation {
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     val tuned = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    // Persisted: the static side of a stream-static join re-executes on
+    // EVERY micro-batch (see streamingContaminationBlocklist).
     val benchGrams = bench
       .select(graft.functions.HashExpressions.shingleSet(col(benchTextCol), n).as("__sh"))
       .select(explode(col("__sh")).as("__gram"))
       .select(md5(col("__gram")).as("__fp"))
       .distinct()
+      .persist()
     val agg = tuned.parquet(dir)
       .select(col(idCol),
         graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
@@ -283,7 +300,7 @@ object Curation {
       }
       .start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally { q.stop(); benchGrams.unpersist() }
     graft.ops.Upsert.readKeyedParquet(spark, sinkDir)
       .filter(col("matched_grams") >= minMatches)
   }
@@ -398,15 +415,19 @@ object Curation {
       textCol: String,
       separator: String = "\n"): DataFrame = {
     val segs = split(col(textCol), java.util.regex.Pattern.quote(separator))
-    // Keep segs(i) when its first occurrence index is i (array_position is
-    // 1-based). The zip carries each element's own position.
-    val kept = filter(
-      zip_with(segs, sequence(lit(1), size(segs)),
-        (s, i) => struct(s.as("s"), i.as("i"))),
-      x => array_position(segs, x.getField("s")) === x.getField("i"))
+    // First-occurrence keep as ONE fold building the seen-list in order:
+    // the earlier filter-with-array_position formulation re-embedded the
+    // raw split() inside the HOF lambda, so every element evaluation
+    // re-split the whole text (O(segments × text_len) re-splits per row —
+    // the interpreted-lambda blowup this file engineers around
+    // elsewhere). The fold's comparisons are string equalities over the
+    // accumulator only, and `segs` is evaluated once as the fold input.
+    val kept = aggregate(segs, array().cast("array<string>"),
+      (acc, s) => when(array_contains(acc, s), acc)
+        .otherwise(concat(acc, array(s))))
     docs.select(col(idCol),
       when(col(textCol).isNull, lit(null))
-        .otherwise(array_join(transform(kept, x => x.getField("s")), separator))
+        .otherwise(array_join(kept, separator))
         .as("text_clean"))
   }
 
@@ -593,6 +614,11 @@ object Curation {
       textCol: String,
       broadcastVocab: Boolean = true): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    // Each consumer re-runs the tokenize+explode rather than deriving the
+    // vocabulary from a persisted (doc, token) table: MEASURED at sf0.1,
+    // the derive-and-cache variant ran 2.2x SLOWER (the (doc, tok) shuffle
+    // is wider than the direct vocab aggregate, and the cache
+    // materialization outweighs the columnar re-scans it saves).
     val perDocTok = tok.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("nd"))
     val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
     val totals = vocab.agg(sum("c").as("total"))
@@ -841,7 +867,14 @@ object Curation {
       value.cast("double").as(valueName))
     val med = base.groupBy(strataCol)
       .agg(percentile(col(valueName), lit(0.5)).as("med"))
-    val withMed = base.join(broadcast(med), strataCol)
+    // null-safe stratum joins: rows with a NULL stratum (a missing
+    // language/source tag — precisely the anomalies this report exists
+    // to surface) must flow through, not vanish at an equi-join
+    def joinStrata(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(broadcast(r.withColumnRenamed(strataCol, "__rs")),
+          col(strataCol) <=> col("__rs"))
+        .drop("__rs")
+    val withMed = joinStrata(base, med)
     val mad = withMed.groupBy(strataCol)
       .agg(percentile(abs(col(valueName) - col("med")), lit(0.5)).as("mad"))
     // The FLAG is integer-exact: 0.6745·|v−med| > zCut·mad, with the
@@ -853,13 +886,15 @@ object Curation {
     val d2 = (col(valueName) * 2 - col("med") * 2).cast("long")
     val mad2 = (col("mad") * 2).cast("long")
     val zScaled = math.round(zCut * 10000)
-    withMed.join(broadcast(mad), strataCol)
+    joinStrata(withMed, mad)
       .withColumn("robust_z",
         when(col("mad") > 0,
           round(lit(0.6745) * (col(valueName) - col("med")) / col("mad"), 6)))
+      // coalesce: a NULL value makes the comparison null, and downstream
+      // filter(is_outlier) counts need a real boolean, not a third state
       .withColumn("is_outlier",
-        when(col("mad") > 0, abs(d2) * 6745L > mad2 * zScaled)
-          .otherwise(lit(false)))
+        coalesce(when(col("mad") > 0, abs(d2) * 6745L > mad2 * zScaled)
+          .otherwise(lit(false)), lit(false)))
       .select(col(idCol), col(strataCol), col(valueName), col("med"),
         col("mad"), col("robust_z"), col("is_outlier"))
   }
@@ -871,12 +906,18 @@ object Curation {
     * external SQL oracle applies the identical rewrite.
     */
   def redactPii(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val ip = regexp_replace(email,
-      "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
+    val email = regexp_replace(text, piiEmailRe, "<EMAIL>")
+    val ip = regexp_replace(email, piiIpv4Re, "<IP>")
     regexp_replace(ip, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
   }
+
+  // The email/IPv4 rules shared by [[redactPii]] and [[defaultRedactions]]
+  // — ONE definition each so the two scrub surfaces cannot drift (the
+  // unanchored IPv4 variant redactPii once carried matched MID-NUMBER:
+  // 'v1.222.333.4445' lost its inner digits as a fake <IP>).
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiIpv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Corpus vocabulary: the `k` most frequent tokens with counts,
     * deterministically tie-broken by token — the frequency table a
@@ -1065,8 +1106,14 @@ object Curation {
       edges.zipWithIndex.foldRight(lit(edges.size)) { case ((e, i), rest) =>
         when(v < e, lit(i)).otherwise(rest)
       }
+    // NULL/NaN values are EXCLUDED from the histogram: under the when-
+    // chain every `v < e` comparison is falsy for them, so unfiltered
+    // they would all silently land in the top open-end bucket and fake a
+    // "distribution shifted high" PSI verdict.
     def side(df: DataFrame, name: String): DataFrame =
-      df.select(bucketOf(col(valueCol).cast("double")).as("bucket"))
+      df.select(col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull && !isnan(col("__v")))
+        .select(bucketOf(col("__v")).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(s"${name}_n"))
     val buckets = reference.sparkSession.range(nBuckets)
       .select(col("id").cast("int").as("bucket"))
@@ -1134,7 +1181,11 @@ object Curation {
         when(v < e, lit(i)).otherwise(rest)
       }
     val v = col(valueCol).cast("double")
-    val counts = df.select(bucketOf(v).as("bucket"))
+    // NULL/NaN rows keep a NULL percentile (and stay out of the counts)
+    // instead of silently bucketing at the top open end — the driftReport
+    // discipline.
+    val valid = v.isNotNull && !isnan(v)
+    val counts = df.filter(valid).select(bucketOf(v).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
     // Exclusive cumulative + total over the B-row bucket frame.
     val bw = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
@@ -1146,8 +1197,9 @@ object Curation {
       array((Double.NegativeInfinity +: edges).map(lit): _*), col("bucket") + 1)
     val hi = element_at(
       array((edges :+ Double.PositiveInfinity).map(lit): _*), col("bucket") + 1)
-    df.select(col(idCol), col(valueCol), bucketOf(v).as("bucket"), v.as("__v"))
-      .join(broadcast(cum), Seq("bucket"))
+    df.select(col(idCol), col(valueCol),
+        when(valid, bucketOf(v)).as("bucket"), v.as("__v"))
+      .join(broadcast(cum), Seq("bucket"), "left")
       .withColumn("__frac",
         when(lo === lit(Double.NegativeInfinity) ||
             hi === lit(Double.PositiveInfinity), lit(0.5))
@@ -1327,9 +1379,6 @@ object Curation {
     merges.toSeq.toDF("rank", "left", "right", "n")
   }
 
-  /** Single-quoted SQL string literal with escaping (symbols can contain
-    * quotes or backslashes once merges concatenate arbitrary text chars).
-    */
   /** Driver-local merge loop over a collected (freq, symbols) vocabulary —
     * the same argmax (count desc, then (left, right) lexicographic by
     * UTF-8 codepoints, matching Spark's binary string ordering) and the
@@ -1392,6 +1441,10 @@ object Curation {
     merges.toSeq.toDF("rank", "left", "right", "n")
   }
 
+  /** Single-quoted SQL string literal with escaping (symbols can contain
+    * quotes or backslashes once merges concatenate arbitrary text chars)
+    * — injection-load-bearing for the generated merge SQL.
+    */
   private def sqlLit(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
@@ -1611,13 +1664,21 @@ object Curation {
       newDocs: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("old_fp"))
-    val n = newDocs.select(col(idCol), md5(col(textCol)).as("new_fp"))
+    // Presence is tracked with explicit markers, NOT fingerprint
+    // nullness: md5(null) is null, so a null-text doc present only in
+    // the OLD snapshot would read as "added" (the exact opposite of
+    // "removed") if absence were inferred from old_fp being null. The
+    // fingerprint compare is null-safe for the same reason (two null
+    // texts are "unchanged", null vs text is "changed").
+    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("old_fp"),
+      lit(true).as("__in_old"))
+    val n = newDocs.select(col(idCol), md5(col(textCol)).as("new_fp"),
+      lit(true).as("__in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("old_fp").isNull, lit("added"))
-          .when(col("new_fp").isNull, lit("removed"))
-          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("old_fp") <=> col("new_fp"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"),
         col("old_fp"), col("new_fp"))
   }
@@ -1708,7 +1769,9 @@ object Curation {
     val perDocTok = tok.groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("nd"))
     // One vocabulary pass carries both distributions: raw count + target
-    // count per token (conditional aggregation, no second scan).
+    // count per token (conditional aggregation, no second scan). The
+    // consumers deliberately re-run the tokenize (see unigramBitsPerToken:
+    // the derive-from-cached-(doc,tok) variant measured 2.2x slower).
     val vocab = tok.groupBy("tok").agg(
       count(lit(1)).as("cr"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
@@ -1832,7 +1895,7 @@ object Curation {
     * digit-run rule never fires inside an already-redacted address).
     */
   val defaultRedactions: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("email", piiEmailRe, "<EMAIL>"),
+    ("ip", piiIpv4Re, "<IP>"),
     ("number", "[0-9]{7,}", "<NUM>"))
 }

@@ -97,12 +97,67 @@ class CurationSpec extends AnyFunSuite {
   test("redactPii: email, IPv4, phone each replaced; clean text untouched") {
     val docs = Seq(
       (1L, "mail bob.smith+x@mail.example.org or 192.168.0.1 tel +44 20 7946 0958 ok"),
-      (2L, "no pii here at all"))
+      (2L, "no pii here at all"),
+      // the IPv4 rule is \b-anchored: a longer dotted number must NOT be
+      // partially mangled into '<IP>5' (the unanchored pattern did that)
+      (3L, "version 1.222.333.4445 is not an ip"))
       .toDF("doc_id", "text")
     val got = docs.select($"doc_id", Curation.redactPii($"text").as("t"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(got(1L) == "mail <EMAIL> or <IP> tel <PHONE> ok")
     assert(got(2L) == "no pii here at all")
+    assert(got(3L) == "version 1.222.333.4445 is not an ip")
+  }
+
+  test("null handling: drift/quantile exclude null values; snapshotDiff and outlierReport keep null rows truthful") {
+    // driftReport: nulls must NOT inflate the top open-end bucket
+    val ref = Seq(1.0, 2.0, 15.0).toDF("v")
+    val curNulls = Seq(Some(1.0), Some(2.0), Some(15.0), None, None).toDF("v")
+    val drift = Curation.driftReport(ref, curNulls, "v", Seq(10.0))
+      .orderBy("bucket").select("ref_n", "cur_n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(drift == Seq((2L, 2L), (1L, 1L))) // identical histograms, PSI 0
+    // quantileNormalize: null value -> NULL percentile, row kept
+    val qn = Curation.quantileNormalize(
+        Seq((1L, Some(1.0)), (2L, Some(20.0)), (3L, None)).toDF("doc_id", "v"),
+        "doc_id", "v", Seq(10.0))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(qn(2) == ((3L, None)) && qn(0)._2.isDefined)
+    // snapshotDiff: a null-text doc only in OLD is REMOVED (md5(null) is
+    // null — presence must come from markers, not fingerprint nullness)
+    val diff = Curation.snapshotDiff(
+        Seq((1L, null: String), (2L, "same")).toDF("doc_id", "text"),
+        Seq((2L, "same"), (3L, null: String)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id").select("status").collect().map(_.getString(0)).toSeq
+    assert(diff == Seq("removed", "unchanged", "added"))
+    // outlierReport: null-stratum rows survive; null values flag false
+    val outliers = Curation.outlierReport(
+        Seq((1L, "a", Some(1.0)), (2L, "a", Some(1.0)), (3L, null, Some(99.0)),
+          (4L, "a", None)).toDF("doc_id", "grp", "v"),
+        "doc_id", "grp", col("v"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(6)))
+    assert(outliers.length == 4) // the null-stratum row is present
+    assert(outliers.forall(!_._2)) // and nothing (incl. null value) flags
+  }
+
+  test("contaminationReportWithIndex refuses a gram-width mismatch") {
+    val base = graft.TestScratch.dir("graft-benchidx")
+    val bench = Seq((100L, "a b c d e f g h")).toDF("bench_id", "text")
+    Curation.saveBenchmarkIndex(bench, "text", n = 3, s"$base/idx")
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.contaminationReportWithIndex(docs, "doc_id", "text",
+        s"$base/idx", n = 13).collect()
+    }
+    assert(e.getMessage.contains("n=3"))
+    // matching n works and finds the contamination
+    val ok = Curation.contaminationReportWithIndex(docs, "doc_id", "text",
+        s"$base/idx", n = 3)
+      .select("matched_grams").head().getLong(0)
+    assert(ok == 2L) // 'a b c' and 'b c d'
   }
 
   test("plan shapes: benchmark/stop-list joins broadcast; top-k avoids global sort") {
