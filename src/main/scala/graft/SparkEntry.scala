@@ -4327,8 +4327,9 @@ object SparkEntry {
            FROM p),
          enc AS (SELECT vec_id, list_transform(range(1, 65), i ->
              CASE WHEN mxs[i] > mns[i] THEN
-               CAST(least(255.0, floor((CAST(embedding[i] AS DOUBLE) - mns[i])
-                 / (mxs[i] - mns[i]) * 256.0)) AS INT)
+               CAST(greatest(0.0, least(255.0,
+                 floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+                   / (mxs[i] - mns[i]) * 256.0))) AS INT)
              ELSE 0 END) AS sq
            FROM embeddings, ps),
          rec AS (SELECT vec_id, list_transform(range(1, 65), i ->
@@ -4542,8 +4543,9 @@ object SparkEntry {
            FROM p),
          enc AS (SELECT vec_id, list_transform(range(1, 65), i ->
              CASE WHEN mxs[i] > mns[i] THEN
-               CAST(least(255.0, floor((CAST(embedding[i] AS DOUBLE) - mns[i])
-                 / (mxs[i] - mns[i]) * 256.0)) AS INT)
+               CAST(greatest(0.0, least(255.0,
+                 floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+                   / (mxs[i] - mns[i]) * 256.0))) AS INT)
              ELSE 0 END) AS sq
            FROM embeddings, ps),
          rec AS (SELECT vec_id, list_transform(range(1, 65), i ->

@@ -224,6 +224,18 @@ object Dedup {
       iter += 1
     }
     Checkpoints.release(edges)
+    // Non-convergence must be LOUD: returning partially-propagated labels
+    // would split one true component into several clusters and keepList
+    // would keep multiple copies of the same duplicate chain with no
+    // indication anything went wrong. A >maxIterations diameter means the
+    // pair graph is a long chain, not the dense near-dup cliques this
+    // threshold-graph operator is built for — raise maxIterations or
+    // pre-collapse with the exact pass.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxIterations " +
+          "iterations (component diameter exceeds the cap); raise " +
+          "maxIterations")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -308,15 +320,19 @@ object Dedup {
         col(textCol))
       .select(col(idCol), col("__pos"),
         md5(col(textCol).substr(col("__pos") + 1, lit(spanLen))).as("__h"))
+    // Keeper selection and exclusion compare the id AS-IS: a cast to
+    // long nulls out string/UUID ids, and the three-valued filter then
+    // silently drops every occurrence — excision becomes a total no-op.
+    // struct min orders any orderable id type.
     val dupGroups = occ
       .groupBy("__h")
       .agg(count(lit(1)).as("__n"),
-        min(struct(col(idCol).cast("long").as("kid"),
+        min(struct(col(idCol).as("kid"),
           col("__pos").as("kpos"))).as("__keep"))
       .filter(col("__n") >= 2)
       .select(col("__h"), col("__keep"))
     val marked = occ.join(dupGroups, "__h")
-      .filter(!(col(idCol).cast("long") === col("__keep.kid") &&
+      .filter(!(col(idCol) === col("__keep.kid") &&
         col("__pos") === col("__keep.kpos")))
       .select(col(idCol), col("__pos").as("__s"),
         (col("__pos") + spanLen).as("__e"))
@@ -341,23 +357,32 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
         .as("__rs"))
     val zero = struct(lit(0).as("cur"), lit("").as("acc"))
-    val cleanExpr = aggregate(col("__rs"), zero,
+    // Both outputs come from ONE evaluation of the cursor fold: the
+    // finish lambda emits (clean_text, n_chars_removed) together, and the
+    // explode(array(..)) generator is the project-collapse barrier — the
+    // earlier two-output projection re-inlined the whole interpreted fold
+    // per output column, doubling the hottest per-row work.
+    val resExpr = aggregate(col("__rs"), zero,
       (st, r) => struct(
         greatest(st.getField("cur"), r.getField("__e")).as("cur"),
         concat(st.getField("acc"),
           col(textCol).substr(st.getField("cur") + 1,
             greatest(lit(0), r.getField("__s") - st.getField("cur"))))
           .as("acc")),
-      st => concat(st.getField("acc"),
-        col(textCol).substr(st.getField("cur") + 1,
-          greatest(lit(0), length(col(textCol)) - st.getField("cur")))))
+      st => {
+        val clean = concat(st.getField("acc"),
+          col(textCol).substr(st.getField("cur") + 1,
+            greatest(lit(0), length(col(textCol)) - st.getField("cur"))))
+        struct(clean.as("ct"),
+          (length(col(textCol)) - length(clean)).cast("long").as("nr"))
+      })
     docs.join(ranges, Seq(idCol), "left_outer")
       .select(col(idCol),
-        when(col("__rs").isNull, col(textCol))
-          .otherwise(cleanExpr).as("clean_text"),
-        (length(col(textCol)) -
-          length(when(col("__rs").isNull, col(textCol)).otherwise(cleanExpr)))
-          .cast("long").as("n_chars_removed"))
+        explode(array(when(col("__rs").isNull,
+            struct(col(textCol).as("ct"), lit(0L).as("nr")))
+          .otherwise(resExpr))).as("__r"))
+      .select(col(idCol), col("__r.ct").as("clean_text"),
+        col("__r.nr").as("n_chars_removed"))
   }
 
   /** One-row dedup audit card over a [[duplicateClusters]] table: corpus

@@ -348,7 +348,10 @@ object Similarity {
       .join(weights, Seq("centroid_id"), "left")
       .orderBy("centroid_id")
       .collect()
-      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray,
+      .map(r => (r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+      }.toArray,
         if (r.isNullAt(3)) 0.0 else r.getLong(3).toDouble))
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -766,8 +769,10 @@ object Similarity {
         when(col("__norm") * col("__qn") > 0,
           dot(col(vecCol), col("__qv")) / (col("__norm") * col("__qn")))
           .otherwise(lit(0.0)).as("cosine_sim"))
+    // ids/labels keep their source types: a silent cast("long") nulls
+    // string ids/labels for every row, and the struct orders any type
     val item = struct((-col("cosine_sim")).as("negsim"),
-      col(idCol).cast("long").as("nid"), col(labelCol).cast("long").as("nlabel"))
+      col(idCol).as("nid"), col(labelCol).as("nlabel"))
     scored
       .groupBy("query_id")
       .agg(boundedTopK(item, k).as("__top"))
@@ -810,7 +815,7 @@ object Similarity {
       m: Int,
       targetKs: Int = 16): PqCodebook = {
     val sampled = embeddings
-      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(targetKs)
       .orderBy(col(idCol))
@@ -889,10 +894,14 @@ object Similarity {
       val assigned = embeddings.select(col(vecCol).as("__v"),
         graft.functions.PqEncodePacked.encode(col(vecCol), books).as("__code"))
       val ksL = current.ks.toLong
+      // exact Long divisors ks^j (float pow loses ulps once ks^j nears
+      // 2^53, mis-decoding the top subspaces' codewords)
+      val divisors = Array.iterate(1L, cb.m)(_ * ksL)
+        .mkString("array(", "L,", "L)")
       val parts = assigned
         .select(col("__v"), posexplode(expr(
           s"transform(sequence(0, ${cb.m - 1}), " +
-            s"j -> (__code div cast(pow(cast($ksL as double), j) as bigint)) % $ksL)"))
+            s"j -> (__code div element_at($divisors, j + 1)) % $ksL)"))
           .as(Seq("__j", "__c")))
         .select(col("__j"), col("__c"),
           posexplode(slice(col("__v"), col("__j") * cb.subDim + 1, lit(cb.subDim)))
@@ -944,7 +953,7 @@ object Similarity {
         when(col("__pn") * col("__qpn") > 0,
           dot(col("__pv"), col("__qpv")) / (col("__pn") * col("__qpn")))
           .otherwise(lit(0.0)).as("__psim"))
-    val item = struct((-col("__psim")).as("negsim"), col(idCol).cast("long").as("nid"))
+    val item = struct((-col("__psim")).as("negsim"), col(idCol).as("nid"))
     val shortlist = scored
       .groupBy("query_id")
       .agg(boundedTopK(item, rerank).as("__top"))
@@ -1004,7 +1013,7 @@ object Similarity {
       .crossJoin(broadcast(qdf.select(col("query_id"), col("__dtab"))))
       .select(col("query_id"), col(idCol),
         graft.functions.PqAdcDist.adist(col("pq_code"), col("__dtab")).as("__adist"))
-    val item = struct(col("__adist").as("adist"), col(idCol).cast("long").as("nid"))
+    val item = struct(col("__adist").as("adist"), col(idCol).as("nid"))
     val shortlist = cand
       .groupBy("query_id")
       .agg(boundedTopK(item, rerank).as("__top"))
@@ -1067,8 +1076,13 @@ object Similarity {
     transform(vec, (x, i) => {
       val mn = element_at(mnA, (i + 1).cast("int"))
       val mx = element_at(mxA, (i + 1).cast("int"))
+      // clamp BOTH ends: params fitted on one corpus may encode new or
+      // streamed vectors whose components fall outside [mn, mx], and the
+      // documented byte-range contract is [0, 255], not "negative below
+      // range"
       when(mx > mn,
-        least(lit(255.0), floor((x.cast("double") - mn) / (mx - mn) * 256.0))
+        greatest(lit(0.0),
+          least(lit(255.0), floor((x.cast("double") - mn) / (mx - mn) * 256.0)))
           .cast("int"))
         .otherwise(lit(0))
     })
@@ -1156,7 +1170,7 @@ object Similarity {
       .groupBy(col("query_id"), col(idCol))
       .agg(max(col("__asim")).as("__asim"))
     val item = struct((-col("__asim")).as("negsim"),
-      col(idCol).cast("long").as("nid"))
+      col(idCol).as("nid"))
     val shortlist = approx
       .groupBy("query_id")
       .agg(boundedTopK(item, rerank).as("__top"))
@@ -1207,7 +1221,7 @@ object Similarity {
           dot(col("__rv"), col("__qv")) / (col("__rn") * col("__qn")))
           .otherwise(lit(0.0)).as("__asim"))
     val item = struct((-col("__asim")).as("negsim"),
-      col(idCol).cast("long").as("nid"))
+      col(idCol).as("nid"))
     val shortlist = cand
       .groupBy("query_id")
       .agg(boundedTopK(item, rerank).as("__top"))
@@ -1272,15 +1286,24 @@ object Similarity {
       embeddings: DataFrame,
       labelCol: String,
       vecCol: String): DataFrame = {
+    // Label centroids collect to the driver (bounded by the label domain,
+    // the IVF-centroid-collect contract) and unroll into ONE per-row
+    // least() over (−cosine, label) structs — the argmax runs inside the
+    // scan stage with no per-row shuffle, exactly the documented shape;
+    // min of (−sim, label) = highest similarity, ties to the LOWEST label.
     val cents = labelCentroids(embeddings, labelCol, vecCol)
-      .select(col("label").as("__clabel"), col("centroid"))
-    val scored = embeddings.crossJoin(broadcast(cents))
-      .select(col(labelCol).as("label"), col("__clabel"),
-        cosine(col(vecCol), col("centroid")).as("__sim"))
-    val best = Window.partitionBy(col("label"), col("__sim"))
-    scored
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("__dummy"))
-    // (unreachable placeholder — replaced below)
+      .select(col("label"), col("centroid"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "centroidConfusion needs at least one label")
+    val scored = cents.map { case (lbl, vec) =>
+      val cvec = array(vec.map(lit): _*)
+      struct((-cosine(col(vecCol), cvec)).as("ns"), lit(lbl).as("p"))
+    }
+    val best = if (scored.length == 1) scored.head else least(scored: _*)
+    embeddings
+      .select(col(labelCol).as("label"), best.getField("p").as("predicted"))
+      .groupBy("label", "predicted")
+      .agg(count(lit(1)).as("n"))
   }
 }

@@ -903,9 +903,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("hardNegatives: label-mismatched candidates only, ranking equals the filtered exact search") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)
+    // nlabel keeps the source column's type (int here) — no silent long cast
     val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
         queries, "vec_id", "embedding", "label", k = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue, r.getInt(4)))
     // no negative ever shares the query's label
     val qLabels = queries.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
