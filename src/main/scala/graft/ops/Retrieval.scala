@@ -23,14 +23,15 @@ object Retrieval {
     * break by ascending doc id on the 6-dp-rounded score, so the ranking
     * is reproducible across engines.
     *
-    * Scale shape: the corpus tokenizes once into per-(doc, term)
-    * frequencies, carrying the doc length through the aggregate (no
-    * second corpus join). Document frequencies are computed ONLY for the
-    * query terms — the (term, df) table is query-vocabulary-sized, built
-    * by semi-joining the corpus term table against the broadcast query
-    * terms, so the full corpus vocabulary is never materialized. The
-    * scoring join broadcasts the (query, term, idf) table; the corpus side
-    * never shuffles on the skewed term key. Per-(query, doc) partial
+    * Scale shape: two corpus scans, neither of which shuffles anything
+    * corpus-sized. The statistics scan aggregates straight to
+    * ≤ |query vocabulary| + 1 groups (df per query term + the corpus
+    * token total — map-side partials make the shuffle a few rows per
+    * partition); the scoring scan explodes only the query-matched tokens,
+    * so its (doc, term, tf, dl) table is docs × query-vocab bounded and
+    * the full corpus vocabulary never materializes. The scoring join
+    * broadcasts the (query, term, idf) table; the corpus side never
+    * shuffles on the skewed term key. Per-(query, doc) partial
     * scores fold over the term-sorted list (float sums add in identical
     * order on any engine and partitioning), and the per-query top-k is the
     * O(k)-state bounded `CollectTopK` aggregate — executor memory is
@@ -60,13 +61,6 @@ object Retrieval {
     val spread =
       if (base.rdd.getNumPartitions < parts) base.repartition(parts, col(idCol))
       else base
-    // (doc, term, tf, dl): dl rides the tokenize pass through the
-    // aggregate — max() over a per-doc constant.
-    val terms = spread
-      .select(col(idCol), tokenCount(col(textCol)).as("__dl"),
-        explode(tokens(col(textCol))).as("__t"))
-      .groupBy(col(idCol), col("__t"))
-      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
     // The query VOCABULARY collects to the driver: it is query-set-sized
     // by the same contract that lets the scoring join broadcast it
     // (queries ≪ corpus). Bounded by construction, like the IVF centroid
@@ -77,25 +71,45 @@ object Retrieval {
         explode(array_distinct(tokens(col(qTextCol)))).as("__t"))
     val qtermSet = qterms.select("__t").distinct()
       .collect().map(_.getString(0)).toSeq
-    // ONE aggregate job delivers document frequencies for the query
-    // vocabulary AND the corpus token total: group the (doc, term) table
-    // by "query term or null", count rows per key (= df), sum tf (Σ tf
-    // over everything ≡ Σ dl — duplicates included — so no separate
-    // corpus-length pass). Output is ≤ |query vocabulary| + 1 rows. The
-    // first formulation ran dfreq/stats/contrib as three differently-
-    // pruned recomputations of `terms` — a 15-job AQE cascade, 5.8 s at
-    // sf0.1 against 1 row of actual statistics; this shape is 3 jobs
-    // (stats collect, doc count, scoring) and 2.1 s.
-    val statRows = terms
-      .groupBy(when(col("__t").isInCollection(qtermSet), col("__t"))
-        .as("__qt"))
+    // Corpus statistics in ONE narrow aggregate with ≤ |query vocabulary|
+    // + 1 groups: per doc, the full token count plus its DISTINCT matched
+    // query terms. posexplode_outer keeps matchless docs (their length
+    // still counts toward avgdl) and pins each doc's __dl to its FIRST
+    // emitted row, so Σ __tok across groups ≡ Σ dl — the corpus token
+    // total — with no double count. Map-side partials collapse every
+    // partition to ≤ |qvocab| + 1 rows before the shuffle; the corpus-
+    // vocabulary (doc, term) table never materializes. (The previous
+    // shape built that full-vocab table with a corpus-sized shuffle and —
+    // because the stats collect and the scoring join are separate actions
+    // whose exchanges cannot be reused across jobs — built it TWICE:
+    // 1.43 s warm / 6.1 s cold at sf0.1 against 0.9 / 4.1 for this one.)
+    val perDoc = spread.select(
+      tokenCount(col(textCol)).as("__dl"),
+      array_distinct(filter(tokens(col(textCol)),
+        t => t.isInCollection(qtermSet))).as("__mts"))
+    val statRows = perDoc
+      .select(col("__dl"),
+        posexplode_outer(col("__mts")).as(Seq("__p", "__qt")))
+      .groupBy(col("__qt"))
       .agg(count(lit(1)).cast("double").as("__df"),
-        sum(col("__tf")).as("__tok"))
+        sum(when(col("__p").isNull || col("__p") === 0, col("__dl"))
+          .otherwise(lit(0L))).as("__tok"))
       .collect()
     val dfByTerm = statRows.filter(!_.isNullAt(0))
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val n = docs.count().toDouble
-    val avgdl = statRows.map(_.getLong(2)).sum.toDouble / n
+    val avgdl = statRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
+      .sum.toDouble / n
+    // Scoring term table: (doc, matched term, tf, dl) — the explode runs
+    // over the FILTERED token list (duplicates kept: tf is an occurrence
+    // count), so the groupBy shuffles only docs×query-vocab rows, not the
+    // corpus vocabulary.
+    val terms = spread
+      .select(col(idCol), tokenCount(col(textCol)).as("__dl"),
+        explode(filter(tokens(col(textCol)),
+          t => t.isInCollection(qtermSet))).as("__t"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
     // (query, term, df): the query-side frame joined to the LOCAL df
     // table — idf still evaluates inside the plan with the same log()
     // expression as before, so the numeric path the oracle replays is
