@@ -85,6 +85,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(both.map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("bm25TopK: empty docs count toward avgdl; shared terms across queries df once") {
+    // avgdl = (2+0+4)/3 = 2 — the EMPTY doc must still contribute its
+    // zero length (the stats scan's posexplode_outer row), and 'cat'
+    // appearing in both queries must produce ONE df, not two.
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, ""),
+      (3L, "cat cat fish fish")).toDF("doc_id", "text")
+    val qs = Seq((0L, "cat"), (1L, "cat fish")).toDF("query_id", "query_text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", qs,
+        "query_id", "query_text", k = 10)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def score(tf: Double, dl: Double, df: Double): Double = {
+      val n = 3.0; val avgdl = 2.0
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((0L, 1L)) == r6(score(1, 2, 2)))
+    assert(got((0L, 3L)) == r6(score(2, 4, 2)))
+    assert(got((1L, 3L)) == r6(score(2, 4, 2) + score(2, 4, 1)))
+    assert(got((1L, 1L)) == r6(score(1, 2, 2)))
+    assert(!got.contains((0L, 2L)) && !got.contains((1L, 2L)))
+  }
+
   test("rrfFuse: hand-computed fusion, missing-in-one-ranking docs still score") {
     val lex = Seq((0L, 10L, 1L), (0L, 20L, 2L), (0L, 30L, 3L))
       .toDF("query_id", "doc_id", "rank")
