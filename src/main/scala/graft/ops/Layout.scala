@@ -67,33 +67,44 @@ object Layout {
       bits: Int = 8,
       zCol: String = "z"): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val bounds = df.agg(
-      min(col(colA).cast("long")).as("__alo"),
-      max(col(colA).cast("long")).as("__ahi"),
-      min(col(colB).cast("long")).as("__blo"),
-      max(col(colB).cast("long")).as("__bhi"))
     val maxScaled = (1L << bits) - 1
-    // min-max scaling in decimal(38,0): `(v - lo) * maxScaled` wraps Long
-    // silently for wide-range columns (epoch-nanos, snowflake ids — any
-    // span past ~2^63/maxScaled), and `hi - lo` itself can wrap when the
-    // column spans more than half the long range. Decimal keeps every
-    // intermediate exact; `div` on decimals still returns an integral
-    // long, so the scaled values (and fixture-scale results) are
-    // bit-identical to the long path wherever that path didn't overflow.
+    // `(v - lo) * maxScaled` wraps Long silently for wide-range columns
+    // (epoch-nanos, snowflake ids — any span past ~2^63/maxScaled), and
+    // `hi - lo` itself can wrap when the column spans more than half the
+    // long range. Exact decimal(38,0) arithmetic handles that — but costs
+    // ~7× on the hot path (object-based Decimal vs codegen long ops,
+    // measured 0.34 s → 2.6 s on q130 at sf0.1). So the overflow test
+    // runs ONCE per dimension in the 1-row bounds aggregate — span ×
+    // maxScaled fits in Long ⇒ every per-row intermediate fits, since
+    // 0 ≤ v − lo ≤ span — and each row reads a boolean to take the pure
+    // long codegen path (the overwhelmingly common case) or the exact
+    // decimal path. Both paths produce identical values wherever the long
+    // path is safe, so the flag never changes results, only cost.
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val safeCap = lit(Long.MaxValue).cast("decimal(38,0)")
+    val bounds = df.agg(
+        min(col(colA).cast("long")).as("__alo"),
+        max(col(colA).cast("long")).as("__ahi"),
+        min(col(colB).cast("long")).as("__blo"),
+        max(col(colB).cast("long")).as("__bhi"))
+      .withColumn("__asafe",
+        (dec(col("__ahi")) - dec(col("__alo"))) * lit(maxScaled) <= safeCap)
+      .withColumn("__bsafe",
+        (dec(col("__bhi")) - dec(col("__blo"))) * lit(maxScaled) <= safeCap)
+    def scaled(c: String, lo: String, hi: String, safe: String): Column =
+      when(col(safe),
+        intDiv((col(c).cast("long") - col(lo)) * lit(maxScaled),
+          greatest(col(hi) - col(lo), lit(1L))).cast("long"))
+        .otherwise(
+          intDiv((dec(col(c).cast("long")) - dec(col(lo))) * lit(maxScaled),
+            greatest(dec(col(hi)) - dec(col(lo)),
+              lit(1L).cast("decimal(38,0)"))).cast("long"))
     df.crossJoin(broadcast(bounds))
-      .withColumn("__sa",
-        intDiv((dec(col(colA).cast("long")) - dec(col("__alo")))
-            * lit(maxScaled),
-          greatest(dec(col("__ahi")) - dec(col("__alo")),
-            lit(1L).cast("decimal(38,0)"))).cast("long"))
-      .withColumn("__sb",
-        intDiv((dec(col(colB).cast("long")) - dec(col("__blo")))
-            * lit(maxScaled),
-          greatest(dec(col("__bhi")) - dec(col("__blo")),
-            lit(1L).cast("decimal(38,0)"))).cast("long"))
+      .withColumn("__sa", scaled(colA, "__alo", "__ahi", "__asafe"))
+      .withColumn("__sb", scaled(colB, "__blo", "__bhi", "__bsafe"))
       .withColumn(zCol, interleaveBits(col("__sa"), col("__sb"), bits))
-      .drop("__alo", "__ahi", "__blo", "__bhi", "__sa", "__sb")
+      .drop("__alo", "__ahi", "__blo", "__bhi", "__asafe", "__bsafe",
+        "__sa", "__sb")
   }
 
   /** Per-bucket layout audit for a Z-order clustering of `(colA, colB)`:
@@ -118,12 +129,18 @@ object Layout {
       nBuckets: Int = 16): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val keyed = withZorderKey(df, colA, colB, bits)
-    keyed
-      // decimal: z reaches 2^(2·bits)-1, so z * nBuckets wraps Long for
-      // bits >= 30 — same overflow discipline as the scaling above
-      .withColumn("bucket",
+    // z reaches 2^(2·bits)-1, so z * nBuckets wraps Long once
+    // (2^(2·bits)-1) * nBuckets passes Long.MaxValue — but both operands
+    // are PARAMETERS, so the branch to the exact decimal form is decided
+    // here, at plan-build time; the common case stays pure long codegen.
+    val bucketExpr =
+      if ((BigInt(2).pow(2 * bits) - 1) * nBuckets <= Long.MaxValue)
+        intDiv(col("z") * lit(nBuckets.toLong), lit(1L << (2 * bits)))
+      else
         intDiv(col("z").cast("decimal(38,0)") * lit(nBuckets.toLong),
-          lit(1L << (2 * bits))).cast("long"))
+          lit(1L << (2 * bits))).cast("long")
+    keyed
+      .withColumn("bucket", bucketExpr)
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n"),
