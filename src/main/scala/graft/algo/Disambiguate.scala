@@ -47,7 +47,7 @@ object Disambiguate {
       hetVariants: Seq[Variant]
   ): Disambiguation = {
     hetVariants.foreach { v =>
-      if (!matrix.snpIds.contains(v.snpId))
+      if (!matrix.snpIdSet.contains(v.snpId))
         throw new IllegalArgumentException(
           s"The gene-haplotype matrix for ${matrix.geneName} has no SNP ${v.snpId}")
     }
@@ -59,7 +59,7 @@ object Disambiguate {
 
     val sortedHets = hetVariants.sortBy(v => (v.snpId, v.allele)).toVector
     val vh = matrix.variantToHaplotypes
-    val geneHaplotypes = matrix.haplotypes.toSet
+    val geneHaplotypes = matrix.haplotypeSet
     val hetSnps = sortedHets.map(_.snpId).distinct.toList
     val numHets = hetSnps.size
 

@@ -33,6 +33,15 @@ final case class GeneHaplotypeMatrix(
 
   private def nSnps: Int = snpIds.length
 
+  /** Set views of the SNP/haplotype vectors, built once per JVM copy:
+    * [[variantsToHaplotypes]] runs once per (patient, gene, chromosome,
+    * combo) group inside `flatMapGroups`, so a per-call `toSet` (and a
+    * linear `Vector.contains` per variant) is allocation the hot loop
+    * pays millions of times at load-test scale for a value that never
+    * changes. */
+  @transient lazy val snpIdSet: Set[String] = snpIds.toSet
+  @transient lazy val haplotypeSet: Set[String] = haplotypes.toSet
+
   /** Long-form rows ordered by (haplotype_name, snp_id) — the reference's
     * canonical iteration order (`GeneHaplotypeMatrix.groovy:71-76`).
     */
@@ -92,11 +101,11 @@ final case class GeneHaplotypeMatrix(
     */
   def variantsToHaplotypes(variants: Iterable[Variant]): Option[Set[String]] = {
     var hasAtLeastOneSnp = false
-    var haps: Set[String] = haplotypes.toSet
+    var haps: Set[String] = haplotypeSet
     val it = variants.iterator
     while (it.hasNext) {
       val v = it.next()
-      val geneContainsSnp = snpIds.contains(v.snpId)
+      val geneContainsSnp = snpIdSet.contains(v.snpId)
       hasAtLeastOneSnp = hasAtLeastOneSnp || geneContainsSnp
       variantToHaplotypes.get((v.snpId, v.allele)) match {
         case Some(h) =>
