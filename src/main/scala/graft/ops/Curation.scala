@@ -229,11 +229,15 @@ object Curation {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
       .filter(streamFilter)
+    // Persisted: the static side of a stream-static join re-executes on
+    // EVERY micro-batch — without this the benchmark re-shingles per
+    // trigger (the [[streamingContaminationBlocklistUpdate]] discipline).
     val benchGrams = bench
       .select(graft.functions.HashExpressions.shingleSet(col(benchTextCol), n).as("__sh"))
       .select(explode(col("__sh")).as("__gram"))
       .select(md5(col("__gram")).as("__fp"))
       .distinct()
+      .persist()
     val agg = stream
       .select(col(idCol),
         graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
@@ -244,9 +248,13 @@ object Curation {
       .agg(count(lit(1)).as("matched_grams"))
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName).filter(col("matched_grams") >= minMatches)
+    try {
+      q.processAllAvailable()
+      spark.table(queryName).filter(col("matched_grams") >= minMatches)
+    } finally {
+      q.stop()
+      benchGrams.unpersist()
+    }
   }
 
   /** Production-shape variant of [[streamingContaminationBlocklist]]: the
