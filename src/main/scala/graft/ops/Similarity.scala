@@ -251,6 +251,24 @@ object Similarity {
     * cross join + window path: it runs at index-BUILD time and needs the
     * top-`replicas` rows, not one value per row.
     */
+  /** Collect a (centroid_id, centroid_vec) frame to the driver-side table
+    * [[graft.functions.NearestCentroid.assign]] embeds in the plan —
+    * nlist-bounded by the IVF contract. Hoist this OUT of any per-batch
+    * loop: the collect is a Spark job, and a streaming ingest that calls
+    * it per trigger pays one centroid job per micro-batch for a table
+    * that never changes mid-stream.
+    */
+  private def collectCentroidTable(centroids: DataFrame): Seq[(Long, Array[Double])] =
+    centroids.select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .collect()
+      .map { r =>
+        val vs = r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+        }.toArray
+        (r.getLong(0), vs)
+      }.toSeq
+
   private def assignToNearest(
       base: DataFrame, // (idCol, vecCol, __norm)
       centroids: DataFrame, // (centroid_id, centroid_vec, __cnorm)
@@ -258,18 +276,9 @@ object Similarity {
       vecCol: String,
       replicas: Int = 1): DataFrame = {
     if (replicas == 1) {
-      val cents = centroids.select(col("centroid_id").cast("long"), col("centroid_vec"))
-        .collect()
-        .map { r =>
-          val vs = r.getSeq[Any](1).map {
-            case f: java.lang.Float => f.toDouble
-            case d: java.lang.Double => d.doubleValue
-          }.toArray
-          (r.getLong(0), vs)
-        }
       base.select(col(idCol), col(vecCol),
-        graft.functions.NearestCentroid.assign(col(vecCol), cents.toSeq)
-          .as("centroid_id"))
+        graft.functions.NearestCentroid.assign(col(vecCol),
+          collectCentroidTable(centroids)).as("centroid_id"))
     } else {
       val scored = base
         .crossJoin(broadcast(centroids))
@@ -658,10 +667,11 @@ object Similarity {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 0,
       compactAfterFiles: Int = 32): DataFrame = {
-    val cents = centroids.select(col("centroid_id"), col("centroid_vec"),
-      norm(col("centroid_vec")).as("__cnorm"))
-    cents.select("centroid_id", "centroid_vec").write.mode("overwrite")
-      .parquet(s"$indexDir/centroids")
+    centroids.select(col("centroid_id"), col("centroid_vec"))
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // ONE centroid collect for the whole stream (the geometry is frozen by
+    // contract), not one per micro-batch.
+    val centTable = collectCentroidTable(centroids)
     val schema = spark.read.parquet(s"$dir/$glob").schema
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     val tuned = if (maxFilesPerTrigger > 0)
@@ -671,10 +681,10 @@ object Similarity {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // No withNorm barrier: a micro-batch is already partitioned by
         // arrival, and the replicas=1 assignment is one codegen
-        // projection.
-        val assigned = assignToNearest(
-          batch.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm")),
-          cents, idCol, vecCol).persist()
+        // projection over the pre-collected centroid table.
+        val assigned = batch.select(col(idCol), col(vecCol),
+          graft.functions.NearestCentroid.assign(col(vecCol), centTable)
+            .as("centroid_id")).persist()
         // The cell append is non-idempotent: fence checkpoint-recovery
         // replays of an already-applied batch (else recovered batches
         // duplicate every vector in their cells). ONLY the append sits
