@@ -256,7 +256,25 @@ object Bench {
     val total = results.map(_._2).sum
     val totalMin = results.map { case (_, _, xs, _) =>
       if (xs.isEmpty) 0.0 else xs.min }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"suspect":$suspect,"probe":$probeJson,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","detail":"$detailPath"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"suspect":$suspect,"probe":$probeJson,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","detail":"$detailPath"}"""
+    // The driver captures only the LAST ~2000 chars of run output, and the
+    // full line above (147 query medians) is longer than that — shipped
+    // as-is it arrives front-truncated and unparseable (rounds 4 and 10
+    // both recorded "parsed": null). So: the complete summary goes to its
+    // own FILE (BENCH_SUMMARY.json, a repo artifact next to the detail
+    // file), the full line still prints first for humans/redirects, and
+    // the FINAL stdout line is a compact summary — headline numbers +
+    // environment evidence + the two file paths — sized well under the
+    // tail budget so the driver's parse is non-null regardless of suite
+    // size. Per-query medians live in the summary file's "queries" map.
+    val summaryPath = detailPath.replace("BENCH_DETAIL", "BENCH_SUMMARY")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(summaryPath),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // summary file is best-effort
+    println(full)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"errors":$errs,"stream_floor":${fmt(floor)},"suspect":$suspect,"probe":$probeJson,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","queries_in":"$summaryPath","summary":"$summaryPath","detail":"$detailPath"}""")
     spark.stop()
   }
 }

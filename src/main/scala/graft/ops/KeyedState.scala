@@ -128,15 +128,46 @@ object KeyedState {
   def touchedValues(values: DataFrame): Seq[Any] =
     values.distinct().collect().map(_.get(0)).toSeq
 
-  /** Heal an interrupted [[compactFlat]] swap: a preserved `__old` copy
-    * with no live dir was caught between the renames — restore it. */
+  /** Name of the kept-files manifest a tiered [[compactFlat]] stages with
+    * its merged file. Underscore-prefixed so Spark's parquet reader
+    * treats it as metadata and never lists it as data. */
+  private val keptManifest = "_KEPT"
+
+  /** Heal an interrupted [[compactFlat]] swap. Two crash shapes:
+    *
+    *   - `__old` preserved, live dir MISSING: caught between the two
+    *     renames — restore the preserved copy (nothing of the new state
+    *     was visible yet).
+    *   - `__old` preserved AND live dir present: the staged dir already
+    *     swapped in. Under the tiered protocol the live dir holds the
+    *     merged file plus a `_KEPT` manifest naming the untouched
+    *     generation files still being moved over from `__old` — resume
+    *     those metadata renames (idempotent: each name lives in exactly
+    *     one of the two dirs) and only then drop `__old`. No manifest
+    *     (legacy whole-dir swap) means the live dir is already complete.
+    */
   def repairFlat(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
     val old = oldRoot(path)
     if (!fs.exists(old)) return
     val live = new Path(path)
     if (!fs.exists(live)) fs.rename(old, live)
-    else fs.delete(old, true)
+    else {
+      val manifest = new Path(live, keptManifest)
+      if (fs.exists(manifest)) {
+        val in = fs.open(manifest)
+        val names =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toList
+          finally in.close()
+        names.foreach { n =>
+          val src = new Path(old, n)
+          if (fs.exists(src)) fs.rename(src, new Path(live, n))
+        }
+        fs.delete(old, true)
+        fs.delete(manifest, false)
+      } else fs.delete(old, true)
+    }
     fs.delete(stageRoot(path), true)
   }
 
@@ -148,28 +179,69 @@ object KeyedState {
     * decision is one driver `listStatus`; the rewrite stages to a
     * sibling dir and swaps via preserve-rename / stage-rename /
     * drop-preserved, so a crash at any point leaves the original
-    * restorable by [[repairFlat]] (which also runs first). */
+    * restorable by [[repairFlat]] (which also runs first).
+    *
+    * GENERATION-TIERED: only the SMALLEST files merge — at minimum the
+    * `n − (maxFiles − 1)` needed to land back under the threshold, then
+    * greedily absorbing each next-smallest file whose size is at most
+    * the running sum (the size-doubling rule). Files that stay out of
+    * the merge — prior compacted generations — move into the new live
+    * dir by pure metadata RENAME, never a data rewrite, so a byte is
+    * rewritten only when its generation gets absorbed by an
+    * equal-or-larger pile: O(log n) rewrites per byte over a stream's
+    * lifetime, where the old rewrite-everything policy was quadratic in
+    * accumulated output. Swap order: merged file (+ `_KEPT` manifest
+    * naming the generations) is staged; live renames to `__old`
+    * (complete copy preserved); stage renames to live; kept generations
+    * rename `__old` → live one by one; `__old` (now only the absorbed
+    * smalls) and the manifest are dropped. A crash at ANY point is
+    * healed by [[repairFlat]]: before the stage swap the preserved copy
+    * restores wholesale; after it the manifest says exactly which
+    * renames remain, and each file exists in exactly one of the two
+    * dirs. `numFiles` is retained for signature compatibility; a tiered
+    * merge always produces one file (the generation unit). */
   def compactFlat(spark: SparkSession, path: String, maxFiles: Int,
       numFiles: Int = 8): Unit = {
     repairFlat(spark, path)
     val p = new Path(path)
     val fs = fsOf(spark, path)
     if (!fs.exists(p)) return
-    val nFiles = fs.listStatus(p)
-      .count(_.getPath.getName.endsWith(".parquet"))
-    if (nFiles <= maxFiles) return
-    val rows = spark.read.parquet(path).localCheckpoint(true)
+    val parquet = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(st => (st.getLen, st.getPath.getName))
+    if (parquet.length <= maxFiles) return
+    // merge the smallest `mustMerge` files (lands the count back under
+    // maxFiles), then keep absorbing the next-smallest while it is no
+    // larger than the pile built so far — the size-doubling rule that
+    // bounds per-byte rewrites to O(log n) over the sink's lifetime
+    val mustMerge = parquet.length - math.max(1, maxFiles - 1)
+    var sum = parquet.take(mustMerge).map(_.getLen).sum
+    val m = parquet.take(mustMerge) ++
+      parquet.drop(mustMerge).takeWhile { st =>
+        val take = st.getLen <= sum
+        if (take) sum += st.getLen
+        take
+      }
+    val kept = parquet.map(_.getPath.getName)
+      .filterNot(m.map(_.getPath.getName).toSet).toSeq
+    val rows = spark.read
+      .parquet(m.map(_.getPath.toString): _*).localCheckpoint(true)
     val stage = stageRoot(path)
     try {
       fs.delete(stage, true)
-      // clamp so the rewrite always lands back under the threshold
-      rows.coalesce(math.max(1, math.min(numFiles, maxFiles)))
-        .write.parquet(stage.toString)
+      rows.coalesce(1).write.parquet(stage.toString)
     } finally rows.unpersist()
+    if (kept.nonEmpty) {
+      val out = fs.create(new Path(stage, keptManifest), true)
+      try out.write((kept.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     val old = oldRoot(path)
     fs.delete(old, true)
     fs.rename(p, old)
     fs.rename(stage, p)
+    kept.foreach { n => fs.rename(new Path(old, n), new Path(p, n)) }
     fs.delete(old, true)
+    fs.delete(new Path(p, keptManifest), false)
   }
 }

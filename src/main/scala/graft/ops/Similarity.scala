@@ -200,14 +200,20 @@ object Similarity {
     * comparison cannot express that, so it short-circuits to `true`).
     */
   def hashSample(idCol: Column, fraction: Double): Column = {
-    // round to the nearest 4096th with NO lower clamp: fraction 0 must
-    // keep nothing (a clamp to 1/4096 silently leaked ~0.024% of a
-    // stratum the caller meant to exclude). Count-based sampling that
-    // needs "at least one" uses sampleThreshold/hashSampleByThreshold.
-    val thr = math.min(4096L, math.round(fraction * 4096))
-    if (thr >= 4096L) lit(true)
-    else if (thr <= 0L) lit(false)
-    else hashSampleByThreshold(idCol, thr)
+    // fraction == 0 keeps NOTHING (a blanket clamp to 1/4096 silently
+    // leaked ~0.024% of a stratum the caller meant to exclude), but a
+    // POSITIVE fraction below the 1/4096 grid must not silently round to
+    // an empty selection either (round(5e-5 * 4096) = 0 kept nothing with
+    // no signal) — positive fractions clamp UP to the finest expressible
+    // cut, 1/4096, overselecting rather than zeroing. Count-based
+    // sampling that needs an exact "at least one" uses
+    // sampleThreshold/hashSampleByThreshold.
+    if (fraction <= 0.0) lit(false)
+    else {
+      val thr = math.min(4096L, math.max(1L, math.round(fraction * 4096)))
+      if (thr >= 4096L) lit(true)
+      else hashSampleByThreshold(idCol, thr)
+    }
   }
 
   /** md5-prefix predicate with an explicit threshold in 4096ths (valid range

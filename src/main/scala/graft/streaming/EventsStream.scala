@@ -238,6 +238,17 @@ object EventsStream {
       val sorted = rows.toVector.sortBy(e => (toMicros(e.ts), e.event_id))
       var closed = Vector.empty[Session]
       var cur = state.getOption
+      // A second OPEN session for "late era" events — watermark-admitted
+      // events more than a gap BEFORE the current session's start. Such
+      // an event cannot bridge to prior batches (its era's sessions are
+      // closed), but it CAN bridge to other late events in this same
+      // sorted batch — closing each as its own singleton diverged from
+      // the batch gap-window semantics for that corner. The late session
+      // lives only within this invocation: it closes at the end of the
+      // batch, or merges into the current session if the two ended up
+      // within a gap of each other (a bridging event can pull the
+      // current session's start DOWN toward the late era).
+      var late: Option[SessionState] = None
       sorted.foreach { e =>
         val t = toMicros(e.ts)
         cur match {
@@ -253,14 +264,36 @@ object EventsStream {
               s.n, s.total)
             cur = Some(SessionState(t, t, 1, e.value))
           case Some(_) =>
-            // watermark-admitted event more than a gap BEFORE the current
-            // session: it can no longer bridge to anything (its own era's
-            // sessions are closed), so it closes immediately as a
-            // singleton session, leaving the current session intact
-            closed :+= Session(userId, fromMicros(t), fromMicros(t),
-              1, e.value)
+            // late era: extend the open late session when within a gap
+            // of its end (events arrive sorted, so t >= late.end), else
+            // close it and start a new one
+            late match {
+              case Some(l) if t - l.end <= gapUs =>
+                late = Some(SessionState(l.start, math.max(l.end, t),
+                  l.n + 1, l.total + e.value))
+              case Some(l) =>
+                closed :+= Session(userId, fromMicros(l.start),
+                  fromMicros(l.end), l.n, l.total)
+                late = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                late = Some(SessionState(t, t, 1, e.value))
+            }
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      // Resolve the late session: merge into the current one if a
+      // bridging event pulled the current start to within a gap of the
+      // late end (batch semantics would chain them), else close it now —
+      // nothing in a later batch can reach its era again.
+      late.foreach { l =>
+        cur match {
+          case Some(s) if s.start - l.end <= gapUs =>
+            cur = Some(SessionState(math.min(s.start, l.start),
+              math.max(s.end, l.end), s.n + l.n, s.total + l.total))
+          case _ =>
+            closed :+= Session(userId, fromMicros(l.start), fromMicros(l.end),
+              l.n, l.total)
         }
       }
       if (state.hasTimedOut) {

@@ -392,6 +392,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(all == Set("a", "b"))
   }
 
+  test("hashSample: zero keeps nothing, tiny-positive keeps the 1/4096 floor") {
+    val df = (1L to 4000L).toDF("doc_id")
+    // fraction 0 is an exact exclusion — no 1/4096 leak
+    assert(df.filter(Similarity.hashSample(col("doc_id"), 0.0)).isEmpty)
+    // a positive fraction below the 1/4096 grid clamps UP to the finest
+    // expressible cut instead of silently selecting nothing: it must
+    // match the explicit thr=1 predicate exactly (and be non-empty at a
+    // corpus size where ~1/4096 expects ≥0 hits — equality is the
+    // contract, non-emptiness is data-dependent)
+    val tiny = df.filter(Similarity.hashSample(col("doc_id"), 5e-5))
+      .collect().map(_.getLong(0)).toSet
+    val floor1 = df.filter(Similarity.hashSampleByThreshold(col("doc_id"), 1L))
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny == floor1)
+  }
+
   test("weightedRepeat: per-stratum copies with a 1-based index") {
     val df = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
     val got = Sampling.weightedRepeat(df, "lang", Seq("de" -> 3))

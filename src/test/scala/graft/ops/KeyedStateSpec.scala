@@ -81,4 +81,66 @@ class KeyedStateSpec extends AnyFunSuite {
     assert(new java.io.File(p).listFiles()
       .count(_.getName.endsWith(".parquet")) <= 2)
   }
+
+  test("compactFlat is generation-tiered: big generations move by " +
+      "rename, only small files rewrite") {
+    val base = graft.TestScratch.dir("graft-ks-tiered")
+    val p = s"$base/pairs"
+    // one big generation (1000 rows) + 4 small appends (5 rows each)
+    (1L to 1000L).toDF("v").coalesce(1).write.parquet(p)
+    for (i <- 1 to 4)
+      (1L to 5L).map(_ + 1000 * i).toDF("v")
+        .coalesce(1).write.mode("append").parquet(p)
+    val genFile = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).maxBy(_.length)
+    val rows = spark.read.parquet(p).count()
+    KeyedState.compactFlat(spark, p, maxFiles = 3)
+    // rows intact, count back under the threshold
+    assert(spark.read.parquet(p).count() == rows)
+    val after = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(after.length <= 3)
+    // the big generation is byte-identical and SAME NAME — moved by
+    // rename, never absorbed into the rewrite (the doubling rule: 1000
+    // rows > the 20 merged small rows)
+    val kept = after.find(_.getName == genFile.getName)
+    assert(kept.isDefined, "prior generation was rewritten, not kept")
+    assert(kept.get.length == genFile.length)
+    // no manifest or sibling dirs left behind
+    assert(!after.exists(_.getName == "_KEPT"))
+    assert(!new java.io.File(p + "__compact_old").exists())
+    assert(!new java.io.File(p + "__compact_tmp").exists())
+  }
+
+  test("repairFlat resumes a tiered swap interrupted mid-rename " +
+      "(manifest present, generations split across live and __old)") {
+    val base = graft.TestScratch.dir("graft-ks-tiered-crash")
+    val p = s"$base/pairs"
+    (1L to 1000L).toDF("v").coalesce(1).write.parquet(p)
+    for (i <- 1 to 4)
+      (1L to 5L).map(_ + 1000 * i).toDF("v")
+        .coalesce(1).write.mode("append").parquet(p)
+    val before = spark.read.parquet(p).orderBy("v").collect().toSeq
+    // simulate: stage already swapped in (merged file present), live
+    // renamed to __old, manifest names the kept generation, but the
+    // kept-file rename never ran
+    val genName = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).maxBy(_.length).getName
+    val smallRows = spark.read.parquet(
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .filterNot(_.getName == genName).map(_.getPath): _*)
+      .collect().map(_.getLong(0)).toSeq
+    val old = new java.io.File(p + "__compact_old")
+    assert(new java.io.File(p).renameTo(old))
+    smallRows.toDF("v").coalesce(1).write.parquet(p)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(p, "_KEPT"), (genName + "\n").getBytes)
+    KeyedState.repairFlat(spark, p)
+    assert(spark.read.parquet(p).orderBy("v").collect().toSeq == before)
+    assert(!old.exists())
+    assert(!new java.io.File(p, "_KEPT").exists())
+    // idempotent when clean
+    KeyedState.repairFlat(spark, p)
+    assert(spark.read.parquet(p).count() == before.size)
+  }
 }

@@ -174,6 +174,51 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(got == Seq(("2024-01-01 12:00:00.0", "2024-01-01 14:00:00.0", 3)))
   }
 
+  test("sessionize: same-batch late-era events merge with each other " +
+      "and can bridge into the current session") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, u: Long) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(t), u, "x", 1.0)
+    val mem = MemoryStream[EventsStream.Event]
+    // Batch 1 (gap 10 min, watermark 1 h): users 1 and 2 each open a
+    // session at 12:00; the watermark lands at 11:00.
+    mem.addData(Seq(ev(1, "2024-01-01 12:00:00", 1),
+      ev(2, "2024-01-01 12:00:00", 2)))
+    val sessions = EventsStream.sessionize(spark, mem.toDF(),
+      gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_late").start()
+    try {
+      q.processAllAvailable()
+      // Batch 2, user 1: 11:05 and 11:10 are both >gap before the open
+      // session's 12:00 start but within a gap of EACH OTHER — they must
+      // close as ONE two-event session (previously two singletons);
+      // 11:45 is its own late era (35 min after 11:10).
+      // Batch 2, user 2: 11:44 goes late, then 11:52 bridges the open
+      // session (pulling its start down to 11:52) — now the late session
+      // ends within a gap of the current start, so ALL THREE events and
+      // the original 12:00 must chain into one session [11:44, 12:00],
+      // exactly what the batch gap-window formulation computes.
+      mem.addData(Seq(ev(3, "2024-01-01 11:05:00", 1),
+        ev(4, "2024-01-01 11:10:00", 1), ev(5, "2024-01-01 11:45:00", 1),
+        ev(6, "2024-01-01 11:44:00", 2), ev(7, "2024-01-01 11:52:00", 2)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(9, "2030-01-01 00:00:00", -1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def got(u: Long) = spark.table("sessions_late")
+      .filter($"user_id" === u)
+      .select("session_start", "session_end", "n_events")
+      .collect().map(r => (r.getTimestamp(0).toString.substring(11, 16),
+        r.getTimestamp(1).toString.substring(11, 16), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(got(1L) == Seq(("11:05", "11:10", 2), ("11:45", "11:45", 1),
+      ("12:00", "12:00", 1)))
+    assert(got(2L) == Seq(("11:44", "12:00", 3)))
+  }
+
   test("stateful sessionization equals batch gap-window formulation") {
     val events = EventsStream.readEvents(spark, s"$dir/events.parquet")
     val batch = EventsStream.sessionizeBatch(events)
