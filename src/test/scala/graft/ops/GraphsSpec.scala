@@ -71,4 +71,56 @@ class GraphsSpec extends AnyFunSuite {
     val edges = Seq.fill(500)((s"h${rng.nextInt(30)}", s"h${rng.nextInt(30)}"))
     assert(run(edges, 4) == naivePageRank(edges, 4))
   }
+
+  test("pageRank convergence: tolUnits exits early with a measured L1 " +
+      "delta; tolUnits=0 stays bit-identical to the fixed-round path") {
+    val rng = new scala.util.Random(13)
+    val edges = Seq.fill(400)((s"n${rng.nextInt(25)}", s"n${rng.nextInt(25)}"))
+      .toDF("s", "d")
+    // generous cap, tight tolerance: must stop before the cap with the
+    // reported delta at or under the tolerance
+    val (ranks, itersRun, delta) =
+      Graphs.pageRankWithStats(edges, "s", "d", iters = 50,
+        tolUnits = 1000L)
+    assert(itersRun < 50, s"no early exit: ran all $itersRun rounds")
+    assert(delta >= 0L && delta <= 1000L, s"final delta $delta")
+    // the converged ranking equals running the fixed-round path for the
+    // same number of rounds (the delta measurement must not perturb the
+    // integer arithmetic)
+    val fixed = Graphs.pageRank(edges, "s", "d", iters = itersRun)
+      .as[(String, Long)].collect().toMap
+    val got = ranks.as[(String, Long)].collect()
+      .map(r => (r._1, r._2)).toMap
+    assert(got == fixed)
+    // and a further round moves ranks by at most the tolerance per the
+    // L1 definition — the naive replay confirms near-stationarity
+    val next = Graphs.pageRank(edges, "s", "d", iters = itersRun + 1)
+      .as[(String, Long)].collect().toMap
+    val l1 = got.map { case (k, v) => math.abs(next(k) - v) }.sum
+    assert(l1 <= 1000L, s"replayed next-round delta $l1")
+  }
+
+  test("pageRank dangling mass: redistribution conserves total rank, " +
+      "simplified formulation drains it") {
+    // star into a sink: b,c,d,e all point at a; a has no out-edges, so
+    // each iteration the simplified formulation evaporates a's rank
+    val edges = Seq(("b", "a"), ("c", "a"), ("d", "a"), ("e", "a"))
+      .toDF("s", "d")
+    val dropped = Graphs.pageRank(edges, "s", "d", iters = 5)
+      .as[(String, Long)].collect().map(_._2).sum
+    val conserved = Graphs.pageRank(edges, "s", "d", iters = 5,
+        redistributeDangling = true)
+      .as[(String, Long)].collect().map(_._2).sum
+    // floor division sheds a few units per node per hop; allow 100 ppm
+    val ru = Graphs.RankUnits
+    assert(conserved > ru - ru / 10000,
+      s"redistributed total $conserved drifted from $ru")
+    assert(dropped < (ru * 3) / 4,
+      s"simplified total $dropped should have drained well below RU")
+    // redistribution must not change WHO ranks first on this graph
+    val top = Graphs.pageRank(edges, "s", "d", iters = 5,
+        redistributeDangling = true)
+      .as[(String, Long)].collect().maxBy(_._2)._1
+    assert(top == "a")
+  }
 }
