@@ -2056,6 +2056,19 @@ object SparkEntry {
       graft.ops.UnigramLm.fertilityReport(docs, "doc_id", "text", "lang",
           col("n_chars"), vocab, maxPieceLen = 4, maxWordLen = 30)
         .orderBy("lang")
+    }),
+
+    // EM observability for q144's unigram trainer: per-round corpus
+    // Viterbi cost (integer micro-nats — the corpus negative
+    // log-likelihood under the hard-EM objective) plus the corpus token
+    // total, for the seed model and after each of the 2 EM rounds. The
+    // numbers that turn "emIters = 2" from faith into a measurement;
+    // the oracle replays all three segmentation passes in DuckDB.
+    "q148_unigram_likelihood" -> ((s, dir) => {
+      graft.ops.UnigramLm.trainWithLikelihood(t(s, dir, "documents"),
+          "text", vocabSize = 50, maxPieceLen = 4, emIters = 2,
+          maxWordLen = 30)
+        ._2.orderBy("round")
     }))
 
   /** Deterministic messy-URL fixture expression (Spark SQL) for
@@ -5636,7 +5649,27 @@ object SparkEntry {
                       // (2 * sum(coalesce(nt, 0)))
                 END AS BIGINT) AS chars_per_token_ppm
          FROM documents LEFT JOIN perdoc USING (doc_id)
-         GROUP BY lang ORDER BY lang""")
+         GROUP BY lang ORDER BY lang""",
+
+    // Per-round corpus Viterbi cost: dp1/dp2 are the EM rounds' own
+    // E-step DPs (models costs0/costs1); dp3/bt3 is the extra pass under
+    // the final model, exactly as q145. Cost comes from the DP's final
+    // cell, token totals from the backtrack's piece list — the Spark
+    // side sums chosen-piece costs instead, equal by construction since
+    // the DP minimum IS the chosen segmentation's cost sum.
+    "q148_unigram_likelihood" ->
+      s"""WITH RECURSIVE $unigramLmBodyCtes,
+         ${unigramDpBt(3, "costs2")},
+         ll AS (${Seq(1, 2, 3).map { k =>
+           s"""SELECT ${k - 1} AS round,
+              CAST(sum(d.freq * d.c[len(d.w) + 1]) AS BIGINT)
+                AS corpus_cost_u,
+              CAST(sum(d.freq * len(b.ps)) AS BIGINT) AS n_pieces
+            FROM (SELECT * FROM dp$k WHERE j = len(w)) d
+            JOIN (SELECT * FROM bt$k WHERE pos = 0) b USING (w)"""
+         }.mkString("\n UNION ALL \n")})
+         SELECT CAST(round AS INTEGER) AS round, corpus_cost_u, n_pieces
+         FROM ll ORDER BY round""")
 
   /** DuckDB replay of [[graft.ops.Graphs.pageRank]] on q147's derived
     * host multigraph: 3 unrolled iterations, all-BIGINT floor-division

@@ -208,24 +208,91 @@ object UnigramLm {
     * counts are the raw substring weights. */
   def train(docs: DataFrame, textCol: String, vocabSize: Int = 200,
       maxPieceLen: Int = 4, emIters: Int = 2,
-      maxWordLen: Int = 30): DataFrame = {
+      maxWordLen: Int = 30): DataFrame =
+    emTrain(docs, textCol, vocabSize, maxPieceLen, emIters, maxWordLen,
+      observe = false)._1
+
+  /** [[train]] plus per-round EM observability: the second frame is
+    * (round, corpus_cost_u, n_pieces) for round 0..emIters, where
+    * `corpus_cost_u` is the total Viterbi cost of the corpus under that
+    * round's model — Σ over words of freq × (best segmentation cost) in
+    * the same integer micro-nats the DP compares in. Since piece costs
+    * are −ln(p) quantized, this IS the corpus negative log-likelihood
+    * under the hard-EM objective: a round helped iff it went DOWN, so a
+    * fixed `emIters` setting becomes a measured decision instead of
+    * faith. `n_pieces` (total corpus token count under that model) is
+    * the companion compression signal.
+    *
+    * Costs for rounds 0..emIters−1 come free from each E-step's own
+    * segmentation (checkpointed once, read for both the measurement and
+    * the M-step recount); only the FINAL model pays one extra
+    * segmentation pass. Hard EM with +1 smoothing is not theoretically
+    * monotone, but on real corpora the cost decreases — the spec and
+    * the q148 oracle pin it at both test scales. */
+  def trainWithLikelihood(docs: DataFrame, textCol: String,
+      vocabSize: Int = 200, maxPieceLen: Int = 4, emIters: Int = 2,
+      maxWordLen: Int = 30): (DataFrame, DataFrame) = {
+    val (vocab, stats) = emTrain(docs, textCol, vocabSize, maxPieceLen,
+      emIters, maxWordLen, observe = true)
+    import docs.sparkSession.implicits._
+    (vocab, stats.toDF("round", "corpus_cost_u", "n_pieces"))
+  }
+
+  private def emTrain(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int, emIters: Int, maxWordLen: Int,
+      observe: Boolean): (DataFrame, Seq[(Int, Long, Long)]) = {
     require(emIters >= 0, s"emIters must be >= 0, got $emIters")
     val words = Checkpoints.truncate(wordFrequencies(docs, textCol, maxWordLen))
     var costed = Checkpoints.truncate(
       withCosts(seedVocab(words, vocabSize, maxPieceLen)))
-    for (_ <- 1 to emIters) {
-      val counts = viterbiSegment(words, "w", costed, maxPieceLen)
-        .select(col("freq"), explode(col("pieces")).as("piece"))
-        .groupBy("piece").agg(sum(col("freq")).as("__vn"))
-      val prev = costed
-      costed = Checkpoints.truncate(withCosts(
-        prev.select(col("piece"))
-          .join(counts, Seq("piece"), "left")
-          .select(col("piece"),
-            (coalesce(col("__vn"), lit(0L)) + lit(1L)).as("n"))))
-      Checkpoints.release(prev)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    // corpus cost + token total of a segmentation frame under its model:
+    // sum of chosen pieces' costs ≡ the DP minimum by construction
+    def measure(round: Int, seg: DataFrame, model: DataFrame): Unit = {
+      val r = seg.select(col("freq"), explode(col("pieces")).as("piece"))
+        .join(broadcast(model.select("piece", "cost_u")), Seq("piece"))
+        .agg(coalesce(sum(col("freq") * col("cost_u")), lit(0L)),
+          coalesce(sum(col("freq")), lit(0L)))
+        .first()
+      stats += ((round, r.getLong(0), r.getLong(1)))
     }
+    for (k <- 1 to emIters) {
+      if (observe) {
+        // checkpoint the E-step segmentation so the likelihood
+        // measurement and the M-step recount share ONE Viterbi pass
+        val seg = Checkpoints.truncate(
+          viterbiSegment(words, "w", costed, maxPieceLen)
+            .select(col("freq"), col("pieces")))
+        measure(k - 1, seg, costed)
+        val counts = seg
+          .select(col("freq"), explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(sum(col("freq")).as("__vn"))
+        val prev = costed
+        costed = Checkpoints.truncate(withCosts(
+          prev.select(col("piece"))
+            .join(counts, Seq("piece"), "left")
+            .select(col("piece"),
+              (coalesce(col("__vn"), lit(0L)) + lit(1L)).as("n"))))
+        Checkpoints.release(prev)
+        Checkpoints.release(seg)
+      } else {
+        val counts = viterbiSegment(words, "w", costed, maxPieceLen)
+          .select(col("freq"), explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(sum(col("freq")).as("__vn"))
+        val prev = costed
+        costed = Checkpoints.truncate(withCosts(
+          prev.select(col("piece"))
+            .join(counts, Seq("piece"), "left")
+            .select(col("piece"),
+              (coalesce(col("__vn"), lit(0L)) + lit(1L)).as("n"))))
+        Checkpoints.release(prev)
+      }
+    }
+    if (observe)
+      measure(emIters,
+        viterbiSegment(words, "w", costed, maxPieceLen)
+          .select(col("freq"), col("pieces")), costed)
     Checkpoints.release(words)
-    costed
+    (costed, stats.toSeq)
   }
 }

@@ -172,4 +172,33 @@ class UnigramLmSpec extends AnyFunSuite {
       emIters = 2, maxWordLen = 30)
     assert(got == want)
   }
+
+  test("trainWithLikelihood: per-round corpus cost is monotone " +
+      "non-increasing and the vocab equals plain train") {
+    val rng = new scala.util.Random(23)
+    val alphabet = "abcde"
+    val texts = Seq.fill(60)(
+      Seq.fill(1 + rng.nextInt(8))(
+        Seq.fill(1 + rng.nextInt(7))(
+          alphabet(rng.nextInt(alphabet.length))).mkString).mkString(" "))
+    val (vocab, ll) = UnigramLm.trainWithLikelihood(texts.toDF("text"),
+      "text", vocabSize = 20, maxPieceLen = 4, emIters = 3)
+    val rows = ll.orderBy("round")
+      .as[(Int, Long, Long)].collect().toSeq
+    // one row per model: seed + 3 EM rounds
+    assert(rows.map(_._1) == Seq(0, 1, 2, 3))
+    // corpus negative log-likelihood must not increase round over round
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 <= a._2,
+        s"round ${b._1} cost ${b._2} > round ${a._1} cost ${a._2}")
+    }
+    // EM actually learned something on this corpus
+    assert(rows.last._2 < rows.head._2)
+    assert(rows.forall(_._3 > 0L))
+    // observation must not perturb training: same final vocabulary
+    val plain = UnigramLm.train(texts.toDF("text"), "text", vocabSize = 20,
+        maxPieceLen = 4, emIters = 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(vocab.as[(String, Long, Long)].collect().toSet == plain)
+  }
 }
