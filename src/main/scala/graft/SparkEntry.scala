@@ -2069,6 +2069,27 @@ object SparkEntry {
           "text", vocabSize = 50, maxPieceLen = 4, emIters = 2,
           maxWordLen = 30)
         ._2.orderBy("round")
+    }),
+
+    // IVF index maintenance signal: per-cell member count + angular
+    // displacement (integer ppm of cosine distance) between each PINNED
+    // centroid and its cell's current member mean — the drift report
+    // that tells a streaming-grown index (q82) when its build-time
+    // geometry no longer fits and ivfRecluster should run. Member means
+    // quantize per-dimension to integer micro-units BEFORE summing, so
+    // the corpus-order fold is exact in both engines; centroid set is
+    // q82's own (hash-sampled, 32 target cells).
+    "q149_ivf_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val thr = Similarity.sampleThreshold(32L, emb.count())
+      val centroids = emb
+        .filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        nlist = 32)
+      Similarity.ivfDriftReport(assigned, centroids, "embedding")
+        .orderBy("centroid_id")
     }))
 
   /** Deterministic messy-URL fixture expression (Spark SQL) for
@@ -5669,7 +5690,43 @@ object SparkEntry {
             JOIN (SELECT * FROM bt$k WHERE pos = 0) b USING (w)"""
          }.mkString("\n UNION ALL \n")})
          SELECT CAST(round AS INTEGER) AS round, corpus_cost_u, n_pieces
-         FROM ll ORDER BY round""")
+         FROM ll ORDER BY round""",
+
+    // Drift report over q82's assignment: per-dim member sums quantized
+    // to integer micro-units first (floor(v*1e6) as BIGINT — the
+    // corpus-order fold is exact), then one fixed-order dot/norm per
+    // cell against the pinned centroid, 1-ppm grid.
+    "q149_ivf_drift" ->
+      s"""WITH $ivfAssignCtes,
+         mexp AS (SELECT centroid_id,
+                         unnest(range(1, len(embedding) + 1)) AS i,
+                         embedding
+                  FROM assigned),
+         mq AS (SELECT centroid_id, CAST(i AS INTEGER) AS i,
+                  CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                    * 1000000) AS BIGINT) AS q
+                FROM mexp),
+         msum AS (SELECT centroid_id, i, CAST(sum(q) AS BIGINT) AS s
+                  FROM mq GROUP BY centroid_id, i),
+         mvec AS (SELECT centroid_id, list(CAST(s AS DOUBLE) ORDER BY i)
+                    AS svec
+                  FROM msum GROUP BY centroid_id),
+         cnt AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members
+                 FROM assigned GROUP BY centroid_id)
+         SELECT c.centroid_id,
+                coalesce(cnt.n_members, 0) AS n_members,
+                CASE WHEN mvec.svec IS NOT NULL
+                       AND c.cn * sqrt(list_sum(list_transform(mvec.svec,
+                             x -> x * x))) > 0
+                  THEN CAST(floor((1 - list_sum(list_transform(
+                         range(1, len(c.cvec) + 1),
+                         j -> CAST(c.cvec[j] AS DOUBLE) * mvec.svec[j]))
+                       / (c.cn * sqrt(list_sum(list_transform(mvec.svec,
+                            x -> x * x))))) * 1000000 + 0.5) AS BIGINT)
+                END AS drift_ppm
+         FROM c LEFT JOIN cnt USING (centroid_id)
+                LEFT JOIN mvec USING (centroid_id)
+         ORDER BY centroid_id""")
 
   /** DuckDB replay of [[graft.ops.Graphs.pageRank]] on q147's derived
     * host multigraph: 3 unrolled iterations, all-BIGINT floor-division

@@ -445,11 +445,28 @@ object Similarity {
       replicas: Int = 1): (DataFrame, DataFrame) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val base = withNorm(embeddings, idCol, vecCol).persist()
-    var assigned =
+    val assigned =
       if (oversample <= 1) ivfAssign(embeddings, idCol, vecCol, nlist)
       else assignToNearest(base,
         kmeansParallelSeeds(embeddings, idCol, vecCol, nlist, oversample),
         idCol, vecCol)
+    lloydRefine(base, assigned, idCol, vecCol, iterations, replicas)
+  }
+
+  /** The shared Lloyd loop: refine an initial (id, vec, centroid_id)
+    * assignment over a persisted normed base for `iterations` rounds,
+    * then apply replica indexing and materialize. Consumes `base`
+    * (unpersists it). Used by [[ivfKMeans]] (cold start from seeds) and
+    * [[ivfRecluster]] (warm start from an existing index's assignment).
+    */
+  private def lloydRefine(
+      base: DataFrame,
+      initial: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iterations: Int,
+      replicas: Int): (DataFrame, DataFrame) = {
+    var assigned = initial
     var centroids: DataFrame = null
     var prevCheckpoint: DataFrame = null
     (1 to iterations).foreach { _ =>
@@ -640,6 +657,124 @@ object Similarity {
     (spark.read.parquet(s"$path/assigned")
       .withColumn("centroid_id", col("centroid_id").cast("long")),
       spark.read.parquet(s"$path/centroids"))
+
+  /** Drift report for an IVF index whose centroids were pinned while the
+    * index grew (the [[streamingIvfIngest]] contract): per cell, the
+    * member count and the angular displacement between the PINNED
+    * centroid and the CURRENT member mean, in integer ppm of cosine
+    * distance (`floor((1 − cos) · 1e6 + 0.5)`). Rising displacement (or
+    * a lopsided count distribution) is the signal that ingest has
+    * drifted from the build-time geometry and probes are paying recall
+    * for it — the trigger for [[ivfRecluster]] / [[rebalanceIvfIndex]].
+    *
+    * Engine-exact by the Lloyd-mean trick: member vectors quantize to
+    * integer micro-units per dimension FIRST (`floor(v·1e6)` as Long),
+    * so the corpus-order summation is exact integer arithmetic in any
+    * engine, and cosine is scale-invariant so the un-divided integer sum
+    * vector stands in for the mean. The single float op left is the
+    * final fixed-order dot/norm over one nlist-sized row pair — the
+    * same 1-ppm-grid argument as [[withCosts]]. Scale shape: one
+    * posexplode aggregate over the assignment (n×dim scalar rows,
+    * map-side combined — exactly the Lloyd step's plan) plus a
+    * centroid-sized join; nothing corpus-sized shuffles wider.
+    *
+    * Cells that lost every member (or never had one) report
+    * `n_members = 0` with NULL displacement. */
+  def ivfDriftReport(
+      assigned: DataFrame,
+      centroids: DataFrame, // (centroid_id, centroid_vec)
+      vecCol: String): DataFrame = {
+    val sums = assigned
+      .select(col("centroid_id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("centroid_id", "__pos")
+      .agg(sum(floor(col("__v").cast("double") * lit(1000000.0)).cast("long"))
+        .as("__s"))
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__s"))))
+        .as("__pm"))
+      .select(col("centroid_id"),
+        transform(col("__pm"), x => x.getField("__s").cast("double"))
+          .as("__svec"))
+    val counts = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"))
+    val cvecD = transform(col("centroid_vec"), x => x.cast("double"))
+    val dotCS = aggregate(zip_with(cvecD, col("__svec"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val den = sqrt(aggregate(transform(cvecD, x => x * x),
+        lit(0.0), (acc, x) => acc + x)) *
+      sqrt(aggregate(transform(col("__svec"), x => x * x),
+        lit(0.0), (acc, x) => acc + x))
+    centroids.select(col("centroid_id"), col("centroid_vec"))
+      .join(counts, Seq("centroid_id"), "left")
+      .join(sums, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        when(col("__svec").isNotNull && den > 0,
+          floor((lit(1.0) - dotCS / den) * lit(1000000.0) + lit(0.5))
+            .cast("long"))
+          .as("drift_ppm"))
+  }
+
+  /** Recluster-and-reassign: refresh a grown index's cell geometry by
+    * warm-starting the [[ivfKMeans]] Lloyd loop from the CURRENT
+    * assignment (so the new centroids start as each cell's member mean
+    * and move from there) and reassigning every vector. The offline
+    * rebuild move [[streamingIvfIngest]]'s pinned-geometry contract
+    * defers to: run it when [[ivfDriftReport]] says the geometry no
+    * longer fits the data. Same cost shape as `iterations` Lloyd rounds
+    * of a fresh build — linear corpus passes against broadcast
+    * centroids — with none of the seeding work. Cells EMPTY at recluster
+    * time are dropped (a Lloyd mean cannot be formed for them), so nlist
+    * is preserved for non-empty cells only — the probe's drifted-ingest
+    * scenario keeps all cells populated, but a fully-evacuated geometry
+    * should rebuild from scratch with [[ivfKMeans]] instead.
+    */
+  def ivfRecluster(
+      assigned: DataFrame, // (id, vec, centroid_id) — primary assignment
+      idCol: String,
+      vecCol: String,
+      iterations: Int = 2,
+      replicas: Int = 1): (DataFrame, DataFrame) = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val base = withNorm(
+      assigned.select(col(idCol), col(vecCol)), idCol, vecCol).persist()
+    lloydRefine(base, assigned.select(col(idCol), col(vecCol),
+      col("centroid_id")), idCol, vecCol, iterations, replicas)
+  }
+
+  /** [[ivfRecluster]] for a PERSISTED index: load `path`, recluster, and
+    * save the rebuilt index (same [[saveIvfIndex]] layout, probe-ready)
+    * to `outPath`. The rebuild is offline maintenance on a live probe
+    * path, so it lands in a NEW directory and the caller flips readers
+    * over (or renames) once it is complete — never a half-rewritten
+    * index in place. Replica indexing of the ORIGINAL build is not
+    * preserved automatically; pass the build's `replicas`. */
+  def rebalanceIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      outPath: String,
+      iterations: Int = 2,
+      replicas: Int = 1): Unit = {
+    val (assigned, _) = loadIvfIndex(spark, path)
+    val idCol = assigned.columns
+      .filterNot(c => c == "centroid_id" || c.startsWith("__")).head
+    val vecCol = assigned.columns
+      .filterNot(c => c == "centroid_id" || c == idCol ||
+        c.startsWith("__")).head
+    // replica builds store a vector once per cell; recluster from the
+    // distinct primary rows so Lloyd means count each vector once
+    val primary = assigned
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("centroid_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val (reassigned, centroids) =
+      ivfRecluster(primary, idCol, vecCol, iterations, replicas)
+    saveIvfIndex(reassigned.select(col(idCol), col(vecCol),
+      col("centroid_id")), centroids, outPath)
+    reassigned.unpersist()
+  }
 
   /** Streaming IVF index ingest: embedding vectors arrive in micro-batches
     * and each batch pays only its own work — assign the new vectors to the

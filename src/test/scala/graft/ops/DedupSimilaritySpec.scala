@@ -408,6 +408,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(tiny == floor1)
   }
 
+  test("ivfDriftReport: hand-computed displacement; empty cells report " +
+      "zero members") {
+    val assigned = Seq(
+      (1L, Seq(1.0f, 0.0f), 0L),
+      (2L, Seq(0.0f, 1.0f), 0L)).toDF("vec_id", "embedding", "centroid_id")
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f))).toDF("centroid_id", "centroid_vec")
+    val got = Similarity.ivfDriftReport(assigned, centroids, "embedding")
+      .orderBy("centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // cell 0's member mean is (.5, .5): cos to (1,0) = 1/sqrt(2) →
+    // floor((1 − 0.70710678…)·1e6 + 0.5) = 292893; cell 1 is empty
+    assert(got == Seq((0L, 2L, 292893L), (1L, 0L, -1L)))
+  }
+
+  test("ivfRecluster: a scrambled assignment re-separates into the true " +
+      "clusters and drift collapses") {
+    // three tight orthogonal clusters, initial cells assigned WRONG
+    // (id % 3 scrambles the clusters across the cells)
+    val pts = (0 until 24).map { i =>
+      val cl = i / 8
+      val vec = Seq.tabulate(3)(d =>
+        (if (d == cl) 1.0f else 0.0f) + (i % 8) * 0.001f)
+      (i.toLong, vec, (i % 3).toLong)
+    }.toDF("vec_id", "embedding", "centroid_id")
+    val (reassigned, centroids) =
+      Similarity.ivfRecluster(pts, "vec_id", "embedding", iterations = 3)
+    // every true cluster ends up wholly in one cell
+    val groups = reassigned.select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0) / 8, r.getLong(1))).toSeq
+    assert(groups.groupBy(_._1).values.forall(g => g.map(_._2).toSet.size == 1))
+    assert(groups.map(_._2).toSet.size == 3)
+    // and the refreshed geometry has ~zero displacement
+    val maxDrift = Similarity.ivfDriftReport(
+        reassigned.select("vec_id", "embedding", "centroid_id"),
+        centroids, "embedding")
+      .agg(max(col("drift_ppm"))).first().getLong(0)
+    assert(maxDrift < 100L, s"max drift_ppm $maxDrift after recluster")
+    reassigned.unpersist()
+  }
+
   test("weightedRepeat: per-stratum copies with a 1-based index") {
     val df = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
     val got = Sampling.weightedRepeat(df, "lang", Seq("de" -> 3))
