@@ -170,4 +170,122 @@ object Ingest {
     (dropIgnored(mapping.autoIncrementTable, parent),
       dropIgnored(mapping.table, child))
   }
+
+  /** One table's slot in the scraped-CSV contract ([[referenceCsvContract]]).
+    *
+    * @param required  whether [[validateReferenceCsvs]] fails the table
+    *                  when its file is absent
+    * @param pkUnique  whether the primary key is checkable pre-load
+    *                  (false only for gene_phenotype_drug_recommendation,
+    *                  whose declared key includes the surrogate
+    *                  `drug_recommendation_id` that exists only AFTER
+    *                  [[applyMapDsl]] resolution)
+    */
+  case class CsvTableContract(
+      name: String,
+      columns: Seq[String],
+      primaryKey: Seq[String],
+      required: Boolean,
+      pkUnique: Boolean)
+
+  /** The scraped-CSV contract of the reference's PharmGKB toolchain — the
+    * S12 ingestion boundary, closed as a CONTRACT rather than a crawler:
+    * field sets and primary keys from the scrapy item definitions
+    * (reference `src/python/pharmgkb/items/__init__.py:22-65`), the
+    * required-file set from the `GeneDrugPair` crawl target (reference
+    * `scrapy_config.mk:6`). Pre-load shape: `drug_recommendation` still
+    * carries its natural-key columns (`gene_name`, `haplotype_name1/2` —
+    * `--ignore`d only after id resolution), children still carry their
+    * map columns, and no surrogate ids exist yet. INGEST.md walks the
+    * full contract, including the `load_dsv` map/ignore replay.
+    */
+  val referenceCsvContract: Seq[CsvTableContract] = Seq(
+    CsvTableContract("drug_recommendation",
+      Seq("drug_name", "implications", "recommendation", "classification",
+        "diplotype_egs", "gene_name", "haplotype_name1", "haplotype_name2"),
+      Seq("drug_name", "gene_name", "haplotype_name1", "haplotype_name2"),
+      required = true, pkUnique = true),
+    CsvTableContract("gene_haplotype_variant",
+      Seq("gene_name", "haplotype_name", "snp_id", "allele"),
+      Seq("gene_name", "haplotype_name", "snp_id", "allele"),
+      required = true, pkUnique = true),
+    CsvTableContract("genotype_phenotype",
+      Seq("gene_name", "haplotype_name1", "haplotype_name2",
+        "phenotype_name", "phenotype_genotype"),
+      Seq("gene_name", "haplotype_name1", "haplotype_name2"),
+      required = true, pkUnique = true),
+    CsvTableContract("genotype_drug_recommendation",
+      Seq("gene_name", "haplotype_name1", "haplotype_name2", "drug_name"),
+      Seq("gene_name", "haplotype_name1", "haplotype_name2", "drug_name"),
+      required = true, pkUnique = true),
+    CsvTableContract("gene_phenotype_drug_recommendation",
+      Seq("gene_name", "phenotype_name"),
+      Seq("gene_name", "phenotype_name"),
+      required = false, pkUnique = false))
+
+  /** Schema gate for a directory of scraped PharmGKB CSVs — what a real
+    * user loading reference data hits FIRST, so failures are a report,
+    * not a stack trace. For each contract table, emits one row per
+    * check: `file_present` (required files only), `columns` (header set
+    * equality — missing and unexpected names in `detail`), `pk_not_null`
+    * (every primary-key field populated; the toolchain's null encoding
+    * is the empty string, which Spark's CSV reader surfaces as NULL),
+    * and `pk_unique` (no duplicate keys — scraped files are expected
+    * post-[[collapseByKey]], reference `pipelines.py:100-151`, so dup
+    * keys mean the collapse step was skipped).
+    *
+    * Scale shape: these are dimension tables (thousands of rows); each
+    * check is one small aggregate. Corpus-scale inputs never pass
+    * through here.
+    *
+    * @return (table, check, passed, detail) — one row per (table, check)
+    */
+  def validateReferenceCsvs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      delim: String = ","): DataFrame = {
+    import spark.implicits._
+    val rows = referenceCsvContract.flatMap { t =>
+      val path = new java.io.File(dir, s"${t.name}.csv")
+      if (!path.exists()) {
+        if (t.required)
+          Seq((t.name, "file_present", false, s"missing ${path.getName}"))
+        else
+          Seq((t.name, "file_present", true, "absent (optional)"))
+      } else {
+        val df = spark.read
+          .option("header", "true").option("delimiter", delim)
+          .csv(path.getAbsolutePath)
+        val have = df.columns.toSeq
+        val missing = t.columns.filterNot(have.contains)
+        val extra = have.filterNot(t.columns.contains)
+        val colsOk = missing.isEmpty && extra.isEmpty
+        val colsDetail =
+          (if (missing.nonEmpty) s"missing: ${missing.mkString(",")} " else "") +
+            (if (extra.nonEmpty) s"unexpected: ${extra.mkString(",")}" else "")
+        val header = Seq(
+          (t.name, "file_present", true, ""),
+          (t.name, "columns", colsOk, colsDetail.trim))
+        // key checks only run against the columns that exist
+        val pkCols = t.primaryKey.filter(have.contains)
+        val keyChecks = if (pkCols.isEmpty) Nil else {
+          val nulls = df.filter(
+            pkCols.map(c => col(c).isNull).reduce(_ || _)).count()
+          val notNull = (t.name, "pk_not_null", nulls == 0L,
+            if (nulls == 0L) "" else s"$nulls rows with empty key fields")
+          if (!t.pkUnique) Seq(notNull)
+          else {
+            val dups = df.groupBy(pkCols.map(col): _*)
+              .count().filter(col("count") > 1).count()
+            Seq(notNull,
+              (t.name, "pk_unique", dups == 0L,
+                if (dups == 0L) ""
+                else s"$dups duplicate keys (collapse_by_key not applied?)"))
+          }
+        }
+        header ++ keyChecks
+      }
+    }
+    rows.toDF("table", "check", "passed", "detail")
+  }
 }

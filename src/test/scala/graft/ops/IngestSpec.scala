@@ -93,4 +93,75 @@ class IngestSpec extends AnyFunSuite {
     assert(child.select("z", "T_id").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("z1", 1L)))
   }
+
+  private def writeCsv(dir: String, name: String, lines: Seq[String]): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, name),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8")): Unit
+
+  private def writeValidContract(dir: String): Unit = {
+    writeCsv(dir, "drug_recommendation.csv", Seq(
+      "drug_name,implications,recommendation,classification,diplotype_egs," +
+        "gene_name,haplotype_name1,haplotype_name2",
+      "warfarin,imp,rec,Strong,eg,g1,*1,*1",
+      "codeine,imp2,rec2,Moderate,eg2,g1,*1,*2"))
+    writeCsv(dir, "gene_haplotype_variant.csv", Seq(
+      "gene_name,haplotype_name,snp_id,allele",
+      "g1,*1,rs1,A", "g1,*2,rs1,T"))
+    writeCsv(dir, "genotype_phenotype.csv", Seq(
+      "gene_name,haplotype_name1,haplotype_name2,phenotype_name," +
+        "phenotype_genotype",
+      "g1,*1,*1,normal,meta", "g1,*1,*2,intermediate,meta2"))
+    writeCsv(dir, "genotype_drug_recommendation.csv", Seq(
+      "gene_name,haplotype_name1,haplotype_name2,drug_name",
+      "g1,*1,*1,warfarin", "g1,*1,*2,codeine"))
+  }
+
+  test("validateReferenceCsvs: a contract-conforming directory passes " +
+      "every check") {
+    val dir = graft.TestScratch.dir("graft-ingest-valid")
+    writeValidContract(dir)
+    val report = Ingest.validateReferenceCsvs(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(report.nonEmpty && report.forall(_._3),
+      s"failed checks: ${report.filterNot(_._3).mkString(", ")}")
+    // required tables each ran file/columns/pk_not_null/pk_unique; the
+    // optional gene_phenotype_drug_recommendation reports absent-ok
+    assert(report.count(_._1 == "drug_recommendation") == 4)
+    assert(report.filter(_._1 == "gene_phenotype_drug_recommendation")
+      .map(_._2).toSeq == Seq("file_present"))
+  }
+
+  test("validateReferenceCsvs: missing file, wrong header, empty key " +
+      "field, and duplicate key each fail their specific check") {
+    val dir = graft.TestScratch.dir("graft-ingest-broken")
+    writeValidContract(dir)
+    // break 1: drop a required file entirely
+    new java.io.File(dir, "genotype_drug_recommendation.csv").delete()
+    // break 2: gene_haplotype_variant loses its allele column and gains
+    // a stray one
+    writeCsv(dir, "gene_haplotype_variant.csv", Seq(
+      "gene_name,haplotype_name,snp_id,extra",
+      "g1,*1,rs1,x"))
+    // break 3: empty-string key field (the toolchain's null encoding)
+    // break 4: duplicated primary key (collapse_by_key skipped)
+    writeCsv(dir, "genotype_phenotype.csv", Seq(
+      "gene_name,haplotype_name1,haplotype_name2,phenotype_name," +
+        "phenotype_genotype",
+      "g1,,*1,normal,meta",
+      "g1,*1,*2,a,m", "g1,*1,*2,b,m"))
+    val rep = Ingest.validateReferenceCsvs(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getBoolean(2), r.getString(3)))).toMap
+    assert(!rep(("genotype_drug_recommendation", "file_present"))._1)
+    val (colsOk, colsDetail) = rep(("gene_haplotype_variant", "columns"))
+    assert(!colsOk && colsDetail.contains("allele") &&
+      colsDetail.contains("extra"))
+    assert(!rep(("genotype_phenotype", "pk_not_null"))._1)
+    val (uniqOk, uniqDetail) = rep(("genotype_phenotype", "pk_unique"))
+    assert(!uniqOk && uniqDetail.contains("collapse_by_key"))
+    // untouched tables still pass everything
+    assert(rep(("drug_recommendation", "pk_unique"))._1)
+  }
 }
