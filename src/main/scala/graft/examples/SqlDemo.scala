@@ -22,6 +22,18 @@ object SqlDemo {
       SELECT doc_id, simhash64(split(lower(text), '\\s+')) AS simhash,
              minhash_sig(shingle_set(text, 3), 4)[0] AS minhash0
       FROM documents ORDER BY doc_id LIMIT 3""").show(false)
+    spark.sql("""
+      SELECT doc_id, size(tokens(text)) AS n_tokens,
+             quality_score(text) AS quality,
+             round(char_bigram_entropy(lower(text)).bigram_entropy, 3) AS bigram_h
+      FROM documents ORDER BY doc_id LIMIT 3""").show(false)
+    spark.sql("""
+      SELECT vec_id, nearest_centroid(embedding,
+               array(0, 1),
+               array(array(1.0, 0.0, 0.0, 0.0), array(0.0, 1.0, 0.0, 0.0)))
+               AS cell
+      FROM (SELECT vec_id, slice(embedding, 1, 4) AS embedding
+            FROM embeddings) ORDER BY vec_id LIMIT 3""").show(false)
     spark.stop()
   }
 }

@@ -2,6 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.LongType
 
 /** SQL-surface registration for the engine's custom expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API.
@@ -35,6 +37,67 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("url_host",
       (exprs: Seq[Expression]) => UrlExpressions.UrlHost(exprs(0)),
       "scala_udf")
+    // Column-composition functions (TextFunctions builds them from
+    // built-in expressions): the bridge wraps the argument expression in
+    // a Column, composes, and converts back through the SESSION's
+    // ColumnNode converter — the SQL surface gets the exact tree the
+    // Column API builds, still fully codegen'd.
+    registry.createOrReplaceTempFunction("tokens",
+      (exprs: Seq[Expression]) => ColumnBridge.expression(
+        TextFunctions.tokens(ColumnBridge.column(exprs(0))), spark),
+      "scala_udf")
+    registry.createOrReplaceTempFunction("quality_score",
+      (exprs: Seq[Expression]) => ColumnBridge.expression(
+        TextFunctions.qualityScore(ColumnBridge.column(exprs(0))), spark),
+      "scala_udf")
+    registry.createOrReplaceTempFunction("char_bigram_entropy",
+      (exprs: Seq[Expression]) =>
+        HashExpressions.CharBigramEntropy(exprs(0)), "scala_udf")
+    // nearest_centroid(vec, array(ids...), array(array(components...)...)):
+    // the centroid table must be FOLDABLE (literal arrays or expressions
+    // of literals) — it becomes the same bounded codegen reference object
+    // the Column API's NearestCentroid.assign embeds, so SQL probes keep
+    // the scan→project shape with no join. Ids and components accept any
+    // numeric literal type (cast to long/double at registration).
+    registry.createOrReplaceTempFunction("nearest_centroid",
+      (exprs: Seq[Expression]) => {
+        val ids = foldableArray(exprs(1), LongType, "nearest_centroid")
+          .map(_.asInstanceOf[Long])
+        val vecs = foldableNested(exprs(2), "nearest_centroid")
+        require(ids.length == vecs.length,
+          "nearest_centroid: ids and centroid vectors must align")
+        val sorted = ids.zip(vecs).sortBy(_._1)
+        NearestCentroid(exprs(0), sorted.map(_._1), sorted.map(_._2))
+      }, "scala_udf")
+  }
+
+  private def foldableArray(e: Expression, elem: org.apache.spark.sql.types.DataType,
+      fn: String): Array[AnyRef] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.ArrayType
+    require(e.foldable, s"$fn expects a literal array argument, got $e")
+    val cast = Cast(e, ArrayType(elem))
+    cast.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(elem)
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an array literal, got $other")
+    }
+  }
+
+  private def foldableNested(e: Expression, fn: String): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    require(e.foldable, s"$fn expects a literal array-of-arrays, got $e")
+    val cast = Cast(e, ArrayType(ArrayType(DoubleType)))
+    cast.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          a.getArray(i).toDoubleArray()
+        }.toArray
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an array-of-arrays literal, got $other")
+    }
   }
 
   private def strArg(e: Expression, fn: String): String = e match {

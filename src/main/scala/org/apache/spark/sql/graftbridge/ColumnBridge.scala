@@ -14,6 +14,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Session-converted form: unlike [[expression]]'s lazy wrapper (fine
+    * when the Column wraps an already-built catalyst expression), this
+    * runs the session's ColumnNode→Expression converter EAGERLY, so a
+    * Column built from API compositions (`filter(split(...))`) yields a
+    * plain catalyst tree of `UnresolvedFunction`s the analyzer resolves
+    * in-plan — required when the result is returned from a function
+    * registry builder, where an opaque wrapper never gets converted.
+    */
+  def expression(c: Column, spark: org.apache.spark.sql.SparkSession): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
   /** `CollectTopK(item, k)` as a Column aggregate: a bounded k-element
     * priority queue at every aggregation level (map-side partials
     * included). `reverse = true` keeps the k SMALLEST items under the
