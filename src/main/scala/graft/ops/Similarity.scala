@@ -469,6 +469,7 @@ object Similarity {
     var assigned = initial
     var centroids: DataFrame = null
     var prevCheckpoint: DataFrame = null
+    var prevCentroids: DataFrame = null
     (1 to iterations).foreach { _ =>
       // Lineage truncation per Lloyd iteration: the chain grows linearly
       // (single reference), but truncating keeps plan depth O(1) for any
@@ -480,14 +481,24 @@ object Similarity {
       prevCheckpoint = assigned
       val members = assigned.select(col("centroid_id"),
         posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-      centroids = members
+      // The centroid table is truncated to its own (nlist-sized, tiny)
+      // leaf so nothing downstream — the next assignment, the returned
+      // centroid frame — references the corpus-sized assignment frame it
+      // was averaged from. Without this the LAST iteration's assignment
+      // checkpoint could never be released (the returned centroids' plan
+      // kept it alive), leaking one corpus-sized frame per k-means build
+      // into executor storage — waste that compounds in a long-lived
+      // session doing periodic ivfRecluster rebalances.
+      centroids = Checkpoints.truncate(members
         .groupBy("centroid_id", "__pos")
         .agg(avg(col("__v")).as("__m"))
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
         .select(col("centroid_id"),
           transform(col("__pm"), x => x.getField("__m")).as("centroid_vec"))
-        .withColumn("__cnorm", norm(col("centroid_vec")))
+        .withColumn("__cnorm", norm(col("centroid_vec"))))
+      if (prevCentroids != null) Checkpoints.release(prevCentroids)
+      prevCentroids = centroids
       assigned = assignToNearest(base, centroids, idCol, vecCol)
     }
     // Multi-assignment ("spilled"/replica indexing, the standard IVF
@@ -500,8 +511,12 @@ object Similarity {
       assigned = assignToNearest(base, centroids, idCol, vecCol, replicas)
     // Materialize the final assignment before dropping the cached base so
     // the iterations' reuse is realized and no cached partitions leak.
+    // The final assignment's plan reads only `base` and the centroid
+    // LEAF, so the last iteration's assignment checkpoint releases too —
+    // nothing corpus-sized survives this call but the result itself.
     val out = assigned.persist()
     out.count()
+    if (prevCheckpoint != null) Checkpoints.release(prevCheckpoint)
     base.unpersist()
     (out, centroids.select("centroid_id", "centroid_vec"))
   }

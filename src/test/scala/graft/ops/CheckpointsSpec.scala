@@ -68,6 +68,48 @@ class CheckpointsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leaked.size <= 1, s"expected <=1 live checkpoint RDD, got $leaked")
   }
 
+  test("ivfKMeans releases every superseded Lloyd frame (storage and files)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sc = spark.sparkContext
+    def newRddDirs(before: Set[java.nio.file.Path]) =
+      java.nio.file.Files.walk(ckptDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toSet -- before
+    def dirBytes(dirs: Set[java.nio.file.Path]): Long = dirs.iterator.map { d =>
+      java.nio.file.Files.walk(d).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    }.sum
+    // Big enough that a leaked corpus-sized assignment checkpoint (~100 B
+    // serialized per row x 2000 rows) is unmistakably larger than the
+    // nlist-sized centroid leaf the operator intentionally keeps.
+    val vecs = (0 until 2000).map { i =>
+      (i.toLong, Seq.tabulate(16)(j => ((i % 4) * 10 + (i + j) % 3).toFloat))
+    }.toDF("id", "vec")
+    val beforeRdds = sc.getPersistentRDDs.keySet
+    val before = newRddDirs(Set.empty)
+    val (assigned, centroids) =
+      Similarity.ivfKMeans(vecs, "id", "vec", nlist = 4, iterations = 3)
+    assert(assigned.count() === 2000 && centroids.count() >= 1)
+    // Three Lloyd rounds truncate three assignment frames and three
+    // centroid tables; everything superseded must release its checkpoint
+    // files. The only survivor may be the final centroid LEAF — nlist
+    // rows, a few KB — where the pre-fix behavior pinned the final
+    // ASSIGNMENT checkpoint (corpus-sized, unreleasable by the caller)
+    // via the returned centroids' lineage. The returned assignment
+    // itself is a plain persist, the one block-manager entry allowed.
+    val after = newRddDirs(before)
+    assert(after.size <= 1,
+      s"checkpoint dirs leaked: ${after.size} new rdd-* dirs")
+    assert(dirBytes(after) < 64 * 1024,
+      s"a corpus-sized checkpoint survived: ${dirBytes(after)} bytes " +
+        "of rdd-* files remain (expected only the nlist-sized centroid leaf)")
+    val leaked = sc.getPersistentRDDs.keySet -- beforeRdds
+    assert(leaked.size <= 1,
+      s"expected only the persisted result, got RDDs $leaked")
+    assigned.unpersist(blocking = true)
+  }
+
   test("release is a no-op on non-checkpointed frames") {
     val df = spark.range(10).toDF()
     Checkpoints.release(df) // must not throw
