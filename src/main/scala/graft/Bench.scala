@@ -268,7 +268,13 @@ object Bench {
     // environment evidence + the two file paths — sized well under the
     // tail budget so the driver's parse is non-null regardless of suite
     // size. Per-query medians live in the summary file's "queries" map.
-    val summaryPath = detailPath.replace("BENCH_DETAIL", "BENCH_SUMMARY")
+    // never collide with the detail file: a detail path without the
+    // conventional BENCH_DETAIL stem would make replace() a no-op and
+    // the summary write would clobber the per-query detail JSON
+    val summaryPath =
+      if (detailPath.contains("BENCH_DETAIL"))
+        detailPath.replace("BENCH_DETAIL", "BENCH_SUMMARY")
+      else detailPath.stripSuffix(".json") + ".summary.json"
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(summaryPath),
         (full + "\n").getBytes("UTF-8"))

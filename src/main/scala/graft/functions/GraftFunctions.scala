@@ -79,7 +79,13 @@ object GraftFunctions {
     val cast = Cast(e, ArrayType(elem))
     cast.eval(null) match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toObjectArray(elem)
+        val arr = a.toObjectArray(elem)
+        // a NULL element would unbox to 0 downstream (null.asInstanceOf
+        // on a primitive), silently corrupting ids — and non-numeric
+        // literals cast to NULL, so this also rejects array('a','b')
+        require(!arr.contains(null),
+          s"$fn: array literal contains NULL (or non-$elem) elements")
+        arr
       case other => throw new IllegalArgumentException(
         s"$fn expects an array literal, got $other")
     }
@@ -93,7 +99,14 @@ object GraftFunctions {
     cast.eval(null) match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
         (0 until a.numElements()).map { i =>
-          a.getArray(i).toDoubleArray()
+          require(!a.isNullAt(i), s"$fn: centroid vector $i is NULL")
+          val inner = a.getArray(i)
+          // toDoubleArray reads a NULL component as 0.0 from the raw
+          // buffer (and a non-numeric literal casts to NULL) — reject
+          // instead of silently shifting the centroid toward the origin
+          require((0 until inner.numElements()).forall(j => !inner.isNullAt(j)),
+            s"$fn: centroid vector $i contains NULL (or non-numeric) components")
+          inner.toDoubleArray()
         }.toArray
       case other => throw new IllegalArgumentException(
         s"$fn expects an array-of-arrays literal, got $other")

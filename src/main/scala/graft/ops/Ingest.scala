@@ -253,8 +253,14 @@ object Ingest {
         else
           Seq((t.name, "file_present", true, "absent (optional)"))
       } else {
+        // multiLine + RFC-4180 quote escaping: the scraped prose fields
+        // (implications/recommendation) legitimately carry embedded
+        // newlines and doubled quotes — Spark's default line-split parse
+        // would shred such rows into phantom records whose NULL key
+        // columns then fail pk checks the real toolchain accepts
         val df = spark.read
           .option("header", "true").option("delimiter", delim)
+          .option("multiLine", "true").option("escape", "\"")
           .csv(path.getAbsolutePath)
         val have = df.columns.toSeq
         val missing = t.columns.filterNot(have.contains)

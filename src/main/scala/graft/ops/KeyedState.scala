@@ -172,7 +172,8 @@ object KeyedState {
   }
 
   /** Rewrite a FLAT (unpartitioned) append sink down to at most
-    * `min(numFiles, maxFiles)` files once its parquet-file count exceeds
+    * `maxFiles` files (one fresh merge + up to `maxFiles − 1` kept
+    * generations) once its parquet-file count exceeds
     * `maxFiles` — for append-only OUTPUT dirs (e.g. a streaming query's
     * accumulated result rows) that gain one file per batch and are read
     * in full at the end, where the keyed layouts above don't apply. The
@@ -202,6 +203,7 @@ object KeyedState {
     * merge always produces one file (the generation unit). */
   def compactFlat(spark: SparkSession, path: String, maxFiles: Int,
       numFiles: Int = 8): Unit = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
     repairFlat(spark, path)
     val p = new Path(path)
     val fs = fsOf(spark, path)
@@ -211,10 +213,14 @@ object KeyedState {
       .sortBy(st => (st.getLen, st.getPath.getName))
     if (parquet.length <= maxFiles) return
     // merge the smallest `mustMerge` files (lands the count back under
-    // maxFiles), then keep absorbing the next-smallest while it is no
-    // larger than the pile built so far — the size-doubling rule that
-    // bounds per-byte rewrites to O(log n) over the sink's lifetime
-    val mustMerge = parquet.length - math.max(1, maxFiles - 1)
+    // maxFiles: 1 merged file + at most maxFiles - 1 kept generations),
+    // then keep absorbing the next-smallest while it is no larger than
+    // the pile built so far — the size-doubling rule that bounds
+    // per-byte rewrites to O(log n) over the sink's lifetime.
+    // maxFiles = 1 merges EVERYTHING (mustMerge = n): with no kept slot
+    // available, anything less would leave 2 files, and every later call
+    // would rewrite the small file again without ever converging.
+    val mustMerge = parquet.length - math.max(0, maxFiles - 1)
     var sum = parquet.take(mustMerge).map(_.getLen).sum
     val m = parquet.take(mustMerge) ++
       parquet.drop(mustMerge).takeWhile { st =>

@@ -699,20 +699,28 @@ object Similarity {
       assigned: DataFrame,
       centroids: DataFrame, // (centroid_id, centroid_vec)
       vecCol: String): DataFrame = {
+    // ONE corpus pass carries both the per-dimension integer sums and
+    // the member count (a separate count aggregate would re-read the
+    // whole assignment just to count rows). posexplode_outer keeps
+    // empty/NULL-vector members visible as a NULL-pos row, so the count
+    // is exact for every member while the NULL-pos group stays out of
+    // the sum vector: n_members = members seen at dimension 0 plus
+    // members with no dimensions at all.
     val sums = assigned
       .select(col("centroid_id"),
-        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        posexplode_outer(col(vecCol)).as(Seq("__pos", "__v")))
       .groupBy("centroid_id", "__pos")
       .agg(sum(floor(col("__v").cast("double") * lit(1000000.0)).cast("long"))
-        .as("__s"))
+        .as("__s"),
+        count(lit(1)).as("__c"))
       .groupBy("centroid_id")
-      .agg(array_sort(collect_list(struct(col("__pos"), col("__s"))))
-        .as("__pm"))
-      .select(col("centroid_id"),
+      .agg(array_sort(collect_list(when(col("__pos").isNotNull,
+          struct(col("__pos"), col("__s"))))).as("__pm"),
+        sum(when(col("__pos") === 0 || col("__pos").isNull, col("__c"))
+          .otherwise(lit(0L))).as("n_members"))
+      .select(col("centroid_id"), col("n_members"),
         transform(col("__pm"), x => x.getField("__s").cast("double"))
           .as("__svec"))
-    val counts = assigned.groupBy("centroid_id")
-      .agg(count(lit(1)).as("n_members"))
     val cvecD = transform(col("centroid_vec"), x => x.cast("double"))
     val dotCS = aggregate(zip_with(cvecD, col("__svec"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
@@ -721,7 +729,6 @@ object Similarity {
       sqrt(aggregate(transform(col("__svec"), x => x * x),
         lit(0.0), (acc, x) => acc + x))
     centroids.select(col("centroid_id"), col("centroid_vec"))
-      .join(counts, Seq("centroid_id"), "left")
       .join(sums, Seq("centroid_id"), "left")
       .select(col("centroid_id"),
         coalesce(col("n_members"), lit(0L)).as("n_members"),

@@ -257,36 +257,24 @@ object UnigramLm {
       stats += ((round, r.getLong(0), r.getLong(1)))
     }
     for (k <- 1 to emIters) {
-      if (observe) {
-        // checkpoint the E-step segmentation so the likelihood
-        // measurement and the M-step recount share ONE Viterbi pass
-        val seg = Checkpoints.truncate(
-          viterbiSegment(words, "w", costed, maxPieceLen)
-            .select(col("freq"), col("pieces")))
-        measure(k - 1, seg, costed)
-        val counts = seg
-          .select(col("freq"), explode(col("pieces")).as("piece"))
-          .groupBy("piece").agg(sum(col("freq")).as("__vn"))
-        val prev = costed
-        costed = Checkpoints.truncate(withCosts(
-          prev.select(col("piece"))
-            .join(counts, Seq("piece"), "left")
-            .select(col("piece"),
-              (coalesce(col("__vn"), lit(0L)) + lit(1L)).as("n"))))
-        Checkpoints.release(prev)
-        Checkpoints.release(seg)
-      } else {
-        val counts = viterbiSegment(words, "w", costed, maxPieceLen)
-          .select(col("freq"), explode(col("pieces")).as("piece"))
-          .groupBy("piece").agg(sum(col("freq")).as("__vn"))
-        val prev = costed
-        costed = Checkpoints.truncate(withCosts(
-          prev.select(col("piece"))
-            .join(counts, Seq("piece"), "left")
-            .select(col("piece"),
-              (coalesce(col("__vn"), lit(0L)) + lit(1L)).as("n"))))
-        Checkpoints.release(prev)
-      }
+      // ONE Viterbi pass per round either way; under observe the
+      // segmentation is checkpointed so the likelihood measurement and
+      // the M-step recount share it instead of segmenting twice
+      val raw = viterbiSegment(words, "w", costed, maxPieceLen)
+        .select(col("freq"), col("pieces"))
+      val seg = if (observe) Checkpoints.truncate(raw) else raw
+      if (observe) measure(k - 1, seg, costed)
+      val counts = seg
+        .select(col("freq"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("__vn"))
+      val prev = costed
+      costed = Checkpoints.truncate(withCosts(
+        prev.select(col("piece"))
+          .join(counts, Seq("piece"), "left")
+          .select(col("piece"),
+            (coalesce(col("__vn"), lit(0L)) + lit(1L)).as("n"))))
+      Checkpoints.release(prev)
+      if (observe) Checkpoints.release(seg)
     }
     if (observe)
       measure(emIters,

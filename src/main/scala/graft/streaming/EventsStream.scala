@@ -149,6 +149,7 @@ object EventsStream {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Int, total: Double)
+  case class SessionList(open: List[SessionState])
 
   /** Epoch-microsecond conversion shared by every stateful operator in this
     * file (sessionize, funnelStream, scd2Stream). State keeps epoch
@@ -228,87 +229,60 @@ object EventsStream {
 
   /** Stateful sessionization: per-user sessions closed after `gapMs` of
     * inactivity, via `flatMapGroupsWithState` with event-time timeout.
+    *
+    * The state is the user's LIST of open sessions, and a session closes
+    * only when the watermark PROVES no admissible event can still bridge
+    * it (`end + gap < watermark`: every event the stream still admits has
+    * `ts >= watermark`, so its distance to this session's end exceeds the
+    * gap). That single rule makes the operator equal to the batch
+    * gap-window formulation ([[sessionizeBatch]]) for EVERY
+    * watermark-admitted event, however late and however split across
+    * micro-batches — the earlier single-open-session state closed
+    * "late era" sessions at batch end, which a later batch's
+    * still-admissible event could have bridged. The list stays tiny by
+    * construction: open sessions all end within a gap of
+    * `[watermark - gap, max event time seen]`, so its length is bounded
+    * by (watermark delay + clock skew) / gap, independent of corpus size
+    * (1 h delay / 30 min gap ⇒ ≤ ~3, plus one per far-future outlier).
     */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import spark.implicits._
     val gapUs = gapMs * 1000L
     def fn(userId: Long, rows: Iterator[Event],
-        state: GroupState[SessionState]): Iterator[Session] = {
-      val sorted = rows.toVector.sortBy(e => (toMicros(e.ts), e.event_id))
-      var closed = Vector.empty[Session]
-      var cur = state.getOption
-      // A second OPEN session for "late era" events — watermark-admitted
-      // events more than a gap BEFORE the current session's start. Such
-      // an event cannot bridge to prior batches (its era's sessions are
-      // closed), but it CAN bridge to other late events in this same
-      // sorted batch — closing each as its own singleton diverged from
-      // the batch gap-window semantics for that corner. The late session
-      // lives only within this invocation: it closes at the end of the
-      // batch, or merges into the current session if the two ended up
-      // within a gap of each other (a bridging event can pull the
-      // current session's start DOWN toward the late era).
-      var late: Option[SessionState] = None
-      sorted.foreach { e =>
-        val t = toMicros(e.ts)
-        cur match {
-          // Merge when t falls inside the session or within the gap on
-          // EITHER side: the watermark admits cross-batch out-of-order
-          // events, so t may precede s.end (or even s.start) — bounds
-          // extend with min/max, never move backward.
-          case Some(s) if t >= s.start - gapUs && t - s.end <= gapUs =>
-            cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
-              s.n + 1, s.total + e.value))
-          case Some(s) if t > s.end =>
-            closed :+= Session(userId, fromMicros(s.start), fromMicros(s.end),
-              s.n, s.total)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case Some(_) =>
-            // late era: extend the open late session when within a gap
-            // of its end (events arrive sorted, so t >= late.end), else
-            // close it and start a new one
-            late match {
-              case Some(l) if t - l.end <= gapUs =>
-                late = Some(SessionState(l.start, math.max(l.end, t),
-                  l.n + 1, l.total + e.value))
-              case Some(l) =>
-                closed :+= Session(userId, fromMicros(l.start),
-                  fromMicros(l.end), l.n, l.total)
-                late = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                late = Some(SessionState(t, t, 1, e.value))
-            }
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
+        state: GroupState[SessionList]): Iterator[Session] = {
+      // Events become [t, t] singleton intervals next to the open
+      // sessions; one sorted interval-merge fold is the whole semantics
+      // (identical to the batch formulation's gap rule). Sorting by
+      // (start, end, n) keeps the fold deterministic when an event ties
+      // a session boundary.
+      val incoming = rows.map { e =>
+        val t = toMicros(e.ts); SessionState(t, t, 1, e.value)
+      }.toVector
+      val all = (state.getOption.map(_.open).getOrElse(Nil) ++ incoming)
+        .sortBy(s => (s.start, s.end, s.n))
+      val merged = all.foldLeft(List.empty[SessionState]) {
+        case (acc @ cur :: rest, nxt) if nxt.start - cur.end <= gapUs =>
+          SessionState(cur.start, math.max(cur.end, nxt.end),
+            cur.n + nxt.n, cur.total + nxt.total) :: rest
+        case (acc, nxt) => nxt :: acc
+      }.reverse
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (closable, open) = merged.partition(_.end + gapUs < wmUs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionList(open))
+        // fire when the earliest open session becomes provably closed;
+        // clamp past the current watermark (ms truncation of the micro-
+        // second end can land the natural instant ON the watermark,
+        // which Spark rejects — the clamped timer just fires on the next
+        // watermark advance instead)
+        state.setTimeoutTimestamp(
+          math.max(open.map(_.end).min / 1000L + gapMs,
+            state.getCurrentWatermarkMs() + 1L))
       }
-      // Resolve the late session: merge into the current one if a
-      // bridging event pulled the current start to within a gap of the
-      // late end (batch semantics would chain them), else close it now —
-      // nothing in a later batch can reach its era again.
-      late.foreach { l =>
-        cur match {
-          case Some(s) if s.start - l.end <= gapUs =>
-            cur = Some(SessionState(math.min(s.start, l.start),
-              math.max(s.end, l.end), s.n + l.n, s.total + l.total))
-          case _ =>
-            closed :+= Session(userId, fromMicros(l.start), fromMicros(l.end),
-              l.n, l.total)
-        }
-      }
-      if (state.hasTimedOut) {
-        cur.foreach { s =>
-          closed :+= Session(userId, fromMicros(s.start), fromMicros(s.end),
-            s.n, s.total)
-        }
-        state.remove()
-      } else {
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.end / 1000L + gapMs)
-        }
-      }
-      closed.iterator
+      closable.iterator.map(s =>
+        Session(userId, fromMicros(s.start), fromMicros(s.end), s.n, s.total))
     }
     events.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
       .withWatermark("ts", "1 hour")

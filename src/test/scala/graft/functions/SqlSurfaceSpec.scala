@@ -103,4 +103,41 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("literal"))
   }
+
+  test("nearest_centroid rejects NULL/non-numeric ids and NULL vector " +
+      "components instead of silently mapping them to 0") {
+    ready
+    // NULL id literal: would unbox to centroid id 0
+    val nullId = intercept[Exception] {
+      spark.sql(
+        """SELECT nearest_centroid(vec, array(7, CAST(NULL AS BIGINT)),
+          |array(array(1.0, 0.0), array(0.0, 1.0))) FROM sql_docs"""
+          .stripMargin).collect()
+    }
+    assert(nullId.getMessage.contains("NULL"))
+    // non-numeric ids cast to all-NULL: same rejection, not all-zero ids
+    val strIds = intercept[Exception] {
+      spark.sql(
+        """SELECT nearest_centroid(vec, array('a', 'b'),
+          |array(array(1.0, 0.0), array(0.0, 1.0))) FROM sql_docs"""
+          .stripMargin).collect()
+    }
+    assert(strIds.getMessage.contains("NULL"))
+    // a NULL inner vector: clear message, not a raw NPE
+    val nullVec = intercept[Exception] {
+      spark.sql(
+        """SELECT nearest_centroid(vec, array(1, 2),
+          |array(array(1.0, 0.0), NULL)) FROM sql_docs"""
+          .stripMargin).collect()
+    }
+    assert(nullVec.getMessage.contains("NULL"))
+    // a NULL component inside a vector: toDoubleArray would read 0.0
+    val nullComp = intercept[Exception] {
+      spark.sql(
+        """SELECT nearest_centroid(vec, array(1, 2),
+          |array(array(1.0, 0.0), array(CAST(NULL AS DOUBLE), 1.0)))
+          |FROM sql_docs""".stripMargin).collect()
+    }
+    assert(nullComp.getMessage.contains("NULL"))
+  }
 }

@@ -132,6 +132,29 @@ class IngestSpec extends AnyFunSuite {
       .map(_._2).toSeq == Seq("file_present"))
   }
 
+  test("validateReferenceCsvs: quoted prose with embedded newlines and " +
+      "doubled quotes parses as one record (multiLine contract shape)") {
+    val dir = graft.TestScratch.dir("graft-ingest-multiline")
+    writeValidContract(dir)
+    // scraped PharmGKB prose: the implications field spans three
+    // physical lines and contains an RFC-4180 doubled quote — a
+    // line-split parse would shred this row into phantom records whose
+    // NULL keys fail pk_not_null on a file the real toolchain accepts
+    writeCsv(dir, "drug_recommendation.csv", Seq(
+      "drug_name,implications,recommendation,classification,diplotype_egs," +
+        "gene_name,haplotype_name1,haplotype_name2",
+      "warfarin,\"poor metabolizer;",
+      "consider \"\"alternative\"\" agent",
+      "per guideline\",rec,Strong,eg,g1,*1,*1",
+      "codeine,imp2,rec2,Moderate,eg2,g1,*1,*2"))
+    val report = Ingest.validateReferenceCsvs(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("table") ===
+        "drug_recommendation")
+      .collect().map(r => (r.getString(1), r.getBoolean(2), r.getString(3)))
+    assert(report.forall(_._2),
+      s"failed checks: ${report.filterNot(_._2).mkString(", ")}")
+  }
+
   test("validateReferenceCsvs: missing file, wrong header, empty key " +
       "field, and duplicate key each fail their specific check") {
     val dir = graft.TestScratch.dir("graft-ingest-broken")

@@ -112,6 +112,25 @@ class KeyedStateSpec extends AnyFunSuite {
     assert(!new java.io.File(p + "__compact_tmp").exists())
   }
 
+  test("compactFlat converges to ONE file at maxFiles = 1 (no kept slot)") {
+    val base = graft.TestScratch.dir("graft-ks-one")
+    val p = s"$base/pairs"
+    // one big generation + small appends: with maxFiles = 1 there is no
+    // kept slot, so EVERYTHING must merge — the tiered selection that
+    // kept the big generation left 2 files > maxFiles forever, and every
+    // later call rewrote the small file again without converging.
+    (1L to 1000L).toDF("v").coalesce(1).write.parquet(p)
+    for (i <- 1 to 3)
+      (1L to 5L).map(_ + 1000 * i).toDF("v")
+        .coalesce(1).write.mode("append").parquet(p)
+    val rows = spark.read.parquet(p).count()
+    KeyedState.compactFlat(spark, p, maxFiles = 1)
+    val after = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(after.length == 1, s"expected 1 file, got ${after.length}")
+    assert(spark.read.parquet(p).count() == rows)
+  }
+
   test("repairFlat resumes a tiered swap interrupted mid-rename " +
       "(manifest present, generations split across live and __old)") {
     val base = graft.TestScratch.dir("graft-ks-tiered-crash")

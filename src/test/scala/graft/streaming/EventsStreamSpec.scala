@@ -219,6 +219,74 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(got(2L) == Seq(("11:44", "12:00", 3)))
   }
 
+  test("sessionize: an after-gap event must not orphan an open late-era " +
+      "session that bridges the session it closes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, u: Long) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(t), u, "x", 1.0)
+    val mem = MemoryStream[EventsStream.Event]
+    mem.addData(Seq(ev(1, "2024-01-01 12:00:00", 1)))
+    val sessions = EventsStream.sessionize(spark, mem.toDF(),
+      gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_orphan").start()
+    try {
+      q.processAllAvailable()
+      // 11:45 opens a late era; 11:52 bridges the open 12:00 session
+      // (start pulled to 11:52, within a gap of the late end); 12:30 is
+      // after-gap. Batch semantics: {11:45, 11:52, 12:00} are ONE
+      // session — the close triggered by 12:30 must not emit
+      // [11:52, 12:00] with the late era unresolved.
+      mem.addData(Seq(ev(2, "2024-01-01 11:45:00", 1),
+        ev(3, "2024-01-01 11:52:00", 1), ev(4, "2024-01-01 12:30:00", 1)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(9, "2030-01-01 00:00:00", -1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_orphan").filter($"user_id" === 1L)
+      .select("session_start", "session_end", "n_events")
+      .collect().map(r => (r.getTimestamp(0).toString.substring(11, 16),
+        r.getTimestamp(1).toString.substring(11, 16), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("11:45", "12:00", 3), ("12:30", "12:30", 1)))
+  }
+
+  test("sessionize: late-era events split across micro-batches still " +
+      "merge (sessions close only when the watermark proves them closed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, u: Long) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(t), u, "x", 1.0)
+    val mem = MemoryStream[EventsStream.Event]
+    // 12:00 sets the watermark to 11:00 (1 h delay).
+    mem.addData(Seq(ev(1, "2024-01-01 12:00:00", 1)))
+    val sessions = EventsStream.sessionize(spark, mem.toDF(),
+      gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_xbatch").start()
+    try {
+      q.processAllAvailable()
+      // Two admissible late-era events, ONE PER BATCH, within a gap of
+      // each other. A state that closes late sessions at batch end emits
+      // two singletons; batch semantics (and this operator) merge them.
+      mem.addData(Seq(ev(2, "2024-01-01 11:05:00", 1)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(3, "2024-01-01 11:10:00", 1)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(9, "2030-01-01 00:00:00", -1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_xbatch").filter($"user_id" === 1L)
+      .select("session_start", "session_end", "n_events")
+      .collect().map(r => (r.getTimestamp(0).toString.substring(11, 16),
+        r.getTimestamp(1).toString.substring(11, 16), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("11:05", "11:10", 2), ("12:00", "12:00", 1)))
+  }
+
   test("stateful sessionization equals batch gap-window formulation") {
     val events = EventsStream.readEvents(spark, s"$dir/events.parquet")
     val batch = EventsStream.sessionizeBatch(events)
