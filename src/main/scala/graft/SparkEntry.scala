@@ -686,8 +686,9 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // The statistic BPE tokenizer training's first merge decision reads:
-    // adjacent char-pair counts over the corpus's words, top 50.
+    // Corpus character profile: in-word adjacent char-pair counts, top 50
+    // (approximates — deliberately not equals — the BPE trainer's first
+    // merge table, which also counts end-of-word sentinel pairs).
     "q83_bpe_pair_counts" -> ((s, dir) => {
       Curation.bpePairCounts(t(s, dir, "documents"), "text", k = 50)
         .orderBy(col("n").desc, col("pair"))
@@ -2858,11 +2859,12 @@ object SparkEntry {
          agg AS (SELECT doc_id, sum(nd) AS n_tokens,
                    list_sort(list(struct_pack(tok := tok, nd := nd, c := c))) AS tc
                  FROM j GROUP BY doc_id)
-         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-                round(-list_sum(list_transform(tc,
+         SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                round(-list_sum(list_transform(a.tc,
                   x -> x.nd * log2(CAST(x.c AS DOUBLE) / total)))
-                  / n_tokens, 6) AS bits_per_token
-         FROM agg, tot ORDER BY doc_id""",
+                  / a.n_tokens, 6) AS bits_per_token
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id, tot
+         ORDER BY d.doc_id""",
 
     "q83_bpe_pair_counts" ->
       s"""WITH w AS (
@@ -2885,10 +2887,11 @@ object SparkEntry {
          gc AS (SELECT doc_id, sum(c) AS n,
                   list_sort(list(struct_pack(g := g, c := c))) AS gc
                 FROM c GROUP BY doc_id)
-         SELECT doc_id, CAST(n AS BIGINT) AS n,
-                round(log2(n) - list_sum(list_transform(gc,
-                  x -> x.c * log2(x.c))) / n, 6) AS bigram_entropy
-         FROM gc ORDER BY doc_id""",
+         SELECT d.doc_id, CAST(coalesce(gc.n, 0) AS BIGINT) AS n,
+                round(log2(gc.n) - list_sum(list_transform(gc.gc,
+                  x -> x.c * log2(x.c))) / gc.n, 6) AS bigram_entropy
+         FROM documents d LEFT JOIN gc ON d.doc_id = gc.doc_id
+         ORDER BY d.doc_id""",
 
     // Stream ≡ batch: the accumulated cell assignment equals the q20 build.
     "q82_streaming_ivf_ingest" ->

@@ -41,7 +41,30 @@ object Curation {
       bench: DataFrame,
       benchTextCol: String,
       n: Int = 13,
-      minMatches: Int = 1): DataFrame = {
+      minMatches: Int = 1): DataFrame =
+    contaminationAgainst(docs, idCol, textCol,
+      benchGramFingerprints(bench, benchTextCol, n), n, minMatches)
+
+  /** A benchmark's distinct gram fingerprints — the broadcast side shared
+    * by both report forms, [[saveBenchmarkIndex]], and the streaming
+    * variants. */
+  private def benchGramFingerprints(
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = bench
+    .select(graft.functions.HashExpressions.shingleSet(col(benchTextCol), n).as("__sh"))
+    .select(explode(col("__sh")).as("__gram"))
+    .select(md5(col("__gram")).as("__fp"))
+    .distinct()
+
+  /** The shared report body: corpus grams against a prepared benchmark
+    * fingerprint frame. ONE definition so the raw-text and persisted-index
+    * forms cannot drift. */
+  private def contaminationAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchGrams: DataFrame,
+      n: Int,
+      minMatches: Int): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     // Distinct word n-grams via the row-level [[HashExpressions.ShingleSet]]
     // tight loop (the composable transform-lambda formulation is interpreted
@@ -56,24 +79,18 @@ object Curation {
       .select(col(idCol), explode(col("__sh")).as("__gram"))
       .select(col(idCol), md5(col("__gram")).as("__fp"))
       .persist()
-    val benchGrams = bench
-      .select(graft.functions.HashExpressions.shingleSet(col(benchTextCol), n).as("__sh"))
-      .select(explode(col("__sh")).as("__gram"))
-      .select(md5(col("__gram")).as("__fp"))
-      .distinct()
     val sizes = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     val perDoc = docGrams
       .join(broadcast(benchGrams), Seq("__fp"), "left_semi")
       .groupBy(idCol)
       .agg(count(lit(1)).as("matched_grams"))
-    val out = docs.select(col(idCol))
+    docs.select(col(idCol))
       .join(sizes, Seq(idCol), "left")
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
         (coalesce(col("matched_grams"), lit(0L)) >= minMatches).as("contaminated"))
-    out
   }
 
   /** Per-document n-gram NOVELTY against a reference corpus: what
@@ -145,11 +162,7 @@ object Curation {
       benchTextCol: String,
       n: Int,
       path: String): Unit = {
-    bench
-      .select(graft.functions.HashExpressions.shingleSet(col(benchTextCol), n).as("__sh"))
-      .select(explode(col("__sh")).as("__gram"))
-      .select(md5(col("__gram")).as("__fp"))
-      .distinct()
+    benchGramFingerprints(bench, benchTextCol, n)
       .write.mode("overwrite").parquet(path)
     // Stamp the gram width the fingerprints were built with: probing an
     // n=8 index with n=13 doc grams can never match and would read as a
@@ -171,34 +184,22 @@ object Curation {
       minMatches: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/_gram_n")
-    if (metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(metaPath)) {
-      val indexN = spark.read.parquet(metaPath.toString).head().getInt(0)
-      require(indexN == n,
-        s"benchmark index at $indexPath was built with n=$indexN grams; " +
-          s"probing with n=$n would silently report zero contamination")
-    }
-    val p = spark.sparkContext.defaultParallelism
-    val docGrams = docs
-      .select(col(idCol),
-        graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
-      .repartition(p, col(idCol))
-      .select(col(idCol), explode(col("__sh")).as("__gram"))
-      .select(col(idCol), md5(col("__gram")).as("__fp"))
-      .persist()
-    val benchGrams = spark.read.parquet(indexPath)
-    val sizes = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
-    val perDoc = docGrams
-      .join(broadcast(benchGrams), Seq("__fp"), "left_semi")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("matched_grams"))
-    docs.select(col(idCol))
-      .join(sizes, Seq(idCol), "left")
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
-        (coalesce(col("matched_grams"), lit(0L)) >= minMatches).as("contaminated"))
+    // The stamp is REQUIRED, not optional: saveBenchmarkIndex writes it
+    // after the fingerprint data, so a build that died between the two
+    // leaves an index that LOOKS complete — treating the missing stamp as
+    // "skip the check" would let an n-mismatched probe read as a clean
+    // corpus, exactly the silent failure the stamp exists to make loud.
+    require(metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(metaPath),
+      s"benchmark index at $indexPath has no _gram_n stamp — either it " +
+        "was not built by saveBenchmarkIndex, or the build died before " +
+        "stamping; rebuild the index")
+    val indexN = spark.read.parquet(metaPath.toString).head().getInt(0)
+    require(indexN == n,
+      s"benchmark index at $indexPath was built with n=$indexN grams; " +
+        s"probing with n=$n would silently report zero contamination")
+    contaminationAgainst(docs, idCol, textCol,
+      spark.read.parquet(indexPath), n, minMatches)
   }
 
   /** Streaming form of the contamination check: the same gram-collision
@@ -232,12 +233,7 @@ object Curation {
     // Persisted: the static side of a stream-static join re-executes on
     // EVERY micro-batch — without this the benchmark re-shingles per
     // trigger (the [[streamingContaminationBlocklistUpdate]] discipline).
-    val benchGrams = bench
-      .select(graft.functions.HashExpressions.shingleSet(col(benchTextCol), n).as("__sh"))
-      .select(explode(col("__sh")).as("__gram"))
-      .select(md5(col("__gram")).as("__fp"))
-      .distinct()
-      .persist()
+    val benchGrams = benchGramFingerprints(bench, benchTextCol, n).persist()
     val agg = stream
       .select(col(idCol),
         graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
@@ -287,12 +283,7 @@ object Curation {
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
     // Persisted: the static side of a stream-static join re-executes on
     // EVERY micro-batch (see streamingContaminationBlocklist).
-    val benchGrams = bench
-      .select(graft.functions.HashExpressions.shingleSet(col(benchTextCol), n).as("__sh"))
-      .select(explode(col("__sh")).as("__gram"))
-      .select(md5(col("__gram")).as("__fp"))
-      .distinct()
-      .persist()
+    val benchGrams = benchGramFingerprints(bench, benchTextCol, n).persist()
     val agg = tuned.parquet(dir)
       .select(col(idCol),
         graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
@@ -309,7 +300,10 @@ object Curation {
       .start()
     try q.processAllAvailable()
     finally { q.stop(); benchGrams.unpersist() }
-    graft.ops.Upsert.readKeyedParquet(spark, sinkDir)
+    // an UNCONTAMINATED corpus never creates the sink (the upsert writer
+    // early-returns on every empty batch) — the expected clean outcome,
+    // which must read back as an empty blocklist, not PATH_NOT_FOUND
+    graft.ops.Upsert.readKeyedParquet(spark, sinkDir, agg.schema)
       .filter(col("matched_grams") >= minMatches)
   }
 
@@ -593,7 +587,19 @@ object Curation {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    Upsert.readKeyedParquet(spark, sinkDir)
+    // a drained stream that delivered no rows never creates the sink (the
+    // merge writer early-returns on empty batches) — read that back as an
+    // empty result, not PATH_NOT_FOUND; the expected sink schema is the
+    // batch aggregate applied to a rowless frame of the stream's schema
+    // (schema-only, no job)
+    val sinkSchema = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(tieCol).as("t"), col(valueCol).cast("string").as("v"))))
+        .as("items"))
+      .schema
+    Upsert.readKeyedParquet(spark, sinkDir, sinkSchema)
       .select(col(keyCol), size(col("items")).cast("long").as("n_items"),
         array_join(transform(col("items"), x => x.getField("v")), sep)
           .as("sequence"))
@@ -630,7 +636,8 @@ object Curation {
     val perDocTok = tok.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("nd"))
     val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
     val totals = vocab.agg(sum("c").as("total"))
-    perDocTok.join(if (broadcastVocab) broadcast(vocab) else vocab, "tok")
+    val scored = perDocTok
+      .join(if (broadcastVocab) broadcast(vocab) else vocab, "tok")
       .groupBy(col(idCol))
       .agg(sum("nd").as("n_tokens"),
         sort_array(collect_list(struct(col("tok"), col("nd"), col("c"))))
@@ -641,6 +648,13 @@ object Curation {
           acc + x.getField("nd") *
             log2(x.getField("c").cast("double") / col("total"))) /
           col("n_tokens"), 6).as("bits_per_token"))
+    // Per-doc-report discipline (as the sibling reports in this file):
+    // token-less documents (empty/NULL text) report n_tokens = 0 with
+    // NULL bits instead of silently vanishing — a quality gate joining
+    // this report must see every corpus id.
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("bits_per_token"))
   }
 
   /** CCNet-style LM quality bucketing: train an interpolated bigram model
@@ -782,9 +796,16 @@ object Curation {
   }
 
   /** Adjacent character-pair frequencies over the corpus's words — the
-    * statistic the FIRST merge decision of byte-pair-encoding tokenizer
-    * training reads (the most frequent pair becomes the first merge; the
-    * top-k table is the candidate list). Two generator explodes inside the
+    * corpus-diagnostic APPROXIMATION of what byte-pair-encoding training's
+    * first merge decision reads. It is deliberately not identical to
+    * [[bpeTrainMerges]]' candidate table: the trainer counts pairs over
+    * the word's symbol sequence INCLUDING the end-of-word sentinel (so
+    * `(e, </w>)` competes) and admits 1-char words, while this statistic
+    * counts only in-word character pairs — on a corpus where a
+    * word-final pair dominates, the trainer's first merge can differ
+    * from this table's top row. Use the trainer's own merge table for
+    * the actual decision; use this for the human-readable corpus
+    * character profile. Two generator explodes inside the
     * scan stage (words, then in-word pairs), one map-side-combined hash
     * aggregate on the pair, and a partial top-k merge
     * (TakeOrderedAndProject) — the corpus shuffles only pair-count
@@ -833,13 +854,19 @@ object Curation {
     // — and the DuckDB oracle — are bit-identical. The repartition
     // remains only to spread under-split single-file scans.
     val p = docs.sparkSession.sparkContext.defaultParallelism
+    // Every document gets a report row (the per-doc-report discipline this
+    // file states elsewhere: audits count report rows against corpus rows,
+    // and anti-joins must not misclassify absent ids): documents too short
+    // to have a bigram (length < 2, empty, NULL) report n = 0 with NULL
+    // entropy instead of silently vanishing from the report.
     docs
       .select(col(idCol), lower(col(textCol)).as("__t"))
-      .filter(length(col("__t")) >= 2)
       .repartition(p, col(idCol))
       .select(col(idCol),
-        graft.functions.HashExpressions.charBigramEntropy(col("__t")).as("__e"))
-      .select(col(idCol), col("__e.n").as("n"),
+        when(length(col("__t")) >= 2,
+          graft.functions.HashExpressions.charBigramEntropy(col("__t")))
+          .as("__e"))
+      .select(col(idCol), coalesce(col("__e.n"), lit(0L)).as("n"),
         round(col("__e.bigram_entropy"), 6).as("bigram_entropy"))
   }
 
@@ -912,6 +939,16 @@ object Curation {
     * A pure per-row codegen'd `regexp_replace` chain — no shuffle, no UDF;
     * patterns stay within the regex subset shared by Java and RE2 so an
     * external SQL oracle applies the identical rewrite.
+    *
+    * The phone rule is deliberately RECALL-biased: it spans space/paren/
+    * dash separators, so adjacent independent numbers in prose ("2021
+    * 2022 2023", enumerated lists) collapse into one `<PHONE>` — in a
+    * PII scrub a false redaction costs a few training tokens where a
+    * missed phone number leaks PII. That dialect-safe asymmetry is not
+    * expressible more precisely without lookarounds (RE2 has none), and
+    * it is also why [[defaultRedactions]]' NUMBER rule ([0-9]{7,}) is
+    * narrower: that surface is a caller-tunable policy where precision
+    * is the caller's choice; this one is the fixed safe default.
     */
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text, piiEmailRe, "<EMAIL>")
@@ -1606,6 +1643,9 @@ object Curation {
       maxSpan: Int = 3): DataFrame = {
     require(blockSize >= 1 && maxSpan >= 1 && maxSpan <= blockSize,
       s"need 1 <= maxSpan <= blockSize, got span=$maxSpan block=$blockSize")
+    require(maskNum >= 0 && maskNum <= 4096,
+      s"maskNum is a probability in 4096ths (0..4096), got $maskNum — " +
+        "values outside the grid silently mask everything or nothing")
     val tok = docs
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
       .withColumn("__b", floor(col("__pos") / blockSize).cast("long"))

@@ -94,7 +94,9 @@ object Dedup {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    Upsert.readKeyedParquet(spark, sinkDir)
+    // empty-input streams never create the sink (the upsert writer
+    // early-returns on empty batches) — that's an empty result, not an error
+    Upsert.readKeyedParquet(spark, sinkDir, agg.schema)
   }
 
   /** Exact dedup keeping whole rows: first row (by `idCol`) per identical

@@ -207,6 +207,31 @@ object Upsert {
   def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__bucket")
 
+  /** [[readKeyedParquet]] for sinks that may legitimately be EMPTY: the
+    * upsert/merge writers early-return on all-empty batches without ever
+    * creating `path`, so a stream whose aggregate produced nothing (an
+    * uncontaminated corpus, an all-filtered source) leaves no directory —
+    * the common clean case, not an error. Missing path ⇒ an empty frame
+    * with `schemaIfEmpty` (the caller's aggregate schema) instead of
+    * PATH_NOT_FOUND. */
+  def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      schemaIfEmpty: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "has data" = a partition dir (`__bucket=N`) or a bare parquet file.
+    // Mere existence is not enough: the applyBatchOnce replay markers
+    // (`_applied/`) create the sink dir even when every batch was empty,
+    // and a data-less dir fails schema inference on read.
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val nm = st.getPath.getName
+      nm.contains("=") || nm.endsWith(".parquet")
+    }
+    if (!hasData)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaIfEmpty)
+    else spark.read.parquet(path).drop("__bucket")
+  }
+
   /** Replay guard for non-idempotent `foreachBatch` sinks: run `body` only
     * if micro-batch `batchId` has not already been applied, recording a
     * marker file under `markerDir` afterwards. `foreachBatch` documents

@@ -58,11 +58,14 @@ class CurationPropertySpec extends AnyFunSuite {
       val docs = (1L to 15L).map(i => (i, randText(rnd, 10)))
       val got = Curation.charEntropyReport(docs.toDF("doc_id", "text"),
           "doc_id", "text")
-        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
       def log2(x: Double): Double = math.log(x) / math.log(2.0)
       docs.foreach { case (id, text) =>
         val t = text.toLowerCase
-        if (t.length < 2) assert(!got.contains(id), s"doc $id '$text'")
+        // per-doc-report discipline: short docs report (0, NULL), never vanish
+        if (t.length < 2) assert(got(id) == ((0L, None)), s"doc $id '$text'")
         else {
           val counts = t.sliding(2).toSeq.groupBy(identity).view
             .mapValues(_.size.toLong).toMap
@@ -71,7 +74,7 @@ class CurationPropertySpec extends AnyFunSuite {
             counts.toSeq.sortBy(_._1).map { case (_, c) => c * log2(c.toDouble) }
               .sum / n
           val (gn, gh) = got(id)
-          assert(gn == n.toLong && math.abs(gh - h) < 1e-6,
+          assert(gn == n.toLong && gh.exists(x => math.abs(x - h) < 1e-6),
             s"doc $id text='$text' want ($n, $h) got ($gn, $gh)")
         }
       }
@@ -83,18 +86,21 @@ class CurationPropertySpec extends AnyFunSuite {
       val docs = (1L to 12L).map(i => (i, randText(rnd, 10)))
       val got = Curation.unigramBitsPerToken(docs.toDF("doc_id", "text"),
           "doc_id", "text")
-        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
       def log2(x: Double): Double = math.log(x) / math.log(2.0)
       val all = docs.flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
       val corpus = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
       val total = all.size.toDouble
       docs.foreach { case (id, text) =>
         val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        if (toks.isEmpty) assert(!got.contains(id))
+        // token-less docs report (0, NULL), never vanish from the report
+        if (toks.isEmpty) assert(got(id) == ((0L, None)), s"doc $id")
         else {
           val bits = -toks.map(t => log2(corpus(t) / total)).sum / toks.length
           val (gn, gb) = got(id)
-          assert(gn == toks.length && math.abs(gb - bits) < 1e-6,
+          assert(gn == toks.length && gb.exists(x => math.abs(x - bits) < 1e-6),
             s"doc $id text='$text' want $bits got $gb")
         }
       }
@@ -106,7 +112,8 @@ class CurationPropertySpec extends AnyFunSuite {
       val docs = (1L to 12L).map(i => (i, randText(rnd, 10))).toDF("doc_id", "text")
       def rows(broadcastVocab: Boolean) =
         Curation.unigramBitsPerToken(docs, "doc_id", "text", broadcastVocab)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
       assert(rows(broadcastVocab = false) == rows(broadcastVocab = true))
     }
   }

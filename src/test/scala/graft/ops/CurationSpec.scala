@@ -323,6 +323,37 @@ class CurationSpec extends AnyFunSuite {
     assert(sink.count() == sink.select("doc_id").distinct().count())
   }
 
+  test("update-mode contamination sink on an UNCONTAMINATED corpus " +
+      "returns an empty blocklist, not PATH_NOT_FOUND") {
+    val base = graft.TestScratch.dir("graft-contam-clean")
+    val docs = Seq((1L, "a b c d"), (2L, "x y z")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$base/documents.parquet")
+    // benchmark shares no 2-gram with the corpus: every micro-batch
+    // aggregate is empty, so the upsert writer never creates the sink dir
+    val bench = Seq((100L, "p q r s")).toDF("bench_id", "text")
+    val updated = Curation.streamingContaminationBlocklistUpdate(
+        spark, s"$base/documents.parquet", "*.parquet", "doc_id", "text",
+        bench, "text", sinkDir = s"$base/sink", checkpointDir = s"$base/ckpt",
+        n = 2, nBuckets = 4)
+    assert(updated.columns.toSeq == Seq("doc_id", "matched_grams"))
+    assert(updated.count() == 0L)
+  }
+
+  test("streamingAssembleSequences over a rowless stream returns an " +
+      "empty frame, not PATH_NOT_FOUND") {
+    val base = graft.TestScratch.dir("graft-assemble-empty")
+    Seq.empty[(Long, Long, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    val schema = spark.read.parquet(s"$base/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$base/events.parquet")
+    val out = Curation.streamingAssembleSequences(stream, "user_id", "ts",
+      "event_id", "event_type", sep = ">", sinkDir = s"$base/sink",
+      checkpointDir = s"$base/ckpt", nBuckets = 4)
+    assert(out.columns.toSeq == Seq("user_id", "n_items", "sequence"))
+    assert(out.count() == 0L)
+  }
+
   test("packSequences: per-shard prefix sums, straddling docs span sequences") {
     val docs = Seq(
       ("s1", 1L, 3L), ("s1", 2L, 4L), ("s1", 3L, 2L), ("s1", 4L, 0L),
