@@ -4298,7 +4298,7 @@ object SparkEntry {
                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
                  / (e.vn * q.qn)
              ELSE 0.0 END AS sim
-           FROM e CROSS JOIN q WHERE e.label <> q.qlabel),
+           FROM e CROSS JOIN q WHERE e.label IS DISTINCT FROM q.qlabel),
          r AS (
            SELECT query_id, vec_id, label, sim,
              row_number() OVER (PARTITION BY query_id

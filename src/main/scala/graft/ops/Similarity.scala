@@ -188,7 +188,10 @@ object Similarity {
           dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .otherwise(lit(0.0)).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
-      .distinct()
+    // no distinct: each vector has exactly ONE bucket, so the bucket
+    // equi-join with id_a < id_b already emits each pair at most once —
+    // a distinct here would re-shuffle the entire surviving pair set
+    // for nothing (ivfCellNearNeighbors, the same shape, never had one)
   }
 
   /** Deterministic hash-sample predicate: true for ~`fraction` of ids.
@@ -275,13 +278,28 @@ object Similarity {
         (r.getLong(0), vs)
       }.toSeq
 
+  /** Is this id type losslessly representable as the Long the
+    * [[graft.functions.NearestCentroid]] codegen table requires? A string
+    * or decimal centroid id (seeds ARE corpus rows, and corpora carry
+    * UUID ids) must take the window path instead — `cast("long")` on a
+    * string id yields NULL and the driver-side collect would NPE. */
+  private def integralIdType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   private def assignToNearest(
       base: DataFrame, // (idCol, vecCol, __norm)
       centroids: DataFrame, // (centroid_id, centroid_vec, __cnorm)
       idCol: String,
       vecCol: String,
       replicas: Int = 1): DataFrame = {
-    if (replicas == 1) {
+    if (replicas == 1 &&
+        integralIdType(centroids.schema("centroid_id").dataType)) {
       base.select(col(idCol), col(vecCol),
         graft.functions.NearestCentroid.assign(col(vecCol),
           collectCentroidTable(centroids)).as("centroid_id"))
@@ -319,14 +337,25 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nlist: Int = 1024,
-      replicas: Int = 1): DataFrame = {
+      replicas: Int = 1): DataFrame =
+    assignToNearest(withNorm(embeddings, idCol, vecCol),
+      hashSeedCentroids(embeddings, idCol, vecCol, nlist), idCol, vecCol,
+      replicas)
+
+  /** The md5-threshold seed centroid frame shared by [[ivfAssign]] and
+    * [[ivfKMeans]]'s cold start (one definition so the two paths cannot
+    * drift, and so ivfKMeans can assign against its already-persisted
+    * normed base instead of re-scanning the corpus). */
+  private def hashSeedCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int): DataFrame = {
     val thr = sampleThreshold(nlist.toLong, embeddings.count())
-    val centroids = embeddings
+    embeddings
       .filter(hashSampleByThreshold(col(idCol), thr))
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"),
         norm(col(vecCol)).as("__cnorm"))
-    assignToNearest(withNorm(embeddings, idCol, vecCol), centroids, idCol, vecCol,
-      replicas)
   }
 
   /** k-means||-style seeding: hash-sample an OVERSAMPLED candidate set
@@ -374,6 +403,13 @@ object Similarity {
       val den = math.sqrt(na) * math.sqrt(nb)
       if (den > 0) d / den else 0.0
     }
+    // Loud, diagnosable failure instead of an opaque empty.maxBy: a tiny
+    // corpus can hash every id past the sample threshold (the same guard
+    // pqCodebook carries on the identical condition).
+    require(cands.nonEmpty,
+      s"k-means|| seeding sampled 0 candidates (threshold $thr/4096 over " +
+        s"${oversample}x$nlist target) — corpus too small for this " +
+        "nlist/oversample; lower nlist or seed with ivfAssign")
     val k = math.min(nlist, cands.length)
     // Farthest-point init, weighted: start from the heaviest candidate,
     // then greedily add the candidate maximizing weight × (1 - nearest cos).
@@ -445,8 +481,12 @@ object Similarity {
       replicas: Int = 1): (DataFrame, DataFrame) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val base = withNorm(embeddings, idCol, vecCol).persist()
+    // both seed paths assign against the PERSISTED base — calling
+    // ivfAssign here would rebuild withNorm(embeddings) from scratch
+    // (a full corpus scan + repartition) while base sits unused
     val assigned =
-      if (oversample <= 1) ivfAssign(embeddings, idCol, vecCol, nlist)
+      if (oversample <= 1) assignToNearest(base,
+        hashSeedCentroids(embeddings, idCol, vecCol, nlist), idCol, vecCol)
       else assignToNearest(base,
         kmeansParallelSeeds(embeddings, idCol, vecCol, nlist, oversample),
         idCol, vecCol)
@@ -634,7 +674,12 @@ object Similarity {
       nlist: Int = 1024,
       threshold: Double = 0.8): DataFrame = {
     // Persisted: the assignment feeds both self-join branches, and the
-    // self-join's attribute deduplication defeats ReuseExchange.
+    // self-join's attribute deduplication defeats ReuseExchange. The
+    // cache is a dependency of the RETURNED lazy frame, so it cannot be
+    // released here — same contract as contaminationReport's docGrams:
+    // callers running independent queries clearCache between them
+    // (Bench/Verify's between-query sweep does), and a long-lived
+    // service should release it once the pairs are consumed.
     val assigned = ivfAssign(embeddings, idCol, vecCol, nlist)
       .withColumn("__norm", norm(col(vecCol)))
       .persist()
@@ -778,23 +823,34 @@ object Similarity {
       outPath: String,
       iterations: Int = 2,
       replicas: Int = 1): Unit = {
-    val (assigned, _) = loadIvfIndex(spark, path)
+    val (assigned, centroids) = loadIvfIndex(spark, path)
     val idCol = assigned.columns
       .filterNot(c => c == "centroid_id" || c.startsWith("__")).head
     val vecCol = assigned.columns
       .filterNot(c => c == "centroid_id" || c == idCol ||
         c.startsWith("__")).head
-    // replica builds store a vector once per cell; recluster from the
-    // distinct primary rows so Lloyd means count each vector once
-    val primary = assigned
+    // Replica builds store a vector once per cell, and the saved layout
+    // does not record WHICH copy was the primary (nearest-centroid)
+    // assignment — so recompute it: dedupe to one row per vector (any
+    // copy; the vectors are identical) and re-assign against the stored
+    // centroids. A min-centroid-id pick would warm-start the Lloyd means
+    // from arbitrary replica memberships — systematically skewed cell
+    // means on the first refinement round.
+    val one = assigned
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
           .orderBy(col("centroid_id"))))
-      .filter(col("__rn") === 1).drop("__rn")
-    val (reassigned, centroids) =
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol))
+    val primary = assignToNearest(
+      withNorm(one, idCol, vecCol),
+      centroids.select(col("centroid_id"), col("centroid_vec"),
+        norm(col("centroid_vec")).as("__cnorm")),
+      idCol, vecCol)
+    val (reassigned, newCentroids) =
       ivfRecluster(primary, idCol, vecCol, iterations, replicas)
     saveIvfIndex(reassigned.select(col(idCol), col(vecCol),
-      col("centroid_id")), centroids, outPath)
+      col("centroid_id")), newCentroids, outPath)
     reassigned.unpersist()
   }
 
@@ -936,8 +992,13 @@ object Similarity {
       norm(col(vecCol)).as("__norm"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
       col(qLabelCol).as("__qlabel"), norm(col(qVecCol)).as("__qn"))
+    // NULL-safe label mismatch: a plain =!= evaluates to NULL whenever
+    // either label is NULL, silently dropping every corpus row for a
+    // NULL-labeled query (zero negatives, no error) and excluding
+    // unlabeled corpus vectors from all mining. <=> semantics instead:
+    // NULL vs X is a mismatch (a valid negative), NULL vs NULL is a match.
     val scored = e.crossJoin(broadcast(q))
-      .filter(col(labelCol) =!= col("__qlabel"))
+      .filter(!(col(labelCol) <=> col("__qlabel")))
       .select(col("query_id"), col(idCol), col(labelCol),
         when(col("__norm") * col("__qn") > 0,
           dot(col(vecCol), col("__qv")) / (col("__norm") * col("__qn")))
@@ -987,10 +1048,10 @@ object Similarity {
       vecCol: String,
       m: Int,
       targetKs: Int = 16): PqCodebook = {
-    val sampled = embeddings
-      .select(col(idCol), col(vecCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(targetKs)
+    // the CANONICAL exact-n sampler, not a re-spelling of its order — a
+    // future tie-break/hash tweak there must move the codebook with it
+    val sampled = Sampling.hashSampleExact(
+        embeddings.select(col(idCol), col(vecCol)), idCol, targetKs)
       .orderBy(col(idCol))
       .collect()
       .map(_.getSeq[Any](1).map {
@@ -1161,7 +1222,13 @@ object Similarity {
       rerank: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol)).collect()
+    // The driver-side panel keys queries by their STRING form (total for
+    // any id type — a silent cast("long") nulls string ids and the
+    // collect NPEs, the line-level trap this module documents elsewhere);
+    // the typed id joins back onto the bounded result at the end, so the
+    // output query_id keeps the source type like every sibling topK.
+    val qRows = queries
+      .select(col(qIdCol).cast("string"), col(qVecCol)).collect()
       .map { r =>
         val qv = r.getSeq[Any](1).map {
           case f: java.lang.Float => f.toDouble
@@ -1179,31 +1246,36 @@ object Similarity {
             s
           }
         }
-        (r.getLong(0), qv.map(_.toFloat), dtab)
+        (r.getString(0), qv.map(_.toFloat), dtab)
       }.toSeq
-    val qdf = qRows.toDF("query_id", "__qv", "__dtab")
+    val qdf = qRows.toDF("__qid", "__qv", "__dtab")
     val cand = encoded
-      .crossJoin(broadcast(qdf.select(col("query_id"), col("__dtab"))))
-      .select(col("query_id"), col(idCol),
+      .crossJoin(broadcast(qdf.select(col("__qid"), col("__dtab"))))
+      .select(col("__qid"), col(idCol),
         graft.functions.PqAdcDist.adist(col("pq_code"), col("__dtab")).as("__adist"))
     val item = struct(col("__adist").as("adist"), col(idCol).as("nid"))
     val shortlist = cand
-      .groupBy("query_id")
+      .groupBy("__qid")
       .agg(boundedTopK(item, rerank).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__t"))
-      .select(col("query_id"), col("__t.nid").as(idCol))
+      .select(col("__qid"), explode(col("__top")).as("__t"))
+      .select(col("__qid"), col("__t.nid").as(idCol))
     val e = embeddings.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm"))
-    val rankW = Window.partitionBy("query_id")
+    val rankW = Window.partitionBy("__qid")
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
     e.join(broadcast(shortlist), Seq(idCol))
-      .join(broadcast(qdf.select(col("query_id"), col("__qv"),
-        norm(col("__qv")).as("__qn"))), Seq("query_id"))
-      .select(col("query_id"), col(idCol),
+      .join(broadcast(qdf.select(col("__qid"), col("__qv"),
+        norm(col("__qv")).as("__qn"))), Seq("__qid"))
+      .select(col("__qid"), col(idCol),
         when(col("__norm") * col("__qn") > 0,
           dot(col(vecCol), col("__qv")) / (col("__norm") * col("__qn")))
           .otherwise(lit(0.0)).as("cosine_sim"))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
+      // restore the SOURCE-typed query id (bounded panel, broadcast)
+      .join(broadcast(queries
+        .select(col(qIdCol).as("query_id"),
+          col(qIdCol).cast("string").as("__qid")).distinct()), Seq("__qid"))
+      .select(col("query_id"), col(idCol), col("cosine_sim"), col("rank"))
   }
 
   /** Per-dimension scalar-quantization parameters: corpus min/max of each

@@ -1326,4 +1326,91 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(row.getLong(1) == 0L && row.getLong(2) == 0L && row.getLong(3) == 0L)
     assert(row.isNullAt(4) && row.isNullAt(5)) // precision, recall
   }
+
+  test("ivfAssign/ivfKMeans on STRING ids: no crash, assignment ≡ the " +
+      "long-id build's cells") {
+    // UUID-style corpora are the module's own md5-sampling contract; the
+    // replicas=1 codegen table requires Long ids, so string ids must take
+    // the window path instead of NPEing in the driver-side collect.
+    val longDocs = (0 until 60).map { i =>
+      (i.toLong, Seq(((i % 3) * 10).toFloat, (i % 5).toFloat, 1.0f))
+    }.toDF("id", "vec")
+    val strDocs = longDocs.select(
+      concat(lit("doc-"), format_string("%03d", col("id"))).as("id"),
+      col("vec"))
+    val longAssign = Similarity.ivfAssign(longDocs, "id", "vec", nlist = 4)
+      .collect().map(r => r.getLong(0) -> r.get(2)).toMap
+    val strAssign = Similarity.ivfAssign(strDocs, "id", "vec", nlist = 4)
+      .collect().map(r => r.getString(0) -> r.get(2)).toMap
+    assert(strAssign.size == 60)
+    // same corpus, same md5 seed selection (md5 of the string form of the
+    // id differs, so cells need not be identical — but every vector must
+    // be assigned and centroid ids must be corpus ids)
+    assert(strAssign.values.toSet.subsetOf(
+      strDocs.select("id").collect().map(_.getString(0)).toSet))
+    assert(longAssign.size == 60)
+    // and the k-means refinement accepts the string-id build end to end
+    val (assigned, centroids) =
+      Similarity.ivfKMeans(strDocs, "id", "vec", nlist = 4, iterations = 1)
+    assert(assigned.count() == 60 && centroids.count() >= 1)
+    assigned.unpersist()
+  }
+
+  test("pqTopK on STRING query ids keeps the source id type") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i + j) % 7).toFloat))
+    }.toDF("id", "vec")
+    val cb = Similarity.pqCodebook(docs, "id", "vec", m = 4, targetKs = 8)
+    val encoded = Similarity.pqEncode(docs, "id", "vec", cb)
+    val queries = Seq(("q-a", Seq.tabulate(8)(j => (j % 7).toFloat)),
+      ("q-b", Seq.tabulate(8)(j => ((j + 3) % 7).toFloat)))
+      .toDF("qid", "qvec")
+    val got = Similarity.pqTopK(encoded, docs, "id", "vec", cb,
+      queries, "qid", "qvec", k = 3, rerank = 10)
+    assert(got.schema("query_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val rows = got.collect()
+    assert(rows.length == 6 &&
+      rows.map(_.getString(0)).toSet == Set("q-a", "q-b"))
+  }
+
+  test("hardNegatives: NULL labels are a mismatch against any real " +
+      "label, never a silent empty result") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), java.lang.Long.valueOf(7L)),
+      (2L, Seq(0.9f, 0.1f), java.lang.Long.valueOf(8L)),
+      (3L, Seq(0.8f, 0.2f), null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "vec", "label")
+    val queries = Seq(
+      (100L, Seq(1.0f, 0.0f), java.lang.Long.valueOf(7L)),
+      (101L, Seq(1.0f, 0.0f), null.asInstanceOf[java.lang.Long]))
+      .toDF("qid", "qvec", "qlabel")
+    val got = Similarity.hardNegatives(corpus, "id", "vec", "label",
+        queries, "qid", "qvec", "qlabel", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // labeled query 100 (label 7): negatives are label-8 doc 2 AND the
+    // NULL-labeled doc 3 (unknown label ≠ 7), never same-label doc 1
+    assert(got(100L) == Set(2L, 3L))
+    // NULL-labeled query 101: every REAL-labeled doc is a negative; the
+    // NULL-labeled doc is indistinguishable (NULL <=> NULL) and excluded.
+    // The old =!= dropped every row for this query.
+    assert(got(101L) == Set(1L, 2L))
+  }
+
+  test("kmeansParallelSeeds: an empty candidate sample fails loudly, " +
+      "never an opaque empty.maxBy") {
+    // A zero-candidate sample dies at whichever guard it reaches first
+    // (the NearestCentroid table require during the weights pass, or the
+    // cands.nonEmpty require before farthest-point init) — both name the
+    // condition; the pre-guard failure was UnsupportedOperationException
+    // "empty.maxBy" with no hint of the cause.
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfKMeans(empty, "id", "vec", nlist = 4, iterations = 1,
+        oversample = 4)
+    }
+    assert(err.getMessage.contains("candidates") ||
+      err.getMessage.contains("centroid table"))
+  }
 }
