@@ -277,6 +277,11 @@ object Curation {
       minMatches: Int = 1,
       nBuckets: Int = 64,
       maxFilesPerTrigger: Int = 0): DataFrame = {
+    // sink buckets are pmod(hash, nBuckets) and the accumulated counts
+    // are n-gram-width-specific: drifted re-run parameters would merge
+    // against wrong buckets / mix incomparable counts — stamp-and-require
+    graft.ops.KeyedState.stampParams(spark, sinkDir,
+      Map("nBuckets" -> nBuckets, "n" -> n))
     val schema = spark.read.parquet(s"$dir/$glob").schema
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     val tuned = if (maxFilesPerTrigger > 0)
@@ -568,6 +573,9 @@ object Curation {
       checkpointDir: String,
       nBuckets: Int = 64): DataFrame = {
     val spark = stream.sparkSession
+    // the merge sink's __bucket= layout is pmod(key, nBuckets)
+    graft.ops.KeyedState.stampParams(spark, sinkDir,
+      Map("nBuckets" -> nBuckets))
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -79,6 +79,9 @@ object Dedup {
       checkpointDir: String,
       nBuckets: Int = 64,
       maxFilesPerTrigger: Int = 0): DataFrame = {
+    // the sink's __bucket= partition dirs are pmod(hash, nBuckets): a
+    // re-run with a drifted count would merge against the wrong buckets
+    KeyedState.stampParams(spark, sinkDir, Map("nBuckets" -> nBuckets))
     val schema = spark.read.parquet(s"$dir/$glob").schema
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     val tuned = if (maxFilesPerTrigger > 0)
@@ -307,8 +310,14 @@ object Dedup {
     val scored = clusters
       .join(df.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
     val best = scored.groupBy("cluster_id").agg(max(col("__s")).as("__mx"))
+    // Null-safe winner equality: in a cluster whose scores are ALL NULL,
+    // max() is NULL and a plain === drops every member — the anti join
+    // below would then delete the whole cluster from the corpus (total
+    // data loss for that document group). <=> keeps all-NULL clusters'
+    // members as ties and the min-id aggregate keeps exactly one, while
+    // NULL-scored members of a scored cluster still lose to the max.
     val winners = scored.join(best, "cluster_id")
-      .filter(col("__s") === col("__mx"))
+      .filter(col("__s") <=> col("__mx"))
       .groupBy("cluster_id").agg(min(col("id")).as("id"))
       .select(col("id"))
     val dropIds = clusters.select("id")
@@ -359,7 +368,11 @@ object Dedup {
     // Keeper selection and exclusion compare the id AS-IS: a cast to
     // long nulls out string/UUID ids, and the three-valued filter then
     // silently drops every occurrence — excision becomes a total no-op.
-    // struct min orders any orderable id type.
+    // struct min orders any orderable id type. The comparison itself is
+    // NULL-SAFE (<=>): a NULL doc id sorts first in the struct min, so
+    // the keeper's kid can legitimately be NULL, and === against it
+    // would evaluate to NULL — filter() silently keeping duplicated
+    // spans un-excised in every other document at that position.
     val dupGroups = occ
       .groupBy("__h")
       .agg(count(lit(1)).as("__n"),
@@ -368,8 +381,8 @@ object Dedup {
       .filter(col("__n") >= 2)
       .select(col("__h"), col("__keep"))
     val marked = occ.join(dupGroups, "__h")
-      .filter(!(col(idCol) === col("__keep.kid") &&
-        col("__pos") === col("__keep.kpos")))
+      .filter(!(col(idCol) <=> col("__keep.kid") &&
+        col("__pos") <=> col("__keep.kpos")))
       .select(col(idCol), col("__pos").as("__s"),
         (col("__pos") + spanLen).as("__e"))
     exciseMarkedRanges(docs, idCol, textCol, marked)
@@ -643,20 +656,34 @@ object Dedup {
       maxBucket: Long = 0L): DataFrame = {
     // Shingle sets computed once and persisted: they feed the signature
     // pass and both verification joins, and self-join attribute dedup
-    // prevents exchange reuse across those branches.
+    // prevents exchange reuse across those branches. The cache is a
+    // dependency of the RETURNED lazy frame (the caller-releases
+    // contract shared with Similarity.ivfCellNearNeighbors and
+    // Curation's gram index): callers running independent queries
+    // clearCache between them — Bench/Verify's sweep does — and a
+    // long-lived shard-by-shard dedup service should release each
+    // call's caches once its pairs are consumed.
     val sets = shingleSets(df, idCol, textCol, shingleLen).persist()
     val sigs = sets
       .select(col(idCol), minHashOfShingles(col("sh"), numHashes).as("sig"))
     val candidates = bandedCandidates(sigs, idCol, numHashes, bands, maxBucket)
-    candidates
-      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    verifyJaccard(candidates
+        .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b"),
+        threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact shingle-Jaccard verification shared by EVERY banded-candidate
+    * path (batch, streaming, cross-corpus): expects `sh_a`/`sh_b` shingle
+    * columns, appends `jaccard`, applies the threshold. One definition so
+    * a future guard or rounding change cannot drift between the forms. */
+  private def verifyJaccard(cand: DataFrame, threshold: Double): DataFrame =
+    cand
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** Hash bucket for the keyed streaming state dirs: a pure function of
     * the key columns, so a probe by key touches exactly one bucket. */
@@ -737,6 +764,15 @@ object Dedup {
     val bandedDir = s"$stateDir/banded"
     val shinglesDir = s"$stateDir/shingles"
     val pairsDir = s"$stateDir/pairs"
+    // Layout parameters are baked into the stored bytes (bucket dirs are
+    // pmod(hash, nStateBuckets); band signatures depend on numHashes/
+    // bands/shingleLen) — a re-run with a drifted value would silently
+    // probe nonexistent buckets / compare unmatchable signatures and
+    // MISS cross-batch pairs. Stamp-and-require instead.
+    KeyedState.stampParams(spark, stateDir, Map(
+      "nStateBuckets" -> nStateBuckets, "numHashes" -> numHashes,
+      "bands" -> bands, "shingleLen" -> shingleLen,
+      "threshold" -> threshold))
     val schema = spark.read.parquet(s"$dir/$glob").schema
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     val tuned = if (maxFilesPerTrigger > 0)
@@ -815,13 +851,10 @@ object Dedup {
             readStateBuckets(spark, shinglesDir, shBuckets)
               .join(sets.select(idCol), Seq(idCol), "left_anti"))
         else sets
-        val verified = cand
-          .join(sets.select(col(idCol).as("id_new"), col("sh").as("sh_a")), "id_new")
-          .join(others.select(col(idCol).as("id_other"), col("sh").as("sh_b")), "id_other")
-          .withColumn("jaccard",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))))
-          .filter(col("jaccard") >= threshold)
+        val verified = verifyJaccard(cand
+            .join(sets.select(col(idCol).as("id_new"), col("sh").as("sh_a")), "id_new")
+            .join(others.select(col(idCol).as("id_other"), col("sh").as("sh_b")), "id_other"),
+            threshold)
           .select(least(col("id_new"), col("id_other")).as("id_a"),
             greatest(col("id_new"), col("id_other")).as("id_b"),
             round(col("jaccard"), 6).as("jaccard"))
@@ -957,16 +990,13 @@ object Dedup {
     val bandedRef =
       bandProjection(sigsOf(refSets, refIdCol), refIdCol, numHashes, bands)
         .withColumnRenamed(refIdCol, "ref_id")
-    bandedCorpus.join(bandedRef, Seq("band", "band_sig"))
-      .select("corpus_id", "ref_id").distinct()
-      .join(corpusSets.select(col(corpusIdCol).as("corpus_id"), col("sh").as("sh_a")),
-        "corpus_id")
-      .join(refSets.select(col(refIdCol).as("ref_id"), col("sh").as("sh_b")),
-        "ref_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(bandedCorpus.join(bandedRef, Seq("band", "band_sig"))
+        .select("corpus_id", "ref_id").distinct()
+        .join(corpusSets.select(col(corpusIdCol).as("corpus_id"), col("sh").as("sh_a")),
+          "corpus_id")
+        .join(refSets.select(col(refIdCol).as("ref_id"), col("sh").as("sh_b")),
+          "ref_id"),
+        threshold)
       .select(col("corpus_id"), col("ref_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -991,6 +1021,14 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       chunks: Int = 4): DataFrame = {
+    // chunks = 1 would compute mask (1L << 64) − 1 = 0 (Scala shifts mod
+    // 64): every document lands in ONE bucket and the self-join silently
+    // becomes the full O(n²) cross product the header promises to avoid.
+    // (chunks ≤ maxHamming is allowed: recall is then the documented
+    // shared-chunk HEURISTIC, not the pigeonhole guarantee — callers use
+    // loose maxHamming values deliberately.)
+    require(chunks >= 2 && chunks <= 64,
+      s"chunks must be in [2, 64], got $chunks")
     val width = 64 / chunks
     val p = df.sparkSession.sparkContext.defaultParallelism
     // Barrier between the (expensive, interpreted) simhash fold and the

@@ -133,6 +133,52 @@ object KeyedState {
     * treats it as metadata and never lists it as data. */
   private val keptManifest = "_KEPT"
 
+  /** Does this sink/state dir hold any DATA — a `__bucket=` partition dir
+    * or a bare parquet file? Mere existence is not it: the `_PARAMS`
+    * stamp and `_applied` replay markers create the directory before any
+    * batch writes, and treating that as "data present" flips writers into
+    * their merge path against a frame schema inference cannot build. */
+  def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = fsOf(spark, path)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val nm = st.getPath.getName
+      nm.contains("=") || nm.endsWith(".parquet")
+    }
+  }
+
+  /** Layout-parameter stamp for a persistent keyed state/sink dir: the
+    * first run writes `_PARAMS` (sorted `k=v` lines); every later run
+    * REQUIRES equality. Bucket counts, signature widths, band counts and
+    * gram lengths are baked into the stored bytes — a re-run with a
+    * drifted value doesn't error, it silently probes nonexistent buckets
+    * or compares unmatchable signatures (missed pairs, corrupt merges).
+    * Same discipline as the benchmark index's `_gram_n` stamp; the
+    * underscore name keeps it out of Spark's data listing, and bucketed
+    * dirs compact per partition so the root stamp survives compaction. */
+  def stampParams(spark: SparkSession, path: String,
+      params: Map[String, Any]): Unit = {
+    val fs = fsOf(spark, path)
+    val stamp = new Path(path, "_PARAMS")
+    val rendered = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    if (fs.exists(stamp)) {
+      val in = fs.open(stamp)
+      val existing =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(existing == rendered,
+        s"state dir $path was built with parameters:\n${existing.trim}\n" +
+          s"but this run uses:\n${rendered.trim}\n— mismatched layout " +
+          "parameters silently corrupt probes and merges; rebuild the " +
+          "state dir or restore the original parameters")
+    } else {
+      fs.mkdirs(new Path(path))
+      val out = fs.create(stamp, true)
+      try out.write(rendered.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Heal an interrupted [[compactFlat]] swap. Two crash shapes:
     *
     *   - `__old` preserved, live dir MISSING: caught between the two

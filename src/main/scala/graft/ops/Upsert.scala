@@ -116,10 +116,8 @@ object Upsert {
     // KeyedState-probed state must bucket bit-identically
     val bucketOf = KeyedState.bucketColumn(keys, nBuckets)
     val withBucket = updates.withColumn("__bucket", bucketOf)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) withBucket
+      if (!KeyedState.hasData(spark, path)) withBucket
       else {
         val affected = withBucket.select("__bucket").distinct()
           .collect().map(_.getInt(0)).toSeq // ≤ nBuckets values
@@ -146,9 +144,7 @@ object Upsert {
     * directly.
     */
   private def writeBuckets(merged: DataFrame, path: String, nBuckets: Int): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(merged.sparkSession.sparkContext.hadoopConfiguration)
-    val fresh = !fs.exists(new org.apache.hadoop.fs.Path(path))
+    val fresh = !KeyedState.hasData(merged.sparkSession, path)
     val bucketed = merged.repartition(nBuckets, col("__bucket"))
     val out = if (fresh) bucketed else bucketed.localCheckpoint(true)
     try
@@ -185,10 +181,8 @@ object Upsert {
     // KeyedState-probed state must bucket bit-identically
     val bucketOf = KeyedState.bucketColumn(keys, nBuckets)
     val withBucket = updates.withColumn("__bucket", bucketOf)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val combined =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) withBucket
+      if (!KeyedState.hasData(spark, path)) withBucket
       else {
         val affected = withBucket.select("__bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
@@ -216,17 +210,11 @@ object Upsert {
     * PATH_NOT_FOUND. */
   def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       schemaIfEmpty: org.apache.spark.sql.types.StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // "has data" = a partition dir (`__bucket=N`) or a bare parquet file.
-    // Mere existence is not enough: the applyBatchOnce replay markers
-    // (`_applied/`) create the sink dir even when every batch was empty,
-    // and a data-less dir fails schema inference on read.
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
-      val nm = st.getPath.getName
-      nm.contains("=") || nm.endsWith(".parquet")
-    }
-    if (!hasData)
+    // "has data" = a partition dir or a bare parquet file (KeyedState's
+    // shared predicate): the _PARAMS stamp and _applied replay markers
+    // create the dir before any batch writes, and a data-less dir fails
+    // schema inference on read.
+    if (!KeyedState.hasData(spark, path))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaIfEmpty)
     else spark.read.parquet(path).drop("__bucket")

@@ -1327,6 +1327,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(row.isNullAt(4) && row.isNullAt(5)) // precision, recall
   }
 
+  test("keepListBy: a cluster whose scores are ALL NULL keeps exactly " +
+      "one member (min id), never deletes the whole cluster") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[java.lang.Double]),
+      (2L, null.asInstanceOf[java.lang.Double]),
+      (3L, java.lang.Double.valueOf(5.0)),
+      (4L, java.lang.Double.valueOf(9.0)),
+      (5L, java.lang.Double.valueOf(1.0))).toDF("doc_id", "score")
+    // cluster A = {1, 2} (all-NULL scores), cluster B = {3, 4} (scored),
+    // doc 5 unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("id", "cluster_id")
+    val kept = Dedup.keepListBy(docs, "doc_id", "score", clusters)
+      .collect().map(_.getLong(0)).toSet
+    // all-NULL cluster: min id wins (the old === winner filter dropped
+    // BOTH copies — total data loss); scored cluster: max score wins
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("streaming state dirs refuse drifted layout parameters") {
+    val base = graft.TestScratch.dir("graft-stamp")
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$base/docs.parquet")
+    Dedup.streamingMinHashNearDuplicates(spark, s"$base/docs.parquet",
+      "*.parquet", "doc_id", "text", stateDir = s"$base/state",
+      checkpointDir = s"$base/ckpt", threshold = 0.3, nStateBuckets = 8)
+    // same parameters: accepted (idempotent stamp)
+    Dedup.streamingMinHashNearDuplicates(spark, s"$base/docs.parquet",
+      "*.parquet", "doc_id", "text", stateDir = s"$base/state",
+      checkpointDir = s"$base/ckpt2", threshold = 0.3, nStateBuckets = 8)
+    // drifted bucket count: the stored layout is mod-8 — probing mod-16
+    // would silently MISS cross-batch pairs, so it must throw instead
+    val err = intercept[IllegalArgumentException] {
+      Dedup.streamingMinHashNearDuplicates(spark, s"$base/docs.parquet",
+        "*.parquet", "doc_id", "text", stateDir = s"$base/state",
+        checkpointDir = s"$base/ckpt3", threshold = 0.3, nStateBuckets = 16)
+    }
+    assert(err.getMessage.contains("nStateBuckets"))
+  }
+
   test("ivfAssign/ivfKMeans on STRING ids: no crash, assignment ≡ the " +
       "long-id build's cells") {
     // UUID-style corpora are the module's own md5-sampling contract; the
