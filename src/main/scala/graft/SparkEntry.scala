@@ -2680,7 +2680,7 @@ object SparkEntry {
              ('src2', 0.2), ('src3', 0.1), ('src4', 5.0)) AS t(source, wt)),
          c AS (
            SELECT tot.source,
-                  CAST(floor(8000.0 * w.wt * 4096.0 / tot.st) AS BIGINT) AS cut
+                  greatest(CAST(floor(8000.0 * w.wt * 4096.0 / tot.st) AS BIGINT), 1) AS cut
            FROM tot JOIN w USING (source))
          SELECT d.doc_id, d.source, d.n_chars
          FROM documents d JOIN c USING (source)
@@ -2696,7 +2696,7 @@ object SparkEntry {
            FROM documents),
          s AS (
            SELECT doc_id, lang, hh,
-                  CAST(CAST(concat('0x', substr(hh, 1, 4)) AS BIGINT) % 8
+                  CAST(CAST(concat('0x', substr(hh, 1, 8)) AS BIGINT) % 8
                     AS INTEGER) AS shard
            FROM h)
          SELECT doc_id, lang, shard,
@@ -2768,7 +2768,7 @@ object SparkEntry {
              ('src2', 0.25), ('src3', 0.25)) AS t(source, wt)),
          c AS (
            SELECT tot.source,
-                  CAST(floor(800.0 * w.wt * 4096.0 / tot.st) AS BIGINT) AS cut
+                  greatest(CAST(floor(800.0 * w.wt * 4096.0 / tot.st) AS BIGINT), 1) AS cut
            FROM tot JOIN w USING (source)),
          mixed AS (
            SELECT k.source, k.doc_id, k.n_tokens AS n
@@ -4057,7 +4057,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY source
                ORDER BY n_chars DESC, doc_id) AS rank,
              count(*) OVER (PARTITION BY source) AS stratum_n
-           FROM documents)
+           FROM documents WHERE n_chars IS NOT NULL)
          WHERE rank <= ceil(0.25 * stratum_n)
          ORDER BY source, rank""",
 
@@ -4075,7 +4075,7 @@ object SparkEntry {
          tw AS (SELECT source, st, pow(CAST(st AS DOUBLE), 0.5) AS p FROM totals),
          w AS (SELECT source, st, round(p / sum(p) OVER (), 6) AS wt FROM tw),
          c AS (SELECT source, st,
-             CAST(floor(50000.0 * wt * 4096.0 / CAST(st AS DOUBLE)) AS BIGINT) AS cut
+             greatest(CAST(floor(50000.0 * wt * 4096.0 / CAST(st AS DOUBLE)) AS BIGINT), 1) AS cut
            FROM w)
          SELECT d.doc_id, d.source, d.n_chars
          FROM documents d JOIN c USING (source)

@@ -75,11 +75,15 @@ object Sampling {
       .agg(ColumnBridge.collectTopK(item, n, reverse = true).as("__top"))
       .select(col(groupCol), explode(col("__top")).as("__item"))
       .select(col(groupCol).as("__wg"), col("__item.i").as("__wi"))
-    // null-safe join-back: a plain equi-join on the group column would
-    // silently drop every NULL-group row (null never equi-matches), even
-    // when that group is under n and must keep all its rows
+    // Null-safe join-back on the GROUP column only: a plain equi-join
+    // there would silently drop every NULL-group row (null never
+    // equi-matches), even when that group is under n and must keep all
+    // its rows. The ID side stays ===: a null-safe id match would fan
+    // each NULL-id row out against every NULL winner entry (3 NULL-id
+    // rows x 2 winner slots = 6 output rows where the contract says at
+    // most n) — NULL ids are never selected instead.
     df.join(broadcast(winners),
-        col(idCol) <=> col("__wi") && col(groupCol) <=> col("__wg"))
+        col(idCol) === col("__wi") && col(groupCol) <=> col("__wg"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
@@ -106,9 +110,16 @@ object Sampling {
     // split 2, …, remainder -> defaultSplit. A cumulative threshold of
     // 4096 cannot be expressed as a 3-hex-char compare (it formats to 4
     // chars), so it short-circuits to an always-true branch.
+    // positive fractions clamp UP to the 1/4096 grid floor (the
+    // hashSample rule): round(1e-4 * 4096) = 0 would make that split
+    // EMPTY with no signal — two equal cumulative thresholds select
+    // nothing between them
     val cums = fractions.scanLeft(0L) { case (c, (_, f)) =>
-      c + math.round(f * 4096)
+      c + (if (f > 0) math.max(1L, math.round(f * 4096)) else 0L)
     }.tail
+    require(cums.isEmpty || cums.last <= 4096L,
+      s"fractions round to ${cums.lastOption.getOrElse(0L)}/4096 > 1 " +
+        "after clamping tiny positive fractions up to 1/4096")
     val expr = fractions.zip(cums).foldRight(lit(defaultSplit): Column) {
       case (((name, _), thr), rest) =>
         val cond = if (thr >= 4096L) lit(true) else prefix < lit(f"$thr%03x")
@@ -172,8 +183,15 @@ object Sampling {
     */
   private def tokenBudgetKeep(idCol: String, weight: Column,
       stratumTokens: Column, budget: Long): Column = {
-    val cut = floor(lit(budget.toDouble) * weight * lit(4096.0) /
+    val cutRaw = floor(lit(budget.toDouble) * weight * lit(4096.0) /
       stratumTokens.cast("double")).cast("long")
+    // A POSITIVE weight whose cut floors to 0 clamps UP to the finest
+    // expressible cut (1/4096) — the Similarity.hashSample rule: without
+    // it, deep down-sampling (budget ≪ stratum/4096, e.g. 1e9 tokens out
+    // of 5e12) silently keeps ZERO rows from every stratum instead of
+    // approximating the budget. weight = 0 still keeps nothing (an
+    // explicit "drop this stratum" is not a rounding accident).
+    val cut = when(weight > 0.0, greatest(cutRaw, lit(1L))).otherwise(cutRaw)
     when(cut >= 4096L, lit(true))
       .otherwise(substring(md5(col(idCol).cast("string")), 1, 3) <
         lpad(lower(hex(cut)), 3, "0"))
@@ -198,11 +216,17 @@ object Sampling {
       numShards: Int,
       seed: Long = 0L): DataFrame = {
     require(numShards > 0, "numShards must be positive")
+    require(!df.columns.contains("shard") && !df.columns.contains("shard_pos"),
+      "shuffledShards emits 'shard' and 'shard_pos' columns; rename the input's")
     val h = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
     import org.apache.spark.sql.expressions.Window
+    // 8 hex chars = 32 hash bits: 4 chars (16 bits) capped the shard
+    // space at 65536 — larger counts got permanently EMPTY shards, and
+    // counts past 32768 a 2:1 modulo skew between shards. At 32 bits the
+    // residual skew is ≤ numShards/2^32 for any realistic shard count.
     df.withColumn("__h", h)
       .withColumn("shard",
-        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") % numShards)
+        (conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % numShards)
           .cast("int"))
       .withColumn("shard_pos",
         row_number().over(
@@ -238,7 +262,11 @@ object Sampling {
     // Null-score contract: null scores never win. (Unfiltered, the negated
     // struct would order nulls FIRST under the aggregate's ascending
     // ordering — the opposite of the rank window's `desc` nulls-last.)
-    val scored = df.filter(col(scoreCol).isNotNull)
+    // NaN gets the same treatment: it passes isNotNull, orders past every
+    // real double, and would still FILL ranks in groups holding fewer
+    // than k finite scores — a NaN-quality doc admitted as a "best" row.
+    val scored = df.filter(col(scoreCol).isNotNull &&
+      !isnan(col(scoreCol).cast("double")))
     // reverse = true keeps the k SMALLEST (negated score, id) structs =
     // highest scores with ascending-id tie-break; the re-sort puts the
     // bounded result in rank order for posexplode.
@@ -249,9 +277,9 @@ object Sampling {
       .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__item")))
       .select(col(groupCol).as("__wg"), col("__item.i").as("__wi"),
         (col("__pos") + 1).cast("int").as("rank"))
-    // null-safe join-back — see perGroupSampleExact
+    // group-side null-safe, id-side === — see perGroupSampleExact
     df.join(broadcast(winners),
-        col(idCol) <=> col("__wi") && col(groupCol) <=> col("__wg"))
+        col(idCol) === col("__wi") && col(groupCol) <=> col("__wg"))
       .select(df.columns.map(col).toIndexedSeq :+ col("rank"): _*)
   }
 
@@ -278,6 +306,9 @@ object Sampling {
       defaultSplit: String = "train"): DataFrame = {
     import graft.functions.TextFunctions.contentFingerprint
     assignSplit(df, idCol, fractions, defaultSplit)
+      // NULL-text docs all fingerprint to NULL — one spurious giant
+      // "leak" group sharing no content; they cannot leak eval answers
+      .filter(contentFingerprint(col(textCol)).isNotNull)
       .groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
       .agg(
         size(collect_set(col("split"))).as("n_splits"),
@@ -332,6 +363,8 @@ object Sampling {
       weights: Seq[(String, Int)],
       copyCol: String = "copy"): DataFrame = {
     require(weights.forall(_._2 >= 1), "weights must be >= 1")
+    require(!df.columns.contains(copyCol),
+      s"weightedRepeat emits a '$copyCol' column; rename the input's")
     val w = weights.foldRight(lit(1): Column) { case ((stratum, n), rest) =>
       when(col(strataCol) === stratum, lit(n)).otherwise(rest)
     }
@@ -370,7 +403,13 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
       .orderBy(col(orderCol).desc, col(idCol).asc)
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
-    df.withColumn("rank", row_number().over(w))
+    // NULL scores neither count toward stratum_n nor pass the gate (the
+    // topPerGroup null-never-wins contract): unfiltered, 40 NULL rows in
+    // a 100-row stratum inflate the kept count to 50 of the 60 SCORED
+    // rows (83%, not the requested 50%), and at keepFraction = 1.0 the
+    // NULL-score rows themselves pass a "top by quality" gate.
+    df.filter(col(orderCol).isNotNull)
+      .withColumn("rank", row_number().over(w))
       .withColumn("stratum_n", count(lit(1)).over(wn))
       .filter(col("rank") <= ceil(lit(keepFraction) * col("stratum_n")))
   }
@@ -408,9 +447,14 @@ object Sampling {
     // the one-row grand total, not a window: a constant-partitioned window
     // folds to "no partition" (WindowExec's single-partition warning) even
     // though this frame is strata-sized by construction.
+    // persisted: the strata-sized aggregate is referenced TWICE (the
+    // grand-total branch and the join side), and self-join attribute
+    // dedup can defeat exchange reuse — without the (tiny) cache the
+    // full-corpus groupBy may execute twice
     val powed = df.groupBy(strataCol)
       .agg(sum(col(tokenCol).cast("long")).as("__stratum_tokens"))
       .withColumn("__pow", pow(col("__stratum_tokens").cast("double"), alpha))
+      .persist()
     val totals = powed
       .crossJoin(broadcast(powed.agg(sum(col("__pow")).as("__powsum"))))
       .withColumn("__weight", round(col("__pow") / col("__powsum"), 6))
@@ -453,6 +497,8 @@ object Sampling {
       weightCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.contains("__priority"),
+      "prioritySample uses a '__priority' working column; rename the input's")
     val uInt = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
     val priority = col(weightCol).cast("double") / (uInt + lit(1L)).cast("double")
@@ -529,6 +575,16 @@ object Sampling {
       budget: Long,
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // stats is dimension-scale (sources), so this eager gate is one tiny
+    // job; without it a single NULL weight poisons the SQL aggregate
+    // fold (wsum goes NULL, every grant condition goes NULL) and the
+    // whole plan silently allocates 0 to every source
+    val bad = stats.filter(col(weightCol).isNull || col(weightCol) < 0 ||
+      col(tokensCol).isNull || col(tokensCol) < 0).count()
+    require(bad == 0,
+      s"mixturePlan: $bad stats rows with NULL/negative " +
+        s"$weightCol/$tokensCol — a NULL weight silently zeroes every " +
+        "source's allocation")
     val one = stats.agg(sort_array(collect_list(struct(
       col(sourceCol).cast("string").as("s"),
       col(tokensCol).cast("double").as("cap"),
