@@ -3509,7 +3509,7 @@ object SparkEntry {
          s AS (
            SELECT user_id, ts, value,
                   sum(CASE WHEN prev_ts IS NULL
-                           OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                            THEN 1 ELSE 0 END)
                     OVER (PARTITION BY user_id ORDER BY ts
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq

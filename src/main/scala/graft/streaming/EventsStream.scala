@@ -23,14 +23,20 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** [[eventSchema]] with the `ts` field re-typed — the one knob the three
+    * physical encodings differ by (INT64 nanos ⇒ LongType, wall-time
+    * micros ⇒ TimestampNTZType). One definition so adding a field to
+    * eventSchema cannot desync the per-encoding variants. */
+  private def schemaWithTs(dt: DataType): StructType = StructType(
+    eventSchema.fields.map {
+      case f if f.name == "ts" => StructField("ts", dt)
+      case f => f
+    })
+
   /** Schema used while the file still carries NANOS timestamps (Spark's
     * parquet reader has no nanosecond timestamp type).
     */
-  private val eventNanosSchema: StructType = StructType(
-    eventSchema.fields.map {
-      case f if f.name == "ts" => StructField("ts", LongType)
-      case f => f
-    })
+  private val eventNanosSchema: StructType = schemaWithTs(LongType)
 
   /** Read an events parquet robustly across the three physical encodings the
     * fixture has shipped with: INT64 nanosecond timestamps (surfaced as long
@@ -53,7 +59,12 @@ object EventsStream {
     val raw = spark.read.parquet(path)
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // FLOOR division, not `div` (truncation toward zero): a pre-epoch
+        // nanos value like -1500 ns must decode to -2 us, the same
+        // floorDiv discipline toMicros documents. (ts - pmod(ts, 1000))
+        // is an exact multiple of 1000, so the remaining div is exact.
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case TimestampNTZType =>
         // Cast interprets the wall time in the session zone; sessions here
         // run with spark.sql.session.timeZone=UTC, so this reads the stored
@@ -98,13 +109,11 @@ object EventsStream {
     probed match {
       case LongType =>
         src.schema(eventNanosSchema).parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          // floored nanos->micros — see readEvents
+          .withColumn("ts",
+            timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case TimestampNTZType =>
-        val ntzSchema = StructType(eventSchema.fields.map {
-          case f if f.name == "ts" => StructField("ts", TimestampNTZType)
-          case f => f
-        })
-        src.schema(ntzSchema).parquet(dir)
+        src.schema(schemaWithTs(TimestampNTZType)).parquet(dir)
           .withColumn("ts", col("ts").cast(TimestampType))
       case _ =>
         src.schema(eventSchema).parquet(dir)
@@ -210,8 +219,13 @@ object EventsStream {
     * state volume (8), the same rule a cluster deployment applies upward
     * (state rows ÷ target rows-per-store), not a test-only shortcut.
     */
-  private val smokeStatePartitions: Int =
-    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8").toInt
+  private lazy val smokeStatePartitions: Int =
+    // lazy + trimmed: an eager parse during OBJECT init would poison
+    // every EventsStream member — including the ~20 pure-batch query
+    // paths — with ExceptionInInitializerError on a malformed env var;
+    // lazily it can only fail the streaming smokes that consume it
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.trim.toInt)
+      .getOrElse(8)
 
   /** Run `body` (which STARTS a streaming query) with
     * `spark.sql.shuffle.partitions` scoped to [[smokeStatePartitions]],
@@ -482,8 +496,14 @@ object EventsStream {
       cur.foreach(state.update)
       closed.iterator
     }
+    // microsecond timestampFormat: to_json's default renders timestamps
+    // at MILLIsecond precision, so two attr values distinct only below
+    // the millisecond would fingerprint equal and the version change the
+    // batch build detects (typed null-safe equality) would be silently
+    // collapsed here
     val attrsJson = to_json(struct(attrCols.map(col): _*),
-      Map("ignoreNullFields" -> "false"))
+      Map("ignoreNullFields" -> "false",
+        "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
     events
       .select(col("event_id"), col("ts"), col("user_id"),
         attrsJson.as("attrs"))
@@ -509,7 +529,11 @@ object EventsStream {
     drainToBatch(spark, scd2Stream(spark, stream, attrExprs.map(_._1)),
         "events_scd2")
       .select(col("user_id"),
-        from_json(col("attrs"), StructType.fromDDL(attrSchema)).as("__a"),
+        // the matching microsecond timestampFormat — see scd2Stream's
+        // attrsJson (round-trip must not truncate what the fingerprint
+        // preserved)
+        from_json(col("attrs"), StructType.fromDDL(attrSchema),
+          Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")).as("__a"),
         col("valid_from"), col("valid_to"), col("version"))
       .select(col("user_id"), col("__a.*"), col("valid_from"),
         col("valid_to"), col("version"))
@@ -525,8 +549,15 @@ object EventsStream {
     val marked = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
+        // MICROsecond gap comparison, exactly like the streaming state's
+        // gapUs arithmetic: unix_millis truncates the sub-millisecond
+        // part the fixture timestamps carry, and a pair of events
+        // straddling the gap by < 1 ms would merge here while the stream
+        // splits them — breaking the documented batch ≡ stream contract
+        // on boundary-adjacent events.
         when(col("prev_ts").isNull ||
-          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1)
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) >
+            gapMs * 1000L, 1)
           .otherwise(0))
       .withColumn("session_seq",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
