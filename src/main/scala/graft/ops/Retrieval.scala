@@ -49,6 +49,7 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = docs.sparkSession
     // Tokenization is the expensive per-row work here, and a small/single
     // parquet file arrives as ONE input split — which would serialize the
@@ -93,11 +94,19 @@ object Retrieval {
       .groupBy(col("__qt"))
       .agg(count(lit(1)).cast("double").as("__df"),
         sum(when(col("__p").isNull || col("__p") === 0, col("__dl"))
-          .otherwise(lit(0L))).as("__tok"))
+          .otherwise(lit(0L))).as("__tok"),
+        // each doc contributes exactly ONE first-row (__p null for
+        // matchless docs, __p = 0 for the first matched term), so this
+        // sums to the corpus doc count — N without a third corpus scan
+        // (docs.count() re-executed the whole upstream plan, including
+        // q121's documents-embeddings join, just for one number)
+        sum(when(col("__p").isNull || col("__p") === 0, lit(1L))
+          .otherwise(lit(0L))).as("__nd"))
       .collect()
     val dfByTerm = statRows.filter(!_.isNullAt(0))
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val n = docs.count().toDouble
+    val n = statRows.map(r => if (r.isNullAt(3)) 0L else r.getLong(3))
+      .sum.toDouble
     val avgdl = statRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
       .sum.toDouble / n
     // Scoring term table: (doc, matched term, tf, dl) — the explode runs
@@ -251,10 +260,16 @@ object Retrieval {
       when(n > 0, transform(v, x => x.cast("double") / n))
         .otherwise(transform(v, _ => lit(0.0)))
     }
+    // NULL vectors are excluded on BOTH sides: unit(NULL) is NULL, the
+    // dot then nulls __rel, and NULL negrel sorts FIRST in the shortlist
+    // struct ordering — null-vector docs would preferentially displace
+    // real candidates from the top-m (topKJoin guards the same case)
     val e = embeddings.select(col(idCol).cast("long").as("__id"),
       unit(col(vecCol)).as("__uv")) // integral by the require above
+      .filter(col("__uv").isNotNull)
     val q = queries.select(col(qIdCol).as("query_id"),
       unit(col(qVecCol)).as("__quv"))
+      .filter(col("__quv").isNotNull)
     val scored = e.crossJoin(broadcast(q))
       .select(col("query_id"), col("__id"),
         round(dot(col("__uv"), col("__quv")), 6).as("__rel"), col("__uv"))
@@ -267,38 +282,61 @@ object Retrieval {
           t.getField("uv").as("uv"))).as("__cands"))
     val lam = lit(lambda)
     val oneMinusLam = lit(1.0) - lam
-    // Greedy selection as a left fold over k steps: each step scores the
-    // not-yet-selected candidates against the accumulated picks and appends
-    // the argmax (ties to the lowest id via the negid struct field). A
-    // query with fewer than k candidates stops growing (the otherwise
-    // branch) instead of appending null elements.
+    // Greedy selection as a left fold over k steps. The accumulator
+    // carries BOTH the picks and the remaining candidates, each candidate
+    // holding its RUNNING max-similarity to the picks so far — so each
+    // step dots every remaining candidate against only the NEWEST pick:
+    // O(k·m) dot products per query, where re-deriving max-sim against
+    // the whole pick list each step (the first formulation) was O(k²·m).
+    // Value-identical: the running max over rounded dots equals the
+    // array_max over the same rounded dots (max is order-insensitive;
+    // `greatest` skips the NULL initial, and scoring coalesces a
+    // never-updated NULL to the same 0.0 the empty-pick-list case used).
+    // Ties still break to the lowest id via the negid struct field; a
+    // query with fewer than k candidates stops growing.
     val emptySel = array().cast(
       "array<struct<id:bigint,rel:double,score:double,uv:array<double>>>")
-    val sel = aggregate(
+    val acc0 = struct(
+      emptySel.as("sel"),
+      transform(col("__cands"), c => struct(
+        c.getField("id").as("id"), c.getField("rel").as("rel"),
+        c.getField("uv").as("uv"),
+        lit(null).cast("double").as("msim"))).as("rem"))
+    val stepped = aggregate(
       sequence(lit(1), lit(k)),
-      emptySel,
+      acc0,
       (acc, _) => {
-        val remaining = filter(col("__cands"),
-          c => !exists(acc, s => s.getField("id") === c.getField("id")))
-        val withScore = transform(remaining, c => {
-          val maxSim = coalesce(
-            array_max(transform(acc,
-              s => round(dot(c.getField("uv"), s.getField("uv")), 6))),
-            lit(0.0))
-          val score = round(lam * c.getField("rel") - oneMinusLam * maxSim, 6)
+        val rem = acc.getField("rem")
+        val withScore = transform(rem, c => {
+          val score = round(lam * c.getField("rel") -
+            oneMinusLam * coalesce(c.getField("msim"), lit(0.0)), 6)
           struct(score.as("score"), (-c.getField("id")).as("negid"), c.as("c"))
         })
         val best = array_max(withScore)
-        when(size(remaining) > 0,
-          concat(acc, array(struct(
-            best.getField("c").getField("id").as("id"),
-            best.getField("c").getField("rel").as("rel"),
-            best.getField("score").as("score"),
-            best.getField("c").getField("uv").as("uv"))))).otherwise(acc)
+        val picked = best.getField("c")
+        val newSel = concat(acc.getField("sel"), array(struct(
+          picked.getField("id").as("id"),
+          picked.getField("rel").as("rel"),
+          best.getField("score").as("score"),
+          picked.getField("uv").as("uv"))))
+        val newRem = transform(
+          filter(rem, c => c.getField("id") =!= picked.getField("id")),
+          c => struct(
+            c.getField("id").as("id"), c.getField("rel").as("rel"),
+            c.getField("uv").as("uv"),
+            greatest(c.getField("msim"),
+              round(dot(c.getField("uv"), picked.getField("uv")), 6))
+              .as("msim")))
+        when(size(rem) > 0,
+          struct(newSel.as("sel"), newRem.as("rem"))).otherwise(acc)
       })
     cands
-      .select(col("query_id"), posexplode(sel).as(Seq("__i", "__s")))
-      .select(col("query_id"), col("__s.id").as(idCol),
+      .select(col("query_id"),
+        posexplode(stepped.getField("sel")).as(Seq("__i", "__s")))
+      .select(col("query_id"),
+        // cast back to the SOURCE id type (lossless: the require admits
+        // only integral ids) — topKEmit's no-silent-widening contract
+        col("__s.id").cast(embeddings.schema(idCol).dataType).as(idCol),
         col("__s.rel").as("cosine_sim"), col("__s.score").as("mmr_score"),
         (col("__i") + 1).cast("long").as("mmr_rank"))
   }
@@ -350,7 +388,13 @@ object Retrieval {
     val gained = corpus.select(col(idCol), col(labelCol).as("__dl"))
       .join(broadcast(ranked), Seq(idCol))
       .join(broadcast(qlab), Seq("query_id"))
-      .withColumn("__g", (col("__dl") === col("__ql")).cast("long"))
+      // coalesce: a NULL label (doc or query side) is a non-match, not a
+      // NULL that poisons the rank-ordered dcg fold into NULLing the
+      // whole query's score (sum skips nulls, the fold does not — hits
+      // and dcg would silently disagree); SQL CASE in the oracle already
+      // lands NULL = x in the ELSE 0 branch, so this aligns the engines
+      .withColumn("__g",
+        coalesce((col("__dl") === col("__ql")).cast("long"), lit(0L)))
     gained
       .groupBy(col("query_id"), col("__ql"))
       .agg(sum("__g").as("hits"),
