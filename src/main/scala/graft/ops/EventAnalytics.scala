@@ -46,9 +46,18 @@ object EventAnalytics {
       steps: Seq[String],
       maxEventsPerUser: Int = 10000): DataFrame = {
     require(steps.nonEmpty, "funnelReport needs at least one step")
+    require(maxEventsPerUser > 0,
+      s"maxEventsPerUser must be > 0, got $maxEventsPerUser — a zero cap " +
+        "would report a plausible-looking all-zero funnel")
     val nSteps = steps.size
     val stepArr = array(steps.map(lit): _*)
-    val relevant = events.filter(col(typeCol).isin(steps: _*))
+    // NULL event times cannot order in a funnel: unfiltered, a NULL-ts
+    // step-1 event sorts FIRST, greedily consumes step 1, and every later
+    // `ts > NULL` comparison is NULL — the user freezes at step 1 where
+    // the oracle's NULL-skipping min(ts) chains them through. Dropping
+    // the rows is exactly the oracle's semantics.
+    val relevant = events.filter(col(typeCol).isin(steps: _*) &&
+        col(timeCol).isNotNull)
       .select(col(userCol), col(timeCol).as("__ts"), col(tieCol).as("__tie"),
         col(typeCol).as("__et"))
     val perUser = relevant
@@ -67,7 +76,11 @@ object EventAnalytics {
           maxEventsPerUser, reverse = true)).as("evs"))
       .select(col(userCol),
         aggregate(col("evs"),
-          struct(lit(0).as("step"), lit(null).cast("timestamp").as("last_ts")),
+          // the accumulator's null literal takes the INPUT time type —
+          // a hardcoded timestamp failed analysis for the epoch-long
+          // timeCol shape the docstring's generic API admits
+          struct(lit(0).as("step"),
+            lit(null).cast(events.schema(timeCol).dataType).as("last_ts")),
           (acc, x) => {
             val step = acc.getField("step")
             val advance = step < nSteps &&
@@ -110,7 +123,10 @@ object EventAnalytics {
       .select(col("step").cast("int").as("step"),
         element_at(stepArr, col("step").cast("int")).as("event_type"),
         col("n_users"),
-        round(col("n_users").cast("double") / col("__first"), 6)
+        // guard the empty-funnel 0/0: Spark division yields NaN where
+        // the oracle's SQL division yields NULL — publish NULL in both
+        when(col("__first") > 0,
+          round(col("n_users").cast("double") / col("__first"), 6))
           .as("frac_of_first"))
       .orderBy("step")
   }
@@ -131,8 +147,13 @@ object EventAnalytics {
       events: DataFrame,
       timeCol: String,
       userCol: String): DataFrame = {
-    // DATE weeks, not timestamp weeks: zone- and engine-version-proof (some
-    // SQL engines return DATE from date_trunc('week'), some TIMESTAMP).
+    // DATE weeks, not timestamp weeks: ENGINE-VERSION-proof (some SQL
+    // engines return DATE from date_trunc('week'), some TIMESTAMP). The
+    // truncation itself happens in the SESSION time zone — this library
+    // pins spark.sql.session.timeZone=UTC (Bench/Verify/specs), and the
+    // streaming twin cohortStream truncates at ZoneOffset.UTC, so batch ≡
+    // stream holds under that precondition; a consumer running another
+    // session zone shifts boundary events into different cohort weeks.
     val week = date_trunc("week", col(timeCol)).cast("date")
     val perUser = events
       .select(col(userCol), week.as("__wk"))
@@ -187,7 +208,10 @@ object EventAnalytics {
       tsCol: String,
       delayUs: Long,
       batchUs: Long = 60L * 1000000L): DataFrame = {
-    val base = events.select(
+    // NULL event times have no hour and can never be counted late (every
+    // comparison against the frontier is NULL): unfiltered they surfaced
+    // as a phantom NULL-keyed window_start row
+    val base = events.filter(col(tsCol).isNotNull).select(
       col(arrivalUsCol).cast("long").as("__arr"),
       col(tieCol).as("__tie"),
       col(tsCol).as("__ts"),
@@ -207,5 +231,8 @@ object EventAnalytics {
         round(col("n_late").cast("double") / col("n"), 6))
       .select(col("window_start"), col("n"), col("n_late"), col("late_frac"),
         col("max_lag_us"))
+      // ordered like the sibling reports (funnel/cohort): an hour-keyed
+      // audit read without an explicit sort must not flake across runs
+      .orderBy("window_start")
   }
 }
