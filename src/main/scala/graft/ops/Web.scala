@@ -58,10 +58,6 @@ object Web {
   private val queryRe  =
     "(?s)\\A[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*).*\\z"
 
-  /** Lowercased scheme, or '' for non-URLs. */
-  def urlScheme(url: Column): Column =
-    lower(regexp_extract(trim(url), schemeRe, 1))
-
   /** Canonical host: lowercased, userinfo and port stripped, `www.`
     * prefix and root-dot dropped. '' for non-URLs. Single-pass codegen
     * expression ([[graft.functions.UrlExpressions.UrlHost]]). */
@@ -128,6 +124,12 @@ object Web {
     */
   def hostCapSample(df: DataFrame, urlCol: String, idCol: String,
       maxPerHost: Int): DataFrame = {
+    require(!df.columns.contains("__host"),
+      "hostCapSample uses a '__host' working column; rename the input's")
+    // id contract (inherited from perGroupSampleExact's winner join):
+    // ids must be UNIQUE and NON-NULL — duplicate ids would multiply
+    // rows past the cap through the winner join-back, NULL ids are never
+    // selected. Corpus ids satisfy both by construction.
     val withHost = df.withColumn("__host", urlHost(col(urlCol)))
       .filter(col("__host").isNotNull && col("__host") =!= "")
     Sampling.perGroupSampleExact(withHost, idCol, "__host", maxPerHost)
