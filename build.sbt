@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two sbt behaviors broke that for three consecutive rounds
+// (BENCH_r09..r11 all "parsed": null):
+//   1. forked-process output is re-logged line-by-line with an "[info] "
+//      prefix → StdoutOutput passes the child's stdout through verbatim;
+//   2. sbt appends "[success] Total time: …" after the run → showSuccess /
+//      showTiming off makes the bench's own JSON the genuinely last line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// command-level keys, invisible to the settings-graph lint
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
