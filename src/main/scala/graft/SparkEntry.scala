@@ -2091,6 +2091,24 @@ object SparkEntry {
         nlist = 32)
       Similarity.ivfDriftReport(assigned, centroids, "embedding")
         .orderBy("centroid_id")
+    }),
+
+    // Wide→long matrix ingestion (reference
+    // script/gene_haplotype_matrix_to_table.py:22-30): a deterministic
+    // wide allele matrix derived from `nation` (haplotype column + three
+    // SNP columns, with blank, whitespace-only and NULL cells planted)
+    // unpivots to (gene_name, haplotype_name, snp_id, allele) long form;
+    // blank cells surface as NULL but their rows are still emitted.
+    "q150_matrix_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "nation").select(
+        col("n_name").as("haplotype"),
+        when(col("n_nationkey") % 7 === 0, lit(""))
+          .otherwise(substring(col("n_name"), 2, 1)).as("rs1"),
+        when(col("n_nationkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(upper(substring(col("n_name"), 1, 1))).as("rs2"),
+        concat(lit("a"), (col("n_nationkey") % 4).cast("string")).as("rs3"))
+      graft.ops.Ingest.matrixToLong(wide, "g1")
+        .orderBy("haplotype_name", "snp_id")
     }))
 
   /** Deterministic messy-URL fixture expression (Spark SQL) for
@@ -5729,7 +5747,31 @@ object SparkEntry {
                 END AS drift_ppm
          FROM c LEFT JOIN cnt USING (centroid_id)
                 LEFT JOIN mvec USING (centroid_id)
-         ORDER BY centroid_id""")
+         ORDER BY centroid_id""",
+
+    // Replays matrixToLong's unpivot as a VALUES cross join: every
+    // (row × snp) cell emits one long row, blank/whitespace cells → NULL.
+    "q150_matrix_unpivot" ->
+      """WITH wide AS (
+           SELECT n_name AS haplotype,
+                  CASE WHEN n_nationkey % 7 = 0 THEN ''
+                       ELSE substr(n_name, 2, 1) END AS rs1,
+                  CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                       ELSE upper(substr(n_name, 1, 1)) END AS rs2,
+                  'a' || CAST(n_nationkey % 4 AS VARCHAR) AS rs3
+           FROM nation)
+         SELECT 'g1' AS gene_name,
+                haplotype AS haplotype_name,
+                s.snp_id,
+                CASE WHEN trim(CASE s.snp_id WHEN 'rs1' THEN rs1
+                                             WHEN 'rs2' THEN rs2
+                                             ELSE rs3 END) = '' THEN NULL
+                     ELSE CASE s.snp_id WHEN 'rs1' THEN rs1
+                                        WHEN 'rs2' THEN rs2
+                                        ELSE rs3 END
+                END AS allele
+         FROM wide CROSS JOIN (VALUES ('rs1'), ('rs2'), ('rs3')) s(snp_id)
+         ORDER BY haplotype_name, snp_id""")
 
   /** DuckDB replay of [[graft.ops.Graphs.pageRank]] on q147's derived
     * host multigraph: 3 unrolled iterations, all-BIGINT floor-division

@@ -48,6 +48,58 @@ object Ingest {
         "\\(~\\d+(-\\d+)?% *(of patients)?\\)", ""),
       "\\s+", " "))
 
+  /** Wide→long unpivot of a gene-haplotype allele matrix into
+    * `gene_haplotype_variant` long form — the natural entry format for
+    * reference haplotype data (header = SNP ids, one row per haplotype).
+    *
+    * Reference: `script/gene_haplotype_matrix_to_table.py:22-30` — the
+    * first column is the haplotype name, every other column is a SNP id,
+    * and each data row emits one (gene_name, haplotype_name, snp_id,
+    * allele) output row per SNP column. Blank allele cells surface as
+    * NULL — the row is still emitted, only the value is null — matching
+    * the matrix iteration contract ("Blank allele cells are represented
+    * as null's", `GeneHaplotypeMatrix.groovy:145-163`).
+    *
+    * Spark shape: `Dataset.unpivot` — a codegen'd Expand of each input
+    * row into one output row per SNP column, map-side only (no shuffle,
+    * no driver materialization), so it scales with input splits. This is
+    * the exact inverse of the q43 report pivot
+    * (`groupBy(row).pivot(snp_id).agg(first(allele))`).
+    *
+    * @param matrix       wide frame: haplotype-name column + one column
+    *                     per SNP (e.g. from [[graft.io.Dsv]]`.read`)
+    * @param geneName     constant gene_name for every output row (the
+    *                     reference script's required `--gene` flag)
+    * @param haplotypeCol name of the haplotype column; defaults to the
+    *                     FIRST column, as in the reference script
+    */
+  def matrixToLong(
+      matrix: DataFrame,
+      geneName: String,
+      haplotypeCol: Option[String] = None): DataFrame = {
+    val idCol = haplotypeCol.getOrElse(matrix.columns.head)
+    require(matrix.columns.contains(idCol),
+      s"matrixToLong: haplotype column '$idCol' not in " +
+        matrix.columns.mkString("[", ", ", "]"))
+    val snpCols = matrix.columns.filterNot(_ == idCol)
+    require(snpCols.nonEmpty,
+      s"matrixToLong: matrix has no SNP columns besides '$idCol'")
+    matrix
+      .unpivot(
+        Array(col(idCol).cast("string").as("haplotype_name")),
+        snpCols.map(c => col(c).cast("string")),
+        variableColumnName = "snp_id",
+        valueColumnName = "allele")
+      .select(
+        lit(geneName).as("gene_name"),
+        col("haplotype_name"),
+        col("snp_id"),
+        // blank (or all-whitespace) cell → null; a null input cell passes
+        // through the otherwise branch unchanged
+        when(trim(col("allele")) === "", lit(null).cast("string"))
+          .otherwise(col("allele")).as("allele"))
+  }
+
   /** Surrogate-key resolution for dependency-ordered loads: assign
     * deterministic ids to the parent's natural keys (dense 1-based row
     * numbers in natural-key order, the analog of harvesting auto_increment

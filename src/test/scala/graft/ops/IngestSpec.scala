@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, first}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Ingestion operator tests (reference: `pipelines.py` collapse_by_key,
@@ -186,5 +187,58 @@ class IngestSpec extends AnyFunSuite {
     assert(!uniqOk && uniqDetail.contains("collapse_by_key"))
     // untouched tables still pass everything
     assert(rep(("drug_recommendation", "pk_unique"))._1)
+  }
+
+  test("matrixToLong unpivots the reference script's docstring example") {
+    // gene_haplotype_matrix_to_table.py:9-12 — header = SNP ids, first
+    // column = haplotype name; --gene supplies the constant gene_name.
+    val wide = Seq(("*1", "G", "C"), ("*1A", "G", "C"))
+      .toDF("Haplotype Name", "rs4244285", "rs3758580")
+    val got = Ingest.matrixToLong(wide, "cyp2c19")
+      .orderBy("haplotype_name", "snp_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("cyp2c19", "*1", "rs3758580", "C"),
+      ("cyp2c19", "*1", "rs4244285", "G"),
+      ("cyp2c19", "*1A", "rs3758580", "C"),
+      ("cyp2c19", "*1A", "rs4244285", "G")))
+  }
+
+  test("matrixToLong keeps blank-cell rows with NULL alleles") {
+    // GeneHaplotypeMatrix.groovy:145-163 — the G6PD sample rows carry
+    // blank cells for rs137852328/rs76723693/rs2230037; the long form
+    // still emits those (snp, allele) rows, with allele = null. Exercise
+    // blank "", whitespace-only, and genuinely-null inputs.
+    val wide = Seq(
+      ("B (wildtype)", "C", "T", "G"),
+      ("Sample NA22302-1, Chromosome A", "T", "", null),
+      ("Sample NA22302-1, Chromosome B", "T", "  ", "A")
+    ).toDF("Haplotype", "rs1050828", "rs137852328", "rs2230037")
+    val long = Ingest.matrixToLong(wide, "g6pd")
+    // every (row × snp) cell is emitted, blanks included
+    assert(long.count() == 9)
+    val nulls = long.filter(col("allele").isNull)
+      .orderBy("haplotype_name", "snp_id")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(nulls.toSeq == Seq(
+      ("Sample NA22302-1, Chromosome A", "rs137852328"),
+      ("Sample NA22302-1, Chromosome A", "rs2230037"),
+      ("Sample NA22302-1, Chromosome B", "rs137852328")))
+  }
+
+  test("matrixToLong round-trips through the q43 report pivot") {
+    val wide = Seq(
+      ("*1", "G", "C", "A"),
+      ("*2", "T", "C", "G"),
+      ("*3", "G", "A", "G")
+    ).toDF("haplotype", "rs1", "rs2", "rs3")
+    val back = Ingest.matrixToLong(wide, "g1")
+      .groupBy(col("haplotype_name").as("haplotype"))
+      .pivot("snp_id").agg(first("allele"))
+    assert(back.columns.toSeq == Seq("haplotype", "rs1", "rs2", "rs3"))
+    assert(back.orderBy("haplotype").collect().map(_.toSeq).toSeq ==
+      wide.orderBy("haplotype").collect().map(_.toSeq).toSeq)
   }
 }
