@@ -50,6 +50,9 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    Similarity.requireQuerySideBounded(queries, "bm25TopK",
+      "chunk the query set and union bounded bm25TopK calls (the corpus " +
+        "side already streams; only the query vocabulary collects)")
     val spark = docs.sparkSession
     // Tokenization is the expensive per-row work here, and a small/single
     // parquet file arrives as ONE input split — which would serialize the
@@ -72,6 +75,16 @@ object Retrieval {
         explode(array_distinct(tokens(col(qTextCol)))).as("__t"))
     val qtermSet = qterms.select("__t").distinct()
       .collect().map(_.getString(0)).toSeq
+    // Secondary bound on the collected vocabulary itself (a few huge
+    // query documents can blow past what the row cap implies): it is
+    // broadcast into two corpus-side filters below.
+    val vocabCap = spark.conf
+      .getOption("spark.graft.maxQueryVocab").getOrElse("1000000").toLong
+    require(vocabCap <= 0 || qtermSet.size <= vocabCap,
+      s"bm25TopK: the query vocabulary (${qtermSet.size} distinct terms) " +
+        s"exceeds spark.graft.maxQueryVocab=$vocabCap; it is broadcast " +
+        "into every corpus task. Chunk the query set into bounded " +
+        "bm25TopK calls or raise spark.graft.maxQueryVocab.")
     // Corpus statistics in ONE narrow aggregate with ≤ |query vocabulary|
     // + 1 groups: per doc, the full token count plus its DISTINCT matched
     // query terms. posexplode_outer keeps matchless docs (their length
@@ -248,6 +261,9 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     require(m >= k, s"m must be >= k ($k), got $m")
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0, 1], got $lambda")
+    Similarity.requireQuerySideBounded(queries, "mmrRerank",
+      "topKJoinIvf for the candidate recall, then mmrRerank per bounded " +
+        "query chunk")
     import graft.ops.Similarity.{dot, norm}
     import org.apache.spark.sql.types.{IntegerType, LongType}
     require(Seq[org.apache.spark.sql.types.DataType](IntegerType, LongType)

@@ -61,6 +61,39 @@ object Similarity {
     df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm"))
       .repartition(parallelism(df), col(idCol))
 
+  /** Fail-loud guardrail for every path whose QUERY side is collected to
+    * the driver or broadcast to every task (topKJoin, hardNegatives,
+    * prefixTopKJoin, pqTopK, sqTopK, mmrRerank, bm25TopK). These are
+    * correct only under the queries ≪ corpus contract; misused with a
+    * corpus-sized "query" set they OOM the driver/executors instead of
+    * erroring. The check is a `limit(cap + 1).count()` — it early-exits
+    * after cap + 1 rows, so the cost on a contract-respecting query set is
+    * one cheap bounded job, and on a corpus-sized one it stops at the cap
+    * rather than scanning the corpus.
+    *
+    * Configurable via session conf `spark.graft.maxBroadcastQueries`
+    * (default 100000 rows); ≤ 0 disables the check. The error names the
+    * operator's scale path so the fix is in the message.
+    */
+  private[ops] def requireQuerySideBounded(
+      queries: DataFrame, op: String, scalePath: String): Unit = {
+    val cap = queries.sparkSession.conf
+      .getOption("spark.graft.maxBroadcastQueries")
+      .getOrElse("100000").toLong
+    if (cap > 0) {
+      require(cap < Int.MaxValue,
+        s"spark.graft.maxBroadcastQueries=$cap: a cap that large cannot " +
+          "be broadcast anyway; set <= 0 to disable the check instead")
+      val seen = queries.limit(cap.toInt + 1).count()
+      require(seen <= cap,
+        s"$op: the query side has more than " +
+          s"spark.graft.maxBroadcastQueries=$cap rows, but this path " +
+          "collects/broadcasts the whole query set (valid only while " +
+          s"queries are much smaller than the corpus). Use the scale path — " +
+          s"$scalePath — or raise spark.graft.maxBroadcastQueries.")
+    }
+  }
+
   /** Exact top-k neighbours of one query vector: a single scan, a partial
     * top-k per partition, and a k-row final sort — no shuffle of the data.
     */
@@ -578,6 +611,9 @@ object Similarity {
       qIdCol: String,
       qVecCol: String,
       k: Int): DataFrame = {
+    requireQuerySideBounded(queries, "topKJoin",
+      "topKJoinIvf (routes queries to IVF cells; only the bounded " +
+        "centroid set broadcasts)")
     val e = withNorm(embeddings, idCol, vecCol)
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
       norm(col(qVecCol)).as("__qn"))
@@ -988,6 +1024,9 @@ object Similarity {
       qVecCol: String,
       qLabelCol: String,
       k: Int): DataFrame = {
+    requireQuerySideBounded(queries, "hardNegatives",
+      "topKJoinIvf over label-filtered assignments (IVF-routed k-NN, " +
+        "bounded broadcast)")
     val e = embeddings.select(col(idCol), col(vecCol), col(labelCol),
       norm(col(vecCol)).as("__norm"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
@@ -1176,6 +1215,8 @@ object Similarity {
       k: Int,
       rerank: Int): DataFrame = {
     require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    requireQuerySideBounded(queries, "prefixTopKJoin",
+      "topKJoinIvf on the prefix space (IVF-routed k-NN, bounded broadcast)")
     val pre = slice(col(vecCol), 1, prefixDim)
     val e = embeddings.select(col(idCol), pre.as("__pv"),
       norm(pre).as("__pn"))
@@ -1222,6 +1263,9 @@ object Similarity {
       rerank: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    requireQuerySideBounded(queries, "pqTopK",
+      "topKJoinIvf over the raw vectors, or partition the query set and " +
+        "loop bounded panels")
     // The driver-side panel keys queries by their STRING form (total for
     // any id type — a silent cast("long") nulls string ids and the
     // collect NPEs, the line-level trap this module documents elsewhere);
@@ -1455,6 +1499,8 @@ object Similarity {
       qVecCol: String,
       k: Int,
       rerank: Int): DataFrame = {
+    requireQuerySideBounded(queries, "sqTopK",
+      "topKJoinIvf over the raw vectors (IVF-routed k-NN, bounded broadcast)")
     val recon = sqRecon(col("sq_code"), p)
     val e = encoded.select(col(idCol), recon.as("__rv"))
       .select(col(idCol), col("__rv"), norm(col("__rv")).as("__rn"))

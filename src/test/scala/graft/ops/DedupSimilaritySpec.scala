@@ -1454,4 +1454,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("candidates") ||
       err.getMessage.contains("centroid table"))
   }
+
+  test("broadcast-query-side paths fail loud past maxBroadcastQueries, " +
+      "naming the scale path") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.maxBroadcastQueries", "10")
+    try {
+      // corpus-sized "query" set (50 > 10) → loud error, not an OOM path
+      val err = intercept[IllegalArgumentException] {
+        Similarity.topKJoin(vecs, "vec_id", "embedding",
+          vecs, "vec_id", "embedding", k = 2)
+      }
+      assert(err.getMessage.contains("maxBroadcastQueries"))
+      assert(err.getMessage.contains("topKJoinIvf"), "names the scale path")
+      val err2 = intercept[IllegalArgumentException] {
+        Similarity.prefixTopKJoin(vecs, "vec_id", "embedding",
+          vecs, "vec_id", "embedding", prefixDim = 1, k = 2, rerank = 4)
+      }
+      assert(err2.getMessage.contains("prefixTopKJoin"))
+      // a contract-respecting query set still runs under the same cap
+      val ok = Similarity.topKJoin(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") < 3), "vec_id", "embedding", k = 2)
+      assert(ok.count() == 6)
+      // cap <= 0 disables the check
+      spark.conf.set("spark.graft.maxBroadcastQueries", "0")
+      assert(Similarity.topKJoin(vecs, "vec_id", "embedding",
+        vecs, "vec_id", "embedding", k = 1).count() == 50)
+    } finally spark.conf.unset("spark.graft.maxBroadcastQueries")
+  }
 }

@@ -249,4 +249,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 1L, Some(1.0)))) // nearest neighbor shares label 0
     assert(got(3L) == ((0L, 0L, None)))      // label 7 has no other member
   }
+
+  test("bm25TopK fails loud past the query-row and query-vocab caps") {
+    val docs = (0L until 40L).map(i => (i, s"term$i filler"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.graft.maxBroadcastQueries", "5")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Retrieval.bm25TopK(docs, "doc_id", "text", docs, "doc_id", "text",
+          k = 2)
+      }
+      assert(err.getMessage.contains("maxBroadcastQueries") &&
+        err.getMessage.contains("bm25TopK"))
+    } finally spark.conf.unset("spark.graft.maxBroadcastQueries")
+    // vocab cap: few query ROWS, huge combined vocabulary
+    val fatQs = Seq((1L, (0 until 300).map(j => s"w$j").mkString(" ")))
+      .toDF("qid", "qtext")
+    spark.conf.set("spark.graft.maxQueryVocab", "100")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Retrieval.bm25TopK(docs, "doc_id", "text", fatQs, "qid", "qtext",
+          k = 2)
+      }
+      assert(err.getMessage.contains("maxQueryVocab"))
+    } finally spark.conf.unset("spark.graft.maxQueryVocab")
+  }
 }
