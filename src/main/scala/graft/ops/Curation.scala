@@ -590,6 +590,11 @@ object Curation {
             Map("items" -> ((old: Column, nw: Column) =>
               array_sort(concat(old, nw)))), nBuckets)
         }
+        // Injected-crash point (test-only, see [[graft.ops.Failpoint]]):
+        // merge applied + fence marker written, checkpoint commit not —
+        // the replayed batch must be skipped or each key's items
+        // concatenate twice.
+        Failpoint.hit(spark, "assemble_post_fence", batchId)
         ()
       }
       .start()

@@ -896,24 +896,37 @@ object Dedup {
         // landed, so nothing double-appends. The remaining window is a
         // crash INSIDE one write's job commit — the generic
         // non-transactional-sink caveat applyBatchOnce documents.
-        val writes = Seq(
-          Future {
-            // coalesce(1): the verified-pairs frame is small (candidates
-            // that survived the jaccard cut) but inherits the verify
-            // plan's partitioning — without it every batch appends up to
-            // shuffle-partitions files; with it, one.
-            try Upsert.applyBatchOnce(spark, s"$stateDir/_pairs_w", batchId) {
-              if (!v.isEmpty)
-                v.coalesce(1).write.mode("append").parquet(pairsDir)
-            } finally v.unpersist()
-          },
-          Future(Upsert.applyBatchOnce(spark, s"$stateDir/_banded_w", batchId) {
+        def pairsWrite(): Unit =
+          // coalesce(1): the verified-pairs frame is small (candidates
+          // that survived the jaccard cut) but inherits the verify
+          // plan's partitioning — without it every batch appends up to
+          // shuffle-partitions files; with it, one.
+          try Upsert.applyBatchOnce(spark, s"$stateDir/_pairs_w", batchId) {
+            if (!v.isEmpty)
+              v.coalesce(1).write.mode("append").parquet(pairsDir)
+          } finally v.unpersist()
+        def bandedWrite(): Unit =
+          Upsert.applyBatchOnce(spark, s"$stateDir/_banded_w", batchId) {
             appendStateBuckets(banded, bandedDir,
               Seq("band", "band_sig"), nStateBuckets)
-          }),
-          Future(Upsert.applyBatchOnce(spark, s"$stateDir/_shingles_w", batchId) {
+          }
+        def shinglesWrite(): Unit =
+          Upsert.applyBatchOnce(spark, s"$stateDir/_shingles_w", batchId) {
             appendStateBuckets(sets, shinglesDir, Seq(idCol), nStateBuckets)
-          }))
+          }
+        // Injected-crash point "minhash_mid_writes" (test-only, see
+        // [[Failpoint]]): the index appends land WITH their markers, the
+        // pairs append does not — the partial-batch crash the replay-safe
+        // regeneration above exists for, produced through a genuinely
+        // failing query rather than a hand-edited state dir. Writes run
+        // sequentially here so the crash state is deterministic; the
+        // production path below is untouched.
+        if (Failpoint.armed(spark, "minhash_mid_writes", batchId)) {
+          bandedWrite(); shinglesWrite(); v.unpersist()
+          Failpoint.hit(spark, "minhash_mid_writes", batchId)
+        }
+        val writes = Seq(Future(pairsWrite()), Future(bandedWrite()),
+          Future(shinglesWrite()))
         writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
         // Compaction runs OUTSIDE the replay markers: it is idempotent
         // and content-preserving, so re-running it on replay is free,
@@ -928,6 +941,12 @@ object Dedup {
           0 until nStateBuckets, compactAfterFiles)
         sets.unpersist()
         banded.unpersist()
+        // Injected-crash point "minhash_post_writes" (test-only): every
+        // state write landed with its marker, but the whole-batch marker
+        // (written when this block returns) and the checkpoint commit
+        // have not — on restart Spark replays the batch and every
+        // per-write fence must skip its already-landed append.
+        Failpoint.hit(spark, "minhash_post_writes", batchId)
        }
         ()
       }

@@ -953,6 +953,12 @@ object Similarity {
           KeyedState.appendPartitioned(assigned, s"$indexDir/assigned",
             "centroid_id", parallelism(batch))
         }
+        // Injected-crash point (test-only, see [[Failpoint]]): the cell
+        // append landed and its fence marker is written, but the
+        // checkpoint commit has not — on restart Spark replays this
+        // batch and the fence must skip the append (else every vector
+        // in the batch duplicates in its cell).
+        Failpoint.hit(spark, "ivf_post_fence", batchId)
         KeyedState.compactPartitions(spark, s"$indexDir/assigned",
           "centroid_id",
           KeyedState.touchedValues(assigned.select("centroid_id")),

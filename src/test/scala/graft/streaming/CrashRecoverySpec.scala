@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Curation, Dedup, Failpoint, Similarity}
+
+/** Kill-and-restart integration probes for the keyed streaming sinks.
+  *
+  * The earlier replay specs simulate recovery by hand-editing state dirs
+  * after a CLEAN run; these instead crash the query WHILE IT RUNS — a
+  * [[Failpoint]] throws inside `foreachBatch` after the state writes land
+  * but before Structured Streaming commits the micro-batch — and then
+  * restart from the SAME checkpoint, so the batch replay travels Spark's
+  * own recovery path. Exactly-once is proven by equality with an
+  * uninterrupted run on separate directories.
+  */
+class CrashRecoverySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-crash-recovery-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Run `body`, assert it failed because of the INJECTED crash (not an
+    * incidental error), then disarm the failpoint. */
+  private def crashes(body: => Any): Unit = {
+    val e = intercept[Throwable](body)
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[Failpoint.InjectedCrash]),
+      s"expected the injected crash, got: $e")
+    spark.conf.unset("spark.graft.test.failpoint")
+  }
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "the quick brown fox jumps over the lazy cat"),
+    (4L, "completely different text about spark engines and shuffles"),
+    (5L, "THE  QUICK   Brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  test("minhash stream killed after all state writes, before the batch " +
+      "commit: restart replays through the checkpoint, pairs exactly-once") {
+    val base = graft.TestScratch.dir("graft-crash-mh-post")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$base/docs.parquet")
+    def run(tag: String) = Dedup.streamingMinHashNearDuplicates(spark,
+        s"$base/docs.parquet", "*.parquet", "doc_id", "text",
+        stateDir = s"$base/state$tag", checkpointDir = s"$base/ckpt$tag",
+        threshold = 0.4, maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val golden = run("_golden")
+    assert(golden.nonEmpty)
+    // crash mid-stream on the SECOND micro-batch, after every write+marker
+    spark.conf.set("spark.graft.test.failpoint", "minhash_post_writes:1")
+    crashes(run(""))
+    // restart from the same checkpoint: batch 1 replays, fences skip
+    assert(run("") == golden)
+    val raw = spark.read.parquet(s"$base/state/pairs")
+    assert(raw.count() == raw.distinct().count() && raw.count() == golden.size)
+  }
+
+  test("minhash stream killed mid-batch (index appends landed, pairs " +
+      "write did not): replay regenerates identical pairs, no double appends") {
+    val base = graft.TestScratch.dir("graft-crash-mh-mid")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$base/docs.parquet")
+    def run(tag: String) = Dedup.streamingMinHashNearDuplicates(spark,
+        s"$base/docs.parquet", "*.parquet", "doc_id", "text",
+        stateDir = s"$base/state$tag", checkpointDir = s"$base/ckpt$tag",
+        threshold = 0.4, maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val golden = run("_golden")
+    spark.conf.set("spark.graft.test.failpoint", "minhash_mid_writes:1")
+    crashes(run(""))
+    assert(run("") == golden)
+    // the replayed batch's docs sat in the index during regeneration; the
+    // anti-join/orientation guards must leave zero duplicate state rows
+    for (store <- Seq("banded", "shingles")) {
+      val s = spark.read.parquet(s"$base/state/$store")
+      assert(s.count() == s.distinct().count(), s"duplicate rows in $store")
+    }
+    val raw = spark.read.parquet(s"$base/state/pairs")
+    assert(raw.count() == raw.distinct().count() && raw.count() == golden.size)
+  }
+
+  test("IVF ingest killed between the fenced append and the batch commit: " +
+      "restart does not duplicate cell members") {
+    val base = graft.TestScratch.dir("graft-crash-ivf")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.repartition(3).write.mode("overwrite").parquet(s"$base/emb.parquet")
+    val thr = Similarity.sampleThreshold(8L, emb.count())
+    val centroids = emb
+      .filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    def run(tag: String) = Similarity.streamingIvfIngest(spark,
+        s"$base/emb.parquet", "*.parquet", "vec_id", "embedding", centroids,
+        indexDir = s"$base/index$tag", checkpointDir = s"$base/ckpt$tag",
+        maxFilesPerTrigger = 1)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val golden = run("_golden")
+    spark.conf.set("spark.graft.test.failpoint", "ivf_post_fence:1")
+    crashes(run(""))
+    assert(run("") == golden)
+    // set equality would mask duplicates; the index must also hold
+    // exactly one row per vector
+    assert(spark.read.parquet(s"$base/index/assigned").count() == emb.count())
+  }
+
+  test("sequence-assembly merge sink killed between the fenced merge and " +
+      "the batch commit: items concatenate exactly once") {
+    val base = graft.TestScratch.dir("graft-crash-asm")
+    val rows = (1L to 60L).map(i => (i % 5, i, i * 7 % 13, "e" + (i % 4)))
+      .toDF("user_id", "ord", "tie", "ev")
+    rows.repartition(3).write.mode("overwrite").parquet(s"$base/rows.parquet")
+    val schema = spark.read.parquet(s"$base/rows.parquet").schema
+    def stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/rows.parquet")
+    def run(tag: String) = Curation.streamingAssembleSequences(stream,
+        "user_id", "ord", "tie", "ev", sep = ">",
+        sinkDir = s"$base/sink$tag", checkpointDir = s"$base/ckpt$tag",
+        nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val golden = run("_golden")
+    assert(golden.nonEmpty && golden.forall(_._2 == 12))
+    spark.conf.set("spark.graft.test.failpoint", "assemble_post_fence:1")
+    crashes(run(""))
+    // a double-applied merge would show 24-element sequences here
+    assert(run("") == golden)
+  }
+}
