@@ -156,12 +156,30 @@ object KeyedState {
     * Same discipline as the benchmark index's `_gram_n` stamp; the
     * underscore name keeps it out of Spark's data listing, and bucketed
     * dirs compact per partition so the root stamp survives compaction. */
+  /** Canonical stamp rendering for one parameter value: numeric types
+    * render as plain decimal strings (no exponent, no trailing zeros, via
+    * BigDecimal), so the SAME number always produces the SAME line
+    * however the caller spelled it — `1e-4` and `0.0001` both render
+    * `0.0001`, `0.5f` and `0.5` both render `0.5` (floats widen to the
+    * double they exactly are; genuinely different values like `0.1f` vs
+    * `0.1` stay distinct, as they must — the stored bytes differ). A
+    * toString rendering instead varies with literal form and spuriously
+    * fails the equality require below. */
+  private def renderParam(v: Any): String = v match {
+    case d: Double =>
+      BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
+    case f: Float => renderParam(f.toDouble)
+    case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+    case d: BigDecimal => d.bigDecimal.stripTrailingZeros.toPlainString
+    case other => String.valueOf(other)
+  }
+
   def stampParams(spark: SparkSession, path: String,
       params: Map[String, Any]): Unit = {
     val fs = fsOf(spark, path)
     val stamp = new Path(path, "_PARAMS")
     val rendered = params.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+      .map { case (k, v) => s"$k=${renderParam(v)}" }.mkString("", "\n", "\n")
     if (fs.exists(stamp)) {
       val in = fs.open(stamp)
       val existing =
@@ -174,8 +192,27 @@ object KeyedState {
           "state dir or restore the original parameters")
     } else {
       fs.mkdirs(new Path(path))
-      val out = fs.create(stamp, true)
+      // temp-file + rename: two concurrent FIRST runs otherwise race
+      // check-then-create and one could read a half-written stamp; the
+      // rename makes the stamp appear atomically (losing a same-params
+      // race is harmless — the rename simply overwrites with identical
+      // bytes, and differing params fail the require on the next call).
+      val tmp = new Path(path,
+        s"._PARAMS.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
       try out.write(rendered.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, stamp)) {
+        // a concurrent run won the rename: fall through to the equality
+        // check against whatever landed
+        fs.delete(tmp, false)
+        val in = fs.open(stamp)
+        val existing =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        require(existing == rendered,
+          s"state dir $path was concurrently stamped with parameters:\n" +
+            s"${existing.trim}\nbut this run uses:\n${rendered.trim}")
+      }
     }
   }
 

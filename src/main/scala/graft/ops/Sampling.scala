@@ -61,6 +61,13 @@ object Sampling {
     * partition per group; the winner set (groups × n — small by
     * construction) broadcasts back to recover full rows. Groups smaller
     * than `n` keep every row.
+    *
+    * ID CONTRACT: `idCol` values must be unique and non-NULL. The winner
+    * join-back matches ids with `===`, so NULL-id rows are never selected
+    * (a null-safe id match would fan each NULL-id row out against every
+    * NULL winner slot and overshoot n); duplicate ids would multiply
+    * join-back rows past n. Derive a surrogate id first if the input has
+    * neither.
     */
   def perGroupSampleExact(
       df: DataFrame,
@@ -248,6 +255,12 @@ object Sampling {
     * would instead shuffle AND fully sort every group. The winner set
     * (groups × k rows — small by construction) joins back to the input to
     * recover the full rows; Spark broadcasts it when it fits.
+    *
+    * ID CONTRACT: `idCol` values must be unique and non-NULL — the winner
+    * join-back matches ids with `===` (NULL-id rows are never selected;
+    * duplicate ids would multiply join-back rows past k). Derive a
+    * surrogate id first if the input has neither. NULL and NaN scores
+    * never win (filtered before ranking, see below).
     */
   def topPerGroup(
       df: DataFrame,
@@ -429,6 +442,15 @@ object Sampling {
     * weight derived ON that tiny frame (its total via a strata-sized
     * window), broadcast back, then a pure per-row md5 predicate. The corpus
     * never shuffles.
+    *
+    * CACHE CONTRACT: the strata-sized totals aggregate is persisted (it
+    * backs two branches of the returned lazy frame, so an eager unpersist
+    * here would fire at plan-construction time, before any action ran).
+    * The cached frame is tiny (one row per stratum), but a long-lived
+    * session issuing many calls accumulates them — callers that care
+    * release via `spark.catalog.clearCache()` between independent
+    * queries, the same contract as [[Curation.contaminationReport]] and
+    * [[Similarity.ivfCellNearNeighbors]].
     */
   def temperatureMixture(
       df: DataFrame,

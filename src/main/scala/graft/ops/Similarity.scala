@@ -185,6 +185,11 @@ object Similarity {
     * dominated by low-similarity noise; the documented recall trade is
     * that true pairs whose every shared bucket is overfull are missed
     * (raise `bits` or union with [[ivfCellNearNeighbors]]).
+    *
+    * ID CONTRACT: `idCol` values must be unique — pair emission relies on
+    * `id_a < id_b` alone (no distinct; one sits behind every shuffle this
+    * operator would otherwise need), so duplicate ids emit duplicate
+    * (id_a, id_b) rows.
     */
   def lshNearNeighbors(
       embeddings: DataFrame,

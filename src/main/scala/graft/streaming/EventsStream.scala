@@ -258,6 +258,17 @@ object EventsStream {
     * `[watermark - gap, max event time seen]`, so its length is bounded
     * by (watermark delay + clock skew) / gap, independent of corpus size
     * (1 h delay / 30 min gap ⇒ ≤ ~3, plus one per far-future outlier).
+    *
+    * DRAIN REQUIREMENT: the close rule is strict (`end + gap <
+    * watermark`), so sessions still open when the watermark stops
+    * advancing — i.e. at end of input — are WITHHELD, not emitted: the
+    * stream cannot yet prove them closed. Batch-vs-stream equivalence
+    * therefore holds only for a drained consumer: append a far-future
+    * sentinel event (any user id, `ts` past every real event by more
+    * than the watermark delay + gap) to push the watermark past the last
+    * open session before the final read, as the specs do. A consumer
+    * comparing an UN-drained stream against [[sessionizeBatch]] will see
+    * the trailing open sessions missing.
     */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMs: Long = 30 * 60 * 1000L): DataFrame = {

@@ -162,4 +162,23 @@ class KeyedStateSpec extends AnyFunSuite {
     KeyedState.repairFlat(spark, p)
     assert(spark.read.parquet(p).count() == before.size)
   }
+
+  test("stampParams: numerically equal params match whatever literal " +
+      "form the caller used; drifted params still fail") {
+    val p = graft.TestScratch.dir("graft-stamp") + "/state"
+    KeyedState.stampParams(spark, p,
+      Map("threshold" -> 1e-4, "ratio" -> 0.5f, "n" -> 32))
+    // same numbers, different renderings/types — must NOT fail
+    KeyedState.stampParams(spark, p,
+      Map("threshold" -> 0.0001, "ratio" -> 0.5, "n" -> 32))
+    // a genuinely different value still fails loud
+    val err = intercept[IllegalArgumentException] {
+      KeyedState.stampParams(spark, p,
+        Map("threshold" -> 0.0002, "ratio" -> 0.5, "n" -> 32))
+    }
+    assert(err.getMessage.contains("parameters"))
+    // the stamp file appeared atomically (no leftover temp files)
+    val files = new java.io.File(p).listFiles().map(_.getName)
+    assert(files.contains("_PARAMS") && !files.exists(_.contains(".tmp.")))
+  }
 }
