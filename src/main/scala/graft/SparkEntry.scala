@@ -5937,16 +5937,23 @@ object SparkEntry {
            FROM parts),
          hostq AS (SELECT *,
              regexp_replace(regexp_replace(regexp_replace(noinfo,
-               ':[0-9]*\\z', ''), '\\Awww\\.', ''), '\\.\\z', '') AS host,
-             regexp_extract(noinfo, ':([0-9]+)\\z', 1) AS port
+               ':[0-9]*\\z', ''), '\\A(www\\.)+', ''), '\\.+\\z', '')
+               AS host,
+             regexp_extract(noinfo, ':([0-9]+)\\z', 1) AS rawport
            FROM hostp),
+         hostr AS (SELECT *,
+             CASE WHEN rawport = '' THEN ''
+                  WHEN regexp_replace(rawport, '\\A0+', '') = '' THEN '0'
+                  ELSE regexp_replace(rawport, '\\A0+', '') END AS port
+           FROM hostq),
          qkeep AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
              string_split(query, '&'),
-             x -> len(x) > 0 AND NOT regexp_matches(string_split(x, '=')[1],
+             x -> len(x) > 0 AND NOT regexp_matches(
+               lower(string_split(x, '=')[1]),
                '(?s)\\A(utm_.*|gclid|fbclid|msclkid|ref|mc_eid|igshid)\\z'))),
              '&'),
              '') AS kept
-           FROM hostq),
+           FROM hostr),
          canon AS (SELECT doc_id, host,
              CASE WHEN scheme = '' OR host = '' THEN NULL
                   ELSE scheme || '://' || host

@@ -115,8 +115,15 @@ object UrlExpressions {
       port = netloc.substring(j) // may be "" for a bare trailing ':'
       host = netloc.substring(0, j - 1)
     }
-    if (host.startsWith("www.")) host = host.substring(4)
-    if (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    // IDEMPOTENT strips (round-11 review): every `www.` layer and every
+    // trailing root-dot go, so re-canonicalizing already-canonical data
+    // is a no-op — `www.www.x.com` and `x.com..` reach their fixpoint in
+    // one pass. Order: prefix layers first, then trailing dots (a prefix
+    // strip can expose trailing dots, never vice versa).
+    while (host.startsWith("www.")) host = host.substring(4)
+    var he = host.length
+    while (he > 0 && host.charAt(he - 1) == '.') he -= 1
+    if (he < host.length) host = host.substring(0, he)
     // path: up to '?' or '#'
     val pStart = i
     while (i < u.length && { val c = u.charAt(i); c != '?' && c != '#' })
@@ -133,16 +140,35 @@ object UrlExpressions {
     new Parts(true, scheme, host, port, path, query)
   }
 
+  /** Canonical numeric form of a digits-only port string: leading zeros
+    * stripped (`080` → `80`, `000` → `0`, `` stays ``) — pure string
+    * arithmetic, so a 20-digit junk port cannot overflow anything and
+    * the default-port comparison below is effectively numeric
+    * (round-11 review: the string compare kept `:080` where `:80`
+    * dropped — same page, two canonical keys). */
+  private def canonicalPort(port: String): String = {
+    var i = 0
+    while (i < port.length - 1 && port.charAt(i) == '0') i += 1
+    port.substring(i)
+  }
+
   /** Java-friendly static for generated code: canonical URL or null. */
   def canonicalizeEval(input: UTF8String): UTF8String = {
     val p = parse(input.toString)
+    canonicalOf(p, input.numChars())
+  }
+
+  /** Canonical URL from parsed parts (one shared builder for the
+    * canonicalize and parts expressions). */
+  private def canonicalOf(p: Parts, sizeHint: Int): UTF8String = {
     if (!p.ok || p.scheme.isEmpty || p.host.isEmpty) return null
-    val sb = new java.lang.StringBuilder(input.numChars())
+    val sb = new java.lang.StringBuilder(sizeHint)
     sb.append(p.scheme).append("://").append(p.host)
-    if (p.port.nonEmpty &&
-      !((p.scheme == "http" && p.port == "80") ||
-        (p.scheme == "https" && p.port == "443")))
-      sb.append(':').append(p.port)
+    val port = canonicalPort(p.port)
+    if (port.nonEmpty &&
+      !((p.scheme == "http" && port == "80") ||
+        (p.scheme == "https" && port == "443")))
+      sb.append(':').append(port)
     var pathEnd = p.path.length
     while (pathEnd > 0 && p.path.charAt(pathEnd - 1) == '/') pathEnd -= 1
     if (pathEnd == 0) sb.append('/') else sb.append(p.path, 0, pathEnd)
@@ -155,7 +181,10 @@ object UrlExpressions {
         if (part.nonEmpty) {
           val eq = part.indexOf('=')
           val key = if (eq >= 0) part.substring(0, eq) else part
-          if (!isTrackingKey(key)) kept.add(UTF8String.fromString(part))
+          // case-insensitive key match (round-11 review: `UTM_Source=`
+          // survived the case-sensitive rule); the PARAM ITSELF keeps
+          // its case — only the classification lowercases
+          if (!isTrackingKey(lower(key))) kept.add(UTF8String.fromString(part))
         }
         i += 1
       }
@@ -180,9 +209,43 @@ object UrlExpressions {
     UTF8String.fromString(if (p.ok) p.host else "")
   }
 
+  /** (host, canonical) from ONE parse — for consumers that need both
+    * ([[graft.ops.Web.hostReport]]); separate UrlHost + UrlCanonicalize
+    * calls would parse every row twice (subexpression elimination cannot
+    * merge two DIFFERENT expressions). */
+  def partsEval(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val p = parse(input.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        UTF8String.fromString(if (p.ok) p.host else ""),
+        canonicalOf(p, input.numChars())))
+  }
+
+  /** Struct-returning single-parse expression: `(host, canonical)`. */
+  case class UrlParts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("host", StringType, nullable = false),
+      StructField("canonical", StringType, nullable = true)))
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      partsEval(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.UrlExpressions.partsEval($c);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def urlCanonicalize(url: Column): Column =
     ColumnBridge.column(UrlCanonicalize(ColumnBridge.expression(url)))
 
   def urlHost(url: Column): Column =
     ColumnBridge.column(UrlHost(ColumnBridge.expression(url)))
+
+  def urlParts(url: Column): Column =
+    ColumnBridge.column(UrlParts(ColumnBridge.expression(url)))
 }

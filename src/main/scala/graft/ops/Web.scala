@@ -22,14 +22,18 @@ import org.apache.spark.sql.functions._
   *   1. trim surrounding whitespace; parse `scheme://netloc path ?query
   *      #fragment` — inputs that don't parse (no scheme/host) yield NULL
   *   2. scheme and host lowercase; userinfo (`user:pass@`) stripped
-  *   3. default ports dropped (`:80` for http, `:443` for https); other
-  *      explicit ports kept
-  *   4. leading `www.` and trailing root-dot stripped from the host
+  *   3. default ports dropped NUMERICALLY (`:80`/`:080` for http,
+  *      `:443`/`:0443` for https); kept ports render with leading zeros
+  *      stripped, so one page has one port spelling
+  *   4. every leading `www.` layer and every trailing root-dot stripped
+  *      from the host — idempotent, so re-canonicalizing
+  *      already-canonical data is a no-op
   *   5. trailing slashes stripped from the path; empty path becomes `/`
   *      (path case is PRESERVED — paths are case-sensitive per RFC 3986)
   *   6. tracking parameters dropped (`utm_*`, gclid, fbclid, msclkid,
-  *      ref, mc_eid, igshid), the rest sorted bytewise for a canonical
-  *      parameter order; an emptied query drops its `?`
+  *      ref, mc_eid, igshid — keys matched CASE-INSENSITIVELY, the
+  *      surviving params keep their case), the rest sorted bytewise for
+  *      a canonical parameter order; an emptied query drops its `?`
   *   7. fragment dropped
   */
 object Web {
@@ -79,7 +83,9 @@ object Web {
     val netloc = lower(regexp_extract(trim(url), netlocRe, 1))
     val noInfo = regexp_replace(netloc, "\\A[^@]*@", "")
     val noPort = regexp_replace(noInfo, ":[0-9]*\\z", "")
-    regexp_replace(regexp_replace(noPort, "\\Awww\\.", ""), "\\.\\z", "")
+    // idempotent strips: every www. layer, every trailing root-dot —
+    // re-canonicalizing canonical data must be a no-op
+    regexp_replace(regexp_replace(noPort, "\\A(www\\.)+", ""), "\\.+\\z", "")
   }
 
   /** [[canonicalizeUrl]] as built-in-function composition (reference
@@ -90,7 +96,14 @@ object Web {
     val host = urlHostColumns(url)
     val netloc = lower(regexp_extract(u, netlocRe, 1))
     val noInfo = regexp_replace(netloc, "\\A[^@]*@", "")
-    val port = regexp_extract(noInfo, ":([0-9]+)\\z", 1)
+    val rawPort = regexp_extract(noInfo, ":([0-9]+)\\z", 1)
+    // canonical numeric port form: leading zeros stripped (:080 ≡ :80),
+    // so the default-port comparison is effectively numeric and kept
+    // ports render one way — pure string ops, a junk 20-digit port
+    // cannot overflow anything
+    val zeroless = regexp_replace(rawPort, "\\A0+", "")
+    val port = when(rawPort === "", lit(""))
+      .otherwise(when(zeroless === "", lit("0")).otherwise(zeroless))
     val keepPort = (port =!= "") &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
@@ -103,7 +116,8 @@ object Web {
     val kept = array_join(
       array_sort(filter(split(rawQuery, "&"), p =>
         (length(p) > 0) &&
-          !element_at(split(p, "="), 1).rlike(trackingKeyRe))),
+          // case-insensitive KEY match; the param keeps its case
+          !lower(element_at(split(p, "="), 1)).rlike(trackingKeyRe))),
       "&")
     val queryOut = when(kept === "", lit("")).otherwise(concat(lit("?"), kept))
     when(scheme === "" || host === "", lit(null).cast("string"))
@@ -149,9 +163,14 @@ object Web {
     * shuffle as a two-column (host, canonical) pre-distinct.
     */
   def hostReport(df: DataFrame, urlCol: String): DataFrame = {
+    // ONE parse per row: the struct expression yields (host, canonical)
+    // together — separate urlHost + canonicalizeUrl projections each
+    // parse, doubling the hot projection's work (subexpression
+    // elimination cannot merge two different expressions).
     val canon = df
-      .select(urlHost(col(urlCol)).as("host"),
-        canonicalizeUrl(col(urlCol)).as("canonical"))
+      .select(graft.functions.UrlExpressions.urlParts(col(urlCol)).as("__p"))
+      .select(col("__p.host").as("host"),
+        col("__p.canonical").as("canonical"))
       .filter(col("canonical").isNotNull)
     canon
       .groupBy("host")

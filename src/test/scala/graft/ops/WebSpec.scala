@@ -67,6 +67,30 @@ class WebSpec extends AnyFunSuite {
     assert(canon(once: _*) == once)
   }
 
+  test("idempotent strips, numeric default ports, case-insensitive " +
+      "tracking keys (round-12 rule fixes)") {
+    val got = canon(
+      // multiple www. layers + multiple root dots reach the fixpoint
+      "https://www.www.x.example.com../a",
+      // default ports compared numerically, whatever the digit spelling
+      "http://x.example.com:080/a",
+      "https://x.example.com:0443/a",
+      // kept ports render in canonical numeric form
+      "http://x.example.com:08080/a",
+      // tracking keys match case-insensitively; surviving params keep case
+      "https://x.example.com/p?UTM_Source=f&Z=1",
+      "https://x.example.com/p?REF=t&z=1")
+    assert(got == Seq(
+      "https://x.example.com/a",
+      "http://x.example.com/a",
+      "https://x.example.com/a",
+      "http://x.example.com:8080/a",
+      "https://x.example.com/p?Z=1",
+      "https://x.example.com/p?z=1"))
+    // re-canonicalizing already-ingested canonical data is a no-op
+    assert(canon(got: _*) == got)
+  }
+
   test("urlHost strips userinfo, port, www, and root dot") {
     val got = Seq("HTTPS://u@WWW.Host.Example.ORG.:8443/x")
       .toDF("url").select(Web.urlHost(col("url"))).as[String].head()
