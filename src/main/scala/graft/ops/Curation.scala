@@ -68,17 +68,21 @@ object Curation {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     // Distinct word n-grams via the row-level [[HashExpressions.ShingleSet]]
     // tight loop (the composable transform-lambda formulation is interpreted
-    // per gram — measured ~13 s of a 28 s probe at 400k docs). Persisted:
-    // the gram index feeds both the size aggregate and the match semi-join
-    // (callers timing independent queries clearCache between them, as with
-    // [[Dedup.minHashNearDuplicates]]).
+    // per gram — measured ~13 s of a 28 s probe at 400k docs). NOT
+    // persisted: both consumers (the size aggregate and the match
+    // semi-join) sit on the SAME repartition exchange, which Catalyst
+    // computes once and reuses (ReusedExchange) — a persist here caches a
+    // corpus-scale (id, hex-md5) frame (~GBs at millions of docs) whose
+    // write traffic and storage pressure cost MORE than it saves
+    // (DeconVariantProbe: 14.5 s persisted vs 8.1 s reused at 1M docs,
+    // 30.3 vs 15.5 at 2M; the persisted form also went super-linear in
+    // the composed chain as its cache evicted sibling stages').
     val docGrams = docs
       .select(col(idCol),
         graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
       .repartition(p, col(idCol))
       .select(col(idCol), explode(col("__sh")).as("__gram"))
       .select(col(idCol), md5(col("__gram")).as("__fp"))
-      .persist()
     val sizes = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     val perDoc = docGrams
       .join(broadcast(benchGrams), Seq("__fp"), "left_semi")
@@ -370,13 +374,18 @@ object Curation {
       separator: String,
       minDocs: Either[Long, Double]): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
+    // NOT persisted: the df count and the anti-join branch both sit on
+    // the same repartition exchange (ReusedExchange computes the segment
+    // explosion once); caching this corpus-scale (id, pos, seg, fp) frame
+    // instead was the composed-chain probe's q63.strip super-linearity —
+    // the cache's storage pressure, not the operator (see
+    // contaminationAgainst's measured adjudication of the same shape).
     val segs = docs
       .select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(separator)))
           .as(Seq("__pos", "__seg")))
       .repartition(p, col(idCol))
       .withColumn("__fp", md5(col("__seg")))
-      .persist()
     // Document frequency over DISTINCT (doc, segment) — a segment repeated
     // within one document counts once.
     val dfCounts = segs.select(col(idCol), col("__fp")).distinct()
@@ -396,10 +405,6 @@ object Curation {
         transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
           x => x.getField("__seg")),
         separator).as("__clean"))
-    // segs stays persisted — it feeds both the df count and the anti-join
-    // branch, and an eager unpersist here would fire at plan-construction
-    // time, before any action realizes the reuse. Callers timing
-    // independent queries clearCache between them.
     docs.select(col(idCol))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__clean"), lit("")).as("text_clean"))
@@ -457,12 +462,16 @@ object Curation {
       textCol: String,
       separator: String = "\n"): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
+    // NOT persisted: both stat branches sit on the same repartition
+    // exchange (ReusedExchange) — caching this corpus-scale frame (text
+    // split AND tokenized per row, ~2× the corpus bytes) was the
+    // composed-chain probe's q77.quality super-linear term (same
+    // adjudication as contaminationAgainst's gram index).
     val base = docs
       .select(col(idCol),
         split(col(textCol), java.util.regex.Pattern.quote(separator)).as("__segs"),
         tokens(col(textCol)).as("__toks"))
       .repartition(p, col(idCol))
-      .persist()
     val segStats = base
       .select(col(idCol), explode(col("__segs")).as("__seg"))
       .select(col(idCol), md5(col("__seg")).as("__fp"))
@@ -475,10 +484,6 @@ object Curation {
       .agg(count(lit(1)).as("__c"))
       .groupBy(idCol)
       .agg(sum(col("__c")).as("n_bigrams"), max(col("__c")).as("top_bigram_count"))
-    // base stays persisted — it feeds both stat branches, and an eager
-    // unpersist would fire at plan-construction time, before any action
-    // realizes the reuse (the ivfKMeans lesson). Callers clearCache
-    // between independent timed queries.
     docs.select(col(idCol))
       .join(segStats, Seq(idCol), "left")
       .join(bigramStats, Seq(idCol), "left")

@@ -449,8 +449,7 @@ object Sampling {
     * The cached frame is tiny (one row per stratum), but a long-lived
     * session issuing many calls accumulates them — callers that care
     * release via `spark.catalog.clearCache()` between independent
-    * queries, the same contract as [[Curation.contaminationReport]] and
-    * [[Similarity.ivfCellNearNeighbors]].
+    * queries, the same contract as [[Similarity.ivfCellNearNeighbors]].
     */
   def temperatureMixture(
       df: DataFrame,
