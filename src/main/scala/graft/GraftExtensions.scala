@@ -15,10 +15,14 @@ import graft.functions.{HashExpressions, UnicodeExpressions, VecDot}
   * }}}
   *
   * The same registrations are available imperatively for an existing
-  * session through [[graft.functions.GraftFunctions.register]]. No custom
-  * Rule/SparkStrategy is injected — the engine's operators compose from
-  * built-in plans (SURVEY §4); scalar expressions are the only extension
-  * point the semantics require.
+  * session through [[graft.functions.GraftFunctions.register]], which
+  * additionally registers the TABLE functions (graft_subset_join,
+  * graft_either_subset_join, graft_asof_join) — those resolve view names
+  * through the session catalog, so they live on the imperative path,
+  * where a session exists. No custom Rule/SparkStrategy is injected —
+  * the engine's operators compose from built-in plans (SURVEY §4);
+  * scalar expressions are the only extension point the semantics
+  * require.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

@@ -6,9 +6,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.LongType
 
 /** SQL-surface registration for the engine's custom expressions, so
-  * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API.
-  * (No custom Rule/SparkStrategy is required anywhere — see SURVEY §4 — so
-  * function registration is the only session wiring the engine needs.)
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API,
+  * plus TABLE functions for the whole-operator relational surface
+  * (set-containment joins, as-of join) so a SQL-first user can call them
+  * in FROM clauses. (No custom Rule/SparkStrategy is required anywhere —
+  * see SURVEY §4 — so scalar + table function registration is the only
+  * session wiring the engine needs.)
   */
 object GraftFunctions {
 
@@ -69,6 +72,60 @@ object GraftFunctions {
         val sorted = ids.zip(vecs).sortBy(_._1)
         NearestCentroid(exprs(0), sorted.map(_._1), sorted.map(_._2))
       }, "scala_udf")
+
+    // ---- SQL TABLE functions: whole-operator surface ----
+    // The flagship relational operators (set-containment joins J3–J5,
+    // as-of join) are table-shaped, so they register in the session's
+    // TableFunctionRegistry and are callable FROM clauses:
+    //
+    //   SELECT * FROM graft_subset_join(
+    //     'rules', 'obs', 'snp_id,allele', 'haplotype_name', 'patient_id')
+    //   SELECT * FROM graft_asof_join(
+    //     'quotes', 'q_ts', 'trades', 't_ts', 'sym', 300)
+    //
+    // Table arguments are view/table NAMES (string literals), resolved
+    // through the session catalog at analysis time; the builder returns
+    // the SAME logical plan the Column API constructs, so a SQL caller
+    // gets the identical broadcast/aggregate/window shape — no parallel
+    // SQL implementation to keep in sync.
+    val tvf = spark.sessionState.tableFunctionRegistry
+    def csv(e: Expression, fn: String): Seq[String] =
+      strArg(e, fn).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    tvf.createOrReplaceTempFunction("graft_subset_join",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_subset_join"
+        require(exprs.length == 5,
+          s"$fn(aView, bView, setColsCsv, aGroupByCsv, bGroupByCsv)")
+        graft.ops.SetContainment.selectWhereSubsetOf(
+            spark.table(strArg(exprs(0), fn)),
+            spark.table(strArg(exprs(1), fn)),
+            csv(exprs(2), fn), csv(exprs(3), fn), csv(exprs(4), fn))
+          .queryExecution.logical
+      }, "scala_udf")
+    tvf.createOrReplaceTempFunction("graft_either_subset_join",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_either_subset_join"
+        require(exprs.length == 5,
+          s"$fn(aView, bView, setColsCsv, aGroupByCsv, bGroupByCsv)")
+        graft.ops.SetContainment.selectWhereEitherSubsetOf(
+            spark.table(strArg(exprs(0), fn)),
+            spark.table(strArg(exprs(1), fn)),
+            csv(exprs(2), fn), csv(exprs(3), fn), csv(exprs(4), fn))
+          .queryExecution.logical
+      }, "scala_udf")
+    tvf.createOrReplaceTempFunction("graft_asof_join",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_asof_join"
+        require(exprs.length == 5 || exprs.length == 6,
+          s"$fn(leftView, leftTimeCol, rightView, rightTimeCol, keysCsv" +
+            "[, toleranceSeconds])")
+        graft.ops.TemporalJoins.asofJoin(
+            spark.table(strArg(exprs(0), fn)), strArg(exprs(1), fn),
+            spark.table(strArg(exprs(2), fn)), strArg(exprs(3), fn),
+            csv(exprs(4), fn),
+            exprs.lift(5).map(e => longArg(e, fn)))
+          .queryExecution.logical
+      }, "scala_udf")
   }
 
   private def foldableArray(e: Expression, elem: org.apache.spark.sql.types.DataType,
@@ -122,6 +179,13 @@ object GraftFunctions {
 
   private def intArg(e: Expression, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal argument, got $other")
+  }
+
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn expects an integer literal argument, got $other")
   }

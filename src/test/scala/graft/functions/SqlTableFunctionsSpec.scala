@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL table-function surface: the set-containment joins and the
+  * as-of join callable from FROM clauses, producing exactly the Column
+  * API's results (the builders return the same logical plan).
+  */
+class SqlTableFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sql-tvf-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("graft_subset_join / graft_either_subset_join from SQL ≡ Column API") {
+    GraftFunctions.register(spark)
+    // rule sets: h1 = {s1, s2}; h2 = {s1, s2, s3}
+    val rules = Seq(("h1", "s1"), ("h1", "s2"),
+      ("h2", "s1"), ("h2", "s2"), ("h2", "s3")).toDF("hap", "snp")
+    // observations: p1 = {s1, s2} (⊇ h1, ⊂ h2); p2 = {s1} (⊂ both)
+    val obs = Seq(("p1", "s1"), ("p1", "s2"), ("p2", "s1")).toDF("pat", "snp")
+    rules.createOrReplaceTempView("rules")
+    obs.createOrReplaceTempView("obs")
+
+    val subsetSql = spark.sql(
+      "SELECT * FROM graft_subset_join('rules', 'obs', 'snp', 'hap', 'pat')" +
+        " ORDER BY hap, pat")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val subsetApi = graft.ops.SetContainment.selectWhereSubsetOf(
+        rules, obs, Seq("snp"), Seq("hap"), Seq("pat"))
+      .orderBy("hap", "pat")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(subsetSql == subsetApi)
+    assert(subsetSql == Seq(("h1", "p1"))) // only h1 ⊆ p1
+
+    val eitherSql = spark.sql(
+      "SELECT * FROM graft_either_subset_join(" +
+        "'rules', 'obs', 'snp', 'hap', 'pat') ORDER BY hap, pat")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val eitherApi = graft.ops.SetContainment.selectWhereEitherSubsetOf(
+        rules, obs, Seq("snp"), Seq("hap"), Seq("pat"))
+      .orderBy("hap", "pat")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(eitherSql == eitherApi)
+    // either-direction adds p1 ⊆ h2 and p2 ⊆ h1/h2
+    assert(eitherSql ==
+      Seq(("h1", "p1"), ("h1", "p2"), ("h2", "p1"), ("h2", "p2")))
+  }
+
+  test("graft_asof_join from SQL ≡ Column API, with and without tolerance") {
+    GraftFunctions.register(spark)
+    // tolerance compares event TIME — the fixture uses real timestamps
+    // (the tolerance path is defined on TIMESTAMP columns)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val trades = Seq(("A", ts(10), 100.0), ("A", ts(20), 101.0),
+      ("B", ts(15), 50.0)).toDF("sym", "t_ts", "price")
+    val orders = Seq(("A", ts(12), 5), ("A", ts(25), 7), ("B", ts(14), 2))
+      .toDF("sym", "o_ts", "qty")
+    orders.createOrReplaceTempView("orders")
+    trades.createOrReplaceTempView("trades")
+
+    def viaSql(tol: String) = spark.sql(
+      s"SELECT * FROM graft_asof_join('orders', 'o_ts', 'trades', 't_ts'," +
+        s" 'sym'$tol) ORDER BY sym, o_ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getInt(2), Option(r.get(3)), Option(r.get(4)))).toSeq
+    def viaApi(tol: Option[Long]) = graft.ops.TemporalJoins.asofJoin(
+        orders, "o_ts", trades, "t_ts", Seq("sym"), tol)
+      .orderBy("sym", "o_ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getInt(2), Option(r.get(3)), Option(r.get(4)))).toSeq
+
+    assert(viaSql("") == viaApi(None))
+    // B's order at 14 precedes B's only trade at 15 → null match
+    assert(viaSql("").map(x => (x._1, x._2, x._4.isDefined)) ==
+      Seq(("A", 12L, true), ("A", 25L, true), ("B", 14L, false)))
+    // tolerance 3: A@25 matched trade@20 (gap 5) gets nulled back out
+    assert(viaSql(", 3") == viaApi(Some(3L)))
+    assert(viaSql(", 3").map(x => (x._1, x._2, x._4.isDefined)) ==
+      Seq(("A", 12L, true), ("A", 25L, false), ("B", 14L, false)))
+  }
+
+  test("table-function misuse fails loud: wrong arity, unknown view") {
+    GraftFunctions.register(spark)
+    val wrongArity = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_subset_join('a', 'b', 'c')").collect()
+    }
+    assert(wrongArity.getMessage.contains("graft_subset_join"))
+    val unknown = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof_join(" +
+        "'no_such_view', 't', 'also_missing', 't', 'k')").collect()
+    }
+    assert(unknown.getMessage.toLowerCase.contains("no_such_view") ||
+      unknown.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+}
