@@ -38,6 +38,14 @@ object ComposedChainScaleProbe {
     import graft.functions.TextFunctions
     import graft.ops.{Curation, Dedup, Sampling}
 
+    // SPARK_GRAFT_VOCAB bounds the word space (default 60466176 ≈ every
+    // word unique at these sizes). The default is the ADVERSARIAL case
+    // for distinct-keyed aggregates: segment-df keys and per-(doc,
+    // bigram) groups grow linearly with the corpus, where natural
+    // zipfian text saturates its vocabulary. Run once with the default
+    // and once with e.g. 50000 to separate corpus-structure effects from
+    // operator scaling.
+    val vocab = sys.env.getOrElse("SPARK_GRAFT_VOCAB", "60466176").toLong
     def corpus(n: Int): DataFrame = {
       val contentId = when(pmod(col("id"), lit(100)) === 99, col("id") - 1)
         .otherwise(col("id"))
@@ -46,7 +54,7 @@ object ComposedChainScaleProbe {
           concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
           array_join(transform(sequence(lit(1), lit(wpd)),
             i => conv(pmod(xxhash64(contentId * lit(1000003L) + i),
-              lit(60466176L)).cast("string"), 10, 36)), " ")
+              lit(vocab)).cast("string"), 10, 36)), " ")
             .as("text"))
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()

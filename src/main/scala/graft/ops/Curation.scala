@@ -461,44 +461,53 @@ object Curation {
       idCol: String,
       textCol: String,
       separator: String = "\n"): DataFrame = {
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    // NOT persisted: both stat branches sit on the same repartition
-    // exchange (ReusedExchange) — caching this corpus-scale frame (text
-    // split AND tokenized per row, ~2× the corpus bytes) was the
-    // composed-chain probe's q77.quality super-linear term (same
-    // adjudication as contaminationAgainst's gram index).
-    val base = docs
-      .select(col(idCol),
-        split(col(textCol), java.util.regex.Pattern.quote(separator)).as("__segs"),
-        tokens(col(textCol)).as("__toks"))
-      .repartition(p, col(idCol))
-    val segStats = base
-      .select(col(idCol), explode(col("__segs")).as("__seg"))
-      .select(col(idCol), md5(col("__seg")).as("__fp"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_segments"),
-        countDistinct(col("__fp")).as("n_distinct_segments"))
-    val bigramStats = base
-      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), 2)).as("__bg"))
-      .groupBy(col(idCol), md5(col("__bg")).as("__fp"))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(idCol)
-      .agg(sum(col("__c")).as("n_bigrams"), max(col("__c")).as("top_bigram_count"))
-    docs.select(col(idCol))
-      .join(segStats, Seq(idCol), "left")
-      .join(bigramStats, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
-        coalesce(col("n_distinct_segments"), lit(0L)).as("n_distinct_segments"),
-        when(coalesce(col("n_segments"), lit(0L)) > 0,
-          round(lit(1.0) - col("n_distinct_segments").cast("double") /
-            col("n_segments"), 6))
-          .otherwise(lit(0.0)).as("dup_segment_frac"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
-        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
-          round(col("top_bigram_count").cast("double") / col("n_bigrams"), 6))
-          .otherwise(lit(0.0)).as("top_bigram_frac"))
+    // Every signal is PER DOCUMENT, so the whole report is a scan-stage
+    // projection — no explode, no shuffle, nothing corpus-scale in
+    // flight. (The previous shape exploded segments AND bigrams through
+    // two groupBy shuffles — ~50× the corpus row count through the
+    // exchange; the composed-chain probe measured it as q77.quality's
+    // top-rung cliff once the shuffle working set outgrew the page
+    // cache: 46/66/198 s at 1M/2M/4M docs. Per-row it is: distinct via
+    // array_distinct — hash-set linear per row — and the bigram MODE via
+    // sort + one linear run-length fold, O(L log L) per document rather
+    // than the O(L²) count-each-distinct lambda that originally
+    // motivated the explode.)
+    val segs = split(col(textCol), java.util.regex.Pattern.quote(separator))
+    val nSegs = size(segs).cast("long")
+    val nDistinct = size(array_distinct(segs)).cast("long")
+    val bigrams = shinglesFromTokens(tokens(col(textCol)), 2)
+    val nBigrams = size(bigrams).cast("long")
+    // mode count of a SORTED array in one pass: track (prev, run, best)
+    val topCount = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        // tokens are non-empty and bigrams carry a space, so a real
+        // bigram never equals the "" sentinel
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    // NULL text produced zero exploded rows in the previous shape →
+    // all-zero signals; mirror that (size(null) is -1, not 0)
+    def z(c: Column): Column =
+      when(col(textCol).isNull, lit(0L)).otherwise(c)
+    val nSegsZ = z(nSegs)
+    val nBigramsZ = z(nBigrams)
+    val topZ = z(topCount)
+    docs.select(col(idCol),
+      nSegsZ.as("n_segments"),
+      z(nDistinct).as("n_distinct_segments"),
+      when(nSegsZ > 0,
+        round(lit(1.0) - z(nDistinct).cast("double") / nSegsZ, 6))
+        .otherwise(lit(0.0)).as("dup_segment_frac"),
+      nBigramsZ.as("n_bigrams"),
+      topZ.as("top_bigram_count"),
+      when(nBigramsZ > 0,
+        round(topZ.cast("double") / nBigramsZ, 6))
+        .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
   /** Gopher-style rule-based document filter (Rae et al. 2021 §A1.1.2, the
