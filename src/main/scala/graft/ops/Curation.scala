@@ -463,40 +463,25 @@ object Curation {
       separator: String = "\n"): DataFrame = {
     // Every signal is PER DOCUMENT, so the whole report is a scan-stage
     // projection — no explode, no shuffle, nothing corpus-scale in
-    // flight. (The previous shape exploded segments AND bigrams through
-    // two groupBy shuffles — ~50× the corpus row count through the
-    // exchange; the composed-chain probe measured it as q77.quality's
-    // top-rung cliff once the shuffle working set outgrew the page
-    // cache: 46/66/198 s at 1M/2M/4M docs. Per-row it is: distinct via
-    // array_distinct — hash-set linear per row — and the bigram MODE via
-    // sort + one linear run-length fold, O(L log L) per document rather
-    // than the O(L²) count-each-distinct lambda that originally
-    // motivated the explode.)
-    val segs = split(col(textCol), java.util.regex.Pattern.quote(separator))
-    val nSegs = size(segs).cast("long")
-    val nDistinct = size(array_distinct(segs)).cast("long")
-    val bigrams = shinglesFromTokens(tokens(col(textCol)), 2)
-    val nBigrams = size(bigrams).cast("long")
-    // mode count of a SORTED array in one pass: track (prev, run, best)
-    val topCount = aggregate(
-      array_sort(bigrams),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        // tokens are non-empty and bigrams carry a space, so a real
-        // bigram never equals the "" sentinel
-        val run = when(x === acc.getField("prev"),
-          acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    // NULL text produced zero exploded rows in the previous shape →
-    // all-zero signals; mirror that (size(null) is -1, not 0)
+    // flight. Two prior shapes both lose: the original exploded segments
+    // AND bigrams through two groupBy shuffles (~50× the corpus row
+    // count through the exchange — the composed-chain probe's
+    // q77.quality top-rung cliff, 46/66/198 s at 1M/2M/4M docs), and a
+    // higher-order-function rewrite was 2× slower still (HOF lambdas are
+    // interpreted per element — the TextFunctions caveat). The signals
+    // come from ONE tight row-level pass instead
+    // ([[graft.functions.HashExpressions.RepetitionStats]], codegen'd
+    // like the module's other hot-path expressions).
+    val stats =
+      graft.functions.HashExpressions.repetitionStats(col(textCol), separator)
+    // NULL text produced zero exploded rows in the original shape →
+    // all-zero signals; the expression is null-propagating, so guard
     def z(c: Column): Column =
       when(col(textCol).isNull, lit(0L)).otherwise(c)
-    val nSegsZ = z(nSegs)
-    val nBigramsZ = z(nBigrams)
-    val topZ = z(topCount)
+    val nSegsZ = z(stats.getField("n_segments"))
+    val nDistinct = stats.getField("n_distinct_segments")
+    val nBigramsZ = z(stats.getField("n_bigrams"))
+    val topZ = z(stats.getField("top_bigram_count"))
     docs.select(col(idCol),
       nSegsZ.as("n_segments"),
       z(nDistinct).as("n_distinct_segments"),
