@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -32,7 +32,8 @@ object HashExpressions {
     * Null/empty input → null.
     */
   case class MinHashSig(child: Expression, numHashes: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 
@@ -88,7 +89,9 @@ object HashExpressions {
     * signature with `strpos('0123456789abcdef', substr(md5(t), b/4+1, 1))`
     * arithmetic. Duplicate tokens weight the fold by frequency.
     */
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
 
@@ -139,7 +142,8 @@ object HashExpressions {
     * set intersection sizes).
     */
   case class ShingleSet(child: Expression, k: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 
@@ -194,7 +198,8 @@ object HashExpressions {
     * `array_distinct(ngramsFromNormalized(norm, n))`.
     */
   case class NgramSet(child: Expression, n: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 
@@ -236,7 +241,9 @@ object HashExpressions {
     * is unaffected. Input must already be lowercased by the caller (the
     * operator keeps `lower()` in the plan). Null for < 2 code points.
     */
-  case class CharBigramEntropy(child: Expression) extends UnaryExpression {
+  case class CharBigramEntropy(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StructType(Seq(
       StructField("n", LongType, nullable = false),
       StructField("bigram_entropy", DoubleType, nullable = false)))
@@ -323,7 +330,8 @@ object HashExpressions {
     * (lowercase, `\s+`, empties dropped); bigram mode via one hash map.
     */
   case class RepetitionStats(child: Expression, separator: String)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StructType(Seq(
       StructField("n_segments", LongType, nullable = false),
       StructField("n_distinct_segments", LongType, nullable = false),

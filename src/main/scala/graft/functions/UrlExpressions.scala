@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UrlExpressions {
 
-  case class UrlCanonicalize(child: Expression) extends UnaryExpression {
+  case class UrlCanonicalize(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
 
@@ -40,7 +42,9 @@ object UrlExpressions {
       copy(child = c)
   }
 
-  case class UrlHost(child: Expression) extends UnaryExpression {
+  case class UrlHost(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
 
@@ -222,7 +226,9 @@ object UrlExpressions {
   }
 
   /** Struct-returning single-parse expression: `(host, canonical)`. */
-  case class UrlParts(child: Expression) extends UnaryExpression {
+  case class UrlParts(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StructType(Seq(
       StructField("host", StringType, nullable = false),
       StructField("canonical", StringType, nullable = true)))

@@ -449,12 +449,12 @@ object Curation {
     * n_bigrams, top_bigram_count, top_bigram_frac); documents with no
     * segments/bigrams report 0 counts and 0.0 fractions.
     *
-    * Scale shape: both signals are computed by EXPLODING segments/bigrams to
-    * rows and aggregating per (doc, gram) — linear in corpus tokens, keyed
-    * by (doc, md5(gram)) — rather than per-row interpreted lambda passes,
-    * whose cost would be quadratic in document length for the mode
-    * computation. Group sizes are bounded by document length, never corpus
-    * size.
+    * Scale shape: every signal is document-local, so the whole report is a
+    * single scan-stage projection — one codegen row pass
+    * ([[graft.functions.HashExpressions.RepetitionStats]]) computing all
+    * four counts per document, zero shuffle, nothing corpus-scale in
+    * flight. The inline comment below records the two measured losing
+    * shapes (explode + two shuffles; interpreted HOF lambdas).
     */
   def repetitionReport(
       docs: DataFrame,

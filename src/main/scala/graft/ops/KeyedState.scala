@@ -166,6 +166,11 @@ object KeyedState {
     * toString rendering instead varies with literal form and spuriously
     * fails the equality require below. */
   private def renderParam(v: Any): String = v match {
+    // non-finite doubles have no BigDecimal form (BigDecimal(NaN) throws
+    // NumberFormatException); render them the way toString always did so
+    // a caller stamping a non-finite threshold round-trips instead of
+    // crashing with an unrelated-looking numeric error
+    case d: Double if d.isNaN || d.isInfinite => String.valueOf(d)
     case d: Double =>
       BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
     case f: Float => renderParam(f.toDouble)
@@ -205,14 +210,22 @@ object KeyedState {
         // a concurrent run won the rename: fall through to the equality
         // check against whatever landed
         fs.delete(tmp, false)
-        val in = fs.open(stamp)
-        val existing =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        require(existing == rendered,
-          s"state dir $path was concurrently stamped with parameters:\n" +
-            s"${existing.trim}\nbut this run uses:\n${rendered.trim}")
       }
+      // Verify by re-read REGARDLESS of the rename's return value:
+      // HDFS-style rename refuses an existing destination (returns false
+      // → the branch above), but RawLocalFileSystem maps to POSIX rename,
+      // which silently OVERWRITES and returns true — two racing first
+      // runs with different params would both "succeed" last-writer-wins
+      // and neither would ever compare. One small re-read makes the
+      // equality check independent of the filesystem's rename-onto-
+      // existing semantics.
+      val in = fs.open(stamp)
+      val landed =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(landed == rendered,
+        s"state dir $path was concurrently stamped with parameters:\n" +
+          s"${landed.trim}\nbut this run uses:\n${rendered.trim}")
     }
   }
 

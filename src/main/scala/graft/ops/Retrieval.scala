@@ -73,13 +73,22 @@ object Retrieval {
     val qterms = queries
       .select(col(qIdCol).as("query_id"),
         explode(array_distinct(tokens(col(qTextCol)))).as("__t"))
-    val qtermSet = qterms.select("__t").distinct()
-      .collect().map(_.getString(0)).toSeq
     // Secondary bound on the collected vocabulary itself (a few huge
     // query documents can blow past what the row cap implies): it is
-    // broadcast into two corpus-side filters below.
+    // broadcast into two corpus-side filters below. The cap applies as a
+    // `limit(cap + 1)` INSIDE the collecting plan, so a blown vocabulary
+    // never reaches the driver — at most cap + 1 rows land before the
+    // require below rejects the call.
     val vocabCap = spark.conf
       .getOption("spark.graft.maxQueryVocab").getOrElse("1000000").toLong
+    require(vocabCap <= 0 || vocabCap < Int.MaxValue,
+      s"spark.graft.maxQueryVocab=$vocabCap: a vocabulary that large " +
+        "cannot be broadcast anyway; set <= 0 to disable the check instead")
+    val qtermsDistinct = qterms.select("__t").distinct()
+    val qtermSet =
+      (if (vocabCap > 0) qtermsDistinct.limit(vocabCap.toInt + 1)
+       else qtermsDistinct)
+        .collect().map(_.getString(0)).toSeq
     require(vocabCap <= 0 || qtermSet.size <= vocabCap,
       s"bm25TopK: the query vocabulary (${qtermSet.size} distinct terms) " +
         s"exceeds spark.graft.maxQueryVocab=$vocabCap; it is broadcast " +

@@ -66,10 +66,18 @@ object Similarity {
     * prefixTopKJoin, pqTopK, sqTopK, mmrRerank, bm25TopK). These are
     * correct only under the queries ≪ corpus contract; misused with a
     * corpus-sized "query" set they OOM the driver/executors instead of
-    * erroring. The check is a `limit(cap + 1).count()` — it early-exits
-    * after cap + 1 rows, so the cost on a contract-respecting query set is
-    * one cheap bounded job, and on a corpus-sized one it stops at the cap
-    * rather than scanning the corpus.
+    * erroring. The check is a `limit(cap + 1).count()` — NOTE this runs an
+    * EAGER Spark job at operator-construction time, a deliberate laziness
+    * exception for these seven operators. The limit early-exits a plain
+    * scan, but when the query frame sits behind a shuffle or aggregate the
+    * limit cannot push below it, so the check re-executes that lineage
+    * (and again at action time unless the caller persisted it) — still
+    * bounded output, but not free. Callers composing an expensive query
+    * lineage should persist it first or set the cap ≤ 0.
+    *
+    * Streaming query frames are SKIPPED (an eager count on a streaming
+    * Dataset throws AnalysisException); the streaming entry points
+    * enforce their own bounds per micro-batch.
     *
     * Configurable via session conf `spark.graft.maxBroadcastQueries`
     * (default 100000 rows); ≤ 0 disables the check. The error names the
@@ -77,6 +85,7 @@ object Similarity {
     */
   private[ops] def requireQuerySideBounded(
       queries: DataFrame, op: String, scalePath: String): Unit = {
+    if (queries.isStreaming) return
     val cap = queries.sparkSession.conf
       .getOption("spark.graft.maxBroadcastQueries")
       .getOrElse("100000").toLong

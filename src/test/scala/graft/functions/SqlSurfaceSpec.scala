@@ -140,4 +140,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(nullComp.getMessage.contains("NULL"))
   }
+
+  test("custom expressions reject wrong input types at ANALYSIS time, " +
+      "not with a runtime ClassCastException or codegen compile error") {
+    ready
+    import org.apache.spark.sql.AnalysisException
+    val df = Seq((1L, 42L)).toDF("id", "n")
+    // string-typed unaries fed a bigint
+    for (expr <- Seq(
+        HashExpressions.repetitionStats(col("n"), "\n"),
+        HashExpressions.shingleSet(col("n"), 3),
+        HashExpressions.ngramSet(col("n"), 2),
+        UrlExpressions.urlParts(col("n")),
+        UrlExpressions.urlCanonicalize(col("n")),
+        UrlExpressions.urlHost(col("n")))) {
+      val e = intercept[AnalysisException] { df.select(expr).collect() }
+      assert(e.getMessage.toLowerCase.contains("type"),
+        s"expected a type-check analysis error, got: ${e.getMessage}")
+    }
+    // array<string>-typed unaries fed a bigint
+    for (expr <- Seq(
+        HashExpressions.minHashSig(col("n"), 4),
+        HashExpressions.simHash64(col("n")))) {
+      val e = intercept[AnalysisException] { df.select(expr).collect() }
+      assert(e.getMessage.toLowerCase.contains("type"),
+        s"expected a type-check analysis error, got: ${e.getMessage}")
+    }
+  }
 }

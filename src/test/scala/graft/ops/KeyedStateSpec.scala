@@ -181,4 +181,20 @@ class KeyedStateSpec extends AnyFunSuite {
     val files = new java.io.File(p).listFiles().map(_.getName)
     assert(files.contains("_PARAMS") && !files.exists(_.contains(".tmp.")))
   }
+
+  test("stampParams: non-finite doubles stamp and re-verify instead of " +
+      "crashing in BigDecimal rendering") {
+    val p = graft.TestScratch.dir("graft-stamp-nonfinite") + "/state"
+    KeyedState.stampParams(spark, p,
+      Map("cut" -> Double.PositiveInfinity, "bad" -> Double.NaN))
+    // identical non-finite params re-verify clean
+    KeyedState.stampParams(spark, p,
+      Map("cut" -> Double.PositiveInfinity, "bad" -> Double.NaN))
+    // a finite drift against a non-finite stamp still fails loud
+    val err = intercept[IllegalArgumentException] {
+      KeyedState.stampParams(spark, p,
+        Map("cut" -> 1.5, "bad" -> Double.NaN))
+    }
+    assert(err.getMessage.contains("parameters"))
+  }
 }
