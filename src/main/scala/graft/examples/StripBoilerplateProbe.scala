@@ -1,0 +1,88 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** A/B probe for the round-13 stripBoilerplate rewrite: broadcast-boiler
+  * (per-doc distinct fps row-locally, narrow fp-count shuffle, collected
+  * boiler set, row-local codegen strip — zero joins in the output plan)
+  * vs the pre-round-13 shuffle plan (shared corpus-scale segment exchange
+  * read twice: df count + broadcast-anti-join reassembly).
+  *
+  * Same deterministic corpus generator as [[CurationScaleProbe]]; min-of-2
+  * repeats per arm, arms alternated so neither owns warmer page cache.
+  * Run on a QUIET machine — never concurrently with sbt/tests.
+  *
+  * Usage: sbt "runMain graft.examples.StripBoilerplateProbe [nDocs] [wordsPerDoc]"
+  */
+object StripBoilerplateProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(1000000)
+    val wpd = args.lift(1).map(_.toInt).getOrElse(50)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.Curation
+
+    val contentId = when(pmod(col("id"), lit(100)) === 99, col("id") - 1)
+      .otherwise(col("id"))
+    val docs = spark.range(n.toLong).select(
+        col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(wpd)),
+          i => conv(pmod(xxhash64(contentId * lit(1000003L) + i),
+            lit(60466176L)).cast("string"), 10, 36)), " ")
+          .as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
+    docs.count()
+    val minDocs = n.toLong / 10
+    println(s"corpus: $n docs x $wpd words, minDocs=$minDocs")
+
+    // Materialize text_clean for real: a bare count() lets Catalyst
+    // prune the strip projection (broadcast arm) and eliminate the
+    // unique-key reassembly join (shuffle arm) — both arms would measure
+    // nothing. The length-sum forces every cleaned byte to exist.
+    def sample(body: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val row = body.agg(count(lit(1)), sum(length(col("text_clean")))).head()
+      val s = (System.nanoTime() - t0) / 1e9
+      require(row.getLong(0) == n,
+        s"strip must return every input doc: ${row.getLong(0)} != $n")
+      s
+    }
+    // alternate arms, min of 2 each; the broadcast arm also reports its
+    // two phases (eager boiler-df job at construction vs the strip pass)
+    var bArm = Double.MaxValue
+    var bCons = Double.MaxValue
+    var sArm = Double.MaxValue
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val b = Curation.stripBoilerplate(docs, "doc_id", "text", " ", minDocs)
+      val cons = (System.nanoTime() - t0) / 1e9
+      bCons = math.min(bCons, cons)
+      bArm = math.min(bArm, cons + sample(b))
+      sArm = math.min(sArm, sample(
+        Curation.stripBoilerplateShuffle(
+          docs, "doc_id", "text", " ", Left(minDocs))))
+    }
+    println(f"broadcast phases: boiler-df job $bCons%.2f s, " +
+      f"strip pass ${bArm - bCons}%.2f s")
+    println(f"broadcast-boiler: $bArm%.2f s  shuffle(anti-join): $sArm%.2f s  " +
+      f"speedup ${sArm / bArm}%.2fx")
+
+    // equivalence at probe scale: both arms byte-identical
+    val diff = Curation.stripBoilerplate(docs, "doc_id", "text", " ", minDocs)
+      .join(Curation.stripBoilerplateShuffle(
+          docs, "doc_id", "text", " ", Left(minDocs))
+        .withColumnRenamed("text_clean", "shuf"), "doc_id")
+      .filter(col("text_clean") =!= col("shuf")).count()
+    println(s"arm divergence rows: $diff")
+    require(diff == 0, "broadcast and shuffle arms diverged")
+    spark.stop()
+  }
+}

@@ -403,4 +403,191 @@ object HashExpressions {
   def repetitionStats(text: Column, separator: String): Column =
     ColumnBridge.column(
       RepetitionStats(ColumnBridge.expression(text), separator))
+
+  // ---- boilerplate-strip row passes ------------------------------------
+  //
+  // Both expressions split on the LITERAL separator at the UTF-8 byte
+  // level: a valid UTF-8 byte sequence can only match at code-point
+  // boundaries (UTF-8 self-synchronization), so byte-level indexOf equals
+  // Spark's `split(col, Pattern.quote(sep), -1)` segmentation — trailing
+  // empty segments kept, "" splits to one empty segment — without ever
+  // decoding the document to a java String.
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def indexOfBytes(
+      hay: Array[Byte], from: Int, needle: Array[Byte]): Int = {
+    val n = needle.length
+    if (n == 0) return -1
+    val last = hay.length - n
+    var i = from
+    while (i <= last) {
+      var j = 0
+      while (j < n && hay(i + j) == needle(j)) j += 1
+      if (j == n) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Per-document DISTINCT segment fingerprints (16-byte md5 of each
+    * distinct segment's UTF-8 bytes) in one row pass — the map-side
+    * dedup that lets [[graft.ops.Curation.stripBoilerplate]]'s
+    * document-frequency shuffle carry one 16-byte fp per (doc, distinct
+    * segment) with no corpus-scale (id, segment) exchange. Distinctness
+    * is by segment VALUE (the md5 is computed once per distinct segment).
+    */
+  case class DistinctSegmentFps(child: Expression, separator: String)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def nullable: Boolean = true
+
+    private lazy val sepBytes =
+      separator.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    override def nullSafeEval(input: Any): Any =
+      distinctSegmentFpsEval(input.asInstanceOf[UTF8String], sepBytes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val sepRef = ctx.addReferenceObj("sepBytes", sepBytes, "byte[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.distinctSegmentFpsEval($c, $sepRef)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Static hot loop for [[DistinctSegmentFps]]; called from generated code. */
+  def distinctSegmentFpsEval(input: UTF8String, sep: Array[Byte]): ArrayData = {
+    val bytes = input.getBytes
+    val md = md5Local.get()
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Byte]](16)
+    var from = 0
+    var done = false
+    while (!done) {
+      val idx = indexOfBytes(bytes, from, sep)
+      val end = if (idx < 0) bytes.length else idx
+      val seg = UTF8String.fromBytes(bytes, from, end - from)
+      if (seen.add(seg)) {
+        md.update(bytes, from, end - from)
+        out += md.digest()
+      }
+      if (idx < 0) done = true else from = idx + sep.length
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Row-local boilerplate excision: drop every segment whose md5 is in
+    * the SORTED (hi, lo) fingerprint-pair array `fps` (flattened, length
+    * 2n), rejoin survivors with the separator in original order. The
+    * pair array ships with the serialized plan (task binaries are
+    * torrent-broadcast once per executor), so the strip is a pure
+    * projection — no join, no shuffle, no corpus-scale exchange.
+    */
+  case class StripBoilerplate(
+      child: Expression, separator: String, fps: Array[Long])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+
+    private lazy val sepBytes =
+      separator.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    override def nullSafeEval(input: Any): Any =
+      stripBoilerplateEval(input.asInstanceOf[UTF8String], sepBytes, fps)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val sepRef = ctx.addReferenceObj("sepBytes", sepBytes, "byte[]")
+      val fpsRef = ctx.addReferenceObj("fps", fps, "long[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.stripBoilerplateEval($c, $sepRef, $fpsRef)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  private def fpHi(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+  private def fpLo(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 8
+    while (i < 16) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Flatten + sort 16-byte fingerprints into the (hi, lo) pair array
+    * [[StripBoilerplate]] binary-searches. Signed long comparison on both
+    * halves — consistency between sort and search is all that matters.
+    */
+  def sortedFpPairs(fps: Array[Array[Byte]]): Array[Long] = {
+    val pairs = fps.map(d => (fpHi(d), fpLo(d))).sorted
+    val flat = new Array[Long](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      flat(2 * i) = pairs(i)._1
+      flat(2 * i + 1) = pairs(i)._2
+      i += 1
+    }
+    flat
+  }
+
+  private def containsPair(fps: Array[Long], hi: Long, lo: Long): Boolean = {
+    var a = 0
+    var b = fps.length / 2 - 1
+    while (a <= b) {
+      val mid = (a + b) >>> 1
+      val mh = fps(2 * mid)
+      val ml = fps(2 * mid + 1)
+      val c =
+        if (mh < hi) -1 else if (mh > hi) 1
+        else if (ml < lo) -1 else if (ml > lo) 1 else 0
+      if (c == 0) return true
+      if (c < 0) a = mid + 1 else b = mid - 1
+    }
+    false
+  }
+
+  /** Static hot loop for [[StripBoilerplate]]; called from generated code. */
+  def stripBoilerplateEval(
+      input: UTF8String, sep: Array[Byte], fps: Array[Long]): UTF8String = {
+    val bytes = input.getBytes
+    val md = md5Local.get()
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var first = true
+    var from = 0
+    var done = false
+    while (!done) {
+      val idx = indexOfBytes(bytes, from, sep)
+      val end = if (idx < 0) bytes.length else idx
+      md.update(bytes, from, end - from)
+      val d = md.digest()
+      if (!containsPair(fps, fpHi(d), fpLo(d))) {
+        if (!first) out.write(sep, 0, sep.length)
+        out.write(bytes, from, end - from)
+        first = false
+      }
+      if (idx < 0) done = true else from = idx + sep.length
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  def distinctSegmentFps(text: Column, separator: String): Column =
+    ColumnBridge.column(
+      DistinctSegmentFps(ColumnBridge.expression(text), separator))
+
+  def stripBoilerplate(text: Column, separator: String,
+      fps: Array[Long]): Column =
+    ColumnBridge.column(
+      StripBoilerplate(ColumnBridge.expression(text), separator, fps))
 }

@@ -341,13 +341,29 @@ object Curation {
     * EVERY input document — a document made entirely of boilerplate keeps an
     * empty string.
     *
-    * Scale shape: segments shuffle as md5 fingerprints for the
-    * document-frequency count; the boilerplate list (df ≥ minDocs) is by
-    * construction small — a segment must literally repeat across many
-    * documents to qualify — so it is BROADCAST back as an anti-join, the
-    * same stop-list shape as [[Dedup.ngramJaccardPairs]]'s df-pruning.
-    * Reassembly is one groupBy(id) of (position, segment) structs; group
-    * size is bounded by segments-per-document, not the corpus.
+    * Scale shape (broadcast-boiler): per-document DISTINCT segment
+    * fingerprints are computed row-locally in one codegen pass
+    * ([[graft.functions.HashExpressions.DistinctSegmentFps]]), so the ONLY
+    * shuffle is the document-frequency count over bare 16-byte fps with
+    * map-side partials — no corpus-scale (id, segment) exchange exists
+    * anywhere. The boiler set (df ≥ minDocs, bounded by construction:
+    * total segment occurrences / minDocs) is collected bounded
+    * (`limit(cap + 1)`, conf `spark.graft.maxBoilerSegments`, default
+    * 2000000 ≈ 32 MB of fp pairs; ≤ 0 disables) and each document is
+    * rewritten row-locally against the sorted fp-pair array
+    * ([[graft.functions.HashExpressions.StripBoilerplate]]) — the output
+    * plan is a pure projection over the docs scan: zero joins, zero
+    * exchanges. The round-12 composed-chain ladder showed the previous
+    * shape's shared segment exchange read twice (df count + anti-join
+    * reassembly, ~12 GB/4M docs) as the library's largest single stage;
+    * this shape eliminates both reads.
+    *
+    * NOTE: runs ONE eager Spark job at call time (the df count + bounded
+    * boiler collect) — a deliberate laziness exception, like
+    * [[Similarity]]'s query-side bound. A corpus whose boiler set
+    * genuinely exceeds the cap fails loud naming the unbounded path:
+    * [[stripBoilerplateShuffle]], which keeps the anti-join plan and
+    * never collects.
     */
   def stripBoilerplate(
       docs: DataFrame,
@@ -359,15 +375,77 @@ object Curation {
 
   /** [[stripBoilerplate]] with the threshold as `Left(absolute df)` or
     * `Right(fraction of the corpus)`. The fraction form derives the cut
-    * INSIDE the plan — a 1-row `count(*) × fraction` aggregate cross-joined
-    * into the df filter, the scalar-subquery shape — so no eager driver
-    * `count()` runs at plan-build time and a cached/reused plan pays no
-    * extra scan (parquet answers the count from footer statistics). The
-    * fraction multiplies as an exact decimal, so `df >= n × 0.8` agrees
-    * with SQL decimal arithmetic at integer boundaries rather than
-    * inheriting double rounding.
+    * inside the boiler-collect job — a 1-row `count(*) × fraction`
+    * aggregate cross-joined into the df filter — multiplying as an exact
+    * decimal, so `df >= n × 0.8` agrees with SQL decimal arithmetic at
+    * integer boundaries rather than inheriting double rounding.
     */
   def stripBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      separator: String,
+      minDocs: Either[Long, Double]): DataFrame = {
+    val spark = docs.sparkSession
+    val boiler = boilerFps(docs, textCol, separator, minDocs)
+    val cap = spark.conf
+      .getOption("spark.graft.maxBoilerSegments").getOrElse("2000000").toLong
+    require(cap <= 0 || cap < Int.MaxValue,
+      s"spark.graft.maxBoilerSegments=$cap: a boiler set that large " +
+        "cannot ship with the plan anyway; set <= 0 to disable the cap " +
+        "and use stripBoilerplateShuffle instead")
+    // bound BEFORE collecting: at most cap + 1 fps ever reach the driver
+    val rows =
+      (if (cap > 0) boiler.limit(cap.toInt + 1) else boiler)
+        .collect().map(_.getAs[Array[Byte]](0))
+    require(cap <= 0 || rows.length <= cap,
+      s"stripBoilerplate: more than spark.graft.maxBoilerSegments=$cap " +
+        s"distinct segments meet the boilerplate threshold; that set is " +
+        "shipped to every task, so this path is valid only while it is " +
+        "small. Use stripBoilerplateShuffle (anti-join plan, never " +
+        "collects), raise the threshold, or raise the cap.")
+    val fps = graft.functions.HashExpressions.sortedFpPairs(rows)
+    docs.select(col(idCol),
+      coalesce(
+        graft.functions.HashExpressions
+          .stripBoilerplate(col(textCol), separator, fps),
+        lit("")).as("text_clean"))
+  }
+
+  /** The (fp) frame of segments meeting the boilerplate threshold — the
+    * narrow df-count job both strip paths share conceptually: per-doc
+    * distinct fps row-locally, explode bare fps, one map-side-combined
+    * count shuffle.
+    */
+  private def boilerFps(
+      docs: DataFrame,
+      textCol: String,
+      separator: String,
+      minDocs: Either[Long, Double]): DataFrame = {
+    val dfCounts = docs
+      .select(explode(graft.functions.HashExpressions
+        .distinctSegmentFps(col(textCol), separator)).as("__fp"))
+      .groupBy("__fp").agg(count(lit(1)).as("__df"))
+    (minDocs match {
+      case Left(n) => dfCounts.filter(col("__df") >= n)
+      case Right(f) =>
+        // Double.toString-exact decimal (0.8 -> DECIMAL "0.8", not the
+        // slightly-larger nearest double), multiplied into the corpus count.
+        val frac = lit(java.math.BigDecimal.valueOf(f))
+        val thr = docs.agg((count(lit(1)) * frac).as("__thr"))
+        dfCounts.crossJoin(broadcast(thr)).filter(col("__df") >= col("__thr"))
+    }).select("__fp")
+  }
+
+  /** The pre-round-13 [[stripBoilerplate]] plan, kept as the unbounded
+    * fallback: the boiler stop-list stays IN the plan as a broadcast
+    * anti-join and reassembly is a groupBy(id) over a shared segment
+    * exchange — nothing ever collects, so an adversarial corpus whose
+    * boiler set exceeds any broadcast bound still works (at the cost the
+    * composed-chain ladder measured: the corpus-scale segment exchange
+    * is read twice).
+    */
+  def stripBoilerplateShuffle(
       docs: DataFrame,
       idCol: String,
       textCol: String,

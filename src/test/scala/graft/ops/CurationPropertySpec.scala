@@ -167,6 +167,11 @@ class CurationPropertySpec extends AnyFunSuite {
         val expected = segsOf(text).filter(s => df(s) < minDocs).mkString(" ")
         assert(got(id) == expected, s"doc $id text='$text' minDocs=$minDocs df=$df")
       }
+      // the unbounded anti-join fallback must agree with the broadcast path
+      val shuf = Curation.stripBoilerplateShuffle(docs.toDF("doc_id", "text"),
+          "doc_id", "text", " ", Left(minDocs.toLong))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(shuf == got, s"shuffle path diverged: $shuf vs $got")
     }
   }
 

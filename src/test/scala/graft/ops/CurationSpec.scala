@@ -51,6 +51,41 @@ class CurationSpec extends AnyFunSuite {
       (1L, "a b"), (2L, "c"), (3L, "a"), (4L, ""), (5L, "q q")))
   }
 
+  test("stripBoilerplate: cap exceeded fails loud naming the unbounded path") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.graft.maxBoilerSegments", "2")
+    try {
+      // a, b, c all have df=3 >= 2: three boiler segments > cap of 2
+      val err = intercept[IllegalArgumentException] {
+        Curation.stripBoilerplate(docs, "doc_id", "text",
+          separator = " ", minDocs = 2)
+      }
+      assert(err.getMessage.contains("maxBoilerSegments") &&
+        err.getMessage.contains("stripBoilerplateShuffle"))
+    } finally spark.conf.unset("spark.graft.maxBoilerSegments")
+    // the named fallback handles the same corpus without any cap
+    val got = Curation.stripBoilerplateShuffle(docs, "doc_id", "text",
+        " ", Left(2L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, ""), (2L, ""), (3L, "d")))
+  }
+
+  test("stripBoilerplate: multi-byte UTF-8 text and multi-char separator " +
+      "segment identically to Spark's split") {
+    val docs = Seq(
+      (1L, "naïve☃x--héllo--naïve☃x"), (2L, "naïve☃x--mañana"),
+      (3L, "naïve☃x"), (4L, "--"))
+      .toDF("doc_id", "text")
+    // df: naïve☃x = 3 docs, "" = 1 (doc 4 twice counts once), rest 1
+    val got = Curation.stripBoilerplate(docs, "doc_id", "text",
+        separator = "--", minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "héllo"), (2L, "mañana"), (3L, ""), (4L, "--")))
+  }
+
   test("stripBoilerplate fractional threshold: in-plan count, decimal-exact at integer boundary") {
     val docs = Seq(
       (1L, "h a b"), (2L, "h c"), (3L, "h a"), (4L, "h"), (5L, "q q"))
@@ -168,10 +203,25 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(contamPlan.contains("BroadcastHashJoin") && contamPlan.contains("LeftSemi"),
       s"benchmark gram set must broadcast into a semi-join:\n$contamPlan")
-    val stripPlan = Curation.stripBoilerplate(docs, "doc_id", "text", " ", 2)
+    // broadcast-boiler default: the OUTPUT plan is a pure projection —
+    // the boiler set ships inside the StripBoilerplate expression, so no
+    // join and no exchange may appear anywhere in the strip pass. A
+    // range-backed frame keeps ConvertToLocalRelation from folding the
+    // projection away before the assert can see it.
+    val rangeDocs = spark.range(4).select(col("id").as("doc_id"),
+      concat(lit("h x"), col("id").cast("string")).as("text"))
+    val stripPlan = Curation.stripBoilerplate(rangeDocs, "doc_id", "text", " ", 2)
       .queryExecution.executedPlan.toString
-    assert(stripPlan.contains("BroadcastHashJoin") && stripPlan.contains("LeftAnti"),
-      s"boilerplate stop-list must broadcast into an anti-join:\n$stripPlan")
+    assert(!stripPlan.contains("Exchange") && !stripPlan.toLowerCase.contains("join"),
+      s"broadcast-boiler strip must be a zero-shuffle projection:\n$stripPlan")
+    assert(stripPlan.toLowerCase.contains("stripboilerplate"),
+      s"strip pass must run through the codegen expression:\n$stripPlan")
+    // unbounded fallback keeps the stop-list IN the plan as an anti-join
+    val shufflePlan = Curation.stripBoilerplateShuffle(
+        docs, "doc_id", "text", " ", Left(2L))
+      .queryExecution.executedPlan.toString
+    assert(shufflePlan.contains("BroadcastHashJoin") && shufflePlan.contains("LeftAnti"),
+      s"boilerplate stop-list must broadcast into an anti-join:\n$shufflePlan")
     val vocabPlan = Curation.vocabulary(docs, "text", k = 5)
       .queryExecution.executedPlan.toString
     assert(vocabPlan.contains("TakeOrderedAndProject"),
