@@ -174,10 +174,32 @@ object Bench {
       while (t < 0.02) { it *= 4; t = spin(it)._1 } // coarse floor
       math.max(1L, (it * 0.1 / t).toLong)
     }
-    val probeBase: Double = {
+    // PROBE GATE (r12 verdict #4): the loadavg gate alone admitted a
+    // drift-1.103 run — 1-minute loadavg is too laggy to certify the
+    // next few minutes quiet. Gate on the drift probe itself: take 5
+    // fixed-work samples; if max/median exceeds the target, the machine
+    // is jittering NOW — sleep and re-probe (bounded). The accepted
+    // median becomes the drift baseline, so the shipped artifact's
+    // drift is measured against a certified-quiet floor.
+    val probeGateTarget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_GATE", "1.05").toDouble
+    val probeGateMaxWait =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_WAIT", "300").toDouble
+    def probeQuietSample(): (Double, Double) = {
       val xs = (1 to 5).map(_ => spin(probeIters)._1).sorted
-      xs(xs.size / 2)
+      (xs(xs.size / 2), xs.last / xs(xs.size / 2))
     }
+    val probeGateT0 = System.nanoTime()
+    var probeSample = probeQuietSample()
+    while (probeSample._2 > probeGateTarget &&
+           (System.nanoTime() - probeGateT0) / 1e9 < probeGateMaxWait) {
+      Thread.sleep(5000)
+      probeSample = probeQuietSample()
+    }
+    val probeGateWaited = (System.nanoTime() - probeGateT0) / 1e9
+    val probeGateJson =
+      s"""{"target":${fmt(probeGateTarget)},"accepted_ratio":${fmt(probeSample._2)},"waited_sec":${fmt(probeGateWaited)},"timed_out":${probeSample._2 > probeGateTarget}}"""
+    val probeBase: Double = probeSample._1
     val probeEvery = 20
     val probeLog = collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val loadLog = collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -285,7 +307,7 @@ object Bench {
     val totalMin = results.map { case (_, _, xs, _) =>
       if (xs.isEmpty) 0.0 else xs.min }.sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","detail":"$detailPath"}"""
     // The driver captures only the LAST ~2000 chars of run output, and the
     // full line above (147 query medians) is longer than that — shipped
     // as-is it arrives front-truncated and unparseable (rounds 4 and 10
@@ -314,7 +336,7 @@ object Bench {
     // (build.sbt passes forked output through verbatim and suppresses the
     // [success] banner — see outputStrategy / showSuccess there).
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"errors":$errs,"stream_floor":${fmt(floor)},"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","queries_in":"$summaryPath","summary":"$summaryPath","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"errors":$errs,"stream_floor":${fmt(floor)},"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","queries_in":"$summaryPath","summary":"$summaryPath","detail":"$detailPath"}""")
     System.out.flush()
   }
 }

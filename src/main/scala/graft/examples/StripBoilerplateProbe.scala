@@ -75,7 +75,9 @@ object StripBoilerplateProbe {
     println(f"broadcast-boiler: $bArm%.2f s  shuffle(anti-join): $sArm%.2f s  " +
       f"speedup ${sArm / bArm}%.2fx")
 
-    // equivalence at probe scale: both arms byte-identical
+    // equivalence at probe scale: both arms byte-identical (skippable at
+    // the top rungs — it re-runs both arms — once proven on lower rungs)
+    if (args.lift(2).contains("noeq")) { spark.stop(); return }
     val diff = Curation.stripBoilerplate(docs, "doc_id", "text", " ", minDocs)
       .join(Curation.stripBoilerplateShuffle(
           docs, "doc_id", "text", " ", Left(minDocs))

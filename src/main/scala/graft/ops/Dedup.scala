@@ -706,10 +706,10 @@ object Dedup {
       .drop("__bucket")
 
   private def appendStateBuckets(df: DataFrame, path: String,
-      keys: Seq[String], nBuckets: Int): Unit =
-    KeyedState.appendPartitioned(
+      keys: Seq[String], nBuckets: Int, batchId: Long): Unit =
+    KeyedState.appendPartitionedAtomic(
       df.withColumn("__bucket", stateBucket(keys, nBuckets)),
-      path, "__bucket", nBuckets)
+      path, "__bucket", nBuckets, batchId)
 
   private def compactStateBuckets(spark: org.apache.spark.sql.SparkSession,
       path: String, buckets: Seq[Int], maxFiles: Int): Unit =
@@ -893,26 +893,28 @@ object Dedup {
         // id inequality, and post-normalization distinct above make the
         // replayed pairs identical even against a half-appended index) —
         // and the per-write markers skip every append that already
-        // landed, so nothing double-appends. The remaining window is a
-        // crash INSIDE one write's job commit — the generic
-        // non-transactional-sink caveat applyBatchOnce documents.
+        // landed, so nothing double-appends. A crash INSIDE one write's
+        // own job commit is closed too: every append here goes through
+        // KeyedState's staged-swap protocol (write to a fenced sibling
+        // dir, publish by per-file atomic renames), so a torn commit
+        // never lands partial files in the live tree.
         def pairsWrite(): Unit =
           // coalesce(1): the verified-pairs frame is small (candidates
           // that survived the jaccard cut) but inherits the verify
           // plan's partitioning — without it every batch appends up to
           // shuffle-partitions files; with it, one.
           try Upsert.applyBatchOnce(spark, s"$stateDir/_pairs_w", batchId) {
-            if (!v.isEmpty)
-              v.coalesce(1).write.mode("append").parquet(pairsDir)
+            KeyedState.appendFlatAtomic(v, pairsDir, 1, batchId)
           } finally v.unpersist()
         def bandedWrite(): Unit =
           Upsert.applyBatchOnce(spark, s"$stateDir/_banded_w", batchId) {
             appendStateBuckets(banded, bandedDir,
-              Seq("band", "band_sig"), nStateBuckets)
+              Seq("band", "band_sig"), nStateBuckets, batchId)
           }
         def shinglesWrite(): Unit =
           Upsert.applyBatchOnce(spark, s"$stateDir/_shingles_w", batchId) {
-            appendStateBuckets(sets, shinglesDir, Seq(idCol), nStateBuckets)
+            appendStateBuckets(sets, shinglesDir, Seq(idCol),
+              nStateBuckets, batchId)
           }
         // Injected-crash point "minhash_mid_writes" (test-only, see
         // [[Failpoint]]): the index appends land WITH their markers, the

@@ -57,6 +57,132 @@ object KeyedState {
       df.repartition(numTasks, col(partCol))
         .write.mode("append").partitionBy(partCol).parquet(path)
 
+  // ---- staged-swap batch appends ---------------------------------------
+  //
+  // A bare mode("append") under an [[Upsert.applyBatchOnce]] fence leaves
+  // one documented crash window: a crash INSIDE the parquet job commit
+  // (FileOutputCommitter moves task outputs into the live dir file by
+  // file) lands SOME of the batch's files without the replay marker, and
+  // the replayed batch then appends a full second copy next to the
+  // partial first. The staged variants close it: the batch writes to a
+  // SIBLING staged dir (a crash inside THAT job commit touches only the
+  // staged dir, which the replay deletes), a `_FENCE` file marks the
+  // staged write complete, and publication moves each staged file into
+  // the live dir under a batch-prefixed name. Each per-file rename is
+  // atomic, so at every instant a staged file exists in exactly one of
+  // the two dirs, and every crash point replays to the same final state:
+  //
+  //   - crash before `_FENCE` (incl. inside the staged job commit):
+  //     replay deletes the unfenced staged dir and rewrites;
+  //   - crash mid-publication: the fenced staged dir survives, replay
+  //     resumes moving whatever files remain;
+  //   - crash after publication, before the staged-dir delete: replay
+  //     finds a fenced staged dir with no data files left and just
+  //     cleans up;
+  //   - crash after the staged delete, before the caller's replay
+  //     marker: the live dir's `b<batchId>_` files prove publication
+  //     completed (they exist only after a fence existed, and the staged
+  //     dir is deleted only after every file moved), so replay returns
+  //     without re-appending.
+  //
+  // Staged dirs are SIBLINGS of the live root (`<path>__staged_b<id>`),
+  // never inside it — a stray non-partition dir inside a partitioned
+  // root breaks partition-value inference for every read (the compactor
+  // discipline above).
+
+  private def stagedDir(path: String, batchId: Long): Path =
+    new Path(path + s"__staged_b$batchId")
+
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      if (st.isDirectory) dataFiles(fs, st.getPath)
+      else if (st.getPath.getName.startsWith("part-")) Seq(st)
+      else Seq.empty
+    }
+
+  /** Move every remaining staged data file into the live tree under its
+    * batch-prefixed name, preserving the partition subdir, then drop the
+    * staged dir. Idempotent: re-runs move whatever is left. */
+  private def publishStaged(fs: FileSystem, staged: Path, live: Path,
+      batchId: Long): Unit = {
+    // listStatus returns QUALIFIED paths (scheme + authority); qualify the
+    // root too or the flat-dir parent comparison below never matches
+    val stagedQ = fs.makeQualified(staged)
+    for (st <- dataFiles(fs, staged)) {
+      val rel = st.getPath.getParent
+      val destDir =
+        if (rel == stagedQ) live
+        else new Path(live, rel.getName) // one partition level (partCol=v)
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, s"b${batchId}_${st.getPath.getName}")
+      if (fs.exists(dest)) fs.delete(st.getPath, false)
+      else fs.rename(st.getPath, dest)
+    }
+    fs.delete(staged, true)
+  }
+
+  /** True iff some live data file carries this batch's publication prefix
+    * — the witness that a previous attempt published completely (see the
+    * crash-window table above). Driver-side listing, O(partition dirs). */
+  private def livePublished(fs: FileSystem, live: Path, batchId: Long): Boolean =
+    fs.exists(live) && fs.listStatus(live).exists { st =>
+      val p = s"b${batchId}_"
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).exists(_.getPath.getName.startsWith(p))
+      else st.getPath.getName.startsWith(p)
+    }
+
+  /** [[appendPartitioned]] with the staged-swap protocol: atomic per
+    * batch under crashes anywhere, including inside the write's own job
+    * commit. Pair with [[Upsert.applyBatchOnce]] — the fence skips the
+    * common full-replay case cheaply; this closes the torn-commit window
+    * the fence cannot see. */
+  def appendPartitionedAtomic(df: DataFrame, path: String, partCol: String,
+      numTasks: Int, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    val staged = stagedDir(path, batchId)
+    val live = new Path(path)
+    val fence = new Path(staged, "_FENCE")
+    if (fs.exists(staged) && fs.exists(fence)) {
+      publishStaged(fs, staged, live, batchId); return
+    }
+    if (fs.exists(staged)) fs.delete(staged, true) // unfenced partial write
+    if (livePublished(fs, live, batchId)) return   // already fully published
+    if (df.isEmpty) return
+    df.repartition(numTasks, col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(staged.toString)
+    fs.create(fence, true).close()
+    // Injected-crash point (test-only, [[Failpoint]]): the staged write
+    // is complete and fenced but NOTHING is published — the torn-commit
+    // window a bare append cannot survive. CrashRecoverySpec kills a
+    // stream here and proves the checkpoint replay resumes publication.
+    Failpoint.hit(spark, "staged_post_fence", batchId)
+    publishStaged(fs, staged, live, batchId)
+  }
+
+  /** [[appendPartitionedAtomic]] for FLAT (unpartitioned) append dirs,
+    * coalesced to `numFiles` output files per batch. */
+  def appendFlatAtomic(df: DataFrame, path: String, numFiles: Int,
+      batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    val staged = stagedDir(path, batchId)
+    val live = new Path(path)
+    val fence = new Path(staged, "_FENCE")
+    if (fs.exists(staged) && fs.exists(fence)) {
+      publishStaged(fs, staged, live, batchId); return
+    }
+    if (fs.exists(staged)) fs.delete(staged, true)
+    if (livePublished(fs, live, batchId)) return
+    if (df.isEmpty) return
+    df.coalesce(numFiles).write.mode("overwrite").parquet(staged.toString)
+    fs.create(fence, true).close()
+    Failpoint.hit(spark, "staged_post_fence_flat", batchId)
+    publishStaged(fs, staged, live, batchId)
+  }
+
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

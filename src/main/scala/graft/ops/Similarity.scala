@@ -964,8 +964,9 @@ object Similarity {
           // cell per batch — the index is PROBED partition-pruned on
           // centroid_id, so its per-cell file listing must stay bounded
           // across batches (the compaction below).
-          KeyedState.appendPartitioned(assigned, s"$indexDir/assigned",
-            "centroid_id", parallelism(batch))
+          KeyedState.appendPartitionedAtomic(assigned,
+            s"$indexDir/assigned", "centroid_id", parallelism(batch),
+            batchId)
         }
         // Injected-crash point (test-only, see [[Failpoint]]): the cell
         // append landed and its fence marker is written, but the

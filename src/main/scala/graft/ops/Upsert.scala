@@ -228,9 +228,14 @@ object Upsert {
     * and accumulate-merge sinks ([[mergeKeyedParquet]]) would double-apply
     * the batch (duplicate appended rows / elements concatenated into each
     * key's list twice). The marker is written after `body` completes, so a
-    * crash MID-batch still replays — callers needing exactly-once under
-    * mid-batch crashes must pair this with an atomic sink; the guard closes
-    * the common recovery case (batch fully applied, checkpoint commit lost).
+    * crash MID-batch still replays — the guard closes the common recovery
+    * case (batch fully applied, checkpoint commit lost). For the replay to
+    * be exactly-once under a crash INSIDE `body`'s own write commit, pair
+    * it with the staged-swap appends
+    * ([[KeyedState.appendPartitionedAtomic]]/[[KeyedState.appendFlatAtomic]],
+    * as every streaming sink in this library does): they absorb a torn
+    * job commit AND recognize their own completed publication, so any
+    * crash point replays to the same final state.
     */
   def applyBatchOnce(
       spark: org.apache.spark.sql.SparkSession,

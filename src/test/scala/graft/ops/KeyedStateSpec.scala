@@ -182,6 +182,88 @@ class KeyedStateSpec extends AnyFunSuite {
     assert(files.contains("_PARAMS") && !files.exists(_.contains(".tmp.")))
   }
 
+  // ---- staged-swap atomic appends: every crash window replays to the
+  // same final state -----------------------------------------------------
+
+  private def rowsOf(path: String): Set[Long] =
+    spark.read.parquet(path).select("k").as[Long].collect().toSet
+
+  private def liveFiles(path: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path)).map(_.getName)
+      .filter(_.endsWith(".parquet"))
+  }
+
+  private def batchDf(lo: Long, hi: Long) =
+    (lo until hi).toDF("k")
+      .withColumn("__bucket", KeyedState.bucketColumn(Seq("k"), 4))
+
+  test("appendPartitionedAtomic: clean appends publish batch-prefixed " +
+      "files; re-running an already-published batch is a no-op") {
+    val p = graft.TestScratch.dir("graft-ks-atomic") + "/store"
+    KeyedState.appendPartitionedAtomic(batchDf(0, 40), p, "__bucket", 4, 0L)
+    KeyedState.appendPartitionedAtomic(batchDf(40, 80), p, "__bucket", 4, 1L)
+    assert(rowsOf(p) == (0L until 80L).toSet)
+    assert(liveFiles(p).forall(n => n.startsWith("b0_") || n.startsWith("b1_")))
+    assert(!new java.io.File(p + "__staged_b0").exists())
+    // the post-publication replay window (crash after staged delete,
+    // before the caller's marker): the live prefix is the witness
+    KeyedState.appendPartitionedAtomic(batchDf(40, 80), p, "__bucket", 4, 1L)
+    assert(spark.read.parquet(p).count() == 80)
+  }
+
+  test("appendPartitionedAtomic: an unfenced staged dir (crash inside the " +
+      "staged write) is discarded and rewritten") {
+    val p = graft.TestScratch.dir("graft-ks-atomic-torn") + "/store"
+    KeyedState.appendPartitionedAtomic(batchDf(0, 40), p, "__bucket", 4, 0L)
+    // simulate a torn staged write for batch 1: data, no _FENCE
+    val staged = new java.io.File(p + "__staged_b1")
+    batchDf(40, 60).write.parquet(staged.getPath + "/raw")
+    // replay of batch 1 discards the torn attempt and appends cleanly
+    KeyedState.appendPartitionedAtomic(batchDf(40, 80), p, "__bucket", 4, 1L)
+    assert(rowsOf(p) == (0L until 80L).toSet)
+    assert(!staged.exists())
+  }
+
+  test("appendPartitionedAtomic: a fenced staged dir (crash before/mid " +
+      "publication) resumes publication without duplicating moved files") {
+    val p = graft.TestScratch.dir("graft-ks-atomic-fenced") + "/store"
+    KeyedState.appendPartitionedAtomic(batchDf(0, 40), p, "__bucket", 4, 0L)
+    val before = rowsOf(p)
+    // build a REAL fenced staged dir by arming the in-protocol failpoint:
+    // the staged write completes, the fence lands, publication never runs
+    spark.conf.set("spark.graft.test.failpoint", "staged_post_fence:1")
+    try intercept[Failpoint.InjectedCrash] {
+      KeyedState.appendPartitionedAtomic(batchDf(40, 80), p, "__bucket", 4, 1L)
+    } finally spark.conf.unset("spark.graft.test.failpoint")
+    val staged = new java.io.File(p + "__staged_b1")
+    assert(staged.exists() && new java.io.File(staged, "_FENCE").exists())
+    assert(rowsOf(p) == before, "nothing may publish before the fence replay")
+    // hand-move ONE staged file to the mid-publication point, then replay
+    val one = staged.listFiles().filter(_.isDirectory).head
+      .listFiles().filter(_.getName.startsWith("part-")).head
+    val destDir = new java.io.File(p, one.getParentFile.getName)
+    destDir.mkdirs()
+    assert(one.renameTo(new java.io.File(destDir, s"b1_${one.getName}")))
+    KeyedState.appendPartitionedAtomic(batchDf(40, 80), p, "__bucket", 4, 1L)
+    assert(rowsOf(p) == (0L until 80L).toSet)
+    assert(!staged.exists())
+    assert(spark.read.parquet(p).count() == 80, "no duplicate rows")
+  }
+
+  test("appendFlatAtomic: same protocol for flat dirs") {
+    val p = graft.TestScratch.dir("graft-ks-atomic-flat") + "/pairs"
+    val df0 = (0L until 10L).toDF("k")
+    KeyedState.appendFlatAtomic(df0, p, 1, 0L)
+    KeyedState.appendFlatAtomic((10L until 20L).toDF("k"), p, 1, 1L)
+    assert(rowsOf(p) == (0L until 20L).toSet)
+    // already-published replay is a no-op
+    KeyedState.appendFlatAtomic(df0, p, 1, 0L)
+    assert(spark.read.parquet(p).count() == 20)
+    assert(liveFiles(p).size == 2) // one coalesced file per batch
+  }
+
   test("stampParams: non-finite doubles stamp and re-verify instead of " +
       "crashing in BigDecimal rendering") {
     val p = graft.TestScratch.dir("graft-stamp-nonfinite") + "/state"

@@ -113,6 +113,39 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/index/assigned").count() == emb.count())
   }
 
+  test("IVF ingest killed INSIDE the staged append (staged write fenced, " +
+      "nothing published): restart resumes publication exactly-once") {
+    val base = graft.TestScratch.dir("graft-crash-ivf-staged")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.repartition(3).write.mode("overwrite").parquet(s"$base/emb.parquet")
+    val thr = Similarity.sampleThreshold(8L, emb.count())
+    val centroids = emb
+      .filter(Similarity.hashSampleByThreshold(col("vec_id"), thr))
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    def run(tag: String) = Similarity.streamingIvfIngest(spark,
+        s"$base/emb.parquet", "*.parquet", "vec_id", "embedding", centroids,
+        indexDir = s"$base/index$tag", checkpointDir = s"$base/ckpt$tag",
+        maxFilesPerTrigger = 1)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val golden = run("_golden")
+    // the torn-commit-equivalent window: the batch's data files are all
+    // staged and fenced, but NONE are in the live tree and no replay
+    // marker exists — a bare append could not survive this point
+    spark.conf.set("spark.graft.test.failpoint", "staged_post_fence:1")
+    crashes(run(""))
+    // the fenced staged dir must exist with its batch unpublished
+    val stagedLeft = new java.io.File(s"$base/index")
+      .listFiles().map(_.getName).exists(_.startsWith("assigned__staged_b"))
+    assert(stagedLeft, "the injected crash must leave a fenced staged dir")
+    assert(run("") == golden)
+    assert(spark.read.parquet(s"$base/index/assigned").count() == emb.count())
+    // publication resumed and cleaned up: no staged dirs remain
+    assert(!new java.io.File(s"$base/index").listFiles()
+      .map(_.getName).exists(_.contains("__staged_b")))
+  }
+
   test("sequence-assembly merge sink killed between the fenced merge and " +
       "the batch commit: items concatenate exactly once") {
     val base = graft.TestScratch.dir("graft-crash-asm")
