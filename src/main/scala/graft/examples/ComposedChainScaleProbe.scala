@@ -66,14 +66,41 @@ object ComposedChainScaleProbe {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
+    // Per-stage SHUFFLE BYTES (round-12 lesson: bytes, not keys, predict
+    // the single-box page-cache cliff): a listener folds every completed
+    // Spark stage's shuffle-write bytes into one counter; each probe
+    // stage reports its delta. Listener delivery is async — a short
+    // drain sleep before reading the counter keeps the attribution
+    // honest (the numbers are MB-scale; a straggler event is noise).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def shuffleDelta[A](body: => A): (A, Long) = {
+      Thread.sleep(200)
+      val before = shuffleBytes.get()
+      val r = body
+      Thread.sleep(200)
+      (r, shuffleBytes.get() - before)
+    }
 
     // stage -> (size -> seconds); insertion-ordered for the table
     val results = collection.mutable.LinkedHashMap
       .empty[String, collection.mutable.LinkedHashMap[Int, Double]]
-    def record(stage: String, n: Int, s: Double, rows: Long): Unit = {
+    val shuffles = collection.mutable.LinkedHashMap
+      .empty[String, collection.mutable.LinkedHashMap[Int, Long]]
+    def record(stage: String, n: Int, s: Double, rows: Long,
+        shufBytes: Long): Unit = {
       results.getOrElseUpdate(stage,
         collection.mutable.LinkedHashMap.empty) += (n -> s)
-      println(f"  [$n%8d] $stage%-28s ${s}%8.2f s  ($rows rows)")
+      shuffles.getOrElseUpdate(stage,
+        collection.mutable.LinkedHashMap.empty) += (n -> shufBytes)
+      println(f"  [$n%8d] $stage%-28s ${s}%8.2f s  ($rows rows, " +
+        f"shuffle ${shufBytes / 1048576.0}%.0f MB)")
     }
 
     // Min of `reps` repeats per cell: a single sample let one GC pause /
@@ -89,17 +116,19 @@ object ComposedChainScaleProbe {
       val runs = (1 to reps).map { _ =>
         df.unpersist(blocking = true)
         System.gc(); Thread.sleep(50)
-        timed { df.persist(); df.count() }
+        shuffleDelta(timed { df.persist(); df.count() })
       }
-      record(label, n, runs.map(_._1).min, runs.head._2)
+      record(label, n, runs.map(_._1._1).min, runs.head._1._2,
+        runs.map(_._2).max)
       df
     }
     def actionStage(label: String, n: Int)(body: => Long): Unit = {
       val runs = (1 to reps).map { _ =>
         System.gc(); Thread.sleep(50)
-        timed(body)
+        shuffleDelta(timed(body))
       }
-      record(label, n, runs.map(_._1).min, runs.head._2)
+      record(label, n, runs.map(_._1._1).min, runs.head._1._2,
+        runs.map(_._2).max)
     }
 
 
@@ -253,6 +282,15 @@ object ComposedChainScaleProbe {
       }.mkString("/")
       println(stage.padTo(14, ' ') +
         ts.map(t => f"$t%12.2f").mkString + s"   $ratios (size $sizeRatios)")
+    }
+    println("\n=== per-stage shuffle bytes (MB; growth ratio vs prior rung) ===")
+    for ((stage, bySize) <- shuffles) {
+      val bs = sizes.map(s => bySize.getOrElse(s, 0L) / 1048576.0)
+      val ratios = bs.sliding(2).collect {
+        case Seq(a, b) if a > 0 => f"${b / a}%.2f"
+      }.mkString("/")
+      println(stage.padTo(14, ' ') +
+        bs.map(b => f"$b%12.0f").mkString + s"   $ratios")
     }
     spark.stop()
   }

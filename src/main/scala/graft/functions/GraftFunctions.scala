@@ -113,6 +113,93 @@ object GraftFunctions {
             csv(exprs(2), fn), csv(exprs(3), fn), csv(exprs(4), fn))
           .queryExecution.logical
       }, "scala_udf")
+    // Sort-based group-to-columns pivot (the q04 flagship). Mapping spec
+    // entries, comma-separated:
+    //   'src=>tgt'        passthrough (first row's value)
+    //   'src->t1|t2|...'  spread (row i's value into target i)
+    // e.g. SELECT * FROM graft_pivot('geno', 'patient_id,gene',
+    //        'chromosome', 'haplotype->hap1|hap2, gene=>gene_name')
+    // Returns the PIVOTED rows only; groups wider than the widest spread
+    // are diverted (not silently mangled) exactly as the Column API's
+    // bad-groups output — SQL callers wanting the diverted rows use the
+    // Column API, which returns both frames.
+    tvf.createOrReplaceTempFunction("graft_pivot",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_pivot"
+        require(exprs.length == 3 || exprs.length == 4,
+          s"$fn(view, groupByCsv, mappingSpec[, orderRowsByCsv])")
+        import graft.ops.GroupedRowsToColumns.{Passthrough, Spread}
+        val mappings = csv(exprs(2), fn).map { entry =>
+          if (entry.contains("=>")) {
+            val Array(s, t) = entry.split("=>", 2).map(_.trim)
+            Passthrough(s, t)
+          } else if (entry.contains("->")) {
+            val Array(s, ts) = entry.split("->", 2).map(_.trim)
+            Spread(s, ts.split("\\|").map(_.trim).toSeq)
+          } else throw new IllegalArgumentException(
+            s"$fn: mapping entry '$entry' is neither 'src=>tgt' nor " +
+              "'src->t1|t2'")
+        }
+        graft.ops.GroupedRowsToColumns(
+            spark.table(strArg(exprs(0), fn)),
+            csv(exprs(1), fn), mappings,
+            exprs.lift(3).map(e => csv(e, fn)).getOrElse(Nil))
+          ._1.queryExecution.logical
+      }, "scala_udf")
+    // Condensed multi-way left-join report (the q40/q41/q48 flagship
+    // shape): USING-style join steps against the nearest upstream table
+    // exposing each column, windowed duplicate suppression, namespaced
+    // (table__column) output.
+    //   selectSpec: 'tbl:c1|c2,tbl2:cA'       (output order)
+    //   joinsSpec:  'tbl:left:c1|c2,...'      (join type + USING columns)
+    //   dupKeySpec: 'tbl:own.c1|foreign.t.c'  (optional; defaults to all
+    //                                          of each table's columns)
+    // Joins with explicit non-USING conditions stay Column-API-only.
+    tvf.createOrReplaceTempFunction("graft_condensed_join",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_condensed_join"
+        require(exprs.length == 3 || exprs.length == 4,
+          s"$fn(selectSpec, rootView, joinsSpec[, dupKeySpec])")
+        import graft.report.CondensedJoin
+        def split2(s: String, sep: Char, what: String): (String, String) =
+          s.split(sep) match {
+            case Array(a, b) => (a.trim, b.trim)
+            case _ => throw new IllegalArgumentException(
+              s"$fn: malformed $what entry '$s'")
+          }
+        val select = csv(exprs(0), fn).map { e =>
+          val (t, cols) = split2(e, ':', "select")
+          (t, cols.split("\\|").map(_.trim).toSeq)
+        }
+        val root = strArg(exprs(1), fn)
+        val joins = csv(exprs(2), fn).map { e =>
+          e.split(":").map(_.trim) match {
+            case Array(t, jt, cols) =>
+              val usingCols = cols.split("\\|").map(_.trim).toSeq
+              CondensedJoin.Join(t, jt,
+                have => CondensedJoin.usingOn(have, t, usingCols))
+            case _ => throw new IllegalArgumentException(
+              s"$fn: malformed joins entry '$e' (want 'tbl:type:c1|c2')")
+          }
+        }
+        val dupKey = exprs.lift(3).map(e => csv(e, fn).map { entry =>
+          val (t, parts) = split2(entry, ':', "dupKey")
+          t -> parts.split("\\|").map(_.trim).map { p =>
+            p.split("\\.").map(_.trim) match {
+              case Array("own", c) => CondensedJoin.Own(c)
+              case Array("foreign", ft, c) => CondensedJoin.Foreign(ft, c)
+              case _ => throw new IllegalArgumentException(
+                s"$fn: malformed dupKey part '$p' (want 'own.c' or " +
+                  "'foreign.tbl.c')")
+            }
+          }.toSeq
+        }.toMap).getOrElse(Map.empty[String, Seq[CondensedJoin.KeyPart]])
+        val tables = (select.map(_._1) ++ Seq(root) ++ joins.map(_.table))
+          .distinct.map(t => t -> spark.table(t)).toMap
+        CondensedJoin.condensed(
+            CondensedJoin.Spec(select, root, joins, dupKey), tables)
+          .queryExecution.logical
+      }, "scala_udf")
     tvf.createOrReplaceTempFunction("graft_asof_join",
       (exprs: Seq[Expression]) => {
         val fn = "graft_asof_join"

@@ -54,6 +54,19 @@ object CondensedJoin {
   def col2(table: String, column: String): Column = col(s"${table}__$column")
   def name2(table: String, column: String): String = s"${table}__$column"
 
+  /** The standard USING-style join condition: each column pairs against
+    * the LAST previously-joined table that exposes it (the reference
+    * report chains join each stage against the nearest upstream stage).
+    */
+  def usingOn(have: Seq[(String, String)], table: String,
+      cols: Seq[String]): Column =
+    cols.map { c =>
+      val (lt, _) = have.findLast { case (_, lc) => lc == c }
+        .getOrElse(throw new IllegalArgumentException(
+          s"no source for USING column $c"))
+      col2(lt, c) === col2(table, c)
+    }.reduce(_ && _)
+
   /** Run the join + windowed duplicate suppression + projection. Returns the
     * condensed frame with namespaced columns in select order, ordered
     * deterministically (header-order columns, nulls last within each).

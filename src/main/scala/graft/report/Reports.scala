@@ -67,12 +67,7 @@ object Reports {
     sequentialId(df, df.columns.map(c => col(c).asc_nulls_first).toSeq, "id")
 
   private def usingOn(left: Seq[(String, String)], table: String,
-      cols: Seq[String]): Column =
-    cols.map { c =>
-      val (lt, _) = left.findLast { case (_, lc) => lc == c }
-        .getOrElse(throw new IllegalArgumentException(s"no source for USING column $c"))
-      col2(lt, c) === col2(table, c)
-    }.reduce(_ && _)
+      cols: Seq[String]): Column = CondensedJoin.usingOn(left, table, cols)
 
   /** Phenotype-path drug recommendation report
     * (`pipeline/Report.groovy:54-114`): recommendation → its drug details →

@@ -86,6 +86,90 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       Seq(("A", 12L, true), ("A", 25L, false), ("B", 14L, false)))
   }
 
+  test("graft_pivot from SQL ≡ Column API (good rows; bad groups diverted)") {
+    GraftFunctions.register(spark)
+    val geno = Seq(
+      ("p1", "g1", "A", "*1"), ("p1", "g1", "B", "*2"), // clean pair
+      ("p2", "g1", "A", "*3"),                          // short: null pad
+      ("p3", "g1", "A", "*1"), ("p3", "g1", "B", "*2"),
+      ("p3", "g1", "C", "*3"))                          // wide: bad group
+      .toDF("patient_id", "gene", "chromosome", "haplotype")
+    geno.createOrReplaceTempView("geno")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_pivot('geno', 'patient_id,gene', " +
+        "'haplotype->hap1|hap2', 'chromosome') ORDER BY patient_id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    val (good, bad) = graft.ops.GroupedRowsToColumns(geno,
+      Seq("patient_id", "gene"),
+      Seq(graft.ops.GroupedRowsToColumns.Spread("haplotype",
+        Seq("hap1", "hap2"))),
+      Seq("chromosome"))
+    val viaApi = good.orderBy("patient_id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql == Seq(
+      ("p1", "g1", Some("*1"), Some("*2")),
+      ("p2", "g1", Some("*3"), None)))     // p3 diverted to bad groups
+    assert(bad.select("patient_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("p3"))
+  }
+
+  test("graft_condensed_join from SQL ≡ Column API (USING chain + " +
+      "duplicate-key blanking)") {
+    GraftFunctions.register(spark)
+    val recs = Seq((1L, "codeine"), (2L, "warfarin")).toDF("id", "drug")
+    val pheno = Seq(("p1", 1L, "poor"), ("p1", 2L, "fast"),
+      ("p2", 1L, "poor")).toDF("patient_id", "drug_recommendation_id",
+      "phenotype")
+    recs.createOrReplaceTempView("recs")
+    pheno.createOrReplaceTempView("pheno")
+    import graft.report.CondensedJoin
+    val spec = CondensedJoin.Spec(
+      select = Seq("pheno" -> Seq("patient_id", "phenotype"),
+        "recs" -> Seq("drug")),
+      root = "pheno",
+      joins = Seq(CondensedJoin.Join("recs", "left",
+        _ => CondensedJoin.col2("pheno", "drug_recommendation_id") ===
+          CondensedJoin.col2("recs", "id"))),
+      duplicateKey = Map("pheno" -> Seq(CondensedJoin.Own("patient_id"))))
+    // the TVF encodes the same spec: recs joins USING-style would need a
+    // shared column name, so rename id -> drug_recommendation_id for the
+    // SQL view (the USING subset the TVF supports)
+    recs.withColumnRenamed("id", "drug_recommendation_id")
+      .createOrReplaceTempView("recs2")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_condensed_join(" +
+        "'pheno:patient_id|phenotype,recs2:drug', 'pheno', " +
+        "'recs2:left:drug_recommendation_id', " +
+        "'pheno:own.patient_id') ORDER BY pheno__patient_id, recs2__drug")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        Option(r.getString(2)))).toSeq
+    val apiSpec = CondensedJoin.Spec(
+      select = Seq("pheno" -> Seq("patient_id", "phenotype"),
+        "recs2" -> Seq("drug")),
+      root = "pheno",
+      joins = Seq(CondensedJoin.Join("recs2", "left",
+        have => CondensedJoin.usingOn(have, "recs2",
+          Seq("drug_recommendation_id")))),
+      duplicateKey = Map("pheno" -> Seq(CondensedJoin.Own("patient_id"))))
+    val viaApi = CondensedJoin.condensed(apiSpec, Map(
+        "pheno" -> pheno,
+        "recs2" -> recs.withColumnRenamed("id", "drug_recommendation_id")))
+      .orderBy("pheno__patient_id", "recs2__drug")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        Option(r.getString(2)))).toSeq
+    assert(viaSql == viaApi)
+    // spec with the explicit-condition Column API agrees on the data too
+    val viaExplicit = CondensedJoin.condensed(spec,
+        Map("pheno" -> pheno, "recs" -> recs))
+      .orderBy("pheno__patient_id", "recs__drug")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        Option(r.getString(2)))).toSeq
+    assert(viaSql == viaExplicit)
+  }
+
   test("table-function misuse fails loud: wrong arity, unknown view") {
     GraftFunctions.register(spark)
     val wrongArity = intercept[Exception] {
