@@ -2109,6 +2109,29 @@ object SparkEntry {
         concat(lit("a"), (col("n_nationkey") % 4).cast("string")).as("rs3"))
       graft.ops.Ingest.matrixToLong(wide, "g1")
         .orderBy("haplotype_name", "snp_id")
+    }),
+
+    // The unbounded boilerplate-strip fallback (anti-join plan, never
+    // collects) gated against the SAME oracle as q57's broadcast default
+    // — the two plans must stay value-identical forever.
+    "q151_strip_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.stripBoilerplateShuffle(docs, "doc_id", "text",
+          " ", Left(docs.count() * 8 / 10))
+        .orderBy("doc_id")
+    }),
+
+    // The SQL table-function surface gated through DuckDB: graft_pivot
+    // FROM-callable must produce exactly the q04 pivot (the builder
+    // returns the Column API's logical plan; this proves it end-to-end
+    // against an independent engine, not just against the Column API).
+    "q152_sql_pivot" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_q152_lineitem")
+      s.sql(
+        "SELECT * FROM graft_pivot('graft_q152_lineitem', 'l_orderkey', " +
+          "'l_orderkey=>l_orderkey, l_partkey->part1|part2', " +
+          "'l_linenumber,l_partkey') ORDER BY l_orderkey")
     }))
 
   /** Deterministic messy-URL fixture expression (Spark SQL) for
@@ -5771,7 +5794,45 @@ object SparkEntry {
                                         ELSE rs3 END
                 END AS allele
          FROM wide CROSS JOIN (VALUES ('rs1'), ('rs2'), ('rs3')) s(snp_id)
-         ORDER BY haplotype_name, snp_id""")
+         ORDER BY haplotype_name, snp_id""",
+
+    // identical to q57's oracle — the shuffle fallback must agree with
+    // the broadcast default value-for-value
+    "q151_strip_shuffle" ->
+      """WITH segs AS (
+           SELECT doc_id,
+                  unnest(parts) AS seg,
+                  unnest(range(1, len(parts) + 1)) AS pos
+           FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                 FROM documents)),
+         boiler AS (
+           SELECT seg FROM (
+             SELECT seg, count(*) AS df
+             FROM (SELECT DISTINCT doc_id, seg FROM segs)
+             GROUP BY seg)
+           WHERE df >= (SELECT count(*) * 8 / 10 FROM documents)),
+         clean AS (
+           SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean
+           FROM segs
+           WHERE seg NOT IN (SELECT seg FROM boiler)
+           GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(c.text_clean, '') AS text_clean
+         FROM documents d LEFT JOIN clean c USING (doc_id)
+         ORDER BY doc_id""",
+
+    // identical to q04's oracle — the FROM-callable graft_pivot must
+    // produce the Column API's pivot
+    "q152_sql_pivot" ->
+      """WITH r AS (
+           SELECT l_orderkey, l_partkey,
+                  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn,
+                  count(*) OVER (PARTITION BY l_orderkey) AS cnt
+           FROM lineitem)
+         SELECT l_orderkey,
+                max(CASE WHEN rn = 1 THEN l_partkey END) AS part1,
+                max(CASE WHEN rn = 2 THEN l_partkey END) AS part2
+         FROM r WHERE cnt <= 2 GROUP BY l_orderkey
+         ORDER BY l_orderkey""")
 
   /** DuckDB replay of [[graft.ops.Graphs.pageRank]] on q147's derived
     * host multigraph: 3 unrolled iterations, all-BIGINT floor-division

@@ -97,13 +97,16 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     geno.createOrReplaceTempView("geno")
     val viaSql = spark.sql(
       "SELECT * FROM graft_pivot('geno', 'patient_id,gene', " +
-        "'haplotype->hap1|hap2', 'chromosome') ORDER BY patient_id")
+        "'patient_id=>patient_id, gene=>gene, haplotype->hap1|hap2', " +
+        "'chromosome') ORDER BY patient_id")
       .collect().map(r => (r.getString(0), r.getString(1),
         Option(r.getString(2)), Option(r.getString(3)))).toSeq
     val (good, bad) = graft.ops.GroupedRowsToColumns(geno,
       Seq("patient_id", "gene"),
-      Seq(graft.ops.GroupedRowsToColumns.Spread("haplotype",
-        Seq("hap1", "hap2"))),
+      Seq(graft.ops.GroupedRowsToColumns.Passthrough("patient_id", "patient_id"),
+        graft.ops.GroupedRowsToColumns.Passthrough("gene", "gene"),
+        graft.ops.GroupedRowsToColumns.Spread("haplotype",
+          Seq("hap1", "hap2"))),
       Seq("chromosome"))
     val viaApi = good.orderBy("patient_id")
       .collect().map(r => (r.getString(0), r.getString(1),
