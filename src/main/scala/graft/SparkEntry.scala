@@ -785,8 +785,9 @@ object SparkEntry {
 
     // Benchmark decontamination: word-6-gram overlap of the corpus
     // (doc_id >= 25) against an eval benchmark (doc_id < 25) — the
-    // pre-training n-gram contamination check. Benchmark gram fingerprints
-    // broadcast; the only shuffle is the per-doc match count.
+    // pre-training n-gram contamination check. Benchmark gram
+    // fingerprints ship inside the GramMatchStats codegen expression:
+    // the corpus side is a zero-shuffle projection.
     "q56_decontamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Curation.contaminationReport(

@@ -3,20 +3,15 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Adjudication probe for the ComposedChainScaleProbe finding that
-  * `decontaminate` scales ~n^1.8 (4.35 / 15.0 / 53.4 s at 1M/2M/4M docs):
-  * is the super-linear term the PERSIST of the corpus-sized gram index
-  * (n × ~45 grams × ~50 B of (id, hex-md5) rows — GBs of cache traffic
-  * and storage-memory pressure at the top rungs), or the gram compute
-  * itself?
-  *
-  * Variant A is the shipped operator (persisted gram index). Variant B
-  * is the identical plan WITHOUT the persist, betting on ReuseExchange:
-  * both consumers (the per-doc size aggregate and the benchmark-match
-  * semi-join aggregate) sit on the same `repartition(id)` exchange, so
-  * Catalyst can compute the gram index once and fan out — no cache, no
-  * storage pressure. If B wins and stays linear, the operator drops the
-  * persist (and its caller-releases cache contract).
+/** Decontaminate A/B probe, re-pointed across rounds as the operator
+  * evolved. Round 12: persisted gram index (then-A) vs ReusedExchange
+  * (then-B) — B won 2×, the persist was dropped. Round 13: variant A is
+  * the SHIPPED operator, now the row-local GramMatchStats shape (bench
+  * fps inside a codegen expression, zero corpus exchange); variant B
+  * preserves the round-12 winner — the shared (id, gram) repartition
+  * exchange read by the size aggregate and the broadcast semi-join —
+  * as the comparison baseline (the composed-chain ladder's dominant
+  * stage: 9.0 GB shuffle / 125 s at 8M docs).
   *
   * Usage: sbt "runMain graft.examples.DeconVariantProbe [sizesCsv]"
   */
@@ -116,7 +111,7 @@ object DeconVariantProbe {
       val tB = timedMin(2, prep) {
         deconNoPersist(body, bench).count()
       }
-      println(f"[$n%8d] A(persisted gram index) $tA%8.2f s   B(no persist) $tB%8.2f s")
+      println(f"[$n%8d] A(row-local, shipped) $tA%8.2f s   B(shared-exchange) $tB%8.2f s   ${tB / tA}%.2fx")
       docs.unpersist(blocking = true)
     }
     spark.stop()

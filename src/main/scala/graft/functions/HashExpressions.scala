@@ -582,6 +582,80 @@ object HashExpressions {
     UTF8String.fromBytes(out.toByteArray)
   }
 
+  /** Parse 32-hex-char md5 strings (Spark's `md5()` output) into the
+    * sorted (hi, lo) pair array the row-local match passes binary-search.
+    * Big-endian halves, consistent with [[sortedFpPairs]]'s byte fold. */
+  def sortedFpPairsFromHex(fps: Array[String]): Array[Long] = {
+    val pairs = fps.map { h =>
+      require(h.length == 32, s"not an md5 hex fingerprint: $h")
+      (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
+        java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16))
+    }.sorted
+    val flat = new Array[Long](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      flat(2 * i) = pairs(i)._1
+      flat(2 * i + 1) = pairs(i)._2
+      i += 1
+    }
+    flat
+  }
+
+  /** Per-document benchmark-gram collision statistics in ONE row pass:
+    * `(n_grams, matched_grams)` over the document's DISTINCT word
+    * k-shingles ([[shingleSetEval]] — identical tokenization/dedup to
+    * [[ShingleSet]]), matching each gram's md5 against the sorted bench
+    * fingerprint pairs shipped with the plan. Replaces
+    * [[graft.ops.Curation.contaminationReport]]'s corpus-scale
+    * (id, gram) exchange read twice (size aggregate + broadcast
+    * semi-join) — the same fat-exchange disease the round-13 strip
+    * rewrite removed, and the composed-chain ladder's dominant stage
+    * (q63.decon: 9.0 GB shuffle, 125 s at 8M docs).
+    */
+  case class GramMatchStats(child: Expression, k: Int, fps: Array[Long])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_grams", LongType, nullable = false),
+      StructField("matched_grams", LongType, nullable = false)))
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      gramMatchStatsEval(input.asInstanceOf[UTF8String], k, fps)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fpsRef = ctx.addReferenceObj("fps", fps, "long[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.gramMatchStatsEval($c, $k, $fpsRef)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Static hot loop for [[GramMatchStats]]; called from generated code. */
+  def gramMatchStatsEval(input: UTF8String, k: Int,
+      fps: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    val grams = shingleSetEval(input, k)
+    val md = md5Local.get()
+    var matched = 0L
+    var i = 0
+    val n = grams.numElements()
+    while (i < n) {
+      val b = grams.getUTF8String(i).getBytes
+      md.update(b)
+      val d = md.digest()
+      if (containsPair(fps, fpHi(d), fpLo(d))) matched += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, matched))
+  }
+
+  def gramMatchStats(text: Column, k: Int, fps: Array[Long]): Column =
+    ColumnBridge.column(
+      GramMatchStats(ColumnBridge.expression(text), k, fps))
+
   def distinctSegmentFps(text: Column, separator: String): Column =
     ColumnBridge.column(
       DistinctSegmentFps(ColumnBridge.expression(text), separator))

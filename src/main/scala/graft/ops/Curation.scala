@@ -57,7 +57,28 @@ object Curation {
 
   /** The shared report body: corpus grams against a prepared benchmark
     * fingerprint frame. ONE definition so the raw-text and persisted-index
-    * forms cannot drift. */
+    * forms cannot drift.
+    *
+    * Scale shape (round 13): every output is DOCUMENT-LOCAL given the
+    * benchmark gram set, and the previous plan already forced that set to
+    * broadcast — so collecting it (bounded, `spark.graft.maxBenchGrams`)
+    * adds no new memory constraint while deleting the plan's one
+    * corpus-scale exchange: the (id, gram-array) repartition the size
+    * aggregate and the match semi-join both read (the composed-chain
+    * ladder's dominant stage — q63.decon 9.0 GB shuffle / 125 s at 8M
+    * docs). The whole report is now ONE codegen row pass
+    * ([[graft.functions.HashExpressions.GramMatchStats]]: distinct
+    * k-shingles, md5-match against the sorted bench fp pairs shipped with
+    * the plan) — zero joins, zero exchanges, identical tokenization
+    * (shared [[graft.functions.HashExpressions.shingleSetEval]] loop)
+    * and identical md5-equality semantics.
+    *
+    * Runs ONE eager Spark job at call time (the bounded bench-gram
+    * collect) — the [[Similarity]] query-side-bound laziness exception.
+    * A REFERENCE side too big for any broadcast is the structurally
+    * different problem [[noveltyReport]] solves (both sides shuffle on
+    * fingerprints, anti-join); the cap's error message points there.
+    */
   private def contaminationAgainst(
       docs: DataFrame,
       idCol: String,
@@ -65,36 +86,32 @@ object Curation {
       benchGrams: DataFrame,
       n: Int,
       minMatches: Int): DataFrame = {
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    // Distinct word n-grams via the row-level [[HashExpressions.ShingleSet]]
-    // tight loop (the composable transform-lambda formulation is interpreted
-    // per gram — measured ~13 s of a 28 s probe at 400k docs). NOT
-    // persisted: both consumers (the size aggregate and the match
-    // semi-join) sit on the SAME repartition exchange, which Catalyst
-    // computes once and reuses (ReusedExchange) — a persist here caches a
-    // corpus-scale (id, hex-md5) frame (~GBs at millions of docs) whose
-    // write traffic and storage pressure cost MORE than it saves
-    // (DeconVariantProbe: 14.5 s persisted vs 8.1 s reused at 1M docs,
-    // 30.3 vs 15.5 at 2M; the persisted form also went super-linear in
-    // the composed chain as its cache evicted sibling stages').
-    val docGrams = docs
+    val spark = docs.sparkSession
+    val cap = spark.conf
+      .getOption("spark.graft.maxBenchGrams").getOrElse("2000000").toLong
+    require(cap <= 0 || cap < Int.MaxValue,
+      s"spark.graft.maxBenchGrams=$cap: a gram set that large cannot " +
+        "ship with the plan anyway; set <= 0 to disable the cap")
+    val rows =
+      (if (cap > 0) benchGrams.select("__fp").limit(cap.toInt + 1)
+       else benchGrams.select("__fp"))
+        .collect().map(_.getString(0))
+    require(cap <= 0 || rows.length <= cap,
+      s"contamination check: the benchmark gram set exceeds " +
+        s"spark.graft.maxBenchGrams=$cap fingerprints; it ships to every " +
+        "task, so this path is valid only while the benchmark is much " +
+        "smaller than the corpus. For a corpus-scale REFERENCE side use " +
+        "noveltyReport (both sides shuffle on fingerprints), or raise " +
+        "the cap.")
+    val fps = graft.functions.HashExpressions.sortedFpPairsFromHex(rows)
+    val stats =
+      graft.functions.HashExpressions.gramMatchStats(col(textCol), n, fps)
+    docs.select(col(idCol), stats.as("__s"))
       .select(col(idCol),
-        graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
-      .repartition(p, col(idCol))
-      .select(col(idCol), explode(col("__sh")).as("__gram"))
-      .select(col(idCol), md5(col("__gram")).as("__fp"))
-    val sizes = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
-    val perDoc = docGrams
-      .join(broadcast(benchGrams), Seq("__fp"), "left_semi")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("matched_grams"))
-    docs.select(col(idCol))
-      .join(sizes, Seq(idCol), "left")
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
-        (coalesce(col("matched_grams"), lit(0L)) >= minMatches).as("contaminated"))
+        coalesce(col("__s.n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("__s.matched_grams"), lit(0L)).as("matched_grams"),
+        (coalesce(col("__s.matched_grams"), lit(0L)) >= minMatches)
+          .as("contaminated"))
   }
 
   /** Per-document n-gram NOVELTY against a reference corpus: what

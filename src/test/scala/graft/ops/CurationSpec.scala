@@ -198,11 +198,20 @@ class CurationSpec extends AnyFunSuite {
   test("plan shapes: benchmark/stop-list joins broadcast; top-k avoids global sort") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u t s"))
       .toDF("doc_id", "text")
-    val contamPlan = Curation.contaminationReport(docs, "doc_id", "text",
-        docs.limit(1), "text", n = 2)
+    // contamination report: the bench gram set ships inside the
+    // GramMatchStats expression, so the corpus side is a zero-shuffle
+    // projection — no join and no exchange anywhere (round-13 rewrite of
+    // the composed-chain ladder's dominant stage)
+    val rangeContam = spark.range(4).select(col("id").as("doc_id"),
+      concat(lit("a b c d"), col("id").cast("string")).as("text"))
+    val contamPlan = Curation.contaminationReport(rangeContam, "doc_id",
+        "text", docs.limit(1), "text", n = 2)
       .queryExecution.executedPlan.toString
-    assert(contamPlan.contains("BroadcastHashJoin") && contamPlan.contains("LeftSemi"),
-      s"benchmark gram set must broadcast into a semi-join:\n$contamPlan")
+    assert(!contamPlan.contains("Exchange") &&
+        !contamPlan.toLowerCase.contains("join"),
+      s"contamination report must be a zero-shuffle projection:\n$contamPlan")
+    assert(contamPlan.toLowerCase.contains("grammatchstats"),
+      s"report must run through the codegen expression:\n$contamPlan")
     // broadcast-boiler default: the OUTPUT plan is a pure projection —
     // the boiler set ships inside the StripBoilerplate expression, so no
     // join and no exchange may appear anywhere in the strip pass. A
