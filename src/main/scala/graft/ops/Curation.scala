@@ -567,27 +567,43 @@ object Curation {
     // come from ONE tight row-level pass instead
     // ([[graft.functions.HashExpressions.RepetitionStats]], codegen'd
     // like the module's other hot-path expressions).
+    val s = repetitionSignalCols(textCol, separator)
+    docs.select(col(idCol),
+      s("n_segments").as("n_segments"),
+      s("n_distinct_segments").as("n_distinct_segments"),
+      s("dup_segment_frac").as("dup_segment_frac"),
+      s("n_bigrams").as("n_bigrams"),
+      s("top_bigram_count").as("top_bigram_count"),
+      s("top_bigram_frac").as("top_bigram_frac"))
+  }
+
+  /** The row-local repetition signal columns, ONE definition shared by
+    * [[repetitionReport]] and [[qualityFilter]] so the two cannot drift.
+    * NULL text produced zero exploded rows in the original shape →
+    * all-zero signals; the expression is null-propagating, so guard. */
+  private def repetitionSignalCols(
+      textCol: String, separator: String): Map[String, Column] = {
     val stats =
       graft.functions.HashExpressions.repetitionStats(col(textCol), separator)
-    // NULL text produced zero exploded rows in the original shape →
-    // all-zero signals; the expression is null-propagating, so guard
     def z(c: Column): Column =
       when(col(textCol).isNull, lit(0L)).otherwise(c)
     val nSegsZ = z(stats.getField("n_segments"))
-    val nDistinct = stats.getField("n_distinct_segments")
+    val nDistinctZ = z(stats.getField("n_distinct_segments"))
     val nBigramsZ = z(stats.getField("n_bigrams"))
     val topZ = z(stats.getField("top_bigram_count"))
-    docs.select(col(idCol),
-      nSegsZ.as("n_segments"),
-      z(nDistinct).as("n_distinct_segments"),
-      when(nSegsZ > 0,
-        round(lit(1.0) - z(nDistinct).cast("double") / nSegsZ, 6))
-        .otherwise(lit(0.0)).as("dup_segment_frac"),
-      nBigramsZ.as("n_bigrams"),
-      topZ.as("top_bigram_count"),
-      when(nBigramsZ > 0,
-        round(topZ.cast("double") / nBigramsZ, 6))
-        .otherwise(lit(0.0)).as("top_bigram_frac"))
+    Map(
+      "n_segments" -> nSegsZ,
+      "n_distinct_segments" -> nDistinctZ,
+      "n_bigrams" -> nBigramsZ,
+      "top_bigram_count" -> topZ,
+      "dup_segment_frac" ->
+        when(nSegsZ > 0,
+          round(lit(1.0) - nDistinctZ.cast("double") / nSegsZ, 6))
+          .otherwise(lit(0.0)),
+      "top_bigram_frac" ->
+        when(nBigramsZ > 0,
+          round(topZ.cast("double") / nBigramsZ, 6))
+          .otherwise(lit(0.0)))
   }
 
   /** Gopher-style rule-based document filter (Rae et al. 2021 §A1.1.2, the
@@ -618,15 +634,20 @@ object Curation {
       maxDupSegmentFrac: Double = 0.30,
       maxTopBigramFrac: Double = 0.18,
       separator: String = "\n"): DataFrame = {
+    // Every signal is row-local, so the whole filter is ONE scan-stage
+    // projection — the previous shape joined two per-doc projections 1:1
+    // on the id, a pure plan tax (two corpus exchanges + a join for
+    // columns computable side by side in the same select; the 8M ladder
+    // charged it 186 MB of shuffle and it was q77's dominant stage).
+    val rep = repetitionSignalCols(textCol, separator)
     val signals = docs
       .select(col(idCol),
         tokenCount(col(textCol)).as("n_tokens"),
         round(meanWordLen(col(textCol)), 6).as("mean_word_len"),
         round(punctRatio(col(textCol)), 6).as("punct_ratio"),
-        round(stopwordRatio(col(textCol)), 6).as("stopword_ratio"))
-      .join(repetitionReport(docs, idCol, textCol, separator)
-        .select(col(idCol), col("dup_segment_frac"), col("top_bigram_frac")),
-        Seq(idCol))
+        round(stopwordRatio(col(textCol)), 6).as("stopword_ratio"),
+        rep("dup_segment_frac").as("dup_segment_frac"),
+        rep("top_bigram_frac").as("top_bigram_frac"))
     // First-failed-rule semantics: the when-chain order IS the audit order.
     val reason = when(col("n_tokens") < minTokens, lit("too_few_tokens"))
       .when(col("n_tokens") > maxTokens, lit("too_many_tokens"))

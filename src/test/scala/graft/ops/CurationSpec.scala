@@ -212,6 +212,14 @@ class CurationSpec extends AnyFunSuite {
       s"contamination report must be a zero-shuffle projection:\n$contamPlan")
     assert(contamPlan.toLowerCase.contains("grammatchstats"),
       s"report must run through the codegen expression:\n$contamPlan")
+    // quality filter: every signal is row-local — one scan-stage
+    // projection, no self-join of two per-doc projections
+    val qualityPlan = Curation.qualityFilter(rangeContam, "doc_id", "text",
+        separator = " ")
+      .queryExecution.executedPlan.toString
+    assert(!qualityPlan.contains("Exchange") &&
+        !qualityPlan.toLowerCase.contains("join"),
+      s"qualityFilter must be a zero-shuffle projection:\n$qualityPlan")
     // broadcast-boiler default: the OUTPUT plan is a pure projection —
     // the boiler set ships inside the StripBoilerplate expression, so no
     // join and no exchange may appear anywhere in the strip pass. A
