@@ -112,15 +112,24 @@ object ComposedChainScaleProbe {
     // (else repeat 2 would time its own cache read, not the compute) and
     // stays cached after the last repeat for the next stage's input.
     val reps = 2
-    def persistedStage(label: String, n: Int, df: DataFrame): DataFrame = {
+    // The frame is BY NAME: round-13 made two operators eager (strip's
+    // boiler-df collect, decon's bench-gram collect) — a by-value
+    // parameter would run those jobs at argument evaluation, OUTSIDE the
+    // clock, under-reporting the stage. Each repeat re-constructs the
+    // operator, so construction + materialization are timed together.
+    def persistedStage(label: String, n: Int, mk: => DataFrame): DataFrame = {
+      var last: DataFrame = null
       val runs = (1 to reps).map { _ =>
-        df.unpersist(blocking = true)
+        if (last != null) last.unpersist(blocking = true)
         System.gc(); Thread.sleep(50)
-        shuffleDelta(timed { df.persist(); df.count() })
+        shuffleDelta(timed {
+          last = mk
+          last.persist(); last.count()
+        })
       }
       record(label, n, runs.map(_._1._1).min, runs.head._1._2,
         runs.map(_._2).max)
-      df
+      last
     }
     def actionStage(label: String, n: Int)(body: => Long): Unit = {
       val runs = (1 to reps).map { _ =>

@@ -4,7 +4,8 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -337,24 +338,44 @@ object HashExpressions {
       StructField("n_distinct_segments", LongType, nullable = false),
       StructField("n_bigrams", LongType, nullable = false),
       StructField("top_bigram_count", LongType, nullable = false)))
-    override def nullable: Boolean = true
+    // NULL text → all-zero counts, NOT null. Null-propagation forced every
+    // consumer to wrap each field access in a `when(isNull(text), 0)`
+    // guard, and codegen subexpression elimination skips CONDITIONALLY
+    // evaluated subtrees — so the expression re-evaluated once per field
+    // reference. Zero-counts-on-null makes every reference unconditional:
+    // one evaluation per row, however many signals read it.
+    override def nullable: Boolean = false
 
-    override def nullSafeEval(input: Any): Any =
-      repetitionStatsEval(input.asInstanceOf[UTF8String], separator)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      repetitionStatsEval(
+        if (v == null) null else v.asInstanceOf[UTF8String], separator)
+    }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val sepRef = ctx.addReferenceObj("sep", separator, "java.lang.String")
-      defineCodeGen(ctx, ev, c =>
-        s"graft.functions.HashExpressions.repetitionStatsEval($c, $sepRef)")
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+            graft.functions.HashExpressions.repetitionStatsEval(
+              ${c.isNull} ? null : ${c.value}, $sepRef);""",
+        isNull = FalseLiteral)
     }
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
 
+  private val zeroRepetitionStats =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0L, 0L, 0L, 0L))
+
   /** Static hot loop for [[RepetitionStats]]; called from generated code. */
   def repetitionStatsEval(input: UTF8String,
       sep: String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (input == null) return zeroRepetitionStats
     val text = input.toString
     // literal-separator split with Spark's limit=-1 semantics (trailing
     // empty segments kept; "" splits to one empty segment)
@@ -655,6 +676,116 @@ object HashExpressions {
   def gramMatchStats(text: Column, k: Int, fps: Array[Long]): Column =
     ColumnBridge.column(
       GramMatchStats(ColumnBridge.expression(text), k, fps))
+
+  /** RAW text-quality counts in ONE codegen row pass:
+    * `(n_tokens, sum_word_len, n_chars, n_punct, n_stopwords)`. The
+    * ratio/score ARITHMETIC stays in Column expressions (same casts,
+    * divisions and rounding as the original composable forms, so float
+    * results — and DuckDB oracle hashes — are bit-identical); only the
+    * per-character/per-token WORK moves into the loop. The composable
+    * forms ([[graft.functions.TextFunctions]] `tokenCount`/`meanWordLen`/
+    * `punctRatio`/`stopwordRatio`) build on higher-order-function lambdas,
+    * which are CodegenFallback: ONE of them in a Project evicts the whole
+    * projection from whole-stage codegen onto the interpreted path — the
+    * round-13 q77.quality regression (8.96 → 20.6 s at 2M docs) was
+    * exactly that eviction pulling the merged RepetitionStats along.
+    *
+    * Semantics replicated exactly: tokens = lowercase, Java `\s` split,
+    * empties dropped ([[isWs]] is the `\s` set); lengths count Unicode
+    * CODE POINTS (Spark's `length` = UTF8String.numChars); punct is Java
+    * regex `\p{Punct}` = the 32 ASCII punctuation characters; stopword
+    * membership compares whole lowercased tokens. NULL text → all-zero
+    * counts (nullable=false) so every field reference is unconditional
+    * and codegen subexpression elimination evaluates the pass once per
+    * row however many signals read it.
+    */
+  case class TextStats(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("sum_word_len", LongType, nullable = false),
+      StructField("n_chars", IntegerType, nullable = false),
+      StructField("n_punct", IntegerType, nullable = false),
+      StructField("n_stopwords", IntegerType, nullable = false)))
+    override def nullable: Boolean = false
+
+    private lazy val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      stopwords.foreach(s.add)
+      s
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      textStatsEval(
+        if (v == null) null else v.asInstanceOf[UTF8String], stopSet)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val stopRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+            graft.functions.HashExpressions.textStatsEval(
+              ${c.isNull} ? null : ${c.value}, $stopRef);""",
+        isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  private val zeroTextStats =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0, 0L, 0, 0, 0))
+
+  /** Java regex `\p{Punct}`: the 32 ASCII punctuation characters. */
+  private def isAsciiPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+
+  /** Static hot loop for [[TextStats]]; called from generated code. */
+  def textStatsEval(input: UTF8String,
+      stop: java.util.HashSet[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (input == null) return zeroTextStats
+    // n_chars / n_punct walk the ORIGINAL text (punctRatio's semantics);
+    // counts are code points, matching Spark's length = numChars
+    val raw = input.toString
+    var nChars = 0
+    var nPunct = 0
+    var i = 0
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      nChars += 1
+      if (cp < 128 && isAsciiPunct(cp.toChar)) nPunct += 1
+      i += Character.charCount(cp)
+    }
+    // tokens walk the LOWERCASED text (tokens()'s semantics)
+    val text = input.toLowerCase.toString
+    var nTokens = 0
+    var sumWordLen = 0L
+    var nStop = 0
+    var j = 0
+    val n = text.length
+    while (j < n) {
+      while (j < n && isWs(text.charAt(j))) j += 1
+      val start = j
+      while (j < n && !isWs(text.charAt(j))) j += 1
+      if (j > start) {
+        nTokens += 1
+        sumWordLen += text.codePointCount(start, j)
+        if (stop.contains(text.substring(start, j))) nStop += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, sumWordLen, nChars, nPunct, nStop))
+  }
+
+  def textStats(text: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(TextStats(ColumnBridge.expression(text), stopwords))
 
   def distinctSegmentFps(text: Column, separator: String): Column =
     ColumnBridge.column(

@@ -129,13 +129,28 @@ object TextFunctions {
   /** Composite quality heuristic in [0, 1]: rewards mid-length documents,
     * some stopword presence, low punctuation density and sane word lengths —
     * the usual cheap pre-filter before expensive model-based scoring.
+    *
+    * Built on the codegen [[HashExpressions.TextStats]] counts, not the
+    * composable HOF ratios above: one interpreted lambda in a Project
+    * evicts the whole projection from whole-stage codegen (the round-13
+    * q77.quality finding). The arithmetic below replicates the composable
+    * forms' casts/divisions exactly, so scores are bit-identical.
     */
   def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+    val ts = HashExpressions.textStats(text, enStopwords)
+    val nTokI = ts.getField("n_tokens")
+    val nChars = ts.getField("n_chars")
+    val nTok = nTokI.cast("double")
+    val stopRatio = when(nTokI > 0,
+      ts.getField("n_stopwords").cast("double") / nTokI).otherwise(lit(0.0))
+    val pRatio = when(nChars > 0,
+      ts.getField("n_punct").cast("double") / nChars).otherwise(lit(0.0))
+    val mwl = when(nTokI > 0,
+      ts.getField("sum_word_len").cast("double") / nTokI).otherwise(lit(0.0))
     val lengthScore = least(nTok / 64.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
-    val wordLenScore = when(meanWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.5)
+    val stopScore = least(stopRatio * 4.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - pRatio * 4.0)
+    val wordLenScore = when(mwl.between(2.0, 12.0), 1.0).otherwise(0.5)
     round((lengthScore + stopScore + punctScore + wordLenScore) / 4.0, 6)
   }
 

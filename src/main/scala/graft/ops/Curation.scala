@@ -579,30 +579,32 @@ object Curation {
 
   /** The row-local repetition signal columns, ONE definition shared by
     * [[repetitionReport]] and [[qualityFilter]] so the two cannot drift.
-    * NULL text produced zero exploded rows in the original shape →
-    * all-zero signals; the expression is null-propagating, so guard. */
+    * NULL text → all-zero counts INSIDE the expression (it is
+    * non-nullable), so every field reference here is UNCONDITIONAL and
+    * codegen subexpression elimination evaluates the row pass once —
+    * the previous per-field `when(isNull(text), 0)` guards made each
+    * reference conditional, which CSE skips, re-running the pass per
+    * signal. */
   private def repetitionSignalCols(
       textCol: String, separator: String): Map[String, Column] = {
     val stats =
       graft.functions.HashExpressions.repetitionStats(col(textCol), separator)
-    def z(c: Column): Column =
-      when(col(textCol).isNull, lit(0L)).otherwise(c)
-    val nSegsZ = z(stats.getField("n_segments"))
-    val nDistinctZ = z(stats.getField("n_distinct_segments"))
-    val nBigramsZ = z(stats.getField("n_bigrams"))
-    val topZ = z(stats.getField("top_bigram_count"))
+    val nSegs = stats.getField("n_segments")
+    val nDistinct = stats.getField("n_distinct_segments")
+    val nBigrams = stats.getField("n_bigrams")
+    val top = stats.getField("top_bigram_count")
     Map(
-      "n_segments" -> nSegsZ,
-      "n_distinct_segments" -> nDistinctZ,
-      "n_bigrams" -> nBigramsZ,
-      "top_bigram_count" -> topZ,
+      "n_segments" -> nSegs,
+      "n_distinct_segments" -> nDistinct,
+      "n_bigrams" -> nBigrams,
+      "top_bigram_count" -> top,
       "dup_segment_frac" ->
-        when(nSegsZ > 0,
-          round(lit(1.0) - nDistinctZ.cast("double") / nSegsZ, 6))
+        when(nSegs > 0,
+          round(lit(1.0) - nDistinct.cast("double") / nSegs, 6))
           .otherwise(lit(0.0)),
       "top_bigram_frac" ->
-        when(nBigramsZ > 0,
-          round(topZ.cast("double") / nBigramsZ, 6))
+        when(nBigrams > 0,
+          round(top.cast("double") / nBigrams, 6))
           .otherwise(lit(0.0)))
   }
 
@@ -639,13 +641,31 @@ object Curation {
     // on the id, a pure plan tax (two corpus exchanges + a join for
     // columns computable side by side in the same select; the 8M ladder
     // charged it 186 MB of shuffle and it was q77's dominant stage).
+    // The text counts come from the codegen [[HashExpressions.TextStats]]
+    // pass, NOT the TextFunctions HOF compositions: one interpreted
+    // (CodegenFallback) lambda in a Project evicts the WHOLE projection
+    // from whole-stage codegen — merging the HOF signals with
+    // RepetitionStats measured 8.96 → 20.6 s at 2M docs until both moved
+    // to codegen expressions. The ratio arithmetic below keeps the exact
+    // casts/divisions/rounding of the composable forms, so float results
+    // (and oracle hashes) are unchanged.
+    val ts = graft.functions.HashExpressions
+      .textStats(col(textCol), graft.functions.TextFunctions.enStopwords)
+    val nTok = ts.getField("n_tokens")
+    val nChars = ts.getField("n_chars")
     val rep = repetitionSignalCols(textCol, separator)
     val signals = docs
       .select(col(idCol),
-        tokenCount(col(textCol)).as("n_tokens"),
-        round(meanWordLen(col(textCol)), 6).as("mean_word_len"),
-        round(punctRatio(col(textCol)), 6).as("punct_ratio"),
-        round(stopwordRatio(col(textCol)), 6).as("stopword_ratio"),
+        nTok.as("n_tokens"),
+        when(nTok > 0,
+          round(ts.getField("sum_word_len").cast("double") / nTok, 6))
+          .otherwise(lit(0.0)).as("mean_word_len"),
+        when(nChars > 0,
+          round(ts.getField("n_punct").cast("double") / nChars, 6))
+          .otherwise(lit(0.0)).as("punct_ratio"),
+        when(nTok > 0,
+          round(ts.getField("n_stopwords").cast("double") / nTok, 6))
+          .otherwise(lit(0.0)).as("stopword_ratio"),
         rep("dup_segment_frac").as("dup_segment_frac"),
         rep("top_bigram_frac").as("top_bigram_frac"))
     // First-failed-rule semantics: the when-chain order IS the audit order.
