@@ -79,14 +79,13 @@ object Curation {
     * different problem [[noveltyReport]] solves (both sides shuffle on
     * fingerprints, anti-join); the cap's error message points there.
     */
-  private def contaminationAgainst(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      benchGrams: DataFrame,
-      n: Int,
-      minMatches: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** Bounded collect of a benchmark fingerprint frame into the sorted
+    * (hi, lo) pair array the row-local match passes ship with the plan —
+    * shared by [[contaminationAgainst]] and [[decontaminate]]. One eager
+    * Spark job; fail-loud past `spark.graft.maxBenchGrams`. */
+  private def benchFpArray(
+      spark: org.apache.spark.sql.SparkSession,
+      benchGrams: DataFrame): Array[Long] = {
     val cap = spark.conf
       .getOption("spark.graft.maxBenchGrams").getOrElse("2000000").toLong
     require(cap <= 0 || cap < Int.MaxValue,
@@ -103,7 +102,17 @@ object Curation {
         "smaller than the corpus. For a corpus-scale REFERENCE side use " +
         "noveltyReport (both sides shuffle on fingerprints), or raise " +
         "the cap.")
-    val fps = graft.functions.HashExpressions.sortedFpPairsFromHex(rows)
+    graft.functions.HashExpressions.sortedFpPairsFromHex(rows)
+  }
+
+  private def contaminationAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchGrams: DataFrame,
+      n: Int,
+      minMatches: Int): DataFrame = {
+    val fps = benchFpArray(docs.sparkSession, benchGrams)
     val stats =
       graft.functions.HashExpressions.gramMatchStats(col(textCol), n, fps)
     docs.select(col(idCol), stats.as("__s"))
@@ -345,10 +354,21 @@ object Curation {
       benchTextCol: String,
       n: Int = 13,
       minMatches: Int = 1): DataFrame = {
-    val contaminated = contaminationReport(docs, idCol, textCol, bench, benchTextCol, n, minMatches)
-      .filter(col("contaminated"))
-      .select(col(idCol))
-    docs.join(contaminated, Seq(idCol), "left_anti")
+    // "Not contaminated" is the same ROW-LOCAL statistic the report
+    // computes, so this is a pure filter over the docs scan — no
+    // anti-join. The previous shape joined docs against the
+    // contaminated-id frame, which planned as a sort-merge join (the
+    // filter's pre-AQE size estimate is corpus-scale) and shuffled the
+    // whole corpus on the id (measured 592 MB at 2M docs for a
+    // zero-exchange-able stage). NULL text has no grams → kept, as the
+    // left anti join did.
+    val fps = benchFpArray(docs.sparkSession,
+      benchGramFingerprints(bench, benchTextCol, n))
+    docs.filter(
+      coalesce(
+        graft.functions.HashExpressions.gramMatchStats(col(textCol), n, fps)
+          .getField("matched_grams"),
+        lit(0L)) < minMatches)
   }
 
   /** Remove boilerplate segments — segments (split on a literal separator)

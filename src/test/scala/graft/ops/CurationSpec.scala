@@ -212,6 +212,15 @@ class CurationSpec extends AnyFunSuite {
       s"contamination report must be a zero-shuffle projection:\n$contamPlan")
     assert(contamPlan.toLowerCase.contains("grammatchstats"),
       s"report must run through the codegen expression:\n$contamPlan")
+    // decontaminate: "not contaminated" is the same row-local statistic —
+    // a pure filter, not an anti-join of the corpus against its own
+    // contaminated-id frame (which planned as a corpus-shuffling SMJ)
+    val deconPlan = Curation.decontaminate(rangeContam, "doc_id", "text",
+        docs.limit(1), "text", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(!deconPlan.contains("Exchange") &&
+        !deconPlan.toLowerCase.contains("join"),
+      s"decontaminate must be a zero-shuffle filter:\n$deconPlan")
     // quality filter: every signal is row-local — one scan-stage
     // projection, no self-join of two per-doc projections
     val qualityPlan = Curation.qualityFilter(rangeContam, "doc_id", "text",
