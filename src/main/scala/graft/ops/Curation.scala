@@ -29,10 +29,11 @@ object Curation {
     *
     * Scale shape: the benchmark's distinct-gram fingerprint set is tiny
     * relative to the corpus (eval sets are MBs where the corpus is TBs), so
-    * it is BROADCAST and the corpus-side gram explosion is consumed by a
-    * map-side semi-join — the only shuffle is the per-document count
-    * aggregation, keyed by document id. Grams join on md5 fingerprints:
-    * 16-byte keys instead of n-word strings.
+    * it ships with the plan as a sorted fp-pair array (bounded collect,
+    * `spark.graft.maxBenchGrams`) and the whole report is ONE codegen row
+    * pass over the docs scan ([[graft.functions.HashExpressions.GramMatchStats]])
+    * — zero joins, zero shuffles. See [[contaminationAgainst]]'s doc for
+    * the full plan rationale and the eager-job caveat.
     */
   def contaminationReport(
       docs: DataFrame,
@@ -343,8 +344,11 @@ object Curation {
   }
 
   /** Drop benchmark-contaminated documents: rows of `docs` whose
-    * [[contaminationReport]] flag is false. The report's broadcast-semi-join
-    * shape carries over; the final filter is a join back on the id.
+    * [[contaminationReport]] flag would be false. "Not contaminated" is the
+    * report's row-local match statistic compared to `minMatches`, so the
+    * operator is a pure filter over the docs scan — zero joins, zero
+    * shuffles (the inline comment records the measured anti-join it
+    * replaced). Same eager bounded bench-gram collect as the report.
     */
   def decontaminate(
       docs: DataFrame,
@@ -636,9 +640,10 @@ object Curation {
     * name as `reason` (null when kept) — so the drop ledger is auditable
     * per rule, not a silent row count.
     *
-    * Plan shape at scale: the row-local signals are codegen'd expressions
-    * in the scan stage; the repetition signals join is 1:1 on the id
-    * (`repetitionReport` already aggregates per document). Thresholds are
+    * Plan shape at scale: EVERY signal — text counts and repetition alike
+    * — is a codegen'd row-local expression, so the whole filter is one
+    * scan-stage projection: zero joins, zero shuffles (the inline comment
+    * records the measured 1:1-join shape it replaced). Thresholds are
     * compared against the ROUNDED (6-dp) signal values that the output
     * itself carries, so an external oracle reproduces keep/reason exactly
     * from the published columns.
