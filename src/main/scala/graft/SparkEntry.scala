@@ -822,9 +822,9 @@ object SparkEntry {
     }),
 
     // Streaming contamination blocklist: q56's gram-collision count with
-    // the corpus arriving through readStream — stateless stream-static
-    // broadcast join per micro-batch, one running count per matched doc
-    // (complete mode). Oracle is the batch formulation.
+    // the corpus arriving through readStream — the bench fp array rides
+    // the plan into a stateless row-local pass per micro-batch (append
+    // mode, zero joins/shuffles/state). Oracle is the batch formulation.
     "q61_streaming_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Curation.streamingContaminationBlocklist(s, dir, "documents.parquet",

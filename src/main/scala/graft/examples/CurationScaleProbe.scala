@@ -79,17 +79,17 @@ object CurationScaleProbe {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 8, threshold = 0.8, maxDocFreq = 100, gramFraction = 0.25).count()
     }
-    timed("contamination vs 1k-doc benchmark (broadcast semi-join)") {
+    timed("contamination vs 1k-doc benchmark (row-local GramMatchStats)") {
       Curation.contaminationReport(
         docs.filter(col("doc_id") >= 1000), "doc_id", "text",
         docs.filter(col("doc_id") < 1000), "text", n = 6)
         .filter(col("contaminated")).count()
     }
-    timed("boilerplate strip (df count + broadcast anti-join + reassembly)") {
+    timed("boilerplate strip (fp df count + row-local excision)") {
       Curation.stripBoilerplate(docs, "doc_id", "text",
         separator = " ", minDocs = n.toLong / 10).count()
     }
-    timed("repetition signals (two hash aggs over exploded grams)") {
+    timed("repetition signals (one codegen row pass, no shuffle)") {
       Curation.repetitionReport(docs, "doc_id", "text", separator = " ").count()
     }
     timed("pii redaction (codegen regex chain, no shuffle)") {

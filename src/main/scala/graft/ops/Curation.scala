@@ -135,8 +135,9 @@ object Curation {
     * The structural difference from [[contaminationReport]]: the
     * reference side is CORPUS-scale (a benchmark is MBs; the seen corpus
     * is TBs), so its distinct-gram set cannot broadcast — both sides
-    * shuffle on 16-byte md5 gram fingerprints and the unseen count is a
-    * LEFT ANTI join, the shape that stays balanced at any corpus ratio.
+    * shuffle on 16-byte md5 gram fingerprints into ONE left join that
+    * marks each gram seen/unseen, and one aggregate carries both per-doc
+    * counts, the shape that stays balanced at any corpus ratio.
     * Gram extraction is the [[graft.functions.HashExpressions.ShingleSet]]
     * tight loop on both sides.
     *
@@ -156,18 +157,26 @@ object Curation {
         graft.functions.HashExpressions.shingleSet(col(textC), n).as("__sh"): _*)
       .select(cols :+ explode(col("__sh")).as("__gram"): _*)
       .select(cols :+ md5(col("__gram")).as("__fp"): _*)
-    // Two consumers below (the sizes aggregate and the left-anti novel
-    // count) — persist so the corpus-scale shingle explosion + md5
-    // fingerprinting runs once per action, exactly as contaminationReport
-    // does for the same dual-consumer shape.
-    val docGrams = grams(docs, textCol, col(idCol)).persist()
+    // BOTH per-doc counts come out of ONE pass over the exploded gram
+    // frame: a LEFT join against the reference fps marks each gram seen/
+    // unseen (refGrams is distinct, so no row duplication) and a single
+    // groupBy(id) carries total + unseen together. The earlier shape
+    // anti-joined for the novel count and ran a SECOND corpus-scale
+    // groupBy(id) for the totals, which forced a persist of the
+    // ~gram-multiplied corpus frame (two consumers) plus a second join
+    // back on the id — a cache dependency of corpus × n_grams bytes that
+    // cannot exist at real scale (NoveltyVariantProbe adjudicates the
+    // shapes; the left-join rows into the aggregate map-side-combine to
+    // the same O(docs) exchange the anti-join's subset did).
+    val docGrams = grams(docs, textCol, col(idCol))
     val refGrams = grams(ref, refTextCol).select("__fp").distinct()
-    val sizes = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
-    val novel = docGrams.join(refGrams, Seq("__fp"), "left_anti")
-      .groupBy(idCol).agg(count(lit(1)).as("novel_grams"))
+    val perDoc = docGrams
+      .join(refGrams.withColumn("__seen", lit(1)), Seq("__fp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__seen").isNull, 1)).as("novel_grams"))
     docs.select(col(idCol))
-      .join(sizes, Seq(idCol), "left")
-      .join(novel, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
@@ -237,13 +246,18 @@ object Curation {
     * count over documents arriving through `readStream`, returning the
     * BLOCKLIST (doc_id, matched_grams) of contaminated documents — the
     * frame a continuous-ingest pipeline anti-joins at write time. The
-    * benchmark side is STATIC: its gram fingerprints broadcast into a
-    * stateless stream-static join inside each micro-batch; the only
-    * streaming state is one running count per matched document
-    * (complete-mode aggregate, same shape as
-    * [[Dedup.streamingExactGroups]]). Batch ≡ stream by construction —
-    * the aggregate is deterministic — and the result is oracle-gated
-    * against the batch formulation.
+    * benchmark side is STATIC and bounded by contract, so — exactly as
+    * the batch form — its fingerprints ship with the plan inside the
+    * row-local [[graft.functions.HashExpressions.GramMatchStats]] pass:
+    * each micro-batch is a STATELESS projection + filter (append mode),
+    * zero joins, zero shuffles, no aggregate state to re-emit per
+    * trigger. The pre-round-13 shape re-broadcast the bench grams into a
+    * stream-static join every micro-batch and held a complete-mode
+    * count whose FULL state re-emitted per trigger — O(matched docs)
+    * per batch. Matched counts are per arriving row (a document arrives
+    * whole); keyed last-write semantics for re-ingested ids live in
+    * [[streamingContaminationBlocklistUpdate]]. Batch ≡ stream by
+    * construction and oracle-gated against the batch formulation.
     */
   def streamingContaminationBlocklist(
       spark: org.apache.spark.sql.SparkSession,
@@ -261,38 +275,38 @@ object Curation {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
       .filter(streamFilter)
-    // Persisted: the static side of a stream-static join re-executes on
-    // EVERY micro-batch — without this the benchmark re-shingles per
-    // trigger (the [[streamingContaminationBlocklistUpdate]] discipline).
-    val benchGrams = benchGramFingerprints(bench, benchTextCol, n).persist()
-    val agg = stream
+    // One eager bounded collect at construction (the batch form's
+    // contract); the fp array then rides the plan into every micro-batch
+    // — nothing static re-executes per trigger.
+    val fps = benchFpArray(spark, benchGramFingerprints(bench, benchTextCol, n))
+    val matched = stream
       .select(col(idCol),
-        graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
-      .select(col(idCol), explode(col("__sh")).as("__gram"))
-      .select(col(idCol), md5(col("__gram")).as("__fp"))
-      .join(broadcast(benchGrams), Seq("__fp"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("matched_grams"))
-    val q = agg.writeStream.outputMode("complete")
+        coalesce(
+          graft.functions.HashExpressions.gramMatchStats(col(textCol), n, fps)
+            .getField("matched_grams"),
+          lit(0L)).as("matched_grams"))
+      // only matched docs reach the sink — the same bound the old
+      // inner-join shape gave the complete-mode table
+      .filter(col("matched_grams") >= 1L)
+    val q = matched.writeStream.outputMode("append")
       .format("memory").queryName(queryName).start()
     try {
       q.processAllAvailable()
       spark.table(queryName).filter(col("matched_grams") >= minMatches)
-    } finally {
-      q.stop()
-      benchGrams.unpersist()
-    }
+    } finally q.stop()
   }
 
   /** Production-shape variant of [[streamingContaminationBlocklist]]: the
-    * same broadcast-benchmark match aggregate in UPDATE output mode,
-    * written through `foreachBatch` into a keyed parquet sink
-    * ([[graft.ops.Upsert.upsertKeyedParquet]]) — each micro-batch merges
-    * only the document ids whose match counts CHANGED, instead of
-    * complete mode's full-state re-emission. The `minMatches` cut applies
-    * on read-back (the sink keeps raw counts, so a later batch can raise a
-    * document over the threshold). Returns the blocklist after draining
-    * available input.
+    * same stateless row-local match pass, written through `foreachBatch`
+    * into a keyed parquet sink ([[graft.ops.Upsert.upsertKeyedParquet]])
+    * — each micro-batch upserts only the matched documents it carries,
+    * and a RE-INGESTED document id overwrites its previous count (keyed
+    * last-write semantics: a re-crawled document's contamination is a
+    * property of its CURRENT text, where the old aggregate shape would
+    * have summed stale and fresh matches). The `minMatches` cut applies
+    * on read-back (the sink keeps raw counts). Returns the blocklist
+    * after draining available input. Replay-safe: the row-local pass is
+    * deterministic, so a crash-replayed batch upserts identical values.
     */
   def streamingContaminationBlocklistUpdate(
       spark: org.apache.spark.sql.SparkSession,
@@ -317,29 +331,28 @@ object Curation {
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     val tuned = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
-    // Persisted: the static side of a stream-static join re-executes on
-    // EVERY micro-batch (see streamingContaminationBlocklist).
-    val benchGrams = benchGramFingerprints(bench, benchTextCol, n).persist()
-    val agg = tuned.parquet(dir)
+    // One eager bounded collect at construction; the fp array rides the
+    // plan (see streamingContaminationBlocklist).
+    val fps = benchFpArray(spark, benchGramFingerprints(bench, benchTextCol, n))
+    val matched = tuned.parquet(dir)
       .select(col(idCol),
-        graft.functions.HashExpressions.shingleSet(col(textCol), n).as("__sh"))
-      .select(col(idCol), explode(col("__sh")).as("__gram"))
-      .select(col(idCol), md5(col("__gram")).as("__fp"))
-      .join(broadcast(benchGrams), Seq("__fp"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("matched_grams"))
-    val q = agg.writeStream.outputMode("update")
+        coalesce(
+          graft.functions.HashExpressions.gramMatchStats(col(textCol), n, fps)
+            .getField("matched_grams"),
+          lit(0L)).as("matched_grams"))
+      .filter(col("matched_grams") >= 1L)
+    val q = matched.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Upsert.upsertKeyedParquet(batch, sinkDir, Seq(idCol), nBuckets)
       }
       .start()
     try q.processAllAvailable()
-    finally { q.stop(); benchGrams.unpersist() }
+    finally q.stop()
     // an UNCONTAMINATED corpus never creates the sink (the upsert writer
     // early-returns on every empty batch) — the expected clean outcome,
     // which must read back as an empty blocklist, not PATH_NOT_FOUND
-    graft.ops.Upsert.readKeyedParquet(spark, sinkDir, agg.schema)
+    graft.ops.Upsert.readKeyedParquet(spark, sinkDir, matched.schema)
       .filter(col("matched_grams") >= minMatches)
   }
 
