@@ -362,4 +362,136 @@ class CurationPropertySpec extends AnyFunSuite {
       assert(got.map(_._2).sum == refV.size && got.map(_._3).sum == curV.size)
     }
   }
+
+  // ---- quality signals: three-way equivalence on an adversarial corpus ----
+
+  /** Unicode-gnarly random documents: multi-codepoint emoji, combining-dot
+    * lowercase expansion (İ), CJK, ASCII punctuation clusters, every Java
+    * `\s` whitespace class as separator, NBSP (NOT `\s` — glues tokens),
+    * plus null / empty / whitespace-only documents.
+    */
+  private def gnarlyDoc(rnd: scala.util.Random): String = {
+    rnd.nextInt(12) match {
+      case 0 => null
+      case 1 => ""
+      case 2 => Seq(" ", "\t", "\n", "\u000B", "\f", "\r")(rnd.nextInt(6)) * (1 + rnd.nextInt(3))
+      case _ =>
+        val words = Seq("the", "of", "and", "w1", "w2", "héllo", "ÜBER",
+          "İstanbul", "日本語テキスト", "😀😀", "!!!", "a,b.c", "(x)", "e.g.",
+          "—", "the!", "w1")
+        val seps = Seq(" ", "\t", "\n", "  ", "\u000B", "\r\n", "\f", "\u00A0")
+        val n = 1 + rnd.nextInt(14)
+        val sb = new StringBuilder
+        (1 to n).foreach { i =>
+          sb.append(words(rnd.nextInt(words.length)))
+          if (i < n) sb.append(seps(rnd.nextInt(seps.length)))
+        }
+        sb.toString
+    }
+  }
+
+  private def round6hu(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Naive per-document quality signals with Java-regex semantics: tokens =
+    * lowercased text split on `\s+` (empties dropped), lengths = code
+    * points, punctuation = ASCII `\p{Punct}` over the ORIGINAL text.
+    */
+  private def naiveQualitySignals(text: String, separator: String)
+      : (Long, Double, Double, Double, Double, Double) = {
+    if (text == null) return (0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+    val nTok = toks.size.toLong
+    val mean = if (nTok > 0)
+      round6hu(toks.map(t => t.codePointCount(0, t.length).toLong).sum.toDouble / nTok)
+      else 0.0
+    val cps = text.codePoints().toArray
+    val punct = if (cps.nonEmpty)
+      round6hu(cps.count(cp => cp < 128 &&
+        "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".contains(cp.toChar)).toDouble / cps.length)
+      else 0.0
+    val stop = if (nTok > 0)
+      round6hu(toks.count(graft.functions.TextFunctions.enStopwords.contains).toDouble / nTok)
+      else 0.0
+    val segs = text.split(java.util.regex.Pattern.quote(separator), -1).toList
+    val dup = if (segs.nonEmpty)
+      round6hu(1.0 - segs.distinct.size.toDouble / segs.size) else 0.0
+    val bigrams = if (toks.length < 2) Nil else toks.sliding(2).map(_.mkString(" ")).toList
+    val topFrac = if (bigrams.isEmpty) 0.0
+      else round6hu(bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size)
+    (nTok, mean, punct, stop, dup, topFrac)
+  }
+
+  test("qualityFilter ≡ naive signals + first-failed-rule chain (gnarly unicode corpus)") {
+    trials(10) { rnd =>
+      val docs = (1L to 40L).map(i => (i, gnarlyDoc(rnd)))
+      val minTokens = rnd.nextInt(6).toLong
+      val maxTokens = (8 + rnd.nextInt(13)).toLong
+      val minMeanWordLen = rnd.nextDouble() * 2.5
+      val maxMeanWordLen = 3.0 + rnd.nextDouble() * 9.0
+      val maxPunctRatio = rnd.nextDouble() * 0.4
+      val minStopwordRatio = rnd.nextDouble() * 0.2
+      val maxDupSegmentFrac = rnd.nextDouble() * 0.5
+      val maxTopBigramFrac = rnd.nextDouble() * 0.5
+      val got = Curation.qualityFilter(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minTokens, maxTokens, minMeanWordLen,
+          maxMeanWordLen, maxPunctRatio, minStopwordRatio,
+          maxDupSegmentFrac, maxTopBigramFrac, separator = "\n")
+        .collect()
+        .map(r => (r.getLong(0), (r.getInt(1).toLong, r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          Option(r.getString(7)), r.getBoolean(8))))
+        .toMap
+      docs.foreach { case (id, text) =>
+        val (nTok, mean, punct, stop, dup, topBg) =
+          naiveQualitySignals(text, "\n")
+        val reason =
+          if (nTok < minTokens) Some("too_few_tokens")
+          else if (nTok > maxTokens) Some("too_many_tokens")
+          else if (mean < minMeanWordLen || mean > maxMeanWordLen) Some("word_length")
+          else if (punct > maxPunctRatio) Some("punctuation")
+          else if (stop < minStopwordRatio) Some("stopwords")
+          else if (dup > maxDupSegmentFrac) Some("repeated_segments")
+          else if (topBg > maxTopBigramFrac) Some("repeated_bigrams")
+          else None
+        assert(got(id) == ((nTok, mean, punct, stop, dup, topBg, reason, reason.isEmpty)),
+          s"doc $id text=${Option(text).map(t => "'" + t + "'")}")
+      }
+    }
+  }
+
+  test("TextStats codegen pass ≡ TextFunctions HOF columns (gnarly unicode corpus)") {
+    // Spark's own regexp/higher-order-function machinery as an independent
+    // oracle for the codegen row pass that replaced it (round-13 rewrite):
+    // same tokens, code-point lengths, ASCII punct class, stopword set.
+    trials(10) { rnd =>
+      val docs = (1L to 40L).map(i => (i, gnarlyDoc(rnd)))
+      val tf = graft.functions.TextFunctions
+      val ts = graft.functions.HashExpressions
+        .textStats(col("text"), tf.enStopwords)
+      val nTok = ts.getField("n_tokens")
+      val nChars = ts.getField("n_chars")
+      val rows = docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          nTok.cast("long").as("a_tok"),
+          when(nTok > 0, round(ts.getField("sum_word_len").cast("double") / nTok, 6))
+            .otherwise(lit(0.0)).as("a_mean"),
+          when(nChars > 0, round(ts.getField("n_punct").cast("double") / nChars, 6))
+            .otherwise(lit(0.0)).as("a_punct"),
+          when(nTok > 0, round(ts.getField("n_stopwords").cast("double") / nTok, 6))
+            .otherwise(lit(0.0)).as("a_stop"),
+          tf.tokenCount(col("text")).cast("long").as("b_tok"),
+          round(tf.meanWordLen(col("text")), 6).as("b_mean"),
+          round(tf.punctRatio(col("text")), 6).as("b_punct"),
+          round(tf.stopwordRatio(col("text")), 6).as("b_stop"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getLong(1) == r.getLong(5) && r.getDouble(2) == r.getDouble(6) &&
+          r.getDouble(3) == r.getDouble(7) && r.getDouble(4) == r.getDouble(8),
+          s"doc ${r.getLong(0)}: codegen ${(r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4))} vs HOF ${(r.getLong(5), r.getDouble(6), r.getDouble(7),
+            r.getDouble(8))} text=${docs.find(_._1 == r.getLong(0)).map(_._2)}")
+      }
+    }
+  }
 }
