@@ -11,7 +11,7 @@ object Verify {
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -21,7 +21,17 @@ object Verify {
       // avoids re-compiling every generated class per query (same rationale
       // as Bench; compiled classes only, no data cached).
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v": extra session confs for invariance
+    // sweeps — the TWICE-mode fingerprints are order-insensitive and
+    // commutative, so OK lines from runs under different configs
+    // (shuffle partition counts, AQE on/off) are directly diffable:
+    // same results ⇒ same fingerprint, regardless of partitioning.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_TWICE=1: after dumping each query, execute it a
