@@ -189,52 +189,100 @@ object Bench {
       val xs = (1 to 5).map(_ => spin(probeIters)._1).sorted
       (xs(xs.size / 2), xs.last / xs(xs.size / 2))
     }
-    val probeGateT0 = System.nanoTime()
-    var probeSample = probeQuietSample()
-    while (probeSample._2 > probeGateTarget &&
-           (System.nanoTime() - probeGateT0) / 1e9 < probeGateMaxWait) {
-      Thread.sleep(5000)
-      probeSample = probeQuietSample()
-    }
-    val probeGateWaited = (System.nanoTime() - probeGateT0) / 1e9
-    val probeGateJson =
-      s"""{"target":${fmt(probeGateTarget)},"accepted_ratio":${fmt(probeSample._2)},"waited_sec":${fmt(probeGateWaited)},"timed_out":${probeSample._2 > probeGateTarget}}"""
-    val probeBase: Double = probeSample._1
     val probeEvery = 20
-    val probeLog = collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    val loadLog = collection.mutable.ArrayBuffer.empty[(String, Double)]
-    loadLog += (("start", loadavg()))
 
     // SPARK_GRAFT_BENCH_ONLY=q25,q46 restricts to a prefix-matched subset
     // (local iteration; the driver leaves it unset).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, fn) => only.forall(_.exists(name.startsWith)) }
 
-    val times = collection.mutable.Map.empty[String, List[Double]]
-      .withDefaultValue(Nil)
-    val errors = collection.mutable.Map.empty[String, String]
-    var seq = 0
-    for (pass <- 1 to repeats) {
-      val order = new scala.util.Random(42 + pass).shuffle(suite)
-      for ((name, fn) <- order) {
-        isolate(spark)
-        if (seq % probeEvery == 0) probeLog += ((seq, spin(probeIters)._1))
-        seq += 1
-        val t0 = System.nanoTime()
-        // A failed query must surface in the bench JSON (as its exception
-        // class), never be silently timed as a fast success.
-        try {
-          fn(spark, sfDir).count()
-          times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
-        } catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
-      }
-      loadLog += ((s"pass$pass", loadavg()))
+    /** One complete gated measurement: probe-quiet gate, then `repeats`
+      * shuffled passes over the suite with the interleaved probe.
+      */
+    final case class Attempt(
+        times: collection.Map[String, List[Double]],
+        errors: collection.Map[String, String],
+        probeLog: IndexedSeq[(Int, Double)],
+        loadLog: IndexedSeq[(String, Double)],
+        probeBase: Double,
+        probeGateJson: String) {
+      val drift: Double =
+        (if (probeLog.isEmpty) probeBase else probeLog.map(_._2).max) /
+          math.max(probeBase, 1e-9)
     }
-    isolate(spark)
-    probeLog += ((seq, spin(probeIters)._1))
+    def measureOnce(): Attempt = {
+      // Re-gate (and re-baseline the probe) per attempt: the host's
+      // single-thread speed itself moves between attempts on shared
+      // hardware, so a stale baseline would mis-attribute host slowdown
+      // to drift (or hide it).
+      val probeGateT0 = System.nanoTime()
+      var probeSample = probeQuietSample()
+      while (probeSample._2 > probeGateTarget &&
+             (System.nanoTime() - probeGateT0) / 1e9 < probeGateMaxWait) {
+        Thread.sleep(5000)
+        probeSample = probeQuietSample()
+      }
+      val probeGateWaited = (System.nanoTime() - probeGateT0) / 1e9
+      val probeGateJson =
+        s"""{"target":${fmt(probeGateTarget)},"accepted_ratio":${fmt(probeSample._2)},"waited_sec":${fmt(probeGateWaited)},"timed_out":${probeSample._2 > probeGateTarget}}"""
+      val probeBase: Double = probeSample._1
+      val probeLog = collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      val loadLog = collection.mutable.ArrayBuffer.empty[(String, Double)]
+      loadLog += (("start", loadavg()))
+      val times = collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      val errors = collection.mutable.Map.empty[String, String]
+      var seq = 0
+      for (pass <- 1 to repeats) {
+        val order = new scala.util.Random(42 + pass).shuffle(suite)
+        for ((name, fn) <- order) {
+          isolate(spark)
+          if (seq % probeEvery == 0) probeLog += ((seq, spin(probeIters)._1))
+          seq += 1
+          val t0 = System.nanoTime()
+          // A failed query must surface in the bench JSON (as its exception
+          // class), never be silently timed as a fast success.
+          try {
+            fn(spark, sfDir).count()
+            times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+          } catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
+        }
+        loadLog += ((s"pass$pass", loadavg()))
+      }
+      isolate(spark)
+      probeLog += ((seq, spin(probeIters)._1))
+      loadLog += (("end", loadavg()))
+      Attempt(times, errors, probeLog.toIndexedSeq, loadLog.toIndexedSeq,
+        probeBase, probeGateJson)
+    }
+
+    // RETRY-ON-DRIFT (r13): both entry gates can pass and the host can
+    // STILL turn noisy mid-run — four calm r13 attempts entered at
+    // accepted_ratio ≈ 1.00-1.02 and finished with drift 1.17-1.52 (the
+    // probe BASELINE moved 35% between runs: shared-host CPU-speed
+    // variation). A mid-run re-gate would invalidate the min-of-N
+    // comparison, so instead the whole measurement retries (bounded) while
+    // its post-run drift exceeds the target, and the LOWEST-drift attempt
+    // ships. Every attempt's drift is recorded — the artifact still
+    // self-reports when even the best attempt ran dirty.
+    val maxAttempts =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt)
+    val retryDrift =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_DRIFT", "1.05").toDouble
+    val attempts = collection.mutable.ArrayBuffer(measureOnce())
+    while (attempts.last.drift > retryDrift && attempts.size < maxAttempts)
+      attempts += measureOnce()
+    val best = attempts.minBy(_.drift)
+    val attemptsJson = attempts.map(a => fmt(a.drift)).mkString("[", ",", "]")
+    val keptAttempt = attempts.indexOf(best) + 1
+    val times = best.times
+    val errors = best.errors
+    val probeLog = best.probeLog
+    val loadLog = best.loadLog
+    val probeBase = best.probeBase
+    val probeGateJson = best.probeGateJson
     val floor = streamFloor(spark, sfDir, math.max(repeats, 3))
-    loadLog += (("end", loadavg()))
 
     def median(xs: List[Double]): Double =
       if (xs.isEmpty) 0.0 else { val s = xs.sorted; s(s.size / 2) }
@@ -307,7 +355,7 @@ object Bench {
     val totalMin = results.map { case (_, _, xs, _) =>
       if (xs.isEmpty) 0.0 else xs.min }.sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","detail":"$detailPath"}"""
     // The driver captures only the LAST ~2000 chars of run output, and the
     // full line above (147 query medians) is longer than that — shipped
     // as-is it arrives front-truncated and unparseable (rounds 4 and 10
@@ -336,7 +384,7 @@ object Bench {
     // (build.sbt passes forked output through verbatim and suppresses the
     // [success] banner — see outputStrategy / showSuccess there).
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"errors":$errs,"stream_floor":${fmt(floor)},"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","queries_in":"$summaryPath","summary":"$summaryPath","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"errors":$errs,"stream_floor":${fmt(floor)},"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","queries_in":"$summaryPath","summary":"$summaryPath","detail":"$detailPath"}""")
     System.out.flush()
   }
 }
