@@ -146,6 +146,39 @@ class CrashRecoverySpec extends AnyFunSuite {
       .map(_.getName).exists(_.contains("__staged_b")))
   }
 
+  test("minhash pairs append killed INSIDE the flat staged write (fenced, " +
+      "unpublished): restart resumes publication, pairs exactly-once") {
+    val base = graft.TestScratch.dir("graft-crash-mh-flat")
+    // every doc near-identical: any micro-batch after the first pairs its
+    // docs against the already-indexed ones, so the batch-1 pairs append
+    // is deterministically non-empty and the armed failpoint must fire
+    val similar = (1L to 6L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog number " + (i % 2)))
+      .toDF("doc_id", "text")
+    similar.repartition(3).write.mode("overwrite").parquet(s"$base/docs.parquet")
+    def run(tag: String) = Dedup.streamingMinHashNearDuplicates(spark,
+        s"$base/docs.parquet", "*.parquet", "doc_id", "text",
+        stateDir = s"$base/state$tag", checkpointDir = s"$base/ckpt$tag",
+        threshold = 0.4, maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val golden = run("_golden")
+    assert(golden.nonEmpty)
+    // the flat-append torn-commit window: the batch's single pairs file is
+    // staged and fenced but NOT in the live tree, and the _pairs_w replay
+    // marker was never written — a bare append could not survive here
+    spark.conf.set("spark.graft.test.failpoint", "staged_post_fence_flat:1")
+    crashes(run(""))
+    val stagedLeft = new java.io.File(s"$base/state")
+      .listFiles().map(_.getName).exists(_.startsWith("pairs__staged_b"))
+    assert(stagedLeft, "the injected crash must leave a fenced staged dir")
+    assert(run("") == golden)
+    // publication resumed exactly once and the staged dir was cleaned up
+    val raw = spark.read.parquet(s"$base/state/pairs")
+    assert(raw.count() == raw.distinct().count() && raw.count() == golden.size)
+    assert(!new java.io.File(s"$base/state").listFiles()
+      .map(_.getName).exists(_.contains("__staged_b")))
+  }
+
   test("sequence-assembly merge sink killed between the fenced merge and " +
       "the batch commit: items concatenate exactly once") {
     val base = graft.TestScratch.dir("graft-crash-asm")
