@@ -157,6 +157,54 @@ class ExpressionParitySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: raw random UTF-16 (lone surrogates included) through every " +
+      "text expression — no crash, codegen ≡ interpreted") {
+    // Lone surrogates make a JVM String that is NOT valid UTF-16; the
+    // UTF8String conversion replaces them, and every expression must walk
+    // whatever bytes arrive identically in both evaluation modes. Seeded,
+    // so failures reproduce.
+    val rnd = new scala.util.Random(31)
+    def fuzzString(): String = {
+      val n = rnd.nextInt(40)
+      val sb = new StringBuilder
+      (1 to n).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => sb.append(rnd.nextPrintableChar())
+          case 1 => sb.append(" \t\n\f\r".charAt(rnd.nextInt(6)))
+          case 2 => sb.append((0xD800 + rnd.nextInt(0x800)).toChar) // lone surrogate
+          case 3 => sb.append((rnd.nextInt(0xFFFF) + 1).toChar)     // any BMP char
+          case 4 => sb.appendAll(Character.toChars(0x10000 + rnd.nextInt(0x10000)))
+          case _ => sb.append(('a' + rnd.nextInt(26)).toChar)
+        }
+      }
+      sb.toString
+    }
+    val docs = (1L to 60L).map(i =>
+      (i, if (i % 17 == 0) null else fuzzString()))
+    val gramFps = HashExpressions.sortedFpPairsFromHex(
+      Array("00112233445566778899aabbccddeeff"))
+    val stripFps = HashExpressions.sortedFpPairs(Array(Array.fill(16)(7.toByte)))
+    assertParity {
+      docs.toDF("id", "text").select(col("id"),
+        HashExpressions.shingleSet(col("text"), 2).as("sh"),
+        HashExpressions.ngramSet(col("text"), 3).as("ng"),
+        HashExpressions.charBigramEntropy(col("text")).as("ent"),
+        HashExpressions.minHashSig(
+          HashExpressions.shingleSet(col("text"), 2), 8).as("mh"),
+        HashExpressions.repetitionStats(col("text"), "\n").as("rep"),
+        transform(HashExpressions.distinctSegmentFps(col("text"), "\n"),
+          b => hex(b)).as("fps"),
+        HashExpressions.textStats(col("text"), TextFunctions.enStopwords).as("ts"),
+        HashExpressions.gramMatchStats(col("text"), 2, gramFps).as("gm"),
+        HashExpressions.stripBoilerplate(col("text"), "\n", stripFps).as("strip"),
+        UnicodeExpressions.nfc(col("text")).as("nfc"),
+        UnicodeExpressions.nfkc(col("text")).as("nfkc"),
+        UrlExpressions.urlCanonicalize(col("text")).as("canon"),
+        UrlExpressions.urlHost(col("text")).as("host"),
+        UrlExpressions.urlParts(col("text")).as("parts"))
+    }
+  }
+
   test("vector expressions: dot, nearest centroid, PQ encode, ADC distance") {
     val rnd = new scala.util.Random(7)
     def vec(d: Int): Seq[Float] = Seq.fill(d)(rnd.nextFloat() * 2 - 1)
