@@ -28,8 +28,10 @@ object Verify {
     // same results ⇒ same fingerprint, regardless of partitioning.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+        val parts = kv.split("=", 2)
+        require(parts.length == 2,
+          s"bad SPARK_GRAFT_CONF entry (expected key=value): $kv")
+        builder.config(parts(0), parts(1))
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

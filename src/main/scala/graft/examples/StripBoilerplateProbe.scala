@@ -55,25 +55,57 @@ object StripBoilerplateProbe {
         s"strip must return every input doc: ${row.getLong(0)} != $n")
       s
     }
+    // per-arm shuffle-write bytes (the round-13 lesson: bytes, not keys,
+    // predict the single-box cliff); listener delivery is async — drain
+    // briefly before reading
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def shuffleDelta(before: Long): Long = {
+      Thread.sleep(300); shuffleBytes.get() - before
+    }
+
     // alternate arms, min of 2 each; the broadcast arm also reports its
-    // two phases (eager boiler-df job at construction vs the strip pass)
-    var bArm = Double.MaxValue
-    var bCons = Double.MaxValue
+    // two phases (eager boiler job at construction vs the strip pass) and
+    // runs both WITH the cell pre-filter (default) and with it disabled
+    // (cells=0) — the round-14 A/B the pre-filter decision rests on.
+    var bArm = Double.MaxValue; var bCons = Double.MaxValue; var bSh = 0L
+    var nArm = Double.MaxValue; var nCons = Double.MaxValue; var nSh = 0L
     var sArm = Double.MaxValue
     for (_ <- 1 to 2) {
-      val t0 = System.nanoTime()
+      var sh0 = shuffleBytes.get()
+      var t0 = System.nanoTime()
       val b = Curation.stripBoilerplate(docs, "doc_id", "text", " ", minDocs)
-      val cons = (System.nanoTime() - t0) / 1e9
+      var cons = (System.nanoTime() - t0) / 1e9
       bCons = math.min(bCons, cons)
-      bArm = math.min(bArm, cons + sample(b))
+      val bTot = cons + sample(b)
+      if (bTot < bArm) { bArm = bTot; bSh = shuffleDelta(sh0) }
+      spark.conf.set("spark.graft.stripPrefilterCells", "0")
+      sh0 = shuffleBytes.get()
+      t0 = System.nanoTime()
+      val n = try Curation.stripBoilerplate(docs, "doc_id", "text", " ", minDocs)
+      finally ()
+      cons = (System.nanoTime() - t0) / 1e9
+      nCons = math.min(nCons, cons)
+      val nTot = cons + sample(n)
+      if (nTot < nArm) { nArm = nTot; nSh = shuffleDelta(sh0) }
+      spark.conf.unset("spark.graft.stripPrefilterCells")
       sArm = math.min(sArm, sample(
         Curation.stripBoilerplateShuffle(
           docs, "doc_id", "text", " ", Left(minDocs))))
     }
-    println(f"broadcast phases: boiler-df job $bCons%.2f s, " +
-      f"strip pass ${bArm - bCons}%.2f s")
-    println(f"broadcast-boiler: $bArm%.2f s  shuffle(anti-join): $sArm%.2f s  " +
-      f"speedup ${sArm / bArm}%.2fx")
+    println(f"prefilter ON : boiler job $bCons%.2f s, strip ${bArm - bCons}%.2f s, " +
+      f"total $bArm%.2f s, shuffle ${bSh / 1e6}%.0f MB")
+    println(f"prefilter OFF: boiler job $nCons%.2f s, strip ${nArm - nCons}%.2f s, " +
+      f"total $nArm%.2f s, shuffle ${nSh / 1e6}%.0f MB")
+    println(f"broadcast(pref): $bArm%.2f s  broadcast(nopref): $nArm%.2f s  " +
+      f"shuffle(anti-join): $sArm%.2f s  pref-speedup ${nArm / bArm}%.2fx  " +
+      f"vs-antijoin ${sArm / bArm}%.2fx")
 
     // equivalence at probe scale: both arms byte-identical (skippable at
     // the top rungs — it re-runs both arms — once proven on lower rungs)

@@ -412,12 +412,13 @@ object Curation {
     * reassembly, ~12 GB/4M docs) as the library's largest single stage;
     * this shape eliminates both reads.
     *
-    * NOTE: runs ONE eager Spark job at call time (the df count + bounded
-    * boiler collect) — a deliberate laziness exception, like
-    * [[Similarity]]'s query-side bound. A corpus whose boiler set
-    * genuinely exceeds the cap fails loud naming the unbounded path:
-    * [[stripBoilerplateShuffle]], which keeps the anti-join plan and
-    * never collects.
+    * NOTE: runs its boiler job eagerly at call time (the df count +
+    * bounded boiler collect; with the cell pre-filter active, a cheap
+    * cell-count pass first — see [[boilerFps]]) — a deliberate laziness
+    * exception, like [[Similarity]]'s query-side bound. A corpus whose
+    * boiler set genuinely exceeds the cap fails loud naming the unbounded
+    * path: [[stripBoilerplateShuffle]], which keeps the anti-join plan
+    * and never collects.
     */
   def stripBoilerplate(
       docs: DataFrame,
@@ -470,25 +471,94 @@ object Curation {
     * narrow df-count job both strip paths share conceptually: per-doc
     * distinct fps row-locally, explode bare fps, one map-side-combined
     * count shuffle.
+    *
+    * CELL PRE-FILTER (round 14): on a mostly-distinct corpus the exact df
+    * count shuffles every distinct fp once per map partition (the 8M-doc
+    * ladder's one super-linear TIME cell: 7.3 GB of fps crossing the
+    * single-box page-cache wall) even though almost no segment can reach
+    * `minDocs`. A first pass therefore counts occurrences into
+    * `spark.graft.stripPrefilterCells` hash cells (`pmod(xxhash64(fp),
+    * cells)` — 8-byte keys, map-side partials bounded at ≤ cells rows per
+    * task), and only fps whose CELL total reaches the threshold enter the
+    * exact count. EXACTNESS IS UNCHANGED: a cell's total is the sum of
+    * the dfs of every fp hashing into it, so cellTotal ≥ df(fp) for each
+    * member — the survivor cells are a SUPERSET of any true boiler fp's
+    * cell, and hash collisions only add false candidates, which the exact
+    * second-pass count rejects. The surviving-cell count is bounded by
+    * totalOccurrences / threshold (a high threshold ⇒ a handful of
+    * cells), collected bounded (`spark.graft.stripPrefilterMaxCells`) and
+    * shipped as a row-local InSet filter ahead of the exact shuffle. The
+    * pre-filter degrades, never breaks: survivors over the cap, a
+    * threshold below `spark.graft.stripPrefilterMinDocs` (default 16 —
+    * near-singleton cuts keep too many cells to pay for the second
+    * scan), or `stripPrefilterCells <= 0` all fall back to the previous
+    * single-pass exact count; zero survivors short-circuits to an empty
+    * boiler set without a second scan. Cost when active: one extra
+    * corpus scan + a cell-count shuffle bounded by tasks × cells rows —
+    * at the 8M rung that trades the 7.3 GB fp exchange for ~hundreds of
+    * MB (StripBoilerplateProbe's prefilter arms, PLANS.md).
     */
   private def boilerFps(
       docs: DataFrame,
       textCol: String,
       separator: String,
       minDocs: Either[Long, Double]): DataFrame = {
-    val dfCounts = docs
-      .select(explode(graft.functions.HashExpressions
-        .distinctSegmentFps(col(textCol), separator)).as("__fp"))
-      .groupBy("__fp").agg(count(lit(1)).as("__df"))
-    (minDocs match {
-      case Left(n) => dfCounts.filter(col("__df") >= n)
+    val spark = docs.sparkSession
+    def conf(k: String, d: Long): Long =
+      spark.conf.getOption(k).map(_.toLong).getOrElse(d)
+    val fps = docs.select(explode(graft.functions.HashExpressions
+      .distinctSegmentFps(col(textCol), separator)).as("__fp"))
+    // the exact df ≥ threshold cut, shared by both the filtered and the
+    // fallback plans; Right keeps the in-plan DECIMAL comparison
+    // (0.8 -> DECIMAL "0.8", not the slightly-larger nearest double)
+    def cut(from: DataFrame): DataFrame = {
+      val dfCounts = from.groupBy("__fp").agg(count(lit(1)).as("__df"))
+      (minDocs match {
+        case Left(n) => dfCounts.filter(col("__df") >= n)
+        case Right(f) =>
+          val frac = lit(java.math.BigDecimal.valueOf(f))
+          val thr = docs.agg((count(lit(1)) * frac).as("__thr"))
+          dfCounts.crossJoin(broadcast(thr)).filter(col("__df") >= col("__thr"))
+      }).select("__fp")
+    }
+    val cells = conf("spark.graft.stripPrefilterCells", 1L << 20)
+    val minThr = conf("spark.graft.stripPrefilterMinDocs", 16L)
+    // Left thresholds below the floor can't pay for the second scan;
+    // Right thresholds are corpus-relative (the absolute cut grows with
+    // the data — exactly where the pre-filter matters) and stay in-plan,
+    // costing no extra count job.
+    val tooLow = minDocs match {
+      case Left(n) => n < minThr
+      case Right(f) => f <= 0.0
+    }
+    if (cells <= 0 || tooLow) return cut(fps)
+    val cellOf = pmod(xxhash64(col("__fp")), lit(cells))
+    val cellCounts = fps.groupBy(cellOf.as("__cell"))
+      .agg(count(lit(1)).as("__cc"))
+    val surviving = (minDocs match {
+      case Left(n) => cellCounts.filter(col("__cc") >= n)
       case Right(f) =>
-        // Double.toString-exact decimal (0.8 -> DECIMAL "0.8", not the
-        // slightly-larger nearest double), multiplied into the corpus count.
         val frac = lit(java.math.BigDecimal.valueOf(f))
         val thr = docs.agg((count(lit(1)) * frac).as("__thr"))
-        dfCounts.crossJoin(broadcast(thr)).filter(col("__df") >= col("__thr"))
-    }).select("__fp")
+        // floor semantics are safe here: any cell cut ≤ the exact
+        // threshold keeps the survivor set a superset
+        cellCounts.crossJoin(broadcast(thr)).filter(col("__cc") >= col("__thr"))
+    }).select("__cell")
+    val maxCells = conf("spark.graft.stripPrefilterMaxCells", 1L << 16)
+    // bounded collect: at most maxCells + 1 cell ids reach the driver
+    val survivors = surviving.limit(maxCells.toInt + 1)
+      .collect().map(_.getLong(0))
+    if (survivors.isEmpty)
+      // no cell total reaches the threshold ⇒ no fp can ⇒ empty boiler
+      // set, second scan skipped entirely
+      cut(fps.limit(0))
+    else if (survivors.length > maxCells)
+      // low-threshold corpus where the pre-filter cannot help — exact
+      // single-pass plan, unchanged semantics
+      cut(fps)
+    else
+      // row-local InSet membership ahead of the exact count shuffle
+      cut(fps.filter(cellOf.isin(survivors.map(Long.box): _*)))
   }
 
   /** The pre-round-13 [[stripBoilerplate]] plan, kept as the unbounded
@@ -761,7 +831,7 @@ object Curation {
               .as("items"))
           Upsert.mergeKeyedParquet(agg, sinkDir, Seq(keyCol),
             Map("items" -> ((old: Column, nw: Column) =>
-              array_sort(concat(old, nw)))), nBuckets)
+              array_sort(concat(old, nw)))), nBuckets, batchId)
         }
         // Injected-crash point (test-only, see [[graft.ops.Failpoint]]):
         // merge applied + fence marker written, checkpoint commit not —

@@ -865,18 +865,21 @@ object Dedup {
           // least/greatest normalization — do the two collapse. Without
           // this a partial replay would append duplicate pairs rows.
           .distinct()
-        // Materialize the verified pairs ONCE: `isEmpty` is an action, so
-        // guarding the append with it on the lazy frame would run the
-        // whole candidate+jaccard-verify plan twice (once for the guard,
-        // once for the write). The guard itself is needed — an empty
-        // append would create a file-less parquet dir the final read
-        // can't infer a schema from.
-        val v = verified.localCheckpoint(true)
-        if (hasShingles) cand.unpersist()
+        // The verified-pairs plan has exactly ONE consumer (the staged
+        // append below — the append's old pre-write isEmpty guard is
+        // gone; emptiness is detected from the staged output), so it is
+        // NOT checkpointed: the staged write computes the candidate +
+        // jaccard-verify joins once, directly over the persisted
+        // sets/banded/cand frames. A duplicate-free batch stages one
+        // 0-row schema file, which reads back as the empty pair set.
         // The three sink writes are mutually independent (pairs, band
         // index, shingle store — the next batch reads the indexes only
-        // after this foreachBatch returns), so they run as concurrent
-        // jobs; `local[32]` and a real cluster both overlap them. Index
+        // after this foreachBatch returns). The pairs write runs FIRST,
+        // sequentially: its verified plan materializes the sets/banded
+        // caches, so the two index appends that then overlap as
+        // concurrent jobs are pure cache reads (launching all three
+        // together would race the first batch's cache materialization
+        // across threads — duplicated shingle/signature compute). Index
         // appends still happen AFTER candidate generation: a doc never
         // pairs with itself, and the next batch sees this one's state.
         // Each append lands one file per touched bucket; oversized
@@ -904,8 +907,8 @@ object Dedup {
           // plan's partitioning — without it every batch appends up to
           // shuffle-partitions files; with it, one.
           try Upsert.applyBatchOnce(spark, s"$stateDir/_pairs_w", batchId) {
-            KeyedState.appendFlatAtomic(v, pairsDir, 1, batchId)
-          } finally v.unpersist()
+            KeyedState.appendFlatAtomic(verified, pairsDir, 1, batchId)
+          } finally if (hasShingles) cand.unpersist()
         def bandedWrite(): Unit =
           Upsert.applyBatchOnce(spark, s"$stateDir/_banded_w", batchId) {
             appendStateBuckets(banded, bandedDir,
@@ -924,11 +927,12 @@ object Dedup {
         // sequentially here so the crash state is deterministic; the
         // production path below is untouched.
         if (Failpoint.armed(spark, "minhash_mid_writes", batchId)) {
-          bandedWrite(); shinglesWrite(); v.unpersist()
+          bandedWrite(); shinglesWrite()
+          if (hasShingles) cand.unpersist()
           Failpoint.hit(spark, "minhash_mid_writes", batchId)
         }
-        val writes = Seq(Future(pairsWrite()), Future(bandedWrite()),
-          Future(shinglesWrite()))
+        pairsWrite() // sequential: materializes the sets/banded caches
+        val writes = Seq(Future(bandedWrite()), Future(shinglesWrite()))
         writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
         // Compaction runs OUTSIDE the replay markers: it is idempotent
         // and content-preserving, so re-running it on replay is free,

@@ -67,31 +67,44 @@ object KeyedState {
   // partial first. The staged variants close it: the batch writes to a
   // SIBLING staged dir (a crash inside THAT job commit touches only the
   // staged dir, which the replay deletes), a `_FENCE` file marks the
-  // staged write complete, and publication moves each staged file into
-  // the live dir under a batch-prefixed name. Each per-file rename is
-  // atomic, so at every instant a staged file exists in exactly one of
-  // the two dirs, and every crash point replays to the same final state:
+  // staged write complete, publication moves each staged file into the
+  // live dir under a batch-prefixed name (collision-proof across
+  // batches), and a per-batch marker under the `<path>__pub` sibling
+  // records completed publication. Each per-file rename is atomic, so at
+  // every instant a staged file exists in exactly one of the two dirs,
+  // and every crash point replays to the same final state:
   //
   //   - crash before `_FENCE` (incl. inside the staged job commit):
   //     replay deletes the unfenced staged dir and rewrites;
   //   - crash mid-publication: the fenced staged dir survives, replay
   //     resumes moving whatever files remain;
-  //   - crash after publication, before the staged-dir delete: replay
-  //     finds a fenced staged dir with no data files left and just
-  //     cleans up;
-  //   - crash after the staged delete, before the caller's replay
-  //     marker: the live dir's `b<batchId>_` files prove publication
-  //     completed (they exist only after a fence existed, and the staged
-  //     dir is deleted only after every file moved), so replay returns
-  //     without re-appending.
+  //   - crash after publication, before the `__pub` marker: replay finds
+  //     a fenced staged dir with no data files left, moves nothing,
+  //     writes the marker, cleans up;
+  //   - crash after the marker, before the staged-dir delete (or before
+  //     the caller's own replay marker): the `__pub/b<batchId>` marker
+  //     proves publication completed (it is written only after every
+  //     staged file moved), so replay just drops any staged leftovers
+  //     and returns without re-appending.
   //
-  // Staged dirs are SIBLINGS of the live root (`<path>__staged_b<id>`),
-  // never inside it — a stray non-partition dir inside a partitioned
-  // root breaks partition-value inference for every read (the compactor
-  // discipline above).
+  // The marker replaces the previous witness (a recursive listing of the
+  // live tree for `b<batchId>_`-prefixed files) with ONE driver `exists`
+  // call per batch — the listing grew with accumulated state (partitions
+  // × files per partition) and was measured as part of the round-13
+  // streaming-sink bench regression. Markers accumulate one empty file
+  // per published batch (the same growth rate, and the same sibling-dir
+  // placement rationale, as applyBatchOnce's `_applied` markers).
+  //
+  // Staged/marker dirs are SIBLINGS of the live root
+  // (`<path>__staged_b<id>`, `<path>__pub`), never inside it — a stray
+  // non-partition dir inside a partitioned root breaks partition-value
+  // inference for every read (the compactor discipline above).
 
   private def stagedDir(path: String, batchId: Long): Path =
     new Path(path + s"__staged_b$batchId")
+
+  private def pubMarker(path: String, batchId: Long): Path =
+    new Path(path + "__pub", s"b$batchId")
 
   private def dataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     if (!fs.exists(dir)) Seq.empty
@@ -102,89 +115,213 @@ object KeyedState {
     }
 
   /** Move every remaining staged data file into the live tree under its
-    * batch-prefixed name, preserving the partition subdir, then drop the
-    * staged dir. Idempotent: re-runs move whatever is left. */
+    * batch-prefixed name, preserving the partition subdir, write the
+    * batch's `__pub` marker (the completed-publication witness — written
+    * only after every file moved), then drop the staged dir. Idempotent:
+    * re-runs move whatever is left. Returns the partition VALUES whose
+    * dirs received files — the caller's compaction-candidate list for
+    * free (the publish walks exactly the touched dirs; a resumed
+    * publication reports only the remainder, which under-reports
+    * candidates harmlessly — compaction is opportunistic). */
   private def publishStaged(fs: FileSystem, staged: Path, live: Path,
-      batchId: Long): Unit = {
+      path: String, batchId: Long): Seq[String] = {
     // listStatus returns QUALIFIED paths (scheme + authority); qualify the
     // root too or the flat-dir parent comparison below never matches
     val stagedQ = fs.makeQualified(staged)
+    val touched = collection.mutable.LinkedHashSet.empty[String]
     for (st <- dataFiles(fs, staged)) {
       val rel = st.getPath.getParent
       val destDir =
         if (rel == stagedQ) live
-        else new Path(live, rel.getName) // one partition level (partCol=v)
+        else {
+          touched += rel.getName.split("=", 2).last
+          new Path(live, rel.getName) // one partition level (partCol=v)
+        }
       fs.mkdirs(destDir)
       val dest = new Path(destDir, s"b${batchId}_${st.getPath.getName}")
       if (fs.exists(dest)) fs.delete(st.getPath, false)
       else fs.rename(st.getPath, dest)
     }
+    val marker = pubMarker(path, batchId)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
     fs.delete(staged, true)
+    touched.toSeq
   }
 
-  /** True iff some live data file carries this batch's publication prefix
-    * — the witness that a previous attempt published completely (see the
-    * crash-window table above). Driver-side listing, O(partition dirs). */
-  private def livePublished(fs: FileSystem, live: Path, batchId: Long): Boolean =
-    fs.exists(live) && fs.listStatus(live).exists { st =>
-      val p = s"b${batchId}_"
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).exists(_.getPath.getName.startsWith(p))
-      else st.getPath.getName.startsWith(p)
-    }
-
-  /** [[appendPartitioned]] with the staged-swap protocol: atomic per
-    * batch under crashes anywhere, including inside the write's own job
-    * commit. Pair with [[Upsert.applyBatchOnce]] — the fence skips the
-    * common full-replay case cheaply; this closes the torn-commit window
-    * the fence cannot see. */
-  def appendPartitionedAtomic(df: DataFrame, path: String, partCol: String,
-      numTasks: Int, batchId: Long): Unit = {
-    val spark = df.sparkSession
+  /** Shared body of the two staged appends: `write` stages the frame
+    * into `staged` (the only Spark job — there is deliberately NO
+    * pre-write `isEmpty` action: emptiness is detected from the staged
+    * output's data-file listing instead, so an empty batch costs the one
+    * write job it was already paying, not two). A staged write that
+    * produced no data files (empty partitioned frame) is dropped without
+    * publication — publishing nothing would leave no witness, and the
+    * replayed empty write is a no-op anyway. Returns the published
+    * partition values ([[publishStaged]]); Nil on the skip paths. */
+  private def stagedAppend(spark: SparkSession, path: String, batchId: Long,
+      failpoint: String)(write: String => Unit): Seq[String] = {
     val fs = fsOf(spark, path)
     val staged = stagedDir(path, batchId)
     val live = new Path(path)
     val fence = new Path(staged, "_FENCE")
-    if (fs.exists(staged) && fs.exists(fence)) {
-      publishStaged(fs, staged, live, batchId); return
+    if (fs.exists(pubMarker(path, batchId))) {
+      // already fully published (crash landed after the marker, before
+      // the staged delete or the caller's replay marker)
+      if (fs.exists(staged)) fs.delete(staged, true)
+      return Nil
     }
+    if (fs.exists(staged) && fs.exists(fence))
+      return publishStaged(fs, staged, live, path, batchId)
     if (fs.exists(staged)) fs.delete(staged, true) // unfenced partial write
-    if (livePublished(fs, live, batchId)) return   // already fully published
-    if (df.isEmpty) return
-    df.repartition(numTasks, col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(staged.toString)
+    write(staged.toString)
+    if (dataFiles(fs, staged).isEmpty) { fs.delete(staged, true); return Nil }
     fs.create(fence, true).close()
     // Injected-crash point (test-only, [[Failpoint]]): the staged write
     // is complete and fenced but NOTHING is published — the torn-commit
     // window a bare append cannot survive. CrashRecoverySpec kills a
     // stream here and proves the checkpoint replay resumes publication.
-    Failpoint.hit(spark, "staged_post_fence", batchId)
-    publishStaged(fs, staged, live, batchId)
+    Failpoint.hit(spark, failpoint, batchId)
+    publishStaged(fs, staged, live, path, batchId)
   }
 
+  /** [[appendPartitioned]] with the staged-swap protocol: atomic per
+    * batch under crashes anywhere, including inside the write's own job
+    * commit. Pair with [[Upsert.applyBatchOnce]] — the fence skips the
+    * common full-replay case cheaply; this closes the torn-commit window
+    * the fence cannot see. Returns the partition values this batch
+    * published into (the caller's compaction-candidate list, costing no
+    * extra Spark job; empty on a replay skip — compaction candidates are
+    * best-effort by design). */
+  def appendPartitionedAtomic(df: DataFrame, path: String, partCol: String,
+      numTasks: Int, batchId: Long): Seq[String] =
+    stagedAppend(df.sparkSession, path, batchId, "staged_post_fence") { out =>
+      df.repartition(numTasks, col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(out)
+    }
+
   /** [[appendPartitionedAtomic]] for FLAT (unpartitioned) append dirs,
-    * coalesced to `numFiles` output files per batch. */
+    * shuffled down to `numFiles` output files per batch. `repartition`,
+    * NOT `coalesce`: the incoming frame is typically a small RESULT of an
+    * expensive parallel plan (q81's verified pairs), and coalesce(1)
+    * would collapse that whole upstream computation into one task — the
+    * tiny final shuffle keeps it parallel. An empty frame may still stage
+    * one 0-row file (Spark preserves the schema of flat writes) — it
+    * publishes harmlessly and later compaction absorbs it. */
   def appendFlatAtomic(df: DataFrame, path: String, numFiles: Int,
       batchId: Long): Unit = {
-    val spark = df.sparkSession
-    val fs = fsOf(spark, path)
-    val staged = stagedDir(path, batchId)
-    val live = new Path(path)
-    val fence = new Path(staged, "_FENCE")
-    if (fs.exists(staged) && fs.exists(fence)) {
-      publishStaged(fs, staged, live, batchId); return
+    stagedAppend(df.sparkSession, path, batchId, "staged_post_fence_flat") {
+      out => df.repartition(numFiles).write.mode("overwrite").parquet(out)
     }
-    if (fs.exists(staged)) fs.delete(staged, true)
-    if (livePublished(fs, live, batchId)) return
-    if (df.isEmpty) return
-    df.coalesce(numFiles).write.mode("overwrite").parquet(staged.toString)
-    fs.create(fence, true).close()
-    Failpoint.hit(spark, "staged_post_fence_flat", batchId)
-    publishStaged(fs, staged, live, batchId)
+    ()
   }
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- replace-partition swaps (the keyed upsert/merge sinks) -----------
+  //
+  // Spark's dynamic partition overwrite commits by DELETING each existing
+  // partition dir and renaming the staged one in — two separate driver fs
+  // operations with no healing protocol. A crash between them loses the
+  // partition's accumulated state outright: the merged rows existed only
+  // in the in-flight job, and the batch replay can re-deliver the BATCH
+  // but not the prior state it was merged with. The swaps below stage the
+  // new partition contents to a sibling, then swap each partition via the
+  // compaction protocol (preserve live under `__old` → rename staged in →
+  // drop preserved), so at every instant a partition's rows exist under
+  // the live path or the `__old` sibling, never nowhere;
+  // [[repairPartitions]] heals any interruption. Because the write target
+  // is the stage sibling, the caller may compute the new contents FROM
+  // the live path without a localCheckpoint barrier — read path and write
+  // path only meet at the (driver-side, healed) swap.
+
+  /** Stage `df`'s `partCol=v` dirs into the compaction stage sibling and
+    * swap each into the live tree via preserve-rename. For REPLACE-BY-KEY
+    * sinks ([[Upsert.upsertKeyedParquet]]): a crash at any point leaves
+    * every partition atomically old or new (healed by
+    * [[repairPartitions]]), and the batch replay re-merges correctly from
+    * either state — replace semantics are idempotent per key. NOT
+    * sufficient for accumulate-merge sinks: use
+    * [[replacePartitionsAtomic]] there. */
+  def swapPartitions(spark: SparkSession, path: String, partCol: String,
+      df: DataFrame): Unit = {
+    repairPartitions(spark, path)
+    val fs = fsOf(spark, path)
+    val stage = stageRoot(path)
+    fs.delete(stage, true)
+    df.write.partitionBy(partCol).parquet(stage.toString)
+    swapStagedDirs(spark, fs, stage, path, failpoint = "swap_mid_bucket",
+      batchId = 0L)
+    fs.delete(stage, true)
+  }
+
+  /** [[swapPartitions]] under the staged-batch fence protocol — the
+    * REPLACE-partition write for NON-idempotent accumulate-merge sinks
+    * ([[Upsert.mergeKeyedParquet]]). The merge's double-apply hazard is a
+    * replay that RECOMPUTES the merge against partially-new state (each
+    * key's list would concatenate the batch twice); the fence closes it:
+    * once the staged write completes and `_FENCE` lands, a replay never
+    * re-executes `df`'s plan — it RESUMES the swap from the staged dirs
+    * (df is lazy; the resume path never triggers its job), and the
+    * `__pub` marker witnesses a completed swap exactly as in the staged
+    * appends. Crash table mirrors [[appendPartitionedAtomic]], with
+    * preserve-rename (healed by [[repairPartitions]], which runs first)
+    * in place of per-file publication. */
+  def replacePartitionsAtomic(df: DataFrame, path: String, partCol: String,
+      numTasks: Int, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    repairPartitions(spark, path)
+    val fs = fsOf(spark, path)
+    val staged = stagedDir(path, batchId)
+    val fence = new Path(staged, "_FENCE")
+    if (fs.exists(pubMarker(path, batchId))) {
+      if (fs.exists(staged)) fs.delete(staged, true)
+      return
+    }
+    if (!(fs.exists(staged) && fs.exists(fence))) {
+      if (fs.exists(staged)) fs.delete(staged, true) // unfenced partial write
+      df.repartition(numTasks, col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(staged.toString)
+      if (dataFiles(fs, staged).isEmpty) { fs.delete(staged, true); return }
+      fs.create(fence, true).close()
+      // Injected-crash point (test-only): staged write fenced, nothing
+      // swapped — the replay must resume the swap WITHOUT re-running the
+      // merge plan (CrashRecoverySpec kills a stream here).
+      Failpoint.hit(spark, "replace_post_fence", batchId)
+    }
+    swapStagedDirs(spark, fs, staged, path, failpoint = "replace_mid_swap",
+      batchId = batchId)
+    val marker = pubMarker(path, batchId)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(staged, true)
+  }
+
+  /** Swap every `partCol=v` dir under `stage` into the live tree:
+    * preserve live under `__old`, rename staged in, drop the preserved
+    * copy — per partition, resumable (a staged dir disappears exactly
+    * when its swap lands, so re-runs process whatever remains), healed at
+    * any interruption by [[repairPartitions]]. The failpoint fires after
+    * the FIRST partition's preserve — the worst window (live copy moved
+    * aside, new content not yet in). */
+  private def swapStagedDirs(spark: SparkSession, fs: FileSystem,
+      stage: Path, path: String, failpoint: String, batchId: Long): Unit = {
+    if (!fs.exists(stage)) return
+    val old = oldRoot(path)
+    val parts = fs.listStatus(stage).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    if (parts.nonEmpty) { fs.mkdirs(old); fs.mkdirs(new Path(path)) }
+    var first = true
+    parts.foreach { st =>
+      val name = st.getPath.getName
+      val live = new Path(path, name)
+      if (fs.exists(live)) fs.rename(live, new Path(old, name))
+      if (first) { Failpoint.hit(spark, failpoint, batchId); first = false }
+      fs.rename(st.getPath, live)
+      fs.delete(new Path(old, name), true)
+    }
+    fs.delete(old, true)
+  }
 
   private def stageRoot(path: String) = new Path(path + "__compact_tmp")
   private def oldRoot(path: String) = new Path(path + "__compact_old")

@@ -950,21 +950,26 @@ object Similarity {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // No withNorm barrier: a micro-batch is already partitioned by
         // arrival, and the replicas=1 assignment is one codegen
-        // projection over the pre-collected centroid table.
+        // projection over the pre-collected centroid table. Single
+        // consumer (the staged append) — no persist, no pre-actions: the
+        // batch costs exactly one Spark job.
         val assigned = batch.select(col(idCol), col(vecCol),
           graft.functions.NearestCentroid.assign(col(vecCol), centTable)
-            .as("centroid_id")).persist()
+            .as("centroid_id"))
         // The cell append is non-idempotent: fence checkpoint-recovery
         // replays of an already-applied batch (else recovered batches
         // duplicate every vector in their cells). ONLY the append sits
         // inside the fence — compaction is idempotent and must not
         // reopen it by crashing mid-rewrite.
+        var touched: Seq[String] = Nil
         Upsert.applyBatchOnce(spark, s"$indexDir/_applied", batchId) {
           // Keyed-state discipline (KeyedState): one file per touched
           // cell per batch — the index is PROBED partition-pruned on
           // centroid_id, so its per-cell file listing must stay bounded
-          // across batches (the compaction below).
-          KeyedState.appendPartitionedAtomic(assigned,
+          // across batches (the compaction below). The publish reports
+          // the touched cells, so compaction candidates cost no extra
+          // Spark job (the old per-batch distinct-collect).
+          touched = KeyedState.appendPartitionedAtomic(assigned,
             s"$indexDir/assigned", "centroid_id", parallelism(batch),
             batchId)
         }
@@ -975,10 +980,7 @@ object Similarity {
         // in the batch duplicates in its cell).
         Failpoint.hit(spark, "ivf_post_fence", batchId)
         KeyedState.compactPartitions(spark, s"$indexDir/assigned",
-          "centroid_id",
-          KeyedState.touchedValues(assigned.select("centroid_id")),
-          compactAfterFiles)
-        assigned.unpersist()
+          "centroid_id", touched, compactAfterFiles)
         ()
       }
       .start()

@@ -109,18 +109,30 @@ object Upsert {
       keys: Seq[String],
       nBuckets: Int = 64): Unit = {
     val spark = updates.sparkSession
-    // A batch with no updates must be a no-op: writing an empty frame would
-    // leave a schema-less parquet directory the next batch can't read.
-    if (updates.isEmpty) return
+    // Heal any swap a previous crash interrupted BEFORE anything lists or
+    // reads the sink (one `exists` when clean): hasData and the merge
+    // must see every bucket's rows, preserved or live.
+    KeyedState.repairPartitions(spark, path)
     // the shared keyed-state bucket hash — Upsert-written sinks and
     // KeyedState-probed state must bucket bit-identically
     val bucketOf = KeyedState.bucketColumn(keys, nBuckets)
     val withBucket = updates.withColumn("__bucket", bucketOf)
+    // The touched-bucket collect doubles as the emptiness guard (no
+    // touched buckets ⇒ no-op — writing an empty frame would leave a
+    // schema-less parquet directory the next batch can't read), so the
+    // batch plan runs TWICE per call (pruned distinct + the write), not
+    // three times (the old separate isEmpty guard). The distinct is
+    // COLUMN-PRUNED to the key hash — Catalyst drops every non-key
+    // aggregate from that execution — which measured cheaper than
+    // persisting the batch to make it one action: caching pays full
+    // columnar encode/decode of the widest columns exactly once per
+    // batch, the pruned re-run doesn't compute them at all.
+    val affected = withBucket.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ nBuckets values
+    if (affected.isEmpty) return
     val merged =
       if (!KeyedState.hasData(spark, path)) withBucket
       else {
-        val affected = withBucket.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq // ≤ nBuckets values
         val existing = spark.read.parquet(path)
           .filter(col("__bucket").isin(affected: _*))
         existing
@@ -130,29 +142,33 @@ object Upsert {
     writeBuckets(merged, path, nBuckets)
   }
 
-  /** Shared tail of the keyed sinks: co-locate each bucket in one task
-    * before the dynamic overwrite, so a write produces exactly one file
-    * per touched bucket. Without the repartition the write inherits the
-    * batch's partitioning and every task emits a file for every bucket it
-    * happens to hold — up to tasks × buckets one-row fragments per batch
-    * (measured ~1500 files for a 1,500-key first batch), and the sink's
-    * read-back pays that listing forever. One file per bucket is also the
-    * scale posture: K buckets ⇒ K well-sized files, listing O(K).
-    * The `localCheckpoint` materializes the merged rows before the
-    * overwrite (the sink path is also the read path); a FRESH sink read
-    * nothing from `path`, so it skips the lineage break and writes
-    * directly.
+  /** Shared tail of the replace-by-key sink: co-locate each bucket in one
+    * task, so a write produces exactly one file per touched bucket.
+    * Without the repartition the write inherits the batch's partitioning
+    * and every task emits a file for every bucket it happens to hold —
+    * up to tasks × buckets one-row fragments per batch (measured ~1500
+    * files for a 1,500-key first batch), and the sink's read-back pays
+    * that listing forever. One file per bucket is also the scale posture:
+    * K buckets ⇒ K well-sized files, listing O(K).
+    *
+    * A FRESH sink writes directly (a torn first write replays to the same
+    * state: every partial row's key is in the re-delivered batch, so the
+    * replace merge supersedes it). An EXISTING sink goes through
+    * [[KeyedState.swapPartitions]] — stage sibling + preserve-rename per
+    * bucket — instead of Spark's dynamic partition overwrite, whose
+    * delete-then-rename job commit can LOSE a bucket's accumulated state
+    * if crashed between the two (the one window replay tolerance cannot
+    * absorb: the merged rows existed nowhere else). Staging also removes
+    * the localCheckpoint barrier the dynamic overwrite needed (read path
+    * and write path only meet at the healed driver-side swap), so the
+    * merge plan executes once, inside the write job.
     */
   private def writeBuckets(merged: DataFrame, path: String, nBuckets: Int): Unit = {
-    val fresh = !KeyedState.hasData(merged.sparkSession, path)
     val bucketed = merged.repartition(nBuckets, col("__bucket"))
-    val out = if (fresh) bucketed else bucketed.localCheckpoint(true)
-    try
-      out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket")
-        .parquet(path)
-    finally if (!fresh) out.unpersist()
+    if (!KeyedState.hasData(merged.sparkSession, path))
+      bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    else
+      KeyedState.swapPartitions(merged.sparkSession, path, "__bucket", bucketed)
   }
 
   /** MERGE-by-key into a bucket-partitioned parquet directory: like
@@ -161,31 +177,43 @@ object Upsert {
     * replacing them — the sink shape for streaming state that ACCUMULATES
     * per key (running lists, counters) rather than superseding. Same
     * bucket discipline: only the hash buckets the incoming keys touch are
-    * read and dynamically overwritten, so per-call work is proportional
-    * to touched-bucket size, not sink size.
+    * read and rewritten, so per-call work is proportional to
+    * touched-bucket size, not sink size.
     *
-    * NOT idempotent: re-merging the same batch accumulates its elements
-    * into each key's state a second time (unlike the replace-by-key sink,
-    * which tolerates replay). Streaming callers must wrap the call in
-    * [[applyBatchOnce]] so a checkpoint-recovery batch replay is skipped.
+    * NOT idempotent at the SEMANTIC level: re-merging the same batch
+    * accumulates its elements into each key's state a second time.
+    * Streaming callers must still wrap the call in [[applyBatchOnce]] to
+    * skip whole-batch replays cheaply; within a batch, the write goes
+    * through [[KeyedState.replacePartitionsAtomic]] (`batchId` names the
+    * staged dir), so a crash at ANY point — including inside the staged
+    * write's job commit or mid-swap — replays to exactly-once: once the
+    * staged merge is fenced, a replay resumes the swap without
+    * re-executing the merge plan, and the `__pub` marker witnesses
+    * completion.
     */
   def mergeKeyedParquet(
       updates: DataFrame,
       path: String,
       keys: Seq[String],
       mergeCols: Map[String, (Column, Column) => Column],
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int,
+      batchId: Long): Unit = {
     val spark = updates.sparkSession
-    if (updates.isEmpty) return
+    // heal any interrupted swap before anything lists or reads the sink
+    KeyedState.repairPartitions(spark, path)
     // the shared keyed-state bucket hash — Upsert-written sinks and
     // KeyedState-probed state must bucket bit-identically
     val bucketOf = KeyedState.bucketColumn(keys, nBuckets)
     val withBucket = updates.withColumn("__bucket", bucketOf)
+    // pruned distinct-collect doubles as the emptiness guard — see
+    // upsertKeyedParquet's rationale (two plan runs, not three; pruning
+    // beat caching for wide aggregate batches)
+    val affected = withBucket.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (affected.isEmpty) return
     val combined =
       if (!KeyedState.hasData(spark, path)) withBucket
       else {
-        val affected = withBucket.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq
         val existing = spark.read.parquet(path)
           .filter(col("__bucket").isin(affected: _*))
         // __bucket is a pure function of the keys, so the merge keeps the
@@ -194,12 +222,23 @@ object Upsert {
         merge(existing, withBucket.select(existing.columns.map(col): _*),
           keys, mergeCols)
       }
-    writeBuckets(combined, path, nBuckets)
+    // ALWAYS the fenced atomic swap — including the first batch: a torn
+    // FRESH write replays into the merge path against its own partial
+    // rows and double-applies them (replace semantics would supersede;
+    // merge semantics concatenate), so even batch 0 must never expose a
+    // partial write to a replay.
+    // (replacePartitionsAtomic repartitions to one task per bucket — the
+    // one-file-per-touched-bucket discipline writeBuckets documents)
+    KeyedState.replacePartitionsAtomic(combined, path, "__bucket",
+      nBuckets, batchId)
   }
 
-  /** Read a [[upsertKeyedParquet]] sink back as a plain table. */
-  def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+  /** Read a [[upsertKeyedParquet]] sink back as a plain table (healing
+    * any swap a crash interrupted first — one `exists` when clean). */
+  def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    KeyedState.repairPartitions(spark, path)
     spark.read.parquet(path).drop("__bucket")
+  }
 
   /** [[readKeyedParquet]] for sinks that may legitimately be EMPTY: the
     * upsert/merge writers early-return on all-empty batches without ever
@@ -214,6 +253,7 @@ object Upsert {
     // shared predicate): the _PARAMS stamp and _applied replay markers
     // create the dir before any batch writes, and a data-less dir fails
     // schema inference on read.
+    KeyedState.repairPartitions(spark, path)
     if (!KeyedState.hasData(spark, path))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaIfEmpty)
@@ -231,9 +271,10 @@ object Upsert {
     * crash MID-batch still replays — the guard closes the common recovery
     * case (batch fully applied, checkpoint commit lost). For the replay to
     * be exactly-once under a crash INSIDE `body`'s own write commit, pair
-    * it with the staged-swap appends
-    * ([[KeyedState.appendPartitionedAtomic]]/[[KeyedState.appendFlatAtomic]],
-    * as every streaming sink in this library does): they absorb a torn
+    * it with the staged batch writes
+    * ([[KeyedState.appendPartitionedAtomic]]/[[KeyedState.appendFlatAtomic]]
+    * for appends, [[KeyedState.replacePartitionsAtomic]] for keyed merges
+    * — as every streaming sink in this library does): they absorb a torn
     * job commit AND recognize their own completed publication, so any
     * crash point replays to the same final state.
     */

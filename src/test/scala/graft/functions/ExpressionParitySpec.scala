@@ -61,7 +61,7 @@ class ExpressionParitySpec extends AnyFunSuite {
     (1L, "the quick brown fox\nthe quick brown fox\njumps"),
     (2L, null.asInstanceOf[String]),
     (3L, ""),
-    (4L, " \t\n\f\r "),
+    (4L, " \t\n\u000B\f\r "),
     (5L, "héllo ÜBER İstanbul 日本語テキスト 😀😀"),
     (6L, "a,b.c (x) e.g. !!! — the! of"),
     (7L, "glued tokens and\tmixed\r\nseparators\fhere"),
@@ -170,7 +170,7 @@ class ExpressionParitySpec extends AnyFunSuite {
       (1 to n).foreach { _ =>
         rnd.nextInt(6) match {
           case 0 => sb.append(rnd.nextPrintableChar())
-          case 1 => sb.append(" \t\n\f\r".charAt(rnd.nextInt(6)))
+          case 1 => sb.append(" \t\n\u000B\f\r".charAt(rnd.nextInt(6)))
           case 2 => sb.append((0xD800 + rnd.nextInt(0x800)).toChar) // lone surrogate
           case 3 => sb.append((rnd.nextInt(0xFFFF) + 1).toChar)     // any BMP char
           case 4 => sb.appendAll(Character.toChars(0x10000 + rnd.nextInt(0x10000)))

@@ -99,6 +99,42 @@ class CurationSpec extends AnyFunSuite {
       (1L, "a b"), (2L, "c"), (3L, "a"), (4L, ""), (5L, "q q")))
   }
 
+  test("stripBoilerplate cell pre-filter: identical results with the " +
+      "filter forced on, forced off, zero survivors, and cap-exceeded " +
+      "pass-through") {
+    // randomized-ish corpus: words drawn from a small vocab so dfs span
+    // the threshold, plus unique tails so singleton fps exist
+    val docs = (1L to 40L).map { i =>
+      val words = (0 until 6).map(j => "w" + ((i * 7 + j * 3) % 11)) :+ s"uniq$i"
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(): Set[(Long, String)] =
+      Curation.stripBoilerplate(docs, "doc_id", "text", " ", Left(8L))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def withConf(kvs: (String, String)*)(body: => Set[(Long, String)]) = {
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    val off = withConf("spark.graft.stripPrefilterCells" -> "0")(run())
+    // forced ON despite the small threshold (floor lowered), few cells so
+    // collisions actually happen and the exact pass must reject them
+    val on = withConf("spark.graft.stripPrefilterCells" -> "8",
+      "spark.graft.stripPrefilterMinDocs" -> "1")(run())
+    assert(on == off, "pre-filtered and exact plans must agree")
+    // cap exceeded (0 allowed survivors) degrades to the exact plan
+    val capped = withConf("spark.graft.stripPrefilterCells" -> "8",
+      "spark.graft.stripPrefilterMinDocs" -> "1",
+      "spark.graft.stripPrefilterMaxCells" -> "0")(run())
+    assert(capped == off)
+    // zero survivors short-circuits to an empty boiler set: threshold
+    // above every df leaves every doc intact
+    val untouched = Curation.stripBoilerplate(docs, "doc_id", "text", " ",
+        Left(1000L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(untouched == docs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("dedupeSegments: in-doc repeats keep first occurrence; cross-doc untouched") {
     val docs = Seq(
       (1L, "nav home nav about nav home end"), // repeated "nav" and "home"

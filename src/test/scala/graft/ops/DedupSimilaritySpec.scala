@@ -675,8 +675,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(first.nonEmpty)
     def storeRows(p: String) = spark.read.parquet(s"$base/state/$p").count()
     val (bandedRows, shingleRows) = (storeRows("banded"), storeRows("shingles"))
-    // simulate: pairs write lost, everything else (incl. markers) landed
-    for (d <- Seq("ckpt", "state/_applied", "state/_pairs_w", "state/pairs"))
+    // simulate: pairs write lost, everything else (incl. markers) landed.
+    // "Never ran" includes the pairs publication witness (pairs__pub) —
+    // a real crash before the pairs append leaves neither the dir nor
+    // the marker, and the witness is written only after files move.
+    for (d <- Seq("ckpt", "state/_applied", "state/_pairs_w", "state/pairs",
+        "state/pairs__pub"))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/$d"))
     val second = run()
     assert(second == first) // same pairs, no reversed duplicates

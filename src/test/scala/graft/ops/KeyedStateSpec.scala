@@ -264,6 +264,58 @@ class KeyedStateSpec extends AnyFunSuite {
     assert(liveFiles(p).size == 2) // one coalesced file per batch
   }
 
+  // ---- replace-partition swaps (the keyed upsert/merge sink writes) ----
+
+  test("swapPartitions: mid-swap crash leaves the bucket preserved under " +
+      "__old; repairPartitions restores it losslessly") {
+    val p = graft.TestScratch.dir("graft-ks-swap") + "/store"
+    writeBucketed(p, 1)
+    val before = spark.read.parquet(p).orderBy("k", "__bucket").collect().toSeq
+    val replacement = (100L until 140L).toDF("k")
+      .withColumn("__bucket", KeyedState.bucketColumn(Seq("k"), 4))
+      .repartition(4, col("__bucket"))
+    spark.conf.set("spark.graft.test.failpoint", "swap_mid_bucket:0")
+    try intercept[Failpoint.InjectedCrash] {
+      KeyedState.swapPartitions(spark, p, "__bucket", replacement)
+    } finally spark.conf.unset("spark.graft.test.failpoint")
+    // the crashed bucket's rows exist under __old, never nowhere
+    assert(new java.io.File(p + "__compact_old").exists())
+    KeyedState.repairPartitions(spark, p)
+    assert(spark.read.parquet(p).orderBy("k", "__bucket").collect().toSeq
+      == before, "repair must restore the pre-swap content exactly")
+    // a clean re-run completes the replacement
+    KeyedState.swapPartitions(spark, p, "__bucket", replacement)
+    assert(spark.read.parquet(p).select("k").collect().map(_.getLong(0)).toSet
+      == (100L until 140L).toSet)
+    assert(!new java.io.File(p + "__compact_old").exists())
+    assert(!new java.io.File(p + "__compact_tmp").exists())
+  }
+
+  test("replacePartitionsAtomic: a fenced staged write resumes the swap " +
+      "on replay without re-executing the frame; the __pub marker makes " +
+      "a post-publication replay a no-op") {
+    val p = graft.TestScratch.dir("graft-ks-replace") + "/store"
+    writeBucketed(p, 1)
+    val b1 = batchDf(100, 140)
+    spark.conf.set("spark.graft.test.failpoint", "replace_post_fence:1")
+    try intercept[Failpoint.InjectedCrash] {
+      KeyedState.replacePartitionsAtomic(b1, p, "__bucket", 4, 1L)
+    } finally spark.conf.unset("spark.graft.test.failpoint")
+    // staged + fenced, nothing swapped: live still holds the old rows
+    assert(new java.io.File(p + "__staged_b1/_FENCE").exists())
+    assert(rowsOf(p) == (0L until 40L).toSet)
+    // replay with a DIFFERENT frame: the fence must force a pure resume
+    // of the staged content (the new frame's plan is never executed)
+    KeyedState.replacePartitionsAtomic(batchDf(900, 910), p, "__bucket", 4, 1L)
+    assert(rowsOf(p) == (100L until 140L).toSet,
+      "resume must publish the FENCED content, not re-run the merge")
+    assert(new java.io.File(p + "__pub/b1").exists())
+    // post-publication replay: marker short-circuits, content unchanged
+    KeyedState.replacePartitionsAtomic(batchDf(900, 910), p, "__bucket", 4, 1L)
+    assert(rowsOf(p) == (100L until 140L).toSet)
+    assert(!new java.io.File(p + "__staged_b1").exists())
+  }
+
   test("stampParams: non-finite doubles stamp and re-verify instead of " +
       "crashing in BigDecimal rendering") {
     val p = graft.TestScratch.dir("graft-stamp-nonfinite") + "/state"

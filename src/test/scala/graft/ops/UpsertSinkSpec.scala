@@ -82,9 +82,9 @@ class UpsertSinkSpec extends AnyFunSuite {
     val mergeCols = Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column](
       "n" -> ((old, nw) => old + nw))
     val b1 = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "n").repartition(6)
-    Upsert.mergeKeyedParquet(b1, dir, Seq("k"), mergeCols, nBuckets)
+    Upsert.mergeKeyedParquet(b1, dir, Seq("k"), mergeCols, nBuckets, batchId = 0L)
     val b2 = Seq(("a", 10L), ("d", 4L)).toDF("k", "n").repartition(6)
-    Upsert.mergeKeyedParquet(b2, dir, Seq("k"), mergeCols, nBuckets)
+    Upsert.mergeKeyedParquet(b2, dir, Seq("k"), mergeCols, nBuckets, batchId = 1L)
     assert(filesPerBucket(dir).values.forall(_ == 1))
     val got = Upsert.readKeyedParquet(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

@@ -179,6 +179,83 @@ class CrashRecoverySpec extends AnyFunSuite {
       .map(_.getName).exists(_.contains("__staged_b")))
   }
 
+  test("replace-by-key dedup sink killed MID-SWAP (a bucket preserved " +
+      "under __old, new content not yet in): restart heals and converges") {
+    val base = graft.TestScratch.dir("graft-crash-exact")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$base/docs.parquet")
+    def run(tag: String) = Dedup.streamingExactGroupsUpdate(spark,
+        s"$base/docs.parquet", "*.parquet", "doc_id", "text",
+        sinkDir = s"$base/sink$tag", checkpointDir = s"$base/ckpt$tag",
+        nBuckets = 4, maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val golden = run("_golden")
+    assert(golden.nonEmpty)
+    // batch 0 writes the fresh sink directly; the first SWAP (batch 1+)
+    // crashes between preserving a live bucket and renaming the staged
+    // one in — the exact window where Spark's dynamic partition
+    // overwrite loses the bucket outright (swapPartitions' failpoint
+    // key is batch-independent: 0)
+    spark.conf.set("spark.graft.test.failpoint", "swap_mid_bucket:0")
+    crashes(run(""))
+    // the preserved copy must exist — the crashed bucket's rows are
+    // never "nowhere"
+    assert(new java.io.File(s"$base/sink__compact_old").exists(),
+      "mid-swap crash must leave the preserved bucket copy")
+    // restart: repair heals, the replayed batch re-merges (replace
+    // semantics are replay-idempotent), results converge
+    assert(run("") == golden)
+    assert(!new java.io.File(s"$base/sink__compact_old").exists())
+  }
+
+  private def assembleRows(base: String): Unit =
+    (1L to 60L).map(i => (i % 5, i, i * 7 % 13, "e" + (i % 4)))
+      .toDF("user_id", "ord", "tie", "ev")
+      .repartition(3).write.mode("overwrite").parquet(s"$base/rows.parquet")
+
+  private def assembleRun(base: String, tag: String) = {
+    val schema = spark.read.parquet(s"$base/rows.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/rows.parquet")
+    Curation.streamingAssembleSequences(stream,
+        "user_id", "ord", "tie", "ev", sep = ">",
+        sinkDir = s"$base/sink$tag", checkpointDir = s"$base/ckpt$tag",
+        nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+  }
+
+  test("merge sink killed AFTER the staged merge is fenced, before any " +
+      "swap: the replay resumes the swap without re-running the merge — " +
+      "items concatenate exactly once") {
+    val base = graft.TestScratch.dir("graft-crash-asm-fence")
+    assembleRows(base)
+    val golden = assembleRun(base, "_golden")
+    assert(golden.nonEmpty && golden.forall(_._2 == 12))
+    // batch 1's merged buckets are all staged + fenced, nothing swapped,
+    // no replay marker: a replay that re-executed the merge against the
+    // half-new state would double-apply; the fence forces a pure resume
+    spark.conf.set("spark.graft.test.failpoint", "replace_post_fence:1")
+    crashes(assembleRun(base, ""))
+    assert(new java.io.File(s"$base/sink__staged_b1").exists() &&
+      new java.io.File(s"$base/sink__staged_b1/_FENCE").exists(),
+      "the injected crash must leave a fenced staged merge")
+    assert(assembleRun(base, "") == golden)
+    assert(!new java.io.File(base).listFiles()
+      .map(_.getName).exists(_.contains("__staged_b")))
+  }
+
+  test("merge sink killed MID-SWAP (bucket preserved, staged not yet in): " +
+      "restart heals and resumes, items concatenate exactly once") {
+    val base = graft.TestScratch.dir("graft-crash-asm-swap")
+    assembleRows(base)
+    val golden = assembleRun(base, "_golden")
+    spark.conf.set("spark.graft.test.failpoint", "replace_mid_swap:1")
+    crashes(assembleRun(base, ""))
+    assert(assembleRun(base, "") == golden)
+    assert(!new java.io.File(s"$base/sink__compact_old").exists())
+  }
+
   test("sequence-assembly merge sink killed between the fenced merge and " +
       "the batch commit: items concatenate exactly once") {
     val base = graft.TestScratch.dir("graft-crash-asm")
