@@ -2133,6 +2133,23 @@ object SparkEntry {
         "SELECT * FROM graft_pivot('graft_q152_lineitem', 'l_orderkey', " +
           "'l_orderkey=>l_orderkey, l_partkey->part1|part2', " +
           "'l_linenumber,l_partkey') ORDER BY l_orderkey")
+    }),
+
+    // The second curation flagship through the SQL TVF surface:
+    // graft_decontaminate FROM-callable, gated against an independent
+    // DuckDB replay of the 6-gram survivor semantics (q56's oracle
+    // machinery inverted to the kept rows — the q152 pattern).
+    "q153_sql_decontaminate" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") >= 25)
+        .createOrReplaceTempView("graft_q153_corpus")
+      docs.filter(col("doc_id") < 25)
+        .createOrReplaceTempView("graft_q153_bench")
+      s.sql(
+        "SELECT doc_id FROM graft_decontaminate('graft_q153_corpus', " +
+          "'doc_id', 'text', 'graft_q153_bench', 'text', 6) " +
+          "ORDER BY doc_id")
     }))
 
   /** Deterministic messy-URL fixture expression (Spark SQL) for
@@ -5833,7 +5850,35 @@ object SparkEntry {
                 max(CASE WHEN rn = 1 THEN l_partkey END) AS part1,
                 max(CASE WHEN rn = 2 THEN l_partkey END) AS part2
          FROM r WHERE cnt <= 2 GROUP BY l_orderkey
-         ORDER BY l_orderkey""")
+         ORDER BY l_orderkey""",
+
+    // q56's gram machinery inverted to the SURVIVORS — the FROM-callable
+    // graft_decontaminate must keep exactly the rows whose 6-gram match
+    // count is below the threshold
+    "q153_sql_decontaminate" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, $toks AS tk FROM documents WHERE doc_id >= 25),
+         benchd AS (
+           SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 25),
+         cg AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6 + 2),
+               i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                 CAST(i + 5 AS INTEGER)), ' '))) AS gram
+             FROM corpus WHERE len(tk) >= 6)),
+         bg AS (
+           SELECT DISTINCT gram FROM (
+             SELECT unnest(list_transform(range(1, len(tk) - 6 + 2),
+               i -> array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                 CAST(i + 5 AS INTEGER)), ' '))) AS gram
+             FROM benchd WHERE len(tk) >= 6)),
+         m AS (
+           SELECT doc_id, count(*) AS matched FROM cg
+           JOIN bg USING (gram) GROUP BY doc_id)
+         SELECT d.doc_id
+         FROM documents d LEFT JOIN m USING (doc_id)
+         WHERE d.doc_id >= 25 AND coalesce(m.matched, 0) < 1
+         ORDER BY doc_id""")
 
   /** DuckDB replay of [[graft.ops.Graphs.pageRank]] on q147's derived
     * host multigraph: 3 unrolled iterations, all-BIGINT floor-division

@@ -213,6 +213,53 @@ object GraftFunctions {
             exprs.lift(5).map(e => longArg(e, fn)))
           .queryExecution.logical
       }, "scala_udf")
+    // Corpus-boilerplate strip (the q57 flagship), FROM-callable:
+    //   SELECT * FROM graft_strip_boilerplate('docs','doc_id','text',' ',0.8)
+    // The threshold literal picks the semantics: an INTEGER is an
+    // absolute document-frequency cut; a fractional literal is a corpus
+    // fraction (the Column API's Right form — the cut stays in-plan as
+    // an exact decimal). Like the Column API, the builder runs the
+    // bounded boiler job eagerly, here at TVF resolution time.
+    tvf.createOrReplaceTempFunction("graft_strip_boilerplate",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_strip_boilerplate"
+        require(exprs.length == 5,
+          s"$fn(view, idCol, textCol, separator, minDocsOrFraction)")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val thr: Either[Long, Double] = exprs(4) match {
+          case Literal(v: Int, _) => Left(v.toLong)
+          case Literal(v: Long, _) => Left(v)
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+            Right(v.toDouble)
+          case Literal(v: Double, _) => Right(v)
+          case other => throw new IllegalArgumentException(
+            s"$fn expects a numeric threshold literal, got $other")
+        }
+        graft.ops.Curation.stripBoilerplate(
+            spark.table(strArg(exprs(0), fn)), strArg(exprs(1), fn),
+            strArg(exprs(2), fn), strArg(exprs(3), fn), thr)
+          .queryExecution.logical
+      }, "scala_udf")
+    // Benchmark decontamination (the q56/q63 flagship), FROM-callable:
+    // corpus rows sharing fewer than minMatches word n-grams with the
+    // benchmark survive — a pure row-local filter over the docs scan
+    // (the bench gram fingerprints ride the plan).
+    //   SELECT * FROM graft_decontaminate('docs','doc_id','text',
+    //                                     'bench','text', 6[, 1])
+    tvf.createOrReplaceTempFunction("graft_decontaminate",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_decontaminate"
+        require(exprs.length == 6 || exprs.length == 7,
+          s"$fn(docsView, idCol, textCol, benchView, benchTextCol, " +
+            "n[, minMatches])")
+        graft.ops.Curation.decontaminate(
+            spark.table(strArg(exprs(0), fn)), strArg(exprs(1), fn),
+            strArg(exprs(2), fn),
+            spark.table(strArg(exprs(3), fn)), strArg(exprs(4), fn),
+            intArg(exprs(5), fn),
+            exprs.lift(6).map(e => intArg(e, fn)).getOrElse(1))
+          .queryExecution.logical
+      }, "scala_udf")
   }
 
   private def foldableArray(e: Expression, elem: org.apache.spark.sql.types.DataType,

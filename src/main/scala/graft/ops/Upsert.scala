@@ -117,28 +117,28 @@ object Upsert {
     // KeyedState-probed state must bucket bit-identically
     val bucketOf = KeyedState.bucketColumn(keys, nBuckets)
     val withBucket = updates.withColumn("__bucket", bucketOf)
-    // The touched-bucket collect doubles as the emptiness guard (no
-    // touched buckets ⇒ no-op — writing an empty frame would leave a
-    // schema-less parquet directory the next batch can't read), so the
-    // batch plan runs TWICE per call (pruned distinct + the write), not
-    // three times (the old separate isEmpty guard). The distinct is
-    // COLUMN-PRUNED to the key hash — Catalyst drops every non-key
-    // aggregate from that execution — which measured cheaper than
-    // persisting the batch to make it one action: caching pays full
-    // columnar encode/decode of the widest columns exactly once per
-    // batch, the pruned re-run doesn't compute them at all.
+    // A FRESH sink needs no bucket pruning and no emptiness guard (an
+    // empty partitioned overwrite creates no data files, so the sink
+    // stays "fresh" for the next batch and the schema-aware reader
+    // returns empty) — the batch plan executes exactly ONCE, in the
+    // write. An EXISTING sink pays one extra pruned action: the
+    // touched-bucket collect doubles as the emptiness guard (no touched
+    // buckets ⇒ no-op). The distinct is COLUMN-PRUNED to the key hash —
+    // Catalyst drops every non-key aggregate from that execution — which
+    // measured cheaper than persisting the batch to make it one action:
+    // caching pays full columnar encode/decode of the widest columns,
+    // the pruned re-run doesn't compute them at all (KeyedSinkJobProbe).
+    if (!KeyedState.hasData(spark, path)) {
+      writeBuckets(withBucket, path, nBuckets); return
+    }
     val affected = withBucket.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ nBuckets values
     if (affected.isEmpty) return
-    val merged =
-      if (!KeyedState.hasData(spark, path)) withBucket
-      else {
-        val existing = spark.read.parquet(path)
-          .filter(col("__bucket").isin(affected: _*))
-        existing
-          .join(withBucket.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          .unionByName(withBucket.select(existing.columns.map(col): _*))
-      }
+    val existing = spark.read.parquet(path)
+      .filter(col("__bucket").isin(affected: _*))
+    val merged = existing
+      .join(withBucket.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(withBucket.select(existing.columns.map(col): _*))
     writeBuckets(merged, path, nBuckets)
   }
 
@@ -205,15 +205,16 @@ object Upsert {
     // KeyedState-probed state must bucket bit-identically
     val bucketOf = KeyedState.bucketColumn(keys, nBuckets)
     val withBucket = updates.withColumn("__bucket", bucketOf)
-    // pruned distinct-collect doubles as the emptiness guard — see
-    // upsertKeyedParquet's rationale (two plan runs, not three; pruning
-    // beat caching for wide aggregate batches)
-    val affected = withBucket.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (affected.isEmpty) return
+    // A FRESH sink merges against nothing: the batch plan executes
+    // exactly once, in the staged write (whose no-data-files detection
+    // IS the emptiness guard). An existing sink pays the pruned
+    // touched-bucket collect — see upsertKeyedParquet's rationale.
     val combined =
       if (!KeyedState.hasData(spark, path)) withBucket
       else {
+        val affected = withBucket.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (affected.isEmpty) return
         val existing = spark.read.parquet(path)
           .filter(col("__bucket").isin(affected: _*))
         // __bucket is a pure function of the keys, so the merge keeps the

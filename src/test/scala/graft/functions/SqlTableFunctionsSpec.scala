@@ -173,6 +173,50 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     assert(viaSql == viaExplicit)
   }
 
+  test("graft_strip_boilerplate from SQL ≡ Column API, integer and " +
+      "fractional thresholds") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "h a b"), (2L, "h c"), (3L, "h a"), (4L, "h"), (5L, "q q"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("strip_docs")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // absolute threshold: df("h") = 4 ≥ 3
+    val sqlAbs = collect(spark.sql(
+      "SELECT * FROM graft_strip_boilerplate(" +
+        "'strip_docs', 'doc_id', 'text', ' ', 3)"))
+    assert(sqlAbs == collect(graft.ops.Curation.stripBoilerplate(
+      docs, "doc_id", "text", " ", 3)))
+    // fractional threshold: 5 × 0.8 = exactly 4.0 must still catch "h"
+    // (the SQL decimal literal rides the in-plan exact-decimal cut)
+    val sqlFrac = collect(spark.sql(
+      "SELECT * FROM graft_strip_boilerplate(" +
+        "'strip_docs', 'doc_id', 'text', ' ', 0.8)"))
+    assert(sqlFrac == collect(graft.ops.Curation.stripBoilerplate(
+      docs, "doc_id", "text", " ", Right(0.8))))
+    assert(sqlFrac == Set(
+      (1L, "a b"), (2L, "c"), (3L, "a"), (4L, ""), (5L, "q q")))
+  }
+
+  test("graft_decontaminate from SQL ≡ Column API") {
+    GraftFunctions.register(spark)
+    val docs = Seq((1L, "a b c d"), (2L, "x y z"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e")).toDF("bench_id", "text")
+    docs.createOrReplaceTempView("decon_docs")
+    bench.createOrReplaceTempView("decon_bench")
+    val viaSql = spark.sql(
+      "SELECT doc_id FROM graft_decontaminate('decon_docs', 'doc_id', " +
+        "'text', 'decon_bench', 'text', 2) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = graft.ops.Curation.decontaminate(
+        docs, "doc_id", "text", bench, "text", n = 2)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql == Seq(2L, 3L)) // doc 1 shares the "b c"/"c d" grams
+  }
+
   test("table-function misuse fails loud: wrong arity, unknown view") {
     GraftFunctions.register(spark)
     val wrongArity = intercept[Exception] {
