@@ -166,7 +166,12 @@ object Upsert {
   private def writeBuckets(merged: DataFrame, path: String, nBuckets: Int): Unit = {
     val bucketed = merged.repartition(nBuckets, col("__bucket"))
     if (!KeyedState.hasData(merged.sparkSession, path))
-      bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+      // mode APPEND, not overwrite: on a data-less sink the two create the
+      // same files, but overwrite first DELETES the whole directory —
+      // including the caller's `_PARAMS` layout stamp (and any `_applied`
+      // markers a caller placed inside the root), so a later run with a
+      // drifted nBuckets would silently re-stamp instead of failing loud.
+      bucketed.write.mode("append").partitionBy("__bucket").parquet(path)
     else
       KeyedState.swapPartitions(merged.sparkSession, path, "__bucket", bucketed)
   }

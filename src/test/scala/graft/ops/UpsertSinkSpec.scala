@@ -76,6 +76,27 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(got(599L) == "v2", "inserted keys present")
   }
 
+  test("fresh-sink write preserves the _PARAMS layout stamp (and markers) " +
+      "in the sink root") {
+    // Regression: the fresh-sink fast path briefly wrote mode("overwrite")
+    // to the sink ROOT, which deletes everything already in it — including
+    // the caller's `_PARAMS` layout stamp, so a later run with a drifted
+    // bucket count would silently re-stamp instead of failing loud.
+    val dir = tempDir().resolve("stamped").toString
+    KeyedState.stampParams(spark, dir, Map("nBuckets" -> 8))
+    val b1 = spark.range(100).select(col("id").as("k"), lit("v").as("v"))
+    Upsert.upsertKeyedParquet(b1, dir, Seq("k"), nBuckets = 8)
+    assert(Files.exists(Paths.get(dir, "_PARAMS")),
+      "_PARAMS must survive the first (fresh-sink) batch write")
+    // the drift protection must still hold after data landed
+    val ex = intercept[IllegalArgumentException] {
+      KeyedState.stampParams(spark, dir, Map("nBuckets" -> 16))
+    }
+    assert(ex.getMessage.contains("nBuckets"))
+    // same params re-stamp fine
+    KeyedState.stampParams(spark, dir, Map("nBuckets" -> 8))
+  }
+
   test("mergeKeyedParquet: accumulate semantics, one file per bucket") {
     val dir = tempDir().resolve("merge").toString
     val nBuckets = 4
