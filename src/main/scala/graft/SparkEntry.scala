@@ -913,13 +913,16 @@ object SparkEntry {
       // at 100 TB that eager action was an extra full-scan job per build.
       val cleaned = Curation.stripBoilerplate(docs, "doc_id", "text",
         separator = " ", minDocs = Right(0.8))
-      // Stage barrier: decontaminate branches its input (gram index +
-      // anti-join), so without this persist the strip→dedup subtree
-      // recomputes once per branch. CurationScaleProbe times both
-      // variants under block isolation: 16.8 s with the barrier vs
-      // 33.8 s without at 400k docs. The production form of the same
-      // barrier is writing the stage table between operators.
-      val deduped = Dedup.exactDedup(cleaned, "doc_id", "text_clean").persist()
+      // NO stage barrier (round-14 re-adjudication): the round-13
+      // decontaminate rewrite made it a row-local filter, so this chain
+      // is now LINEAR — every stage has exactly one consumer and nothing
+      // recomputes. The old persist (justified when decontaminate
+      // branched its input into a gram index + anti-join: 16.8 s vs
+      // 33.8 s at 400k docs) became pure cache-encode overhead with zero
+      // reuse: ComposedChainScaleProbe alternating-arm pairs on the
+      // current operators measure no-barrier 28.8 s vs barrier 38.7 s at
+      // 4M docs, and 41.3 vs 39.7 s (parity, within host noise) at 8M.
+      val deduped = Dedup.exactDedup(cleaned, "doc_id", "text_clean")
       val decon = Curation.decontaminate(
         deduped.filter(col("doc_id") >= 25), "doc_id", "text_clean",
         docs.filter(col("doc_id") < 25), "text", n = 6)
