@@ -49,6 +49,7 @@ object Q81CacheCheck {
         .parquet(s"$out/nc$r")
       println(f"   uncached write run$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     spark.stop()
   }
 }
