@@ -164,6 +164,9 @@ object KeyedState {
     val staged = stagedDir(path, batchId)
     val live = new Path(path)
     val fence = new Path(staged, "_FENCE")
+    // cadenced retention sweep of this sink's publication witnesses
+    // (old markers only — the current batch's is never at the floor)
+    maybePruneMarkers(spark, path + "__pub", batchId)
     if (fs.exists(pubMarker(path, batchId))) {
       // already fully published (crash landed after the marker, before
       // the staged delete or the caller's replay marker)
@@ -215,8 +218,152 @@ object KeyedState {
     ()
   }
 
-  private def fsOf(spark: SparkSession, path: String): FileSystem =
+  private[ops] def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- micro-batch staging (the affected-bucket source) ------------------
+  //
+  // The keyed upsert/merge sinks need the micro-batch twice on a WARM
+  // sink: once to learn which buckets it touches (so the existing-state
+  // read prunes to those partitions) and once as merge input. Round 14
+  // pruned the first pass to a key-hash `distinct().collect()`, but that
+  // still re-executed the batch aggregate once per batch
+  // (KeyedSinkJobProbe: jobs 6→5 / 8→7 covered only the fresh batch-0
+  // path). Staging the batch's OUTPUT to a sibling dir makes the plan
+  // execute exactly once — the affected buckets fall out of the staged
+  // partition-dir listing (the same trick that replaced the isEmpty
+  // pre-job), and the merge re-reads the staged parquet, paying a
+  // roundtrip of the batch's small output instead of a second execution
+  // of its plan.
+
+  private[ops] def batchStage(path: String, batchId: Option[Long]): Path =
+    new Path(path + batchId.fold("__batch")(id => s"__batch_b$id"))
+
+  /** Stage the micro-batch frame into the `<path>__batch[_b<id>]` sibling,
+    * partitioned by `partCol` (one file per touched partition value), and
+    * return the touched partition VALUES read off the staged dirs. Empty
+    * batches stage no data files → the dir is dropped and Nil returned
+    * (the caller's emptiness guard, costing no extra action).
+    *
+    * With `fencedBatch` set (accumulate-merge sinks, where a replay that
+    * re-executed a NON-deterministic-ish batch plan against half-merged
+    * state is the double-apply hazard), a `_FENCE` file marks the staging
+    * complete and a replay REUSES it instead of re-executing the plan —
+    * mirroring the staged-append protocol above. Without it (replace-by-
+    * key sinks, replay-idempotent), every call deletes and re-stages. */
+  private[ops] def stageMicroBatch(df: DataFrame, path: String,
+      partCol: String, numTasks: Int,
+      fencedBatch: Option[Long]): Seq[String] = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    val dir = batchStage(path, fencedBatch)
+    val fence = new Path(dir, "_FENCE")
+    val reusable =
+      fencedBatch.isDefined && fs.exists(fence) && fs.exists(dir)
+    if (!reusable) {
+      fs.delete(dir, true) // unfenced partial staging from a crash
+      df.repartition(numTasks, col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(dir.toString)
+      if (dataFiles(fs, dir).isEmpty) { fs.delete(dir, true); return Nil }
+      fencedBatch.foreach { id =>
+        fs.create(fence, true).close()
+        // Injected-crash point (test-only, [[Failpoint]]): batch staged
+        // and fenced, merge not yet computed — the replay must reuse the
+        // staging (no batch-plan re-execution) and merge exactly once.
+        Failpoint.hit(spark, "batch_stage_post_fence", id)
+      }
+    }
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+      .map(_.getPath.getName.split("=", 2).last)
+  }
+
+  /** Drop the staged micro-batch dir once its batch is fully published. */
+  private[ops] def dropBatchStage(spark: SparkSession, path: String,
+      batchId: Option[Long]): Unit = {
+    val fs = fsOf(spark, path)
+    val dir = batchStage(path, batchId)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+
+  /** Has batch `batchId`'s replace-swap already published into `path`?
+    * (the `__pub/b<id>` completed-publication witness) */
+  private[ops] def isPublished(spark: SparkSession, path: String,
+      batchId: Long): Boolean =
+    fsOf(spark, path).exists(pubMarker(path, batchId))
+
+  // ---- marker retention --------------------------------------------------
+  //
+  // Both marker families grow one empty file per batch forever: `__pub/
+  // b<id>` publication witnesses and `_applied/batch_<id>` replay fences.
+  // Each CHECK is O(1) (`exists`), so this is not a scale-killer, but a
+  // month-long production stream accumulates millions of tiny files in
+  // those dirs. Structured Streaming's recovery contract only re-delivers
+  // the batches at or after the checkpoint's last committed batch (depth
+  // 1 in practice), so markers far below the current batch can never be
+  // consulted again. Every `markerRetention` batches the marker writers
+  // sweep their own dir, deleting markers with id ≤ batchId −
+  // markerRetention — one `listStatus` per sweep, amortized O(1) files
+  // per batch, and the dir's live size stays ≤ ~2× the retention window.
+
+  /** Batches between marker-retention sweeps (and the number of trailing
+    * batches whose markers are always kept — vastly more than any replay
+    * can reach back). Tests shrink it via the session conf to exercise
+    * pruning + replay-at-the-boundary in a handful of batches. */
+  private[ops] def markerRetention(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.markerRetentionBatches")
+      .map(_.toLong).getOrElse(64L)
+
+  /** Delete per-batch markers (`b<id>` or `batch_<id>` files/dirs) in
+    * `markerDir` whose batch id is at or below `floor`. Missing dir is a
+    * no-op; non-marker names are left alone. Returns markers deleted. */
+  def pruneBatchMarkers(spark: SparkSession, markerDir: String,
+      floor: Long): Int = {
+    val fs = fsOf(spark, markerDir)
+    val dir = new Path(markerDir)
+    if (floor < 0 || !fs.exists(dir)) return 0
+    var n = 0
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      val id =
+        if (name.startsWith("batch_")) name.stripPrefix("batch_")
+        else if (name.startsWith("b")) name.stripPrefix("b")
+        else ""
+      if (id.nonEmpty && id.forall(_.isDigit) && id.toLong <= floor) {
+        fs.delete(st.getPath, true)
+        n += 1
+      }
+    }
+    n
+  }
+
+  /** Retention hook shared by the marker writers: every `markerRetention`
+    * batches, sweep `markerDir` with floor = batchId − retention. */
+  private[ops] def maybePruneMarkers(spark: SparkSession, markerDir: String,
+      batchId: Long): Unit = {
+    val every = markerRetention(spark)
+    if (every > 0 && batchId > 0 && batchId % every == 0)
+      pruneBatchMarkers(spark, markerDir, batchId - every)
+  }
+
+  /** Is batch `batchId`'s replace-swap staged write complete (fenced) but
+    * not yet published? A replay at this point must resume the swap
+    * WITHOUT executing any plan — not even a batch re-staging. */
+  private[ops] def isReplaceFenced(spark: SparkSession, path: String,
+      batchId: Long): Boolean = {
+    val fs = fsOf(spark, path)
+    val staged = stagedDir(path, batchId)
+    fs.exists(new Path(staged, "_FENCE")) && fs.exists(staged)
+  }
+
+  /** Drop batch `batchId`'s replace-swap staged dir (post-publication
+    * cleanup for a replay that found the `__pub` witness). */
+  private[ops] def dropReplaceStage(spark: SparkSession, path: String,
+      batchId: Long): Unit = {
+    val fs = fsOf(spark, path)
+    val staged = stagedDir(path, batchId)
+    if (fs.exists(staged)) fs.delete(staged, true)
+  }
 
   // ---- replace-partition swaps (the keyed upsert/merge sinks) -----------
   //
@@ -274,6 +421,8 @@ object KeyedState {
     val fs = fsOf(spark, path)
     val staged = stagedDir(path, batchId)
     val fence = new Path(staged, "_FENCE")
+    // cadenced retention sweep of this sink's publication witnesses
+    maybePruneMarkers(spark, path + "__pub", batchId)
     if (fs.exists(pubMarker(path, batchId))) {
       if (fs.exists(staged)) fs.delete(staged, true)
       return

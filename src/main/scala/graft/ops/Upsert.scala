@@ -118,62 +118,74 @@ object Upsert {
     val bucketOf = KeyedState.bucketColumn(keys, nBuckets)
     val withBucket = updates.withColumn("__bucket", bucketOf)
     // A FRESH sink needs no bucket pruning and no emptiness guard (an
-    // empty partitioned overwrite creates no data files, so the sink
-    // stays "fresh" for the next batch and the schema-aware reader
-    // returns empty) — the batch plan executes exactly ONCE, in the
-    // write. An EXISTING sink pays one extra pruned action: the
-    // touched-bucket collect doubles as the emptiness guard (no touched
-    // buckets ⇒ no-op). The distinct is COLUMN-PRUNED to the key hash —
-    // Catalyst drops every non-key aggregate from that execution — which
-    // measured cheaper than persisting the batch to make it one action:
-    // caching pays full columnar encode/decode of the widest columns,
-    // the pruned re-run doesn't compute them at all (KeyedSinkJobProbe).
+    // empty partitioned append creates no data files, so the sink stays
+    // "fresh" for the next batch and the schema-aware reader returns
+    // empty) — the batch plan executes exactly ONCE, in the append.
     if (!KeyedState.hasData(spark, path)) {
-      writeBuckets(withBucket, path, nBuckets); return
+      freshAppend(withBucket, path, nBuckets); return
     }
-    val affected = withBucket.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq // ≤ nBuckets values
-    if (affected.isEmpty) return
+    // WARM sink: stage the micro-batch's OUTPUT first — the ONLY
+    // execution of the batch plan — and read the affected buckets off
+    // the staged partition dirs (no extra Spark action; the same trick
+    // that replaced the isEmpty pre-job). The merge below then reads two
+    // parquet sources (staged batch + touched live buckets), so the swap
+    // write never re-executes the batch aggregate. Round 14's pruned
+    // key-hash distinct still re-ran the aggregate once per batch; the
+    // staging roundtrip costs IO proportional to the batch's (small)
+    // output instead (KeyedSinkJobProbe attributes the difference).
+    val affected = KeyedState
+      .stageMicroBatch(withBucket, path, "__bucket", nBuckets, None)
+    if (affected.isEmpty) return // empty batch: nothing staged, no-op
+    val batchRows =
+      spark.read.parquet(KeyedState.batchStage(path, None).toString)
     val existing = spark.read.parquet(path)
-      .filter(col("__bucket").isin(affected: _*))
+      .filter(col("__bucket").isin(affected.map(_.toInt): _*))
     val merged = existing
-      .join(withBucket.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      .unionByName(withBucket.select(existing.columns.map(col): _*))
-    writeBuckets(merged, path, nBuckets)
+      .join(batchRows.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(batchRows.select(existing.columns.map(col): _*))
+    // One file per touched bucket: co-locate each bucket in one task.
+    // Without the repartition the write inherits the batch's partitioning
+    // and every task emits a file for every bucket it happens to hold —
+    // up to tasks × buckets one-row fragments per batch (measured ~1500
+    // files for a 1,500-key first batch), and the sink's read-back pays
+    // that listing forever. K buckets ⇒ K well-sized files, listing O(K).
+    // swapPartitions (stage sibling + preserve-rename per bucket) instead
+    // of Spark's dynamic partition overwrite, whose delete-then-rename
+    // job commit can LOSE a bucket's accumulated state if crashed between
+    // the two — a window replay tolerance cannot absorb (the merged rows
+    // existed nowhere else). Replays at any crash point re-stage and
+    // re-merge; replace semantics are idempotent per key.
+    KeyedState.swapPartitions(spark, path, "__bucket",
+      merged.repartition(nBuckets, col("__bucket")))
+    KeyedState.dropBatchStage(spark, path, None)
   }
 
-  /** Shared tail of the replace-by-key sink: co-locate each bucket in one
-    * task, so a write produces exactly one file per touched bucket.
-    * Without the repartition the write inherits the batch's partitioning
-    * and every task emits a file for every bucket it happens to hold —
-    * up to tasks × buckets one-row fragments per batch (measured ~1500
-    * files for a 1,500-key first batch), and the sink's read-back pays
-    * that listing forever. One file per bucket is also the scale posture:
-    * K buckets ⇒ K well-sized files, listing O(K).
+  /** First write into a data-less sink: a direct partitioned append, one
+    * file per touched bucket. mode APPEND, not overwrite: on a data-less
+    * sink the two create the same files, but overwrite first DELETES the
+    * whole directory — including the caller's `_PARAMS` layout stamp (and
+    * any `_applied` markers a caller placed inside the root), so a later
+    * run with a drifted nBuckets would silently re-stamp instead of
+    * failing loud.
     *
-    * A FRESH sink writes directly (a torn first write replays to the same
-    * state: every partial row's key is in the re-delivered batch, so the
-    * replace merge supersedes it). An EXISTING sink goes through
-    * [[KeyedState.swapPartitions]] — stage sibling + preserve-rename per
-    * bucket — instead of Spark's dynamic partition overwrite, whose
-    * delete-then-rename job commit can LOSE a bucket's accumulated state
-    * if crashed between the two (the one window replay tolerance cannot
-    * absorb: the merged rows existed nowhere else). Staging also removes
-    * the localCheckpoint barrier the dynamic overwrite needed (read path
-    * and write path only meet at the healed driver-side swap), so the
-    * merge plan executes once, inside the write job.
-    */
-  private def writeBuckets(merged: DataFrame, path: String, nBuckets: Int): Unit = {
-    val bucketed = merged.repartition(nBuckets, col("__bucket"))
-    if (!KeyedState.hasData(merged.sparkSession, path))
-      // mode APPEND, not overwrite: on a data-less sink the two create the
-      // same files, but overwrite first DELETES the whole directory —
-      // including the caller's `_PARAMS` layout stamp (and any `_applied`
-      // markers a caller placed inside the root), so a later run with a
-      // drifted nBuckets would silently re-stamp instead of failing loud.
-      bucketed.write.mode("append").partitionBy("__bucket").parquet(path)
-    else
-      KeyedState.swapPartitions(merged.sparkSession, path, "__bucket", bucketed)
+    * A torn first write does NOT simply "replay to the same state":
+    * a crash inside the append's job commit can leave committed task
+    * outputs under `path/_temporary` with no partition dir published
+    * (hasData stays false, so the replay takes this same path), and
+    * FileOutputCommitter's commitJob merges ALL committed task dirs under
+    * the shared `_temporary/0` — the replayed job would publish the
+    * crashed attempt's partial files next to its own rows: duplicate keys
+    * a replace-by-key sink never supersedes, because the swap/merge path
+    * only runs once the sink has data. Dropping the stale attempt dir
+    * first closes the window (the old whole-directory overwrite closed it
+    * only incidentally). */
+  private def freshAppend(withBucket: DataFrame, path: String,
+      nBuckets: Int): Unit = {
+    val spark = withBucket.sparkSession
+    KeyedState.fsOf(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(path, "_temporary"), true)
+    withBucket.repartition(nBuckets, col("__bucket"))
+      .write.mode("append").partitionBy("__bucket").parquet(path)
   }
 
   /** MERGE-by-key into a bucket-partitioned parquet directory: like
@@ -206,37 +218,64 @@ object Upsert {
     val spark = updates.sparkSession
     // heal any interrupted swap before anything lists or reads the sink
     KeyedState.repairPartitions(spark, path)
+    if (KeyedState.isPublished(spark, path, batchId)) {
+      // crash landed after the `__pub` witness, before cleanup or the
+      // caller's replay marker: everything is in the sink — drop any
+      // leftover staged dirs and return without a single Spark job
+      KeyedState.dropReplaceStage(spark, path, batchId)
+      KeyedState.dropBatchStage(spark, path, Some(batchId))
+      return
+    }
     // the shared keyed-state bucket hash — Upsert-written sinks and
     // KeyedState-probed state must bucket bit-identically
     val bucketOf = KeyedState.bucketColumn(keys, nBuckets)
     val withBucket = updates.withColumn("__bucket", bucketOf)
-    // A FRESH sink merges against nothing: the batch plan executes
-    // exactly once, in the staged write (whose no-data-files detection
-    // IS the emptiness guard). An existing sink pays the pruned
-    // touched-bucket collect — see upsertKeyedParquet's rationale.
-    val combined =
-      if (!KeyedState.hasData(spark, path)) withBucket
-      else {
-        val affected = withBucket.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq
-        if (affected.isEmpty) return
-        val existing = spark.read.parquet(path)
-          .filter(col("__bucket").isin(affected: _*))
-        // __bucket is a pure function of the keys, so the merge keeps the
-        // existing value for matches and the incoming one for inserts —
-        // both correct by construction.
-        merge(existing, withBucket.select(existing.columns.map(col): _*),
-          keys, mergeCols)
-      }
-    // ALWAYS the fenced atomic swap — including the first batch: a torn
-    // FRESH write replays into the merge path against its own partial
-    // rows and double-applies them (replace semantics would supersede;
-    // merge semantics concatenate), so even batch 0 must never expose a
-    // partial write to a replay.
+    if (KeyedState.isReplaceFenced(spark, path, batchId)) {
+      // the combined swap already fenced on a previous attempt: resume it
+      // without executing ANY plan (withBucket stays lazy — the fenced
+      // branch of the atomic replace only moves files), then drop the
+      // batch staging this attempt no longer needs
+      KeyedState.replacePartitionsAtomic(withBucket, path, "__bucket",
+        nBuckets, batchId)
+      KeyedState.dropBatchStage(spark, path, Some(batchId))
+      return
+    }
+    if (!KeyedState.hasData(spark, path)) {
+      // A FRESH sink merges against nothing: the batch plan executes
+      // exactly once, inside the fenced staged write (whose no-data-files
+      // detection IS the emptiness guard). ALWAYS the fenced atomic
+      // swap — even batch 0: a torn fresh write replayed into the merge
+      // path would double-apply its own partial rows (replace semantics
+      // would supersede; merge semantics concatenate).
+      KeyedState.replacePartitionsAtomic(withBucket, path, "__bucket",
+        nBuckets, batchId)
+      return
+    }
+    // WARM sink: stage the micro-batch's OUTPUT first under its own
+    // fence — the ONLY execution of the batch plan — and read the
+    // affected buckets off the staged partition dirs. The combined merge
+    // below reads two parquet sources (staged batch + touched live
+    // buckets), so the fenced swap write no longer re-executes the batch
+    // aggregate (round 14's remaining double execution). The batch fence
+    // matters here even though the swap has its own: a replay between
+    // the two must reuse the staged batch, not re-run its plan.
+    val affected = KeyedState
+      .stageMicroBatch(withBucket, path, "__bucket", nBuckets, Some(batchId))
+    if (affected.isEmpty) return // empty batch: nothing staged, no-op
+    val batchRows = spark.read
+      .parquet(KeyedState.batchStage(path, Some(batchId)).toString)
+    val existing = spark.read.parquet(path)
+      .filter(col("__bucket").isin(affected.map(_.toInt): _*))
+    // __bucket is a pure function of the keys, so the merge keeps the
+    // existing value for matches and the incoming one for inserts —
+    // both correct by construction.
+    val combined = merge(existing,
+      batchRows.select(existing.columns.map(col): _*), keys, mergeCols)
     // (replacePartitionsAtomic repartitions to one task per bucket — the
-    // one-file-per-touched-bucket discipline writeBuckets documents)
+    // one-file-per-touched-bucket discipline upsertKeyedParquet documents)
     KeyedState.replacePartitionsAtomic(combined, path, "__bucket",
       nBuckets, batchId)
+    KeyedState.dropBatchStage(spark, path, Some(batchId))
   }
 
   /** Read a [[upsertKeyedParquet]] sink back as a plain table (healing
@@ -290,6 +329,11 @@ object Upsert {
       batchId: Long)(body: => Unit): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$markerDir/batch_$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cadenced retention sweep: markers far enough below this batch can
+    // never be consulted again (recovery replays reach back at most one
+    // batch), but on a long-lived stream they'd accumulate one file per
+    // batch forever — see [[KeyedState.pruneBatchMarkers]]
+    KeyedState.maybePruneMarkers(spark, markerDir, batchId)
     if (!fs.exists(marker)) {
       body
       fs.mkdirs(marker)

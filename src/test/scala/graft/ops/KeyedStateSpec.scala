@@ -331,4 +331,55 @@ class KeyedStateSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("parameters"))
   }
+
+  test("pruneBatchMarkers deletes only markers at or below the floor, " +
+      "both naming schemes, leaves non-marker names alone") {
+    val base = graft.TestScratch.dir("graft-ks-prune")
+    val dir = java.nio.file.Paths.get(s"$base/_applied")
+    java.nio.file.Files.createDirectories(dir)
+    for (i <- 0 to 9) {
+      java.nio.file.Files.createDirectories(dir.resolve(s"batch_$i"))
+      java.nio.file.Files.createFile(dir.resolve(s"b$i"))
+    }
+    // non-marker residents a sweep must never touch
+    java.nio.file.Files.createFile(dir.resolve("_FENCE"))
+    java.nio.file.Files.createFile(dir.resolve("bogus"))
+    java.nio.file.Files.createFile(dir.resolve("b12x"))
+    val n = KeyedState.pruneBatchMarkers(spark, dir.toString, floor = 5L)
+    assert(n == 12, s"expected 12 deletions (b0-b5 + batch_0-5), got $n")
+    val left = java.nio.file.Files.list(dir).iterator()
+    val names = scala.collection.mutable.Set.empty[String]
+    while (left.hasNext) names += left.next().getFileName.toString
+    assert(names == Set("batch_6", "batch_7", "batch_8", "batch_9",
+      "b6", "b7", "b8", "b9", "_FENCE", "bogus", "b12x"), names.toString)
+    // missing dir is a no-op
+    assert(KeyedState.pruneBatchMarkers(spark, s"$base/nothere", 99L) == 0)
+  }
+
+  test("marker retention sweeps fire on the cadence and keep the " +
+      "retention window: applyBatchOnce dirs stay bounded over 200 batches " +
+      "and a replay at the retention boundary still skips") {
+    val base = graft.TestScratch.dir("graft-ks-retention")
+    val markers = s"$base/_applied"
+    spark.conf.set("spark.graft.markerRetentionBatches", "16")
+    try {
+      var applied = 0
+      for (b <- 0L until 200L)
+        Upsert.applyBatchOnce(spark, markers, b) { applied += 1 }
+      assert(applied == 200)
+      val count = java.nio.file.Files.list(
+        java.nio.file.Paths.get(markers)).count()
+      // last sweep at b=192 pruned ≤176; markers 177..199 live = 23
+      assert(count <= 2 * 16, s"marker dir grew unbounded: $count files")
+      assert(count >= 16, s"retention window violated: only $count markers " +
+        "kept — a replay inside the window would re-apply")
+      // the deepest replay recovery can deliver is the last batch; far
+      // inside the window, so the fence still skips it
+      Upsert.applyBatchOnce(spark, markers, 199L) { applied += 1 }
+      assert(applied == 200, "replay of the last batch must be skipped")
+      // and the boundary batch of the retention window itself still skips
+      Upsert.applyBatchOnce(spark, markers, 184L) { applied += 1 }
+      assert(applied == 200, "replay within the retention window must skip")
+    } finally spark.conf.unset("spark.graft.markerRetentionBatches")
+  }
 }

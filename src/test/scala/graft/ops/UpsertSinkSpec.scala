@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * AND the file layout the sink leaves behind. The layout assertion is the
   * point — a streaming sink is read back every batch, so a write that
   * fragments (one file per task per bucket) makes every later batch pay
-  * the listing; `Upsert.writeBuckets` must leave exactly one data file per
+  * the listing; both sink writers must leave exactly one data file per
   * touched bucket regardless of the batch's incoming partitioning.
   */
 class UpsertSinkSpec extends AnyFunSuite {
@@ -95,6 +95,83 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("nBuckets"))
     // same params re-stamp fine
     KeyedState.stampParams(spark, dir, Map("nBuckets" -> 8))
+  }
+
+  test("fresh-sink replay with a stale _temporary attempt does not publish " +
+      "the crashed write's partial task outputs") {
+    // A first write that crashes INSIDE its job commit can leave committed
+    // task dirs under `path/_temporary/0` with no partition dir published:
+    // hasData stays false, the replay takes the fresh path again, and
+    // FileOutputCommitter's commitJob merges ALL committed task dirs under
+    // the shared `_temporary/0` — publishing the crashed attempt's partial
+    // rows next to the replayed batch's. freshAppend must drop the stale
+    // attempt dir first.
+    val base = tempDir()
+    val dir = base.resolve("sink").toString
+    // forge the crashed attempt: a real parquet file holding a CONFLICTING
+    // value for key 0, placed where a committed task of the torn first
+    // write would have left it
+    val forge = base.resolve("forge").toString
+    Seq((0L, "stale")).toDF("k", "v")
+      .coalesce(1).write.parquet(forge)
+    val partFile = Files.list(Paths.get(forge)).iterator()
+    var staleSrc: Path = null
+    while (partFile.hasNext) {
+      val p = partFile.next()
+      if (p.getFileName.toString.endsWith(".parquet")) staleSrc = p
+    }
+    val taskDir = Paths.get(dir, "_temporary", "0", "task_fake_m_000000", "__bucket=3")
+    Files.createDirectories(taskDir)
+    Files.copy(staleSrc, taskDir.resolve(staleSrc.getFileName))
+
+    val batch = spark.range(100).select(col("id").as("k"), lit("live").as("v"))
+    Upsert.upsertKeyedParquet(batch, dir, Seq("k"), nBuckets = 8)
+    val got = Upsert.readKeyedParquet(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 100, s"expected 100 rows, got ${got.length} — " +
+      "the stale attempt's partial output leaked into the sink")
+    assert(got.toMap.apply(0L) == "live")
+  }
+
+  test("warm-sink upsert executes the batch plan exactly once per batch") {
+    val dir = tempDir().resolve("once").toString
+    // warm the sink
+    val b0 = spark.range(50).select(col("id").as("k"), lit(0L).as("v"))
+    Upsert.upsertKeyedParquet(b0, dir, Seq("k"), nBuckets = 8)
+    // batch whose plan counts its own row evaluations; nondeterministic so
+    // Catalyst neither collapses nor re-derives it across plan fragments
+    val execs = spark.sparkContext.longAccumulator("upsert-plan-execs")
+    val counted = udf { (k: Long) => execs.add(1L); k }.asNondeterministic()
+    val b1 = spark.range(30)
+      .select(counted(col("id")).as("k"), lit(1L).as("v"))
+    Upsert.upsertKeyedParquet(b1, dir, Seq("k"), nBuckets = 8)
+    assert(execs.value == 30L,
+      s"batch plan row evaluations: expected 30 (one execution), got " +
+        s"${execs.value} — the warm path re-executed the micro-batch plan")
+    val got = Upsert.readKeyedParquet(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 50 && got(0L) == 1L && got(29L) == 1L && got(30L) == 0L)
+  }
+
+  test("warm-sink merge executes the batch plan exactly once per batch") {
+    val dir = tempDir().resolve("merge-once").toString
+    val mergeCols = Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column](
+      "n" -> ((old, nw) => old + nw))
+    val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+    Upsert.mergeKeyedParquet(b0, dir, Seq("k"), mergeCols, nBuckets = 4, batchId = 0L)
+    val execs = spark.sparkContext.longAccumulator("merge-plan-execs")
+    val counted = udf { (k: String) => execs.add(1L); k }.asNondeterministic()
+    val b1 = Seq(("a", 10L), ("c", 5L)).toDF("k0", "n")
+      .select(counted(col("k0")).as("k"), col("n"))
+    Upsert.mergeKeyedParquet(b1, dir, Seq("k"), mergeCols, nBuckets = 4, batchId = 1L)
+    assert(execs.value == 2L,
+      s"batch plan row evaluations: expected 2 (one execution), got " +
+        s"${execs.value} — the warm merge path re-executed the micro-batch plan")
+    val got = Upsert.readKeyedParquet(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 11L, "b" -> 2L, "c" -> 5L))
+    // the staged batch sibling is cleaned up after publication
+    assert(!Files.exists(Paths.get(dir + "__batch_b1")))
   }
 
   test("mergeKeyedParquet: accumulate semantics, one file per bucket") {

@@ -245,6 +245,28 @@ class CrashRecoverySpec extends AnyFunSuite {
       .map(_.getName).exists(_.contains("__staged_b")))
   }
 
+  test("merge sink killed after the BATCH staging is fenced, before the " +
+      "merge runs: the replay reuses the staged batch — no batch-plan " +
+      "re-execution, items concatenate exactly once") {
+    val base = graft.TestScratch.dir("graft-crash-asm-batchstage")
+    assembleRows(base)
+    val golden = assembleRun(base, "_golden")
+    assert(golden.nonEmpty && golden.forall(_._2 == 12))
+    // batch 1's OUTPUT is staged to the sink__batch_b1 sibling and fenced,
+    // but the merge against live state never ran: the replay must resume
+    // from the staged output (the fence forbids re-executing the batch
+    // plan) and apply the merge exactly once
+    spark.conf.set("spark.graft.test.failpoint", "batch_stage_post_fence:1")
+    crashes(assembleRun(base, ""))
+    assert(new java.io.File(s"$base/sink__batch_b1").exists() &&
+      new java.io.File(s"$base/sink__batch_b1/_FENCE").exists(),
+      "the injected crash must leave a fenced staged batch")
+    assert(assembleRun(base, "") == golden)
+    // batch staging cleaned up after publication
+    assert(!new java.io.File(base).listFiles()
+      .map(_.getName).exists(_.contains("__batch_b")))
+  }
+
   test("merge sink killed MID-SWAP (bucket preserved, staged not yet in): " +
       "restart heals and resumes, items concatenate exactly once") {
     val base = graft.TestScratch.dir("graft-crash-asm-swap")
@@ -254,6 +276,57 @@ class CrashRecoverySpec extends AnyFunSuite {
     crashes(assembleRun(base, ""))
     assert(assembleRun(base, "") == golden)
     assert(!new java.io.File(s"$base/sink__compact_old").exists())
+  }
+
+  test("marker retention under kill-and-restart: with a tiny retention " +
+      "window, pruning sweeps run mid-stream and a replay AT the sweep " +
+      "boundary still skips — marker dirs stay bounded") {
+    val base = graft.TestScratch.dir("graft-crash-retention")
+    // 8 single-file micro-batches so the 2-batch retention cadence sweeps
+    // three times (b2, b4, b6) within one run
+    for (b <- 0 until 8) {
+      (1L to 16L).map(i => ((b * 16 + i) % 5, b * 16 + i, i % 13, "e" + (i % 4)))
+        .toDF("user_id", "ord", "tie", "ev")
+        .coalesce(1).write.mode("append").parquet(s"$base/rows.parquet")
+      Thread.sleep(30) // distinct mtimes → deterministic batch order
+    }
+    def run(tag: String) = {
+      val schema = spark.read.parquet(s"$base/rows.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/rows.parquet")
+      graft.ops.Curation.streamingAssembleSequences(stream,
+          "user_id", "ord", "tie", "ev", sep = ">",
+          sinkDir = s"$base/sink$tag", checkpointDir = s"$base/ckpt$tag",
+          nBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    spark.conf.set("spark.graft.markerRetentionBatches", "2")
+    try {
+      val golden = run("_golden")
+      assert(golden.nonEmpty)
+      // kill after batch 6 fully applied (its _applied marker written, the
+      // checkpoint commit lost) — batch 6 is ON the sweep cadence, so the
+      // replay's own entry sweep runs before the fence check
+      spark.conf.set("spark.graft.test.failpoint", "assemble_post_fence:6")
+      crashes(run(""))
+      assert(run("") == golden)
+      // retention held: one marker per batch would be 8; the window is 2,
+      // so at most ~2 windows' worth survive in each marker family
+      // exclude the local FS's .crc checksum siblings — they track their
+      // marker 1:1 (fs.delete removes both) and don't exist on HDFS/S3
+      def countIn(p: String) = {
+        val f = new java.io.File(p)
+        if (!f.exists()) 0
+        else f.listFiles().count(!_.getName.startsWith("."))
+      }
+      val applied = countIn(s"$base/sink/_applied")
+      val pub = countIn(s"$base/sink__pub")
+      assert(applied > 0 && applied <= 4,
+        s"_applied markers not pruned: $applied")
+      assert(pub > 0 && pub <= 4, s"__pub markers not pruned: $pub")
+    } finally spark.conf.unset("spark.graft.markerRetentionBatches")
   }
 
   test("sequence-assembly merge sink killed between the fenced merge and " +
