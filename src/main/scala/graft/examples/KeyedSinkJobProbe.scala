@@ -70,6 +70,41 @@ object KeyedSinkJobProbe {
           .count()
       }
     }
+
+    // WARM-sink variants: the single-file testdata tables produce one
+    // micro-batch (all fresh path); splitting the source into 4 files
+    // with maxFilesPerTrigger=1 gives 1 fresh + 3 WARM batches — the
+    // regime the round-15 batch-staging rewrite targets (one batch-plan
+    // execution per warm batch instead of two).
+    val split = java.nio.file.Files.createTempDirectory("jp-split").toString
+    spark.read.parquet(s"$sfDir/documents.parquet").repartition(4)
+      .write.parquet(s"$split/docs")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    ev.repartition(4).write.parquet(s"$split/events")
+    val evSchema = spark.read.parquet(s"$split/events").schema
+    for (r <- 1 to reps) {
+      val b46 = java.nio.file.Files.createTempDirectory("jp-q46w").toString
+      measured(s"q46w#$r") {
+        graft.ops.Dedup.streamingExactGroupsUpdate(spark, s"$split/docs",
+          "*.parquet", "doc_id", "text",
+          sinkDir = s"$b46/sink", checkpointDir = s"$b46/ckpt",
+          nBuckets = 8, maxFilesPerTrigger = 1)
+          .count()
+      }
+      val b88 = java.nio.file.Files.createTempDirectory("jp-q88w").toString
+      measured(s"q88w#$r") {
+        val stream = spark.readStream.schema(evSchema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$split/events")
+        graft.ops.Curation.streamingAssembleSequences(stream,
+          "user_id", "ts", "event_id", "event_type", sep = ">",
+          sinkDir = s"$b88/sink", checkpointDir = s"$b88/ckpt", nBuckets = 8)
+          .count()
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(split))
     spark.stop()
   }
 }

@@ -136,8 +136,12 @@ object Upsert {
     val affected = KeyedState
       .stageMicroBatch(withBucket, path, "__bucket", nBuckets, None)
     if (affected.isEmpty) return // empty batch: nothing staged, no-op
-    val batchRows =
-      spark.read.parquet(KeyedState.batchStage(path, None).toString)
+    // explicit schema: the staged layout is exactly the batch's schema
+    // (Spark appends the partition column last on read) — passing it
+    // skips the read's footer-inference job, one fewer job per batch
+    val batchRows = spark.read
+      .schema(stagedSchema(withBucket))
+      .parquet(KeyedState.batchStage(path, None).toString)
     val existing = spark.read.parquet(path)
       .filter(col("__bucket").isin(affected.map(_.toInt): _*))
     val merged = existing
@@ -158,6 +162,16 @@ object Upsert {
     KeyedState.swapPartitions(spark, path, "__bucket",
       merged.repartition(nBuckets, col("__bucket")))
     KeyedState.dropBatchStage(spark, path, None)
+  }
+
+  /** Read-back schema of a staged micro-batch: the batch's own columns
+    * with the `__bucket` partition column moved last (where a partitioned
+    * parquet read appends it). */
+  private def stagedSchema(withBucket: DataFrame)
+      : org.apache.spark.sql.types.StructType = {
+    val s = withBucket.schema
+    org.apache.spark.sql.types.StructType(
+      s.filterNot(_.name == "__bucket") :+ s("__bucket"))
   }
 
   /** First write into a data-less sink: a direct partitioned append, one
@@ -262,7 +276,10 @@ object Upsert {
     val affected = KeyedState
       .stageMicroBatch(withBucket, path, "__bucket", nBuckets, Some(batchId))
     if (affected.isEmpty) return // empty batch: nothing staged, no-op
+    // explicit schema skips the read's footer-inference job (see
+    // upsertKeyedParquet)
     val batchRows = spark.read
+      .schema(stagedSchema(withBucket))
       .parquet(KeyedState.batchStage(path, Some(batchId)).toString)
     val existing = spark.read.parquet(path)
       .filter(col("__bucket").isin(affected.map(_.toInt): _*))
