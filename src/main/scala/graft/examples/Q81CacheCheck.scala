@@ -34,22 +34,24 @@ object Q81CacheCheck {
     println(plan.linesIterator.take(12).mkString("\n"))
 
     val out = java.nio.file.Files.createTempDirectory("q81cc").toString
-    for (r <- 1 to 3) {
-      val t0 = System.nanoTime()
-      withBucket.repartition(32, col("__bucket"))
-        .write.mode("overwrite").partitionBy("__bucket")
-        .parquet(s"$out/run$r")
-      println(f"   cached write  run$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    sets.unpersist()
-    for (r <- 1 to 2) {
-      val t0 = System.nanoTime()
-      withBucket.repartition(32, col("__bucket"))
-        .write.mode("overwrite").partitionBy("__bucket")
-        .parquet(s"$out/nc$r")
-      println(f"   uncached write run$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    try {
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime()
+        withBucket.repartition(32, col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"$out/run$r")
+        println(f"   cached write  run$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      sets.unpersist()
+      for (r <- 1 to 2) {
+        val t0 = System.nanoTime()
+        withBucket.repartition(32, col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"$out/nc$r")
+        println(f"   uncached write run$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } finally // delete the scratch even when a write/count fails mid-run
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     spark.stop()
   }
 }

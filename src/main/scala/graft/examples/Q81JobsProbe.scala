@@ -28,6 +28,11 @@ object Q81JobsProbe {
     case class J(id: Int, t0: Long, var t1: Long = -1,
         var stage: String = "", var tasks: Int = 0, var taskMs: Long = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+    // exact stage→job attribution: the job-start event carries its stage
+    // ids, so a completed stage looks up its owning job directly —
+    // correct even with overlapping jobs or SQL subexecutions (the old
+    // most-recent-open-job heuristic misattributed those)
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, J]()
     val order = java.util.Collections.synchronizedList(
       new java.util.ArrayList[J]())
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -36,15 +41,14 @@ object Q81JobsProbe {
         j.stage = e.stageInfos.map(_.name.takeWhile(_ != '\n').take(48))
           .mkString(" | ").take(120)
         jobs.put(e.jobId, j); order.add(j)
+        e.stageIds.foreach(sid => stageToJob.put(sid, j))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val j = jobs.get(e.jobId); if (j != null) j.t1 = e.time
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
-        // attribute the stage to whichever job is still open (local mode
-        // runs few jobs concurrently; last-open heuristic is enough here)
-        import scala.jdk.CollectionConverters._
-        order.asScala.reverseIterator.find(j => j.t1 < 0).foreach { j =>
+        val j = stageToJob.get(e.stageInfo.stageId)
+        if (j != null) {
           j.tasks += e.stageInfo.numTasks
           j.taskMs += e.stageInfo.taskMetrics.executorRunTime
         }
@@ -58,24 +62,29 @@ object Q81JobsProbe {
     }
 
     for (r <- 1 to reps) {
-      jobs.clear(); order.clear()
+      jobs.clear(); order.clear(); stageToJob.clear()
       val scratch = java.nio.file.Files.createTempDirectory("graft-q81-jobs")
-      val gc0 = gcMs()
-      val t0 = System.nanoTime()
-      val n = graft.ops.Dedup.streamingMinHashNearDuplicates(spark, sfDir,
-        "documents.parquet", "doc_id", "text",
-        stateDir = s"$scratch/state", checkpointDir = s"$scratch/ckpt",
-        threshold = 0.5).orderBy("id_a", "id_b").count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
-      import scala.jdk.CollectionConverters._
-      println(f"== run$r wall=$wall%5.2f s gc=${gcMs() - gc0}%4d ms pairs=$n")
-      order.asScala.foreach { j =>
-        val d = if (j.t1 < 0) -1.0 else (j.t1 - j.t0) / 1e3
-        println(f"   job${j.id}%3d ${d}%6.2f s tasks=${j.tasks}%4d " +
-          f"taskTime=${j.taskMs / 1000.0}%7.2f s  ${j.stage}")
-      }
-      org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      try {
+        val gc0 = gcMs()
+        val t0 = System.nanoTime()
+        val n = graft.ops.Dedup.streamingMinHashNearDuplicates(spark, sfDir,
+          "documents.parquet", "doc_id", "text",
+          stateDir = s"$scratch/state", checkpointDir = s"$scratch/ckpt",
+          threshold = 0.5).orderBy("id_a", "id_b").count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"== run$r wall=$wall%5.2f s gc=${gcMs() - gc0}%4d ms pairs=$n")
+        // snapshot under the list's lock (the listener bus may still append)
+        val snapshot = order.synchronized {
+          import scala.jdk.CollectionConverters._
+          order.asScala.toVector
+        }
+        snapshot.foreach { j =>
+          val d = if (j.t1 < 0) -1.0 else (j.t1 - j.t0) / 1e3
+          println(f"   job${j.id}%3d ${d}%6.2f s tasks=${j.tasks}%4d " +
+            f"taskTime=${j.taskMs / 1000.0}%7.2f s  ${j.stage}")
+        }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
     }
     spark.stop()
   }
