@@ -2153,6 +2153,31 @@ object SparkEntry {
         "SELECT doc_id FROM graft_decontaminate('graft_q153_corpus', " +
           "'doc_id', 'text', 'graft_q153_bench', 'text', 6) " +
           "ORDER BY doc_id")
+    }),
+
+    // The near-dedup flagship through the SQL TVF surface:
+    // graft_minhash_pairs FROM-callable must produce exactly the q16
+    // verified pairs (the builder returns the Column API's logical plan;
+    // this proves it end-to-end against the independent DuckDB replay of
+    // the full shingle→minhash→band→verify chain).
+    "q154_sql_minhash_pairs" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q154_docs")
+      s.sql(
+        "SELECT * FROM graft_minhash_pairs('graft_q154_docs', 'doc_id', " +
+          "'text', 0.5) ORDER BY id_a, id_b")
+    }),
+
+    // Exact dedup through the SQL TVF surface: whole surviving rows
+    // (first doc_id per normalized-text fingerprint), gated against the
+    // DuckDB window replay.
+    "q155_sql_exact_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q155_docs")
+      s.sql(
+        "SELECT doc_id, text, lang, source, n_chars FROM " +
+          "graft_exact_dedup('graft_q155_docs', 'doc_id', 'text') " +
+          "ORDER BY doc_id")
     }))
 
   /** Deterministic messy-URL fixture expression (Spark SQL) for
@@ -5881,7 +5906,26 @@ object SparkEntry {
          SELECT d.doc_id
          FROM documents d LEFT JOIN m USING (doc_id)
          WHERE d.doc_id >= 25 AND coalesce(m.matched, 0) < 1
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    // identical to q16's oracle — the FROM-callable graft_minhash_pairs
+    // must produce the Column API's verified pairs
+    "q154_sql_minhash_pairs" ->
+      s"""WITH $minhashVerifiedCtes
+         SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         FROM verified WHERE jaccard >= 0.5
+         ORDER BY id_a, id_b""",
+
+    // q14's grouping inverted to whole surviving rows — the FROM-callable
+    // graft_exact_dedup keeps the first doc_id per normalized fingerprint
+    "q155_sql_exact_dedup" ->
+      """WITH f AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, text, lang, source, n_chars
+         FROM f WHERE rn = 1 ORDER BY doc_id""")
 
   /** DuckDB replay of [[graft.ops.Graphs.pageRank]] on q147's derived
     * host multigraph: 3 unrolled iterations, all-BIGINT floor-division

@@ -260,6 +260,41 @@ object GraftFunctions {
             exprs.lift(6).map(e => intArg(e, fn)).getOrElse(1))
           .queryExecution.logical
       }, "scala_udf")
+    // MinHash-LSH near-duplicate pairs (the q16 flagship), FROM-callable —
+    // the dedup entry point a SQL-first corpus engineer reaches for:
+    //   SELECT * FROM graft_minhash_pairs('docs','doc_id','text',0.5)
+    //   [, numHashes, bands, shingleLen, maxBucket]
+    // Returns (id_a, id_b, jaccard): banded candidates verified by true
+    // shingle-set Jaccard ≥ threshold — the Column API's exact plan
+    // (candidates only from shared (band, sig) buckets, never all-pairs).
+    tvf.createOrReplaceTempFunction("graft_minhash_pairs",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_minhash_pairs"
+        require(exprs.length >= 4 && exprs.length <= 8,
+          s"$fn(view, idCol, textCol, threshold[, numHashes, bands, " +
+            "shingleLen, maxBucket])")
+        graft.ops.Dedup.minHashNearDuplicates(
+            spark.table(strArg(exprs(0), fn)), strArg(exprs(1), fn),
+            strArg(exprs(2), fn),
+            threshold = doubleArg(exprs(3), fn),
+            numHashes = exprs.lift(4).map(e => intArg(e, fn)).getOrElse(8),
+            bands = exprs.lift(5).map(e => intArg(e, fn)).getOrElse(4),
+            shingleLen = exprs.lift(6).map(e => intArg(e, fn)).getOrElse(3),
+            maxBucket = exprs.lift(7).map(e => longArg(e, fn)).getOrElse(0L))
+          .queryExecution.logical
+      }, "scala_udf")
+    // Exact dedup keeping whole rows (the q14 flagship), FROM-callable:
+    //   SELECT * FROM graft_exact_dedup('docs','doc_id','text')
+    // keeps the first row (by idCol) per identical normalized text.
+    tvf.createOrReplaceTempFunction("graft_exact_dedup",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_exact_dedup"
+        require(exprs.length == 3, s"$fn(view, idCol, textCol)")
+        graft.ops.Dedup.exactDedup(
+            spark.table(strArg(exprs(0), fn)), strArg(exprs(1), fn),
+            strArg(exprs(2), fn))
+          .queryExecution.logical
+      }, "scala_udf")
   }
 
   private def foldableArray(e: Expression, elem: org.apache.spark.sql.types.DataType,
@@ -322,5 +357,16 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn expects an integer literal argument, got $other")
+  }
+
+  /** Fractional literals parse as exact Decimal in Spark SQL; integers
+    * are accepted too (a threshold of 1 is legal). */
+  private def doubleArg(e: Expression, fn: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+      v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a numeric literal argument, got $other")
   }
 }

@@ -217,6 +217,44 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     assert(viaSql == Seq(2L, 3L)) // doc 1 shares the "b c"/"c d" grams
   }
 
+  test("graft_minhash_pairs from SQL ≡ Column API") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different text about spark and shuffles"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("mh_docs")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaSql = collect(spark.sql(
+      "SELECT * FROM graft_minhash_pairs('mh_docs','doc_id','text',0.4)"))
+    val viaApi = collect(graft.ops.Dedup.minHashNearDuplicates(
+      docs, "doc_id", "text", threshold = 0.4))
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    assert(viaSql.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    // non-default knobs pass through positionally
+    val knobs = collect(spark.sql("SELECT * FROM graft_minhash_pairs(" +
+      "'mh_docs','doc_id','text',0.4, 8, 4, 3, 100)"))
+    assert(knobs == viaApi)
+  }
+
+  test("graft_exact_dedup from SQL ≡ Column API") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (2L, "Some  Text"), (1L, "some text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ed_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id FROM graft_exact_dedup('ed_docs','doc_id','text') " +
+        "ORDER BY doc_id").collect().map(_.getLong(0)).toSeq
+    val viaApi = graft.ops.Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql == Seq(1L, 3L)) // doc 2 is a normalized duplicate of 1
+  }
+
   test("table-function misuse fails loud: wrong arity, unknown view") {
     GraftFunctions.register(spark)
     val wrongArity = intercept[Exception] {
