@@ -364,6 +364,27 @@ object Bench {
         spread || med > 3.0
       } => "\"" + short(k) + "\":[" + xs.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // CONTROL BLOCK (VERDICT r14 #4): cross-round comparisons kept being
+    // normalized by hand against whatever host-factor narrative seemed
+    // plausible — and round 14's PLANS.md normalized against the wrong
+    // round's probe base. Make it mechanical: q16 (the batch control the
+    // judge already uses — a fixed, pure-batch, mid-cost query) ships its
+    // own median/min, and every query ships its control-normalized ratio
+    // (med / control-med), so a round-over-round delta reads directly
+    // from two artifacts: ratio_r15 / ratio_r14 cancels the host.
+    val controlName = "q16_minhash_pairs"
+    val controlMed = median(times(controlName))
+    val controlMin = {
+      val xs = times(controlName)
+      if (xs.isEmpty) 0.0 else xs.min
+    }
+    val controlJson =
+      s"""{"name":"q16","med":${fmt(controlMed)},"min":${fmt(controlMin)}}"""
+    val qsCtl =
+      if (controlMed <= 0) "{}"
+      else results.map { case (k, v, _, _) =>
+        "\"" + short(k) + "\":" + fmt(v / controlMed)
+      }.mkString("{", ",", "}")
     val probeMed = {
       val xs = probeLog.map(_._2).toList.sorted
       if (xs.isEmpty) probeBase else xs(xs.size / 2)
@@ -376,7 +397,7 @@ object Bench {
     val totalMin = results.map { case (_, _, xs, _) =>
       if (xs.isEmpty) 0.0 else xs.min }.sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"control":$controlJson,"queries_ctl":$qsCtl,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","detail":"$detailPath"}"""
     // The driver captures only the LAST ~2000 chars of run output, and the
     // full line above (152 query medians + minima) is far longer — shipped
     // as-is it arrives front-truncated and unparseable (rounds 4 and 10
@@ -432,7 +453,7 @@ object Bench {
     // (build.sbt passes forked output through verbatim and suppresses the
     // [success] banner — see outputStrategy / showSuccess there).
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"errors":$errs,"stream_floor":${fmt(floor)},"suspect":$suspectCapped,"suspect_omitted":$suspectOmitted,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","queries_in":"$summaryPath","summary":"$summaryPath","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"control":$controlJson,"errors":$errs,"stream_floor":${fmt(floor)},"suspect":$suspectCapped,"suspect_omitted":$suspectOmitted,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","queries_in":"$summaryPath","summary":"$summaryPath","detail":"$detailPath"}""")
     System.out.flush()
   }
 }
