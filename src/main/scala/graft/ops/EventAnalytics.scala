@@ -28,14 +28,14 @@ object EventAnalytics {
     * earliest qualifying event at each step — which is what the oracle
     * re-derives.
     *
-    * Scale shape: the scan keeps only the step event types (filter pushed
-    * to the source), ONE shuffle groups each user's step events, and the
-    * chain runs as a row-local fold over the (ts, tie, type)-sorted list —
-    * deterministic under any partitioning. The final per-step report is an
-    * aggregate over a `nSteps`-row frame. Skew guard: a user's state is
-    * its step events only; `maxEventsPerUser` rank-caps pathological keys
-    * (a cap large enough to contain the funnel horizon loses nothing —
-    * the chain only ever advances on the first match).
+    * Scale shape (default, `maxEventsPerUser` ≤ 0): the chained-min form
+    * directly — ONE shuffle of the pruned (user, ts, type) rows reused by
+    * `s` codegen'd min-aggregate passes, no per-user collection (see
+    * [[funnelReportMinChain]]). Passing `maxEventsPerUser` > 0 selects
+    * the bounded-collection path instead: each user's earliest k step
+    * events fold row-locally — truncation SEMANTICS for pathological
+    * keys, at the cost of k-element priority-queue aggregation
+    * ([[funnelReportCollected]]).
     */
   def funnelReport(
       events: DataFrame,
@@ -44,11 +44,83 @@ object EventAnalytics {
       tieCol: String,
       userCol: String,
       steps: Seq[String],
-      maxEventsPerUser: Int = 10000): DataFrame = {
+      maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.nonEmpty, "funnelReport needs at least one step")
-    require(maxEventsPerUser > 0,
-      s"maxEventsPerUser must be > 0, got $maxEventsPerUser — a zero cap " +
-        "would report a plausible-looking all-zero funnel")
+    if (maxEventsPerUser <= 0)
+      return funnelReportMinChain(events, typeCol, timeCol, userCol, steps)
+    funnelReportCollected(events, typeCol, timeCol, tieCol, userCol, steps,
+      maxEventsPerUser)
+  }
+
+  /** EXACT funnel via chained conditional minima — the default path
+    * (round 15). The greedy fold over time-ordered events advances step i
+    * on the EARLIEST step-i event strictly after step i−1's time, so the
+    * whole funnel is `t_i = min(ts | type = step_i AND ts > t_{i−1})` —
+    * no per-user event collection at all. The EventLadderProbe found the
+    * collected shape's real scale cost: a 10k-element priority queue per
+    * user per aggregation level (ObjectHashAggregate, interpreted, GC-
+    * heavy — 7–100 s at 4M events where this shape runs in ~2 s, with
+    * first-run allocation cliffs the flat shuffle bytes disproved as
+    * data effects).
+    *
+    * Plan shape: ONE raw shuffle of the pruned (user, ts, type) rows —
+    * the explicit repartition below, executed once and reused by every
+    * pass (identical subtree ⇒ ReuseExchange) — then s codegen'd
+    * min-aggregate passes and user-co-partitioned joins that introduce
+    * no further exchanges. Null user ids are excluded (SQL join
+    * semantics, matching the chained-min SQL oracle); the capped path
+    * groups them like any other key.
+    */
+  private def funnelReportMinChain(
+      events: DataFrame,
+      typeCol: String,
+      timeCol: String,
+      userCol: String,
+      steps: Seq[String]): DataFrame = {
+    val nPart =
+      events.sparkSession.sessionState.conf.numShufflePartitions
+    val relevant = events
+      .filter(col(typeCol).isin(steps: _*) && col(timeCol).isNotNull &&
+        col(userCol).isNotNull)
+      .select(col(userCol), col(timeCol).as("__ts"), col(typeCol).as("__et"))
+    val r = relevant.repartition(nPart, col(userCol))
+    // t(i): users reaching step i, with that step's chain time
+    val ts = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    ts += r.filter(col("__et") === steps.head)
+      .groupBy(col(userCol)).agg(min(col("__ts")).as("__t1"))
+    for (i <- 2 to steps.size)
+      ts += r.filter(col("__et") === steps(i - 1))
+        .join(ts(i - 2).select(col(userCol), col(s"__t${i - 1}")), userCol)
+        .filter(col("__ts") > col(s"__t${i - 1}"))
+        .groupBy(col(userCol)).agg(min(col("__ts")).as(s"__t$i"))
+    // steps_completed = highest i whose t(i) holds the user (membership
+    // is monotone: reaching i implies reaching i−1)
+    val perUser = (2 to steps.size).foldLeft(
+        ts(0).select(col(userCol), lit(1).as("__s1"))) { (acc, i) =>
+      acc.join(ts(i - 1).select(col(userCol), lit(1).as(s"__s$i")),
+        Seq(userCol), "left")
+    }.select(col(userCol),
+      (1 to steps.size).map(i => coalesce(col(s"__s$i"), lit(0)))
+        .reduce(_ + _).as("steps_completed"))
+    funnelReportFromSteps(perUser, "steps_completed", steps)
+  }
+
+  /** The bounded-collection funnel — retained behind an explicit
+    * `maxEventsPerUser` for callers that WANT the truncation semantics
+    * (consider only each user's earliest k events; the streaming twin
+    * bounds its per-user state the same way). A pathological key costs
+    * O(k) buffer at every aggregation level, but the k-element priority
+    * queues are object-aggregation work the min-chain path avoids —
+    * prefer the default unless truncation is the point.
+    */
+  private def funnelReportCollected(
+      events: DataFrame,
+      typeCol: String,
+      timeCol: String,
+      tieCol: String,
+      userCol: String,
+      steps: Seq[String],
+      maxEventsPerUser: Int): DataFrame = {
     val nSteps = steps.size
     val stepArr = array(steps.map(lit): _*)
     // NULL event times cannot order in a funnel: unfiltered, a NULL-ts

@@ -55,13 +55,46 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3, "purchase", 1L, 0.333333)))
   }
 
-  test("funnel: per-user buffer is the bounded top-k aggregate, and the cap binds") {
+  test("funnel default path is the collection-free min-chain: no object " +
+      "aggregation in the plan, one raw shuffle reused by every pass") {
     val ev = events(
       (1L, "2024-01-01 10:00:00", "signup", 1),
       (1L, "2024-01-01 10:05:00", "click", 2),
       (1L, "2024-01-01 10:10:00", "purchase", 3))
     val plan = EventAnalytics.funnelReport(ev, "event_type", "ts", "event_id",
         "user_id", Seq("signup", "click", "purchase"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    // chained min aggregates stay inside whole-stage codegen — no
+    // priority-queue object aggregation, no per-user collection
+    assert(!plan.contains("objecthashaggregate"),
+      s"expected codegen min-chain, got object aggregation:\n$plan")
+    assert(!plan.contains("collect_top_k") && !plan.contains("collect_list"))
+    // the raw (user, ts, type) exchange executes ONCE for all s passes —
+    // asserted on a non-trivial frame (tiny fixtures can collapse before
+    // reuse applies)
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod, timestamp_seconds}
+    val big = spark.range(100000L).select(
+      col("id").as("event_id"),
+      pmod(col("id"), lit(100L)).as("user_id"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+      concat(lit("e"), pmod(col("id"), lit(4)).cast("string"))
+        .as("event_type"))
+    val bigRep = EventAnalytics.funnelReport(big, "event_type", "ts",
+      "event_id", "user_id", Seq("e0", "e1", "e2"))
+    bigRep.collect()
+    val bigPlan = bigRep.queryExecution.executedPlan.toString.toLowerCase
+    assert(bigPlan.contains("reusedexchange"),
+      s"expected the pass exchanges to dedup via ReuseExchange:\n$bigPlan")
+  }
+
+  test("funnel: explicit maxEventsPerUser selects the bounded top-k " +
+      "collection path, and the cap binds") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", "signup", 1),
+      (1L, "2024-01-01 10:05:00", "click", 2),
+      (1L, "2024-01-01 10:10:00", "purchase", 3))
+    val plan = EventAnalytics.funnelReport(ev, "event_type", "ts", "event_id",
+        "user_id", Seq("signup", "click", "purchase"), maxEventsPerUser = 100)
       .queryExecution.executedPlan.toString.toLowerCase
     // bounded priority-queue aggregate, NOT collect_list-then-slice: a
     // pathological key must cost O(cap) buffer at every aggregation level
@@ -72,6 +105,23 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "user_id", Seq("signup", "click", "purchase"), maxEventsPerUser = 2)
       .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
     assert(capped == Seq((1, 1L), (2, 1L), (3, 0L)))
+  }
+
+  test("funnel: min-chain ≡ collected path on interleaved multi-user events") {
+    // dense interleavings with repeats, stalls, same-ts collisions
+    val rows = for {
+      u <- 1L to 40L; i <- 0 until 12
+    } yield (u, f"2024-01-01 ${(i * 7 + u) % 24}%02d:${(u * 13 + i * 31) % 60}%02d:00",
+      Seq("signup", "click", "purchase", "noise")(((u + i * 3) % 4).toInt),
+      u * 100 + i)
+    val ev = events(rows: _*)
+    def report(cap: Int) = EventAnalytics.funnelReport(ev, "event_type",
+        "ts", "event_id", "user_id", Seq("signup", "click", "purchase"),
+        maxEventsPerUser = cap)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(report(0) == report(10000),
+      "min-chain and an unbinding cap must produce identical funnels")
   }
 
   test("funnel: equal-timestamp events advance in tie order, not time order") {
