@@ -754,7 +754,19 @@ object KeyedState {
     fs.delete(old, true)
     fs.rename(p, old)
     fs.rename(stage, p)
-    kept.foreach { n => fs.rename(new Path(old, n), new Path(p, n)) }
+    // Injected-crash point (test-only, [[Failpoint]]): the merged file is
+    // live, the preserved copy sits under `__old`, and the kept-
+    // generation renames are pending (after the first when there are
+    // any) — the window [[repairFlat]]'s manifest-resume branch heals.
+    if (kept.isEmpty) Failpoint.hit(spark, "compact_flat_mid_manifest", 0L)
+    var firstKept = true
+    kept.foreach { n =>
+      fs.rename(new Path(old, n), new Path(p, n))
+      if (firstKept) {
+        Failpoint.hit(spark, "compact_flat_mid_manifest", 0L)
+        firstKept = false
+      }
+    }
     fs.delete(old, true)
     fs.delete(new Path(p, keptManifest), false)
   }

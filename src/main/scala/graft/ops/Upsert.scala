@@ -94,14 +94,13 @@ object Upsert {
   /** Replace-by-key into a bucket-partitioned parquet directory — the
     * keyed sink a `foreachBatch` streaming query in UPDATE output mode
     * writes through (plain parquet has no native merge). The sink is
-    * partitioned by `pmod(xxhash64(keys), nBuckets)`; each call reads ONLY
-    * the hash buckets the incoming keys touch, anti-joins out superseded
-    * rows, and dynamically overwrites just those bucket partitions. Per-call
-    * work is proportional to touched-bucket size, not sink size; size
-    * `nBuckets` so one bucket ≪ executor memory at the target scale. The
-    * `localCheckpoint` materializes the merged rows before the overwrite
-    * (the sink path is also the read path) — bounded by the touched
-    * buckets, not the corpus.
+    * partitioned by `pmod(xxhash64(keys), nBuckets)`; each call stages
+    * the micro-batch's output (one plan execution), reads ONLY the hash
+    * buckets the staged batch touches, anti-joins out superseded rows,
+    * and swaps just those bucket partitions via the healed
+    * preserve-rename protocol. Per-call work is proportional to
+    * touched-bucket size, not sink size; size `nBuckets` so one bucket ≪
+    * executor memory at the target scale.
     */
   def upsertKeyedParquet(
       updates: DataFrame,

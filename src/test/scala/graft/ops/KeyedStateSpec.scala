@@ -332,6 +332,44 @@ class KeyedStateSpec extends AnyFunSuite {
     assert(err.getMessage.contains("parameters"))
   }
 
+  test("compactFlat killed mid-manifest-rename by the injected failpoint: " +
+      "repairFlat resumes the remaining generation renames losslessly") {
+    val base = graft.TestScratch.dir("graft-ks-tiered-fp")
+    val p = s"$base/pairs"
+    // TWO kept generations (1000 + 500 rows) + 3 smalls: the failpoint
+    // fires after the FIRST kept rename, so the second generation is
+    // still under __old with the manifest naming both — the exact
+    // mid-manifest window (the hand-edited test above simulates it; this
+    // one produces it through the real crashing code path)
+    (1L to 1000L).toDF("v").coalesce(1).write.parquet(p)
+    (2001L to 2500L).toDF("v").coalesce(1).write.mode("append").parquet(p)
+    for (i <- 1 to 3)
+      (1L to 5L).map(_ + 3000L * i).toDF("v")
+        .coalesce(1).write.mode("append").parquet(p)
+    val before = spark.read.parquet(p).orderBy("v").collect().toSeq
+    spark.conf.set("spark.graft.test.failpoint", "compact_flat_mid_manifest:0")
+    val e = intercept[Throwable](KeyedState.compactFlat(spark, p, maxFiles = 4))
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[Failpoint.InjectedCrash]),
+      s"expected the injected crash, got: $e")
+    spark.conf.unset("spark.graft.test.failpoint")
+    // crash state: merged file live with the manifest, preserved copy
+    // (holding the pending generation) under __old
+    assert(new java.io.File(p, "_KEPT").exists(),
+      "the crash must land with the manifest still in the live dir")
+    assert(new java.io.File(p + "__compact_old").exists())
+    KeyedState.repairFlat(spark, p)
+    assert(spark.read.parquet(p).orderBy("v").collect().toSeq == before)
+    assert(!new java.io.File(p, "_KEPT").exists())
+    assert(!new java.io.File(p + "__compact_old").exists())
+    // a fresh compaction on the healed dir converges under the threshold
+    KeyedState.compactFlat(spark, p, maxFiles = 4)
+    assert(spark.read.parquet(p).count() == before.size)
+    assert(new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet")) <= 4)
+  }
+
   test("pruneBatchMarkers deletes only markers at or below the floor, " +
       "both naming schemes, leaves non-marker names alone") {
     val base = graft.TestScratch.dir("graft-ks-prune")

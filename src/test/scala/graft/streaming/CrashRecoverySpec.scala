@@ -179,6 +179,35 @@ class CrashRecoverySpec extends AnyFunSuite {
       .map(_.getName).exists(_.contains("__staged_b")))
   }
 
+  test("minhash stream killed INSIDE the pairs compaction swap (merged " +
+      "file live, preserved copy under __old): restart heals via " +
+      "repairFlat, pairs exactly-once") {
+    val base = graft.TestScratch.dir("graft-crash-mh-compact")
+    val similar = (1L to 6L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog number " + (i % 2)))
+      .toDF("doc_id", "text")
+    similar.repartition(3).write.mode("overwrite").parquet(s"$base/docs.parquet")
+    // compactAfterFiles = 1: the pairs sink compacts as soon as it holds
+    // two files, so the FIRST compaction runs (and crashes) at batch 1
+    def run(tag: String) = Dedup.streamingMinHashNearDuplicates(spark,
+        s"$base/docs.parquet", "*.parquet", "doc_id", "text",
+        stateDir = s"$base/state$tag", checkpointDir = s"$base/ckpt$tag",
+        threshold = 0.4, maxFilesPerTrigger = 1, compactAfterFiles = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val golden = run("_golden")
+    assert(golden.nonEmpty)
+    spark.conf.set("spark.graft.test.failpoint", "compact_flat_mid_manifest:0")
+    crashes(run(""))
+    // the preserved copy must exist — the compacted rows are never
+    // "nowhere" (merged file live, original under __old)
+    assert(new java.io.File(s"$base/state/pairs__compact_old").exists(),
+      "mid-compaction crash must leave the preserved copy")
+    assert(run("") == golden)
+    val raw = spark.read.parquet(s"$base/state/pairs")
+    assert(raw.count() == raw.distinct().count() && raw.count() == golden.size)
+    assert(!new java.io.File(s"$base/state/pairs__compact_old").exists())
+  }
+
   test("replace-by-key dedup sink killed MID-SWAP (a bucket preserved " +
       "under __old, new content not yet in): restart heals and converges") {
     val base = graft.TestScratch.dir("graft-crash-exact")
