@@ -2178,6 +2178,43 @@ object SparkEntry {
         "SELECT doc_id, text, lang, source, n_chars FROM " +
           "graft_exact_dedup('graft_q155_docs', 'doc_id', 'text') " +
           "ORDER BY doc_id")
+    }),
+
+    // The event-analytics family through the SQL TVF surface (q152's
+    // pattern: the builder returns the Column API's logical plan, the
+    // oracle is the independent DuckDB replay — here q123's chained-min
+    // funnel SQL verbatim).
+    "q156_sql_funnel" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter(col("event_id") < 3000)
+        .createOrReplaceTempView("graft_q156_events")
+      s.sql(
+        "SELECT * FROM graft_funnel('graft_q156_events', 'event_type', " +
+          "'ts', 'event_id', 'user_id', 'signup,click,purchase')")
+    }),
+
+    "q157_sql_cohort" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter(col("event_id") % 7 === 0)
+        .createOrReplaceTempView("graft_q157_events")
+      s.sql(
+        "SELECT * FROM graft_cohort_retention('graft_q157_events', " +
+          "'ts', 'user_id') ORDER BY cohort_week, week_offset")
+    }),
+
+    "q158_sql_scd2" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 10).cast("long").as("tier"))
+        .createOrReplaceTempView("graft_q158_src")
+      s.sql(
+        "SELECT user_id, tier, valid_from, valid_to, version FROM " +
+          "graft_scd2('graft_q158_src', 'user_id', 'ts', 'event_id', " +
+          "'tier') ORDER BY user_id, version")
     }))
 
   /** Deterministic messy-URL fixture expression (Spark SQL) for
@@ -5925,7 +5962,69 @@ object SparkEntry {
              ORDER BY doc_id) AS rn
            FROM documents)
          SELECT doc_id, text, lang, source, n_chars
-         FROM f WHERE rn = 1 ORDER BY doc_id""")
+         FROM f WHERE rn = 1 ORDER BY doc_id""",
+
+    // identical to q123's oracle — the FROM-callable graft_funnel must
+    // produce the chained-min funnel
+    "q156_sql_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id < 3000),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id),
+         n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                      (SELECT count(*) FROM s2) AS n2,
+                      (SELECT count(*) FROM s3) AS n3)
+         SELECT * FROM (
+           SELECT 1 AS step, 'signup' AS event_type, n1 AS n_users,
+                  round(n1 / CAST(n1 AS DOUBLE), 6) AS frac_of_first FROM n
+           UNION ALL
+           SELECT 2, 'click', n2, round(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+           UNION ALL
+           SELECT 3, 'purchase', n3, round(n3 / CAST(n1 AS DOUBLE), 6) FROM n)
+         ORDER BY step""",
+
+    // identical to q124's oracle — the FROM-callable graft_cohort_retention
+    "q157_sql_cohort" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events WHERE event_id % 7 = 0),
+         pu AS (SELECT user_id, min(wk) AS cohort_week
+                FROM ev GROUP BY user_id),
+         aw AS (SELECT DISTINCT e.user_id, p.cohort_week, e.wk AS active_week
+                FROM ev e JOIN pu p USING (user_id))
+         SELECT cohort_week,
+                CAST((active_week - cohort_week) / 7 AS BIGINT) AS week_offset,
+                count(*) AS n_users
+         FROM aw GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
+
+    // identical to q122's oracle — the FROM-callable graft_scd2
+    "q158_sql_scd2" ->
+      """WITH src AS (
+           SELECT user_id, ts, event_id,
+                  CAST(floor(value / 10) AS BIGINT) AS tier
+           FROM events WHERE event_type = 'view'),
+         chg AS (
+           SELECT *, tier IS DISTINCT FROM
+               lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS is_chg
+           FROM src),
+         kept AS (
+           SELECT user_id, tier, ts AS valid_from, event_id
+           FROM chg WHERE is_chg)
+         SELECT user_id, tier, valid_from,
+                lead(valid_from) OVER w AS valid_to,
+                CAST(row_number() OVER w AS INT) AS version
+         FROM kept
+         WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+         ORDER BY user_id, version""")
 
   /** DuckDB replay of [[graft.ops.Graphs.pageRank]] on q147's derived
     * host multigraph: 3 unrolled iterations, all-BIGINT floor-division

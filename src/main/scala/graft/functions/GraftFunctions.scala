@@ -295,6 +295,55 @@ object GraftFunctions {
             strArg(exprs(2), fn))
           .queryExecution.logical
       }, "scala_udf")
+    // Ordered funnel report (the q123 flagship), FROM-callable:
+    //   SELECT * FROM graft_funnel('events', 'event_type', 'ts',
+    //                              'event_id', 'user_id',
+    //                              'signup,click,purchase')
+    // Returns (step, event_type, n_users, frac_of_first) — the exact
+    // chained-min funnel (tieCol participates only in the optional
+    // truncation path; pass maxEventsPerUser > 0 as the 7th arg for the
+    // bounded-collection semantics).
+    tvf.createOrReplaceTempFunction("graft_funnel",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_funnel"
+        require(exprs.length == 6 || exprs.length == 7,
+          s"$fn(view, typeCol, timeCol, tieCol, userCol, stepsCsv" +
+            "[, maxEventsPerUser])")
+        graft.ops.EventAnalytics.funnelReport(
+            spark.table(strArg(exprs(0), fn)), strArg(exprs(1), fn),
+            strArg(exprs(2), fn), strArg(exprs(3), fn),
+            strArg(exprs(4), fn), csv(exprs(5), fn),
+            exprs.lift(6).map(e => intArg(e, fn)).getOrElse(0))
+          .queryExecution.logical
+      }, "scala_udf")
+    // Cohort retention triangle (the q124 flagship), FROM-callable:
+    //   SELECT * FROM graft_cohort_retention('events', 'ts', 'user_id')
+    // Returns (cohort_week, week_offset, n_users) — Monday-week cohorts
+    // in the session time zone (this library pins UTC).
+    tvf.createOrReplaceTempFunction("graft_cohort_retention",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_cohort_retention"
+        require(exprs.length == 3, s"$fn(view, timeCol, userCol)")
+        graft.ops.EventAnalytics.cohortRetention(
+            spark.table(strArg(exprs(0), fn)), strArg(exprs(1), fn),
+            strArg(exprs(2), fn))
+          .queryExecution.logical
+      }, "scala_udf")
+    // SCD2 dimension build (the q122 flagship), FROM-callable:
+    //   SELECT * FROM graft_scd2('updates', 'user_id', 'ts', 'event_id',
+    //                            'tier,plan')
+    // Returns keys + attrs + (valid_from, valid_to, version) — one
+    // window pass, change rows only.
+    tvf.createOrReplaceTempFunction("graft_scd2",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_scd2"
+        require(exprs.length == 5,
+          s"$fn(view, keysCsv, timeCol, tieCol, attrsCsv)")
+        graft.ops.TemporalJoins.scd2Build(
+            spark.table(strArg(exprs(0), fn)), csv(exprs(1), fn),
+            strArg(exprs(2), fn), strArg(exprs(3), fn), csv(exprs(4), fn))
+          .queryExecution.logical
+      }, "scala_udf")
   }
 
   private def foldableArray(e: Expression, elem: org.apache.spark.sql.types.DataType,

@@ -255,6 +255,52 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     assert(viaSql == Seq(1L, 3L)) // doc 2 is a normalized duplicate of 1
   }
 
+  test("graft_funnel / graft_cohort_retention / graft_scd2 from SQL " +
+      "≡ Column API") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, floor, to_timestamp}
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", "signup", 1L, 5.0),
+      (1L, "2024-01-01 10:05:00", "click", 2L, 15.0),
+      (1L, "2024-01-01 10:10:00", "purchase", 3L, 15.0),
+      (2L, "2024-01-02 09:00:00", "signup", 4L, 25.0),
+      (2L, "2024-01-09 09:00:00", "click", 5L, 35.0))
+      .toDF("user_id", "tss", "event_type", "event_id", "value")
+      .select(col("user_id"),
+        to_timestamp(col("tss")).as("ts"),
+        col("event_type"), col("event_id"), col("value"))
+    ev.createOrReplaceTempView("ea_events")
+    // funnel
+    val fSql = spark.sql("SELECT * FROM graft_funnel('ea_events', " +
+        "'event_type', 'ts', 'event_id', 'user_id', 'signup,click,purchase')")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    val fApi = graft.ops.EventAnalytics.funnelReport(ev, "event_type",
+        "ts", "event_id", "user_id", Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(fSql == fApi && fSql == Seq((1, 2L), (2, 2L), (3, 1L)))
+    // cohort retention
+    val cSql = spark.sql("SELECT * FROM graft_cohort_retention(" +
+        "'ea_events', 'ts', 'user_id') ORDER BY cohort_week, week_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    val cApi = graft.ops.EventAnalytics.cohortRetention(ev, "ts", "user_id")
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(cSql == cApi && cSql.nonEmpty)
+    // scd2 over the value tier
+    val src = ev.select(col("user_id"), col("ts"), col("event_id"),
+      floor(col("value") / 10).cast("long").as("tier"))
+    src.createOrReplaceTempView("ea_src")
+    val sSql = spark.sql("SELECT * FROM graft_scd2('ea_src', 'user_id', " +
+        "'ts', 'event_id', 'tier') ORDER BY user_id, version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+    val sApi = graft.ops.TemporalJoins.scd2Build(src, Seq("user_id"),
+        "ts", "event_id", Seq("tier"))
+      .orderBy("user_id", "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+    assert(sSql == sApi && sSql == Seq((1L, 0L, 1), (1L, 1L, 2),
+      (2L, 2L, 1), (2L, 3L, 2)))
+  }
+
   test("table-function misuse fails loud: wrong arity, unknown view") {
     GraftFunctions.register(spark)
     val wrongArity = intercept[Exception] {
