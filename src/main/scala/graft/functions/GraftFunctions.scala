@@ -415,6 +415,8 @@ object GraftFunctions {
       v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Float, _) => v.toDouble
     case other => throw new IllegalArgumentException(
       s"$fn expects a numeric literal argument, got $other")
   }

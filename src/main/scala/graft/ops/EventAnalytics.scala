@@ -69,7 +69,8 @@ object EventAnalytics {
     * min-aggregate passes and user-co-partitioned joins that introduce
     * no further exchanges. Null user ids are excluded (SQL join
     * semantics, matching the chained-min SQL oracle); the capped path
-    * groups them like any other key.
+    * excludes them identically, so both documented-equivalent paths
+    * report the same n_users on data containing unattributed events.
     */
   private def funnelReportMinChain(
       events: DataFrame,
@@ -127,9 +128,12 @@ object EventAnalytics {
     // step-1 event sorts FIRST, greedily consumes step 1, and every later
     // `ts > NULL` comparison is NULL — the user freezes at step 1 where
     // the oracle's NULL-skipping min(ts) chains them through. Dropping
-    // the rows is exactly the oracle's semantics.
+    // the rows is exactly the oracle's semantics. NULL user ids are
+    // excluded for the same reason the min-chain path excludes them
+    // (SQL join/group semantics would otherwise make the two documented-
+    // equivalent paths disagree on n_users for unattributed events).
     val relevant = events.filter(col(typeCol).isin(steps: _*) &&
-        col(timeCol).isNotNull)
+        col(timeCol).isNotNull && col(userCol).isNotNull)
       .select(col(userCol), col(timeCol).as("__ts"), col(tieCol).as("__tie"),
         col(typeCol).as("__et"))
     val perUser = relevant

@@ -121,6 +121,11 @@ object Upsert {
     // "fresh" for the next batch and the schema-aware reader returns
     // empty) — the batch plan executes exactly ONCE, in the append.
     if (!KeyedState.hasData(spark, path)) {
+      // a crash between a previous swap and dropBatchStage can leave the
+      // unfenced `__batch` sibling behind; the warm path reclaims it by
+      // re-staging, but a sink that went back to fresh (e.g. truncated
+      // externally) would otherwise retain a stale full batch copy
+      KeyedState.dropBatchStage(spark, path, None)
       freshAppend(withBucket, path, nBuckets); return
     }
     // WARM sink: stage the micro-batch's OUTPUT first — the ONLY

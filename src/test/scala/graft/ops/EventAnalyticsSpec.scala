@@ -124,6 +124,28 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "min-chain and an unbinding cap must produce identical funnels")
   }
 
+  test("funnel: NULL user ids are excluded identically by both paths") {
+    import spark.implicits._
+    // u1 converts fully; two unattributed (NULL-user) events would reach
+    // step 2 if NULLs grouped as an ordinary key. Both paths must drop
+    // them, so n_users agrees with the SQL oracle's join semantics.
+    val ev = Seq[(Option[Long], String, String, Long)](
+      (Some(1L), "2024-01-01 10:00:00", "signup", 1),
+      (Some(1L), "2024-01-01 10:05:00", "click", 2),
+      (None, "2024-01-02 09:00:00", "signup", 3),
+      (None, "2024-01-02 09:30:00", "click", 4))
+      .map { case (u, t, et, id) => (u, ts(t), et, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    def report(cap: Int) = EventAnalytics.funnelReport(ev, "event_type",
+        "ts", "event_id", "user_id", Seq("signup", "click"),
+        maxEventsPerUser = cap)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(report(0) === Seq((1, 1L), (2, 1L)),
+      "min-chain must not count NULL-user events")
+    assert(report(10000) === report(0),
+      "collected path must exclude NULL users like the min-chain path")
+  }
+
   test("funnel: equal-timestamp events advance in tie order, not time order") {
     // signup and click at the SAME instant: the chain requires strictly
     // later, so the click at the same ts must NOT advance step 2.
