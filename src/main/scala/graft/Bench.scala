@@ -385,6 +385,38 @@ object Bench {
       else results.map { case (k, v, _, _) =>
         "\"" + short(k) + "\":" + fmt(v / controlMed)
       }.mkString("{", ",", "}")
+    // CONTROL PANEL (VERDICT r15 #3): the single q16 control proved
+    // fragile — its own −18% host swing between r14/r15 made every
+    // control-normalized delta read as a spurious +12% until min-based
+    // rescue. Normalize by the MEDIAN of a panel spanning plan shapes
+    // (scan-agg, containment join, minhash text pipeline, streaming
+    // micro-batch floor): one member's swing moves the panel median far
+    // less than it moved the single control. The legacy "control"/
+    // "queries_ctl" blocks stay as-is for r15 comparability;
+    // cross-round deltas from r16 on read panel_ratio_rN / panel_ratio_
+    // r(N−1) off the "queries_panel" maps.
+    val panelNames = Seq("q01_agg_pricing", "q02_containment_subset",
+      "q16_minhash_pairs")
+    val panelMeds = panelNames.map(n => n -> median(times(n)))
+    val panelMins = panelNames.map { n =>
+      val xs = times(n); n -> (if (xs.isEmpty) 0.0 else xs.min)
+    }
+    val panelFactorMed = median((floor +: panelMeds.map(_._2)).toList)
+    val panelFactorMin = median((floor +: panelMins.map(_._2)).toList)
+    val panelJson = {
+      val members = (panelMeds.map { case (n, v) =>
+        "\"" + short(n) + "\":" + fmt(v) } :+ ("\"floor\":" + fmt(floor)))
+        .mkString("{", ",", "}")
+      val membersMin = (panelMins.map { case (n, v) =>
+        "\"" + short(n) + "\":" + fmt(v) } :+ ("\"floor\":" + fmt(floor)))
+        .mkString("{", ",", "}")
+      s"""{"members":$members,"members_min":$membersMin,"factor_med":${fmt(panelFactorMed)},"factor_min":${fmt(panelFactorMin)}}"""
+    }
+    val qsPanel =
+      if (panelFactorMed <= 0) "{}"
+      else results.map { case (k, v, _, _) =>
+        "\"" + short(k) + "\":" + fmt(v / panelFactorMed)
+      }.mkString("{", ",", "}")
     val probeMed = {
       val xs = probeLog.map(_._2).toList.sorted
       if (xs.isEmpty) probeBase else xs(xs.size / 2)
@@ -397,7 +429,7 @@ object Bench {
     val totalMin = results.map { case (_, _, xs, _) =>
       if (xs.isEmpty) 0.0 else xs.min }.sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"control":$controlJson,"queries_ctl":$qsCtl,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"control":$controlJson,"queries_ctl":$qsCtl,"panel":$panelJson,"queries_panel":$qsPanel,"errors":$errs,"stream_floor":${fmt(floor)},"stream_adj":$adj,"suspect":$suspect,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","detail":"$detailPath"}"""
     // The driver captures only the LAST ~2000 chars of run output, and the
     // full line above (152 query medians + minima) is far longer — shipped
     // as-is it arrives front-truncated and unparseable (rounds 4 and 10
@@ -453,7 +485,7 @@ object Bench {
     // (build.sbt passes forked output through verbatim and suppresses the
     // [success] banner — see outputStrategy / showSuccess there).
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"control":$controlJson,"errors":$errs,"stream_floor":${fmt(floor)},"suspect":$suspectCapped,"suspect_omitted":$suspectOmitted,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","queries_in":"$summaryPath","summary":"$summaryPath","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"control":$controlJson,"panel":$panelJson,"errors":$errs,"stream_floor":${fmt(floor)},"suspect":$suspectCapped,"suspect_omitted":$suspectOmitted,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","queries_in":"$summaryPath","summary":"$summaryPath","detail":"$detailPath"}""")
     System.out.flush()
   }
 }

@@ -2215,6 +2215,58 @@ object SparkEntry {
         "SELECT user_id, tier, valid_from, valid_to, version FROM " +
           "graft_scd2('graft_q158_src', 'user_id', 'ts', 'event_id', " +
           "'tier') ORDER BY user_id, version")
+    }),
+
+    // The retrieval family through the SQL TVF surface (VERDICT r15 #7):
+    // graft_bm25_topk is q107's plan FROM-callable — distinct query set
+    // and k so this oracle is its own replay, not a q107 copy.
+    "q159_sql_bm25_topk" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q159_docs")
+      s.sql(
+        "SELECT CAST(query_id AS BIGINT) AS query_id, query_text " +
+          "FROM VALUES (0, 'stream shuffle join'), " +
+          "(1, 'parquet filter scan'), (2, 'window table merge') " +
+          "AS v(query_id, query_text)")
+        .createOrReplaceTempView("graft_q159_queries")
+      s.sql(
+        "SELECT * FROM graft_bm25_topk('graft_q159_docs', 'doc_id', " +
+          "'text', 'graft_q159_queries', 'query_id', 'query_text', 5) " +
+          "ORDER BY query_id, rank")
+    }),
+
+    // graft_rrf_fuse over two SQL-built ranking views (a modular-hash
+    // ranker and a length-prior ranker — both independently replayable),
+    // so the oracle exercises the fusion TVF end-to-end without
+    // duplicating q121's full hybrid chain.
+    "q160_sql_rrf_fuse" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q160_docs")
+      s.sql(
+        """SELECT query_id, doc_id, rank FROM (
+             SELECT q.query_id, d.doc_id, row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY (d.doc_id * 37 + q.query_id * 11) % 101, d.doc_id)
+               AS rank
+             FROM (SELECT doc_id FROM graft_q160_docs WHERE doc_id < 400) d
+             CROSS JOIN (SELECT CAST(query_id AS BIGINT) AS query_id
+               FROM VALUES (0), (1), (2) AS v(query_id)) q)
+           WHERE rank <= 15""")
+        .createOrReplaceTempView("graft_q160_a")
+      s.sql(
+        """SELECT query_id, doc_id, rank FROM (
+             SELECT q.query_id, d.doc_id, row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY d.n_chars DESC, d.doc_id) AS rank
+             FROM (SELECT doc_id, n_chars FROM graft_q160_docs
+                   WHERE doc_id < 400) d
+             CROSS JOIN (SELECT CAST(query_id AS BIGINT) AS query_id
+               FROM VALUES (0), (1), (2) AS v(query_id)) q)
+           WHERE rank <= 15""")
+        .createOrReplaceTempView("graft_q160_b")
+      s.sql(
+        "SELECT * FROM graft_rrf_fuse('graft_q160_a', 'ka', " +
+          "'graft_q160_b', 'kb', 'doc_id', 10) ORDER BY query_id, rank")
     }))
 
   /** Deterministic messy-URL fixture expression (Spark SQL) for
@@ -6024,7 +6076,82 @@ object SparkEntry {
                 CAST(row_number() OVER w AS INT) AS version
          FROM kept
          WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
-         ORDER BY user_id, version""")
+         ORDER BY user_id, version""",
+
+    // q107's BM25 replay with the TVF's query set and k = 5 — the
+    // FROM-callable graft_bm25_topk must produce the identical chain
+    "q159_sql_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM t),
+         terms AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+           FROM (SELECT doc_id, unnest(tk) AS tok, len(tk) AS dl FROM t)
+           GROUP BY doc_id, tok),
+         q AS (SELECT * FROM (VALUES
+             (0, 'stream shuffle join'), (1, 'parquet filter scan'),
+             (2, 'window table merge'))
+           AS v(query_id, qtext)),
+         qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+             regexp_split_to_array(lower(qtext), '\\s+'), x -> len(x) > 0)))
+             AS tok FROM q),
+         dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM terms
+           WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+         qi AS (SELECT query_id, tok,
+             ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+           FROM qt JOIN dfq USING (tok), stats),
+         contrib AS (SELECT query_id, doc_id, tok,
+             idf * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 +
+               0.75 * CAST(dl AS DOUBLE) / avgdl)) AS s
+           FROM terms JOIN qi USING (tok)),
+         sc AS (SELECT query_id, doc_id,
+             round(list_sum(list_transform(
+               list_sort(list(struct_pack(t := tok, s := s))), x -> x.s)), 6)
+               AS score
+           FROM contrib GROUP BY query_id, doc_id),
+         r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+                CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // the two SQL rankings re-derived, then q121's tag-sorted RRF fold —
+    // the FROM-callable graft_rrf_fuse
+    "q160_sql_rrf_fuse" ->
+      """WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id
+             FROM (VALUES (0), (1), (2)) AS v(query_id)),
+         d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
+         ra AS (SELECT query_id, doc_id, rank FROM (
+             SELECT q.query_id, d.doc_id, row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY (d.doc_id * 37 + q.query_id * 11) % 101, d.doc_id)
+               AS rank
+             FROM d CROSS JOIN q) WHERE rank <= 15),
+         rb AS (SELECT query_id, doc_id, rank FROM (
+             SELECT q.query_id, d.doc_id, row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY d.n_chars DESC, d.doc_id) AS rank
+             FROM d CROSS JOIN q) WHERE rank <= 15),
+         allr AS (
+           SELECT query_id, doc_id, 'ka' AS src, rank FROM ra
+           UNION ALL
+           SELECT query_id, doc_id, 'kb' AS src, rank FROM rb),
+         fused AS (SELECT query_id, doc_id,
+             round(list_sum(list_transform(
+               list_sort(list(struct_pack(s := src,
+                 c := 1.0 / (60.0 + CAST(rank AS DOUBLE))))), x -> x.c)), 6)
+               AS rrf_score
+           FROM allr GROUP BY query_id, doc_id),
+         ranked AS (SELECT query_id, doc_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id) AS rank
+           FROM fused)
+         SELECT query_id, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10
+         ORDER BY query_id, rank""")
 
   /** DuckDB replay of [[graft.ops.Graphs.pageRank]] on q147's derived
     * host multigraph: 3 unrolled iterations, all-BIGINT floor-division

@@ -35,19 +35,34 @@ class CountingLocalFs extends org.apache.hadoop.fs.LocalFileSystem {
 
 object CountingLocalFs {
   val counts = new ConcurrentHashMap[String, AtomicLong]()
+  val bySubdir = new ConcurrentHashMap[String, AtomicLong]()
   @volatile var prefix: String = ""
   private[examples] def bump(op: String, p: Path): Unit = {
     val pre = prefix
-    if (pre.nonEmpty && p.toString.contains(pre))
+    val s = p.toString
+    val i = if (pre.isEmpty) -1 else s.indexOf(pre)
+    if (i >= 0) {
       counts.computeIfAbsent(op, _ => new AtomicLong).incrementAndGet()
+      // first path component below the prefix (the state subdir /
+      // marker dir / staging sibling) — the per-family attribution that
+      // turns a total into a consolidation target
+      val rest = s.substring(i + pre.length).stripPrefix("/")
+      val sub = rest.split("/", 2).head
+      bySubdir.computeIfAbsent(if (sub.isEmpty) "<root>" else sub,
+        _ => new AtomicLong).incrementAndGet()
+    }
   }
-  def reset(newPrefix: String): Unit = { prefix = newPrefix; counts.clear() }
-  def snapshot(): Map[String, Long] = {
-    val it = counts.entrySet().iterator()
+  def reset(newPrefix: String): Unit = {
+    prefix = newPrefix; counts.clear(); bySubdir.clear()
+  }
+  private def snap(m: ConcurrentHashMap[String, AtomicLong]): Map[String, Long] = {
+    val it = m.entrySet().iterator()
     val b = Map.newBuilder[String, Long]
     while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.get }
     b.result()
   }
+  def snapshot(): Map[String, Long] = snap(counts)
+  def snapshotSubdirs(): Map[String, Long] = snap(bySubdir)
 }
 
 /** Steady-state idle cost of the WHOLE streaming keyed-sink envelope
@@ -102,10 +117,13 @@ object StreamingEnvelopeIdleProbe {
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
       val ops = CountingLocalFs.snapshot().toSeq.sortBy(_._1)
+      val subs = CountingLocalFs.snapshotSubdirs().toSeq.sortBy(-_._2)
       val total = ops.map(_._2).sum
       println(f"$label%-10s wall=$wall%6.2f s  rows=$rows  " +
         f"fsOps=$total (${total.toDouble / (nTrickle + 1)}%.0f/batch): " +
         ops.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      println("           by-subdir: " +
+        subs.map { case (k, v) => s"$k=$v" }.mkString(" "))
     }
 
     val base = java.nio.file.Files.createTempDirectory("graft-envelope").toString
@@ -139,12 +157,17 @@ object StreamingEnvelopeIdleProbe {
         nBuckets = 8).count()
     }
 
-    // q81 shape: MinHash near-dedup state (fenced appends + compaction)
+    // q81 shape: MinHash near-dedup state (fenced appends + compaction).
+    // nStateBuckets = 8 matches the other three families' bucket counts —
+    // the r15 run left it at the default 32, so q81's envelope counted 3
+    // stores × 4× the partition dirs of every sibling and read 5–9×
+    // rather than ~3× (stores are the honest multiplier; buckets were a
+    // probe-config artifact).
     family("q81-mh", s"$base/q81/state") {
       graft.ops.Dedup.streamingMinHashNearDuplicates(spark, docsDir,
         "*.parquet", "doc_id", "text", stateDir = s"$base/q81/state",
         checkpointDir = s"$base/q81/ckpt", threshold = 0.4,
-        maxFilesPerTrigger = 1).count()
+        maxFilesPerTrigger = 1, nStateBuckets = 8).count()
     }
 
     // q82 shape: IVF streaming ingest (partitioned fenced appends)

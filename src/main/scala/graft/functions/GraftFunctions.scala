@@ -344,6 +344,48 @@ object GraftFunctions {
             strArg(exprs(2), fn), strArg(exprs(3), fn), csv(exprs(4), fn))
           .queryExecution.logical
       }, "scala_udf")
+    // BM25 top-k keyword retrieval (the q107 flagship), FROM-callable —
+    // the sparse-retrieval entry point for a SQL-first user:
+    //   SELECT * FROM graft_bm25_topk('docs','doc_id','text',
+    //                                 'queries','query_id','query_text',10)
+    //   [, k1, b]
+    // Returns (query_id, idCol, score, rank ≤ k) — the Column API's exact
+    // plan (query-vocab-bounded statistics aggregate, broadcast idf join,
+    // term-sorted portable score fold, bounded CollectTopK).
+    tvf.createOrReplaceTempFunction("graft_bm25_topk",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_bm25_topk"
+        require(exprs.length >= 7 && exprs.length <= 9,
+          s"$fn(docsView, idCol, textCol, queriesView, qIdCol, qTextCol, " +
+            "k[, k1, b])")
+        graft.ops.Retrieval.bm25TopK(
+            spark.table(strArg(exprs(0), fn)), strArg(exprs(1), fn),
+            strArg(exprs(2), fn),
+            spark.table(strArg(exprs(3), fn)), strArg(exprs(4), fn),
+            strArg(exprs(5), fn), intArg(exprs(6), fn),
+            k1 = exprs.lift(7).map(e => doubleArg(e, fn)).getOrElse(1.2),
+            b = exprs.lift(8).map(e => doubleArg(e, fn)).getOrElse(0.75))
+          .queryExecution.logical
+      }, "scala_udf")
+    // Reciprocal Rank Fusion of two named rankings (the q121 hybrid
+    // combiner), FROM-callable over ranking VIEWS — each a
+    // (query_id, idCol, rank) frame from graft_bm25_topk, a dense top-k,
+    // or any external ranker registered as a temp view:
+    //   SELECT * FROM graft_rrf_fuse('sparse','bm25','dense','cos',
+    //                                'doc_id',10[, rrfK])
+    // Returns (query_id, idCol, rrf_score, rank ≤ k).
+    tvf.createOrReplaceTempFunction("graft_rrf_fuse",
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_rrf_fuse"
+        require(exprs.length == 6 || exprs.length == 7,
+          s"$fn(view1, tag1, view2, tag2, idCol, k[, rrfK])")
+        graft.ops.Retrieval.rrfFuse(
+            Seq(strArg(exprs(1), fn) -> spark.table(strArg(exprs(0), fn)),
+              strArg(exprs(3), fn) -> spark.table(strArg(exprs(2), fn))),
+            strArg(exprs(4), fn), intArg(exprs(5), fn),
+            rrfK = exprs.lift(6).map(e => intArg(e, fn)).getOrElse(60))
+          .queryExecution.logical
+      }, "scala_udf")
   }
 
   private def foldableArray(e: Expression, elem: org.apache.spark.sql.types.DataType,

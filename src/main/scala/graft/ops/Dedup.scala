@@ -700,20 +700,53 @@ object Dedup {
     * dir — partition pruning at the scan, so probe cost follows the
     * touched buckets, not the accumulated state size. */
   private def readStateBuckets(spark: org.apache.spark.sql.SparkSession,
-      path: String, buckets: Seq[Any]): DataFrame =
-    spark.read.parquet(path)
-      .filter(col("__bucket").isin(buckets: _*))
-      .drop("__bucket")
+      path: String, buckets: Seq[Any],
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // Explicit bucket dirs + basePath instead of a root read with an isin
+    // filter: partition DISCOVERY then lists only the touched dirs, not
+    // all nStateBuckets of them; the explicit schema (data columns + the
+    // __bucket partition column Spark appends last) skips the read's
+    // footer-inference job. Both were per-batch protocol costs the idle
+    // probe charged to every probe read, independent of batch size.
+    // one root listing finds which touched buckets EXIST (a batch can
+    // touch a bucket no prior batch wrote; an explicit read of a missing
+    // dir would throw where the old isin filter just matched nothing)
+    val fs = KeyedState.fsOf(spark, path)
+    val present = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .collect { case st if st.getPath.getName.startsWith("__bucket=") =>
+        st.getPath.getName.stripPrefix("__bucket=") }.toSet
+    val touched = buckets.map(String.valueOf).distinct.filter(present)
+    if (touched.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+    val schema = dataSchema.add("__bucket",
+      org.apache.spark.sql.types.IntegerType)
+    // A bulk batch touching MOST buckets reads the root (1 qualification
+    // + discovery over dirs it needs anyway); a trickle batch touching a
+    // few reads those dirs explicitly (discovery never lists the idle
+    // buckets — the idle-probe regime this read is priced for).
+    val base =
+      if (touched.size * 2 >= present.size)
+        spark.read.schema(schema).parquet(path)
+          .filter(col("__bucket").isin(buckets: _*))
+      else
+        spark.read.schema(schema).option("basePath", path)
+          .parquet(touched.map(b => s"$path/__bucket=$b"): _*)
+    base.drop("__bucket")
+  }
 
+  /** Returns the bucket values this batch actually published into (Nil on
+    * a replay skip) — the caller's compaction-candidate list. */
   private def appendStateBuckets(df: DataFrame, path: String,
-      keys: Seq[String], nBuckets: Int, batchId: Long): Unit =
+      keys: Seq[String], nBuckets: Int, batchId: Long): Seq[String] =
     KeyedState.appendPartitionedAtomic(
       df.withColumn("__bucket", stateBucket(keys, nBuckets)),
       path, "__bucket", nBuckets, batchId)
 
   private def compactStateBuckets(spark: org.apache.spark.sql.SparkSession,
-      path: String, buckets: Seq[Int], maxFiles: Int): Unit =
-    KeyedState.compactPartitions(spark, path, "__bucket", buckets, maxFiles)
+      path: String, buckets: Seq[Any], maxFiles: Int): Unit =
+    if (buckets.nonEmpty)
+      KeyedState.compactPartitions(spark, path, "__bucket", buckets, maxFiles)
 
   /** Streaming incremental MinHash near-dedup: documents arrive in
     * micro-batches and each batch pays only ITS OWN work — shingle + sign +
@@ -817,7 +850,7 @@ object Dedup {
         else Nil
         val cross = if (bandBuckets.nonEmpty) Some(
           banded.withColumnRenamed(idCol, "id_new").join(
-            readStateBuckets(spark, bandedDir, bandBuckets)
+            readStateBuckets(spark, bandedDir, bandBuckets, banded.schema)
               .withColumnRenamed(idCol, "id_other"),
             Seq("band", "band_sig"))
             .select("id_new", "id_other"))
@@ -848,7 +881,7 @@ object Dedup {
         // every candidate row would verify twice.
         val others = if (shBuckets.nonEmpty)
           sets.unionByName(
-            readStateBuckets(spark, shinglesDir, shBuckets)
+            readStateBuckets(spark, shinglesDir, shBuckets, sets.schema)
               .join(sets.select(idCol), Seq(idCol), "left_anti"))
         else sets
         val verified = verifyJaccard(cand
@@ -909,15 +942,25 @@ object Dedup {
           try Upsert.applyBatchOnce(spark, s"$stateDir/_pairs_w", batchId) {
             KeyedState.appendFlatAtomic(verified, pairsDir, 1, batchId)
           } finally if (hasShingles) cand.unpersist()
+        // published bucket values per store — the compaction-candidate
+        // lists (only a bucket that just gained a file can newly cross
+        // the compaction threshold; sweeping ALL nStateBuckets dirs per
+        // batch was 2×nStateBuckets listings of mostly-idle dirs). On a
+        // replay skip the list stays Nil and compaction waits for the
+        // next real append — opportunistic by the documented contract.
+        val pubBanded =
+          new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+        val pubShingles =
+          new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
         def bandedWrite(): Unit =
           Upsert.applyBatchOnce(spark, s"$stateDir/_banded_w", batchId) {
-            appendStateBuckets(banded, bandedDir,
-              Seq("band", "band_sig"), nStateBuckets, batchId)
+            pubBanded.set(appendStateBuckets(banded, bandedDir,
+              Seq("band", "band_sig"), nStateBuckets, batchId))
           }
         def shinglesWrite(): Unit =
           Upsert.applyBatchOnce(spark, s"$stateDir/_shingles_w", batchId) {
-            appendStateBuckets(sets, shinglesDir, Seq(idCol),
-              nStateBuckets, batchId)
+            pubShingles.set(appendStateBuckets(sets, shinglesDir, Seq(idCol),
+              nStateBuckets, batchId))
           }
         // Injected-crash point "minhash_mid_writes" (test-only, see
         // [[Failpoint]]): the index appends land WITH their markers, the
@@ -942,9 +985,9 @@ object Dedup {
         // swaps) lives in KeyedState's staged-swap + repair protocol.
         KeyedState.compactFlat(spark, pairsDir, compactAfterFiles)
         compactStateBuckets(spark, bandedDir,
-          0 until nStateBuckets, compactAfterFiles)
+          pubBanded.get, compactAfterFiles)
         compactStateBuckets(spark, shinglesDir,
-          0 until nStateBuckets, compactAfterFiles)
+          pubShingles.get, compactAfterFiles)
         sets.unpersist()
         banded.unpersist()
         // Injected-crash point "minhash_post_writes" (test-only): every

@@ -278,6 +278,21 @@ object KeyedState {
       .map(_.getPath.getName.split("=", 2).last)
   }
 
+  /** Is there a COMPLETE (fenced) staged micro-batch for `batchId`? A
+    * crashed earlier attempt's staging that the staged merge arm should
+    * resume rather than re-executing the batch plan. */
+  private[ops] def hasFencedBatchStage(spark: SparkSession, path: String,
+      batchId: Long): Boolean = {
+    val fs = fsOf(spark, path)
+    val dir = batchStage(path, Some(batchId))
+    fs.exists(new Path(dir, "_FENCE")) && fs.exists(dir)
+  }
+
+  /** Total data-file bytes under `dir` (one recursive listing; 0 when
+    * missing) — the merge-arm size estimator's input. */
+  private[ops] def dirBytes(spark: SparkSession, dir: String): Long =
+    dataFiles(fsOf(spark, dir), new Path(dir)).map(_.getLen).sum
+
   /** Drop the staged micro-batch dir once its batch is fully published. */
   private[ops] def dropBatchStage(spark: SparkSession, path: String,
       batchId: Option[Long]): Unit = {

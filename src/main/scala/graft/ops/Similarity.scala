@@ -53,13 +53,27 @@ object Similarity {
   private def boundedTopK(item: Column, k: Int): Column =
     array_sort(ColumnBridge.collectTopK(item, k, reverse = true))
 
-  /** Project (id, vec, norm) behind a repartition barrier: spreads the work
-    * of a single-file scan and stops downstream plans from re-inlining the
-    * norm computation.
+  /** Project (id, vec, norm), spreading UNDER-SPLIT inputs behind a
+    * repartition barrier (a small/single parquet file arrives as one
+    * input split and would serialize the whole scoring pipeline onto one
+    * task — the bm25TopK spread discipline). A properly-split corpus
+    * passes through untouched: the unconditional barrier this replaces
+    * was a full-corpus shuffle of the vector payload per call — linear
+    * in data size for zero benefit at the 100 TB posture, where the scan
+    * is already thousands of splits (RetrievalLadderProbe measured the
+    * dense ndcg/topKJoin shuffle dropping ~linear-in-corpus → flat).
+    * `forceBarrier` keeps the exchange for callers that fan the frame
+    * into BOTH sides of a self-join: ReuseExchange then scans the corpus
+    * once where a barrier-less plan would re-inline the scan + norm per
+    * branch.
     */
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm"))
-      .repartition(parallelism(df), col(idCol))
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      forceBarrier: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm"))
+    if (forceBarrier || base.rdd.getNumPartitions < parallelism(df))
+      base.repartition(parallelism(df), col(idCol))
+    else base
+  }
 
   /** Fail-loud guardrail for every path whose QUERY side is collected to
     * the driver or broadcast to every task (topKJoin, hardNegatives,
@@ -131,7 +145,9 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val base = withNorm(embeddings, idCol, vecCol)
+    // forceBarrier: base feeds BOTH join sides — the exchange lets
+    // ReuseExchange scan the corpus once instead of once per branch
+    val base = withNorm(embeddings, idCol, vecCol, forceBarrier = true)
     val a = base.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__norm").as("na"))
     val b = base.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__norm").as("nb"))
     val sims = a.join(b, col("id_a") =!= col("id_b"))

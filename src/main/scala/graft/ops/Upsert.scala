@@ -60,8 +60,15 @@ object Upsert {
     * value. Existing rows with no incoming match pass through; incoming
     * rows with no existing match insert as-is.
     *
-    * One shuffle on the keys for the merge join plus one for the anti-join
-    * insert side (broadcast when the deduped incoming side is small).
+    * ONE full-outer join on the keys — each input referenced exactly once
+    * in the plan. The previous left-join ∪ anti-join shape referenced
+    * BOTH inputs twice, so every consumer paid two scans of the existing
+    * state and two executions of the incoming subtree per action (for a
+    * keyed merge sink that is two touched-bucket scans per batch, and it
+    * is what made the direct merge arm a triple execution of the batch
+    * plan). USING-join key coalescing keeps key columns single; unmatched
+    * sides are told apart by the non-nullable presence markers, exactly
+    * the old shape's `__matched` discipline.
     */
   def merge(
       existing: DataFrame,
@@ -77,18 +84,21 @@ object Upsert {
       .filter(col("__rn") === 1)
       .drop("__rn")
     val nonKey = existing.columns.filterNot(keys.contains).toSeq
+    val oldAliased = existing.select(
+      (keys.map(col) :+ lit(1).as("__in_old")) ++
+        nonKey.map(c => col(c).as(s"__old_$c")): _*)
     val newAliased = dedupedNew.select(
-      (keys.map(col) :+ lit(1).as("__matched")) ++
+      (keys.map(col) :+ lit(1).as("__in_new")) ++
         nonKey.map(c => col(c).as(s"__new_$c")): _*)
-    val updated = existing.join(newAliased, keys, "left")
+    oldAliased.join(newAliased, keys, "full_outer")
       .select(keys.map(col) ++ nonKey.map { c =>
         val merged = mergeCols.get(c)
-          .map(f => f(col(c), col(s"__new_$c")))
-          .getOrElse(col(c))
-        when(col("__matched").isNotNull, merged).otherwise(col(c)).as(c)
+          .map(f => f(col(s"__old_$c"), col(s"__new_$c")))
+          .getOrElse(col(s"__old_$c"))
+        when(col("__in_old").isNotNull && col("__in_new").isNotNull, merged)
+          .when(col("__in_old").isNotNull, col(s"__old_$c"))
+          .otherwise(col(s"__new_$c")).as(c)
       }: _*)
-    val inserts = dedupedNew.join(existing, keys, "left_anti")
-    updated.unionByName(inserts.select(existing.columns.map(col): _*))
   }
 
   /** Replace-by-key into a bucket-partitioned parquet directory — the
@@ -269,14 +279,67 @@ object Upsert {
         nBuckets, batchId)
       return
     }
-    // WARM sink: stage the micro-batch's OUTPUT first under its own
-    // fence — the ONLY execution of the batch plan — and read the
-    // affected buckets off the staged partition dirs. The combined merge
-    // below reads two parquet sources (staged batch + touched live
-    // buckets), so the fenced swap write no longer re-executes the batch
-    // aggregate (round 14's remaining double execution). The batch fence
-    // matters here even though the swap has its own: a replay between
-    // the two must reuse the staged batch, not re-run its plan.
+    // WARM sink: two arms, size-chosen per batch (VERDICT r15 #4).
+    //
+    // STAGED arm (the r15 shape, and the default): stage the micro-
+    // batch's OUTPUT first under its own fence — the ONLY execution of
+    // the batch plan — and read the affected buckets off the staged
+    // partition dirs. The combined merge then reads two parquet sources
+    // (staged batch + touched live buckets), so the fenced swap write
+    // never re-executes the batch aggregate. Cost: an IO roundtrip of
+    // the batch's output (write + read back) — at toy scale, where the
+    // batch output rivals the touched live state, that roundtrip was a
+    // measured +0.2–0.3 s/batch over the direct shape.
+    //
+    // DIRECT arm (the r14 shape, kept as the cheaper path when the
+    // batch OUTPUT outweighs the touched-bucket scan): derive affected
+    // buckets from a pruned distinct-collect (first plan execution),
+    // then let the fenced merge write re-execute the batch plan
+    // (second). Correct for DETERMINISTIC batch plans — the two
+    // executions must bucket identically, or the swap could replace a
+    // bucket the discovery pass never scanned (losing its state); auto
+    // mode therefore only flips to direct on measured sizes, and
+    // `spark.graft.mergeStaging` pins `always`/`direct` explicitly.
+    //
+    // AUTO choice: staged until a staged batch MEASURES its output ≥ the
+    // touched live bytes (sizes from the driver listings the protocol
+    // already pays, recorded per sink path in-JVM); then direct, with a
+    // staged refresh every `spark.graft.mergeStagingProbeEvery` batches
+    // (default 8) so a sink whose regime shifts back is re-measured. A
+    // restart clears the stats → staged-first, the safe default.
+    val mode = spark.conf.getOption("spark.graft.mergeStaging")
+      .getOrElse("auto")
+    require(Seq("auto", "always", "direct").contains(mode),
+      s"spark.graft.mergeStaging=$mode: expected auto|always|direct")
+    val probeEvery = spark.conf
+      .getOption("spark.graft.mergeStagingProbeEvery").map(_.toLong)
+      .getOrElse(8L)
+    val useDirect = mode match {
+      case "direct" => true
+      case "always" => false
+      case _ =>
+        // a fenced staged batch from a crashed earlier attempt must be
+        // consumed by the staged arm (resuming it is strictly cheaper
+        // than re-executing the plan twice, and dropping it would waste
+        // the fence's exactly-once guarantee)
+        !KeyedState.hasFencedBatchStage(spark, path, batchId) &&
+          (probeEvery <= 0 || batchId % probeEvery != 0) &&
+          Option(mergeArmStats.get(path)).exists(s => s.stagedBytes >= s.liveBytes)
+    }
+    if (useDirect) {
+      // pruned discovery: only the bucket column survives the aggregate,
+      // bounded by nBuckets rows
+      val affected = withBucket.select(col("__bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (affected.isEmpty) return
+      val existing = spark.read.parquet(path)
+        .filter(col("__bucket").isin(affected: _*))
+      val combined = merge(existing,
+        withBucket.select(existing.columns.map(col): _*), keys, mergeCols)
+      KeyedState.replacePartitionsAtomic(combined, path, "__bucket",
+        nBuckets, batchId)
+      return
+    }
     val affected = KeyedState
       .stageMicroBatch(withBucket, path, "__bucket", nBuckets, Some(batchId))
     if (affected.isEmpty) return // empty batch: nothing staged, no-op
@@ -292,12 +355,26 @@ object Upsert {
     // both correct by construction.
     val combined = merge(existing,
       batchRows.select(existing.columns.map(col): _*), keys, mergeCols)
+    // refresh the arm-choice stats while both trees exist: staged-output
+    // vs touched-live bytes, two bounded driver listings (≤ nBuckets +
+    // |affected| dirs — O(touched partitions), the envelope's own order)
+    mergeArmStats.put(path, MergeArmStats(
+      KeyedState.dirBytes(spark, KeyedState.batchStage(path, Some(batchId)).toString),
+      affected.map(v => KeyedState.dirBytes(spark, s"$path/__bucket=$v")).sum))
     // (replacePartitionsAtomic repartitions to one task per bucket — the
     // one-file-per-touched-bucket discipline upsertKeyedParquet documents)
     KeyedState.replacePartitionsAtomic(combined, path, "__bucket",
       nBuckets, batchId)
     KeyedState.dropBatchStage(spark, path, Some(batchId))
   }
+
+  /** Last staged-arm measurement per merge-sink path: the batch output's
+    * staged bytes vs the touched live buckets' bytes. In-JVM only — a
+    * restart forgets and the sink re-measures from the staged-first
+    * default. */
+  private final case class MergeArmStats(stagedBytes: Long, liveBytes: Long)
+  private val mergeArmStats =
+    new java.util.concurrent.ConcurrentHashMap[String, MergeArmStats]()
 
   /** Read a [[upsertKeyedParquet]] sink back as a plain table (healing
     * any swap a crash interrupted first — one `exists` when clean). */

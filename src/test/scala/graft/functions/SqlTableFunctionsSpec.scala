@@ -301,6 +301,49 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       (2L, 2L, 1), (2L, 3L, 2)))
   }
 
+  test("graft_bm25_topk / graft_rrf_fuse from SQL ≡ Column API") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "spark shuffle join speed"), (2L, "parquet scan filter pushdown"),
+      (3L, "spark window aggregate"), (4L, "join filter spark"),
+      (5L, "window shuffle merge table")).toDF("doc_id", "text")
+    val queries = Seq((0L, "spark join"), (1L, "filter scan"))
+      .toDF("query_id", "query_text")
+    docs.createOrReplaceTempView("rt_docs")
+    queries.createOrReplaceTempView("rt_queries")
+    val bSql = spark.sql("SELECT * FROM graft_bm25_topk('rt_docs', " +
+        "'doc_id', 'text', 'rt_queries', 'query_id', 'query_text', 3) " +
+        "ORDER BY query_id, rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val bApi = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "query_text", 3)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(bSql == bApi && bSql.nonEmpty)
+
+    // two tiny rankings as views; the fused result must equal rrfFuse
+    val ra = Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 3L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val rb = Seq((0L, 2L, 1L), (0L, 1L, 2L), (1L, 4L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    ra.createOrReplaceTempView("rt_ra")
+    rb.createOrReplaceTempView("rt_rb")
+    val fSql = spark.sql("SELECT * FROM graft_rrf_fuse('rt_ra', 'a', " +
+        "'rt_rb', 'b', 'doc_id', 5) ORDER BY query_id, rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val fApi = graft.ops.Retrieval.rrfFuse(
+        Seq("a" -> ra, "b" -> rb), "doc_id", 5)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(fSql == fApi && fSql.nonEmpty)
+    // doc seen by both rankings fuses both contributions and ranks first
+    assert(fSql.head._1 == 0L && fSql.take(2).map(_._2).toSet == Set(1L, 2L))
+  }
+
   test("table-function misuse fails loud: wrong arity, unknown view") {
     GraftFunctions.register(spark)
     val wrongArity = intercept[Exception] {

@@ -153,25 +153,103 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(got.size == 50 && got(0L) == 1L && got(29L) == 1L && got(30L) == 0L)
   }
 
-  test("warm-sink merge executes the batch plan exactly once per batch") {
+  test("warm-sink merge (staged arm) executes the batch plan exactly " +
+      "once per batch") {
     val dir = tempDir().resolve("merge-once").toString
-    val mergeCols = Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column](
-      "n" -> ((old, nw) => old + nw))
-    val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
-    Upsert.mergeKeyedParquet(b0, dir, Seq("k"), mergeCols, nBuckets = 4, batchId = 0L)
-    val execs = spark.sparkContext.longAccumulator("merge-plan-execs")
-    val counted = udf { (k: String) => execs.add(1L); k }.asNondeterministic()
-    val b1 = Seq(("a", 10L), ("c", 5L)).toDF("k0", "n")
-      .select(counted(col("k0")).as("k"), col("n"))
-    Upsert.mergeKeyedParquet(b1, dir, Seq("k"), mergeCols, nBuckets = 4, batchId = 1L)
-    assert(execs.value == 2L,
-      s"batch plan row evaluations: expected 2 (one execution), got " +
-        s"${execs.value} — the warm merge path re-executed the micro-batch plan")
-    val got = Upsert.readKeyedParquet(spark, dir)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(got == Map("a" -> 11L, "b" -> 2L, "c" -> 5L))
-    // the staged batch sibling is cleaned up after publication
-    assert(!Files.exists(Paths.get(dir + "__batch_b1")))
+    // pin the staged arm: the exactly-once-execution guarantee is ITS
+    // contract (auto also starts staged, but the pin keeps this spec
+    // meaningful whatever the size estimator decides)
+    spark.conf.set("spark.graft.mergeStaging", "always")
+    try {
+      val mergeCols = Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column](
+        "n" -> ((old, nw) => old + nw))
+      val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+      Upsert.mergeKeyedParquet(b0, dir, Seq("k"), mergeCols, nBuckets = 4, batchId = 0L)
+      val execs = spark.sparkContext.longAccumulator("merge-plan-execs")
+      val counted = udf { (k: String) => execs.add(1L); k }.asNondeterministic()
+      val b1 = Seq(("a", 10L), ("c", 5L)).toDF("k0", "n")
+        .select(counted(col("k0")).as("k"), col("n"))
+      Upsert.mergeKeyedParquet(b1, dir, Seq("k"), mergeCols, nBuckets = 4, batchId = 1L)
+      assert(execs.value == 2L,
+        s"batch plan row evaluations: expected 2 (one execution), got " +
+          s"${execs.value} — the warm merge path re-executed the micro-batch plan")
+      val got = Upsert.readKeyedParquet(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == Map("a" -> 11L, "b" -> 2L, "c" -> 5L))
+      // the staged batch sibling is cleaned up after publication
+      assert(!Files.exists(Paths.get(dir + "__batch_b1")))
+    } finally spark.conf.unset("spark.graft.mergeStaging")
+  }
+
+  test("warm-sink merge (direct arm) trades a second plan execution for " +
+      "no staging roundtrip, same merged state") {
+    val dir = tempDir().resolve("merge-direct").toString
+    spark.conf.set("spark.graft.mergeStaging", "direct")
+    try {
+      val mergeCols = Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column](
+        "n" -> ((old, nw) => old + nw))
+      val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+      Upsert.mergeKeyedParquet(b0, dir, Seq("k"), mergeCols, nBuckets = 4, batchId = 0L)
+      val execs = spark.sparkContext.longAccumulator("merge-direct-execs")
+      // deterministic CONTENT (the direct arm's documented contract) but
+      // still counting evaluations per execution
+      val counted = udf { (k: String) => execs.add(1L); k }.asNondeterministic()
+      val b1 = Seq(("a", 10L), ("c", 5L)).toDF("k0", "n")
+        .select(counted(col("k0")).as("k"), col("n"))
+      Upsert.mergeKeyedParquet(b1, dir, Seq("k"), mergeCols, nBuckets = 4, batchId = 1L)
+      assert(execs.value == 4L,
+        s"direct arm: expected 4 evaluations (discovery + merge write), " +
+          s"got ${execs.value}")
+      val got = Upsert.readKeyedParquet(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == Map("a" -> 11L, "b" -> 2L, "c" -> 5L))
+      // the direct arm never stages the batch sibling
+      assert(!Files.exists(Paths.get(dir + "__batch_b1")))
+    } finally spark.conf.unset("spark.graft.mergeStaging")
+  }
+
+  test("warm-sink merge auto mode flips to direct when the measured batch " +
+      "output outweighs the touched live state, and refreshes on the " +
+      "probe cadence") {
+    val dir = tempDir().resolve("merge-auto").toString
+    try {
+      val mergeCols = Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column](
+        "n" -> ((old, nw) => old + nw))
+      // tiny live state
+      val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+      Upsert.mergeKeyedParquet(b0, dir, Seq("k"), mergeCols, nBuckets = 4, batchId = 0L)
+      // batch 1 (auto, no stats yet): STAGED — and its staged output
+      // (300 fat keys) measures far larger than the touched live bytes
+      def fat(tag: String) = spark.range(300)
+        .select(concat(lit(tag), col("id").cast("string"),
+          lit("x" * 200)).as("k"), lit(1L).as("n"))
+      Upsert.mergeKeyedParquet(fat("p"), dir, Seq("k"), mergeCols,
+        nBuckets = 4, batchId = 1L)
+      // batch 2: stats say staged ≥ live → DIRECT (no __batch_b2 sibling
+      // ever exists; the staged arm would create then drop it, so assert
+      // via the accumulator instead)
+      val execs = spark.sparkContext.longAccumulator("merge-auto-execs")
+      val counted = udf { (k: String) => execs.add(1L); k }.asNondeterministic()
+      val b2 = Seq(("a", 10L)).toDF("k0", "n")
+        .select(counted(col("k0")).as("k"), col("n"))
+      Upsert.mergeKeyedParquet(b2, dir, Seq("k"), mergeCols, nBuckets = 4, batchId = 2L)
+      assert(execs.value == 2L,
+        s"auto mode should have chosen the direct arm (2 executions of " +
+          s"the 1-row plan); got ${execs.value} evaluations")
+      // batch 8 lands ON the probe cadence (8 % 8 == 0) → STAGED refresh
+      val execs8 = spark.sparkContext.longAccumulator("merge-auto-execs8")
+      val counted8 = udf { (k: String) => execs8.add(1L); k }.asNondeterministic()
+      val b8 = Seq(("b", 5L)).toDF("k0", "n")
+        .select(counted8(col("k0")).as("k"), col("n"))
+      Upsert.mergeKeyedParquet(b8, dir, Seq("k"), mergeCols, nBuckets = 4, batchId = 8L)
+      assert(execs8.value == 1L,
+        s"probe-cadence batch should run the staged arm (1 execution); " +
+          s"got ${execs8.value}")
+      val got = Upsert.readKeyedParquet(spark, dir)
+        .collect().collect { case r if r.getString(0).length < 5 =>
+          (r.getString(0), r.getLong(1)) }.toMap
+      assert(got == Map("a" -> 11L, "b" -> 7L))
+    } finally spark.conf.unset("spark.graft.mergeStaging")
   }
 
   test("mergeKeyedParquet: accumulate semantics, one file per bucket") {
