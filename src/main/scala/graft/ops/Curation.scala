@@ -341,14 +341,18 @@ object Curation {
             .getField("matched_grams"),
           lit(0L)).as("matched_grams"))
       .filter(col("matched_grams") >= 1L)
-    val q = matched.writeStream.outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Upsert.upsertKeyedParquet(batch, sinkDir, Seq(idCol), nBuckets)
-      }
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // Scoped shuffle width for the drain (KeyedState.withStatePartitions):
+    // the upsert's internal shuffles otherwise run at the session width.
+    graft.ops.KeyedState.withStatePartitions(spark) {
+      val q = matched.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.Upsert.upsertKeyedParquet(batch, sinkDir, Seq(idCol), nBuckets)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     // an UNCONTAMINATED corpus never creates the sink (the upsert writer
     // early-returns on every empty batch) — the expected clean outcome,
     // which must read back as an empty blocklist, not PATH_NOT_FOUND
@@ -819,30 +823,34 @@ object Curation {
     // the merge sink's __bucket= layout is pmod(key, nBuckets)
     graft.ops.KeyedState.stampParams(spark, sinkDir,
       Map("nBuckets" -> nBuckets))
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // The merge sink accumulates, so a checkpoint-recovery replay of an
-        // already-applied batch would concatenate its elements twice.
-        Upsert.applyBatchOnce(spark, s"$sinkDir/_applied", batchId) {
-          val agg = batch.groupBy(col(keyCol))
-            .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
-              col(tieCol).as("t"), col(valueCol).cast("string").as("v"))))
-              .as("items"))
-          Upsert.mergeKeyedParquet(agg, sinkDir, Seq(keyCol),
-            Map("items" -> ((old: Column, nw: Column) =>
-              array_sort(concat(old, nw)))), nBuckets, batchId)
+    // Scoped shuffle width for the drain (KeyedState.withStatePartitions):
+    // the per-batch groupBy + merge otherwise shuffle at the session width.
+    graft.ops.KeyedState.withStatePartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // The merge sink accumulates, so a checkpoint-recovery replay of
+          // an already-applied batch would concatenate its elements twice.
+          Upsert.applyBatchOnce(spark, s"$sinkDir/_applied", batchId) {
+            val agg = batch.groupBy(col(keyCol))
+              .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+                col(tieCol).as("t"), col(valueCol).cast("string").as("v"))))
+                .as("items"))
+            Upsert.mergeKeyedParquet(agg, sinkDir, Seq(keyCol),
+              Map("items" -> ((old: Column, nw: Column) =>
+                array_sort(concat(old, nw)))), nBuckets, batchId)
+          }
+          // Injected-crash point (test-only, see [[graft.ops.Failpoint]]):
+          // merge applied + fence marker written, checkpoint commit not —
+          // the replayed batch must be skipped or each key's items
+          // concatenate twice.
+          Failpoint.hit(spark, "assemble_post_fence", batchId)
+          ()
         }
-        // Injected-crash point (test-only, see [[graft.ops.Failpoint]]):
-        // merge applied + fence marker written, checkpoint commit not —
-        // the replayed batch must be skipped or each key's items
-        // concatenate twice.
-        Failpoint.hit(spark, "assemble_post_fence", batchId)
-        ()
-      }
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     // a drained stream that delivered no rows never creates the sink (the
     // merge writer early-returns on empty batches) — read that back as an
     // empty result, not PATH_NOT_FOUND; the expected sink schema is the
@@ -2026,7 +2034,14 @@ object Curation {
       .select(md5(col(benchTextCol).substr(col("__bp") + 1, lit(spanLen)))
         .as("__h"))
       .distinct()
-    val marked = docs
+    // Spread under-split inputs (the withNorm / repeatedSpanDedup
+    // discipline): a single-file corpus would run the window explode+md5
+    // AND the excision fold on one task each.
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val spreadDocs =
+      if (docs.rdd.getNumPartitions < p) docs.repartition(p, col(idCol))
+      else docs
+    val marked = spreadDocs
       .filter(length(col(textCol)) >= spanLen)
       .select(col(idCol),
         explode(sequence(lit(0), length(col(textCol)) - spanLen,
@@ -2037,7 +2052,7 @@ object Curation {
       .join(broadcast(benchH), Seq("__h"), "left_semi")
       .select(col(idCol), col("__pos").as("__s"),
         (col("__pos") + spanLen).as("__e"))
-    Dedup.exciseMarkedRanges(docs, idCol, textCol, marked)
+    Dedup.exciseMarkedRanges(spreadDocs, idCol, textCol, marked)
   }
 
   /** DSIR-style importance weights: score every document by how much more

@@ -50,10 +50,15 @@ object Dedup {
     val agg = stream
       .groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // State stores sized to the smoke's state volume, not the session's
+    // shuffle width (KeyedState.withStatePartitions — measured 32 stores
+    // ≈ +0.45 s/batch of pure commit overhead on toy state).
+    KeyedState.withStatePartitions(spark) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -89,14 +94,18 @@ object Dedup {
     val agg = tuned.parquet(dir)
       .groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
-    val q = agg.writeStream.outputMode("update")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Upsert.upsertKeyedParquet(batch, sinkDir, Seq("fingerprint"), nBuckets)
-      }
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // Scoped state stores + foreachBatch shuffle width (see
+    // streamingExactGroups).
+    KeyedState.withStatePartitions(spark) {
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Upsert.upsertKeyedParquet(batch, sinkDir, Seq("fingerprint"), nBuckets)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     // empty-input streams never create the sink (the upsert writer
     // early-returns on empty batches) — that's an empty result, not an error
     Upsert.readKeyedParquet(spark, sinkDir, agg.schema)
@@ -357,7 +366,18 @@ object Dedup {
       stride: Int): DataFrame = {
     require(spanLen >= 1 && stride >= 1,
       s"spanLen/stride must be >= 1, got $spanLen/$stride")
-    val occ = docs
+    // Spread under-split inputs behind a conditional repartition barrier
+    // (the [[Similarity]] withNorm / bm25TopK discipline): a single-file
+    // corpus arrives as ONE input split, which would serialize BOTH
+    // expensive per-row passes — the window explode+md5 here and the
+    // excision fold in [[exciseMarkedRanges]] — onto one task (measured
+    // 853 ms + 475 ms single-task stages at sf0.1). A properly-split
+    // corpus (the 100 TB case) passes through untouched.
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val spreadDocs =
+      if (docs.rdd.getNumPartitions < p) docs.repartition(p, col(idCol))
+      else docs
+    val occ = spreadDocs
       .filter(length(col(textCol)) >= spanLen)
       .select(col(idCol),
         explode(sequence(lit(0), length(col(textCol)) - spanLen,
@@ -385,7 +405,7 @@ object Dedup {
         col("__pos") <=> col("__keep.kpos")))
       .select(col(idCol), col("__pos").as("__s"),
         (col("__pos") + spanLen).as("__e"))
-    exciseMarkedRanges(docs, idCol, textCol, marked)
+    exciseMarkedRanges(spreadDocs, idCol, textCol, marked)
   }
 
   /** Shared excision tail of [[repeatedSpanDedup]] and
@@ -814,6 +834,12 @@ object Dedup {
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
     }
+    // Scoped shuffle width for the whole drain (KeyedState
+    // .withStatePartitions): no SS state store here, but every
+    // foreachBatch-internal shuffle (band self-join, candidate distinct,
+    // verify joins) otherwise runs at the session width — 32 near-empty
+    // reduce tasks per shuffle per batch at smoke scale.
+    KeyedState.withStatePartitions(spark) {
     val q = tuned.parquet(dir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1002,6 +1028,7 @@ object Dedup {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    }
     // A crash in a PREVIOUS invocation may have interrupted the pairs
     // compaction with no new batch arriving to heal it — repair before
     // the final read (no-op normally).

@@ -39,6 +39,42 @@ import org.apache.spark.sql.functions._
   */
 object KeyedState {
 
+  /** State-partition count for the single-node streaming smokes,
+    * overridable via `SPARK_GRAFT_STATE_PARTITIONS` — the shared home of
+    * the [[graft.streaming.EventsStream]] discipline, now applied to the
+    * Dedup/Similarity/Curation streaming entry points too. A streaming
+    * query pins its state-store count from `spark.sql.shuffle.partitions`
+    * at FIRST start, and every HDFSBackedStateStore pays a fixed
+    * commit/maintenance cost PER MICRO-BATCH regardless of how few rows
+    * it holds (StreamingCostProbe: 32 stores on 14k state rows cost
+    * ~7–9 s of summed commit time vs ~0.6 s across 8; wall 3.3 → 1.5 s);
+    * foreachBatch sinks additionally shuffle every internal join on the
+    * session count. Smokes size stores to their state volume (8), the
+    * same rule a cluster deployment applies upward (state rows ÷ target
+    * rows-per-store) — not a test-only shortcut.
+    */
+  lazy val smokeStatePartitions: Int =
+    // lazy + trimmed: an eager parse during object init would poison every
+    // KeyedState member with ExceptionInInitializerError on a malformed
+    // env var; lazily it can only fail the streaming paths that consume it
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.trim.toInt)
+      .getOrElse(8)
+
+  /** Run `body` (which STARTS and DRAINS a streaming query) with
+    * `spark.sql.shuffle.partitions` scoped to [[smokeStatePartitions]],
+    * restoring the session value after — only the streaming query keeps
+    * the scoped count (pinned at start); batch plans built later are
+    * unaffected. Safe because callers drive their query to completion
+    * inside the scope (single-threaded session use).
+    */
+  def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      smokeStatePartitions.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Hash bucket for key columns: a pure function of the key, so a probe
     * by key touches exactly one bucket and bucket-pruned joins are
     * exactly equivalent to full-state joins. */

@@ -961,6 +961,12 @@ object Similarity {
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     val tuned = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    // Scoped shuffle width for the whole drain (KeyedState
+    // .withStatePartitions): foreachBatch-internal shuffles otherwise run
+    // at the session width — near-empty reduce tasks per batch at smoke
+    // scale. (The staged cell append's task count is the explicit
+    // parallelism(batch) argument, unaffected.)
+    KeyedState.withStatePartitions(spark) {
     val q = tuned.parquet(dir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1002,6 +1008,7 @@ object Similarity {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    }
     // Partition-directory values read back as int by inference; restore
     // the assignment's long centroid ids.
     // Heal a compaction swap a previous run's crash may have interrupted

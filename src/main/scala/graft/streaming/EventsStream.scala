@@ -207,39 +207,15 @@ object EventsStream {
       spark.catalog.dropTempView(name)
   }
 
-  /** State-partition count for the single-node smokes (overridable via
-    * `SPARK_GRAFT_STATE_PARTITIONS`). A streaming query pins its
-    * state-store count from `spark.sql.shuffle.partitions` at FIRST
-    * start, and every store pays a fixed HDFSBackedStateStore
-    * commit/maintenance cost PER MICRO-BATCH regardless of how few rows
-    * it holds — measured by `examples/StreamingCostProbe` at sf0.1:
-    * the q140 sliding aggregate's 14k state rows cost ~7–9 s of summed
-    * commit time across 32 stores vs ~0.6 s across 8 (wall 3.3 s → 1.5 s);
-    * the data-side cost is identical. So the smokes size stores to their
-    * state volume (8), the same rule a cluster deployment applies upward
-    * (state rows ÷ target rows-per-store), not a test-only shortcut.
+  /** State-partition scoping for the single-node smokes — the measured
+    * rationale (StreamingCostProbe: 32 stores on 14k state rows cost
+    * ~7–9 s of summed commit time vs ~0.6 s across 8) and the
+    * `SPARK_GRAFT_STATE_PARTITIONS` dial now live in
+    * [[graft.ops.KeyedState.withStatePartitions]], shared with the
+    * Dedup/Similarity/Curation streaming entry points (round 16).
     */
-  private lazy val smokeStatePartitions: Int =
-    // lazy + trimmed: an eager parse during OBJECT init would poison
-    // every EventsStream member — including the ~20 pure-batch query
-    // paths — with ExceptionInInitializerError on a malformed env var;
-    // lazily it can only fail the streaming smokes that consume it
-    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.trim.toInt)
-      .getOrElse(8)
-
-  /** Run `body` (which STARTS a streaming query) with
-    * `spark.sql.shuffle.partitions` scoped to [[smokeStatePartitions]],
-    * restoring the session value after — only the streaming query keeps
-    * the scoped count (pinned at start); batch plans built later are
-    * unaffected. Safe because smokes drive their query to completion
-    * inside the scope (single-threaded session use).
-    */
-  private def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", smokeStatePartitions.toString)
-    try body
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private def withStatePartitions[A](spark: SparkSession)(body: => A): A =
+    graft.ops.KeyedState.withStatePartitions(spark)(body)
 
   /** Stateful sessionization: per-user sessions closed after `gapMs` of
     * inactivity, via `flatMapGroupsWithState` with event-time timeout.
