@@ -31,27 +31,29 @@ object R16QueryProbe {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    final case class Job(id: Int, t0: Long, var t1: Long = 0L,
-        var stages: Int = 0, var tasks: Int = 0,
-        var shufR: Long = 0L, var shufW: Long = 0L, var in: Long = 0L)
+    final case class Job(id: Int, t0: Long, stageIds: Set[Int],
+        var t1: Long = 0L, var stages: Int = 0, var tasks: Int = 0,
+        var shufR: Long = 0L, var shufW: Long = 0L, var in: Long = 0L,
+        var names: List[String] = Nil)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
-        jobs.put(e.jobId, Job(e.jobId, e.time))
+        jobs.put(e.jobId, Job(e.jobId, e.time,
+          e.stageInfos.map(_.stageId).toSet))
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val j = jobs.get(e.jobId); if (j != null) j.t1 = e.time
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val info = e.stageInfo
         jobs.values().forEach { j =>
-          // attribute by time overlap: stage submitted while job open
-          if (info.submissionTime.exists(t => t >= j.t0 &&
-              (j.t1 == 0 || t <= j.t1))) {
+          if (j.stageIds.contains(info.stageId)) {
             j.stages += 1
             j.tasks += info.numTasks
             j.shufR += info.taskMetrics.shuffleReadMetrics.totalBytesRead
             j.shufW += info.taskMetrics.shuffleWriteMetrics.bytesWritten
             j.in += info.taskMetrics.inputMetrics.bytesRead
+            j.names ::= s"${info.stageId}:${info.name.takeWhile(_ != ' ')}" +
+              s"×${info.numTasks}"
           }
         }
       }
@@ -78,12 +80,17 @@ object R16QueryProbe {
         val jobTime = js.map(j => math.max(0L, j.t1 - j.t0)).sum / 1e3
         println(f"== $n run$r wall=$wall%.3f jobSum=$jobTime%.3f " +
           f"nJobs=${js.size} outside=${wall - jobTime}%.3f")
-        if (r == repeats)
+        if (r == repeats) {
+          var prevEnd = 0L
           js.foreach { j =>
+            val gap = if (prevEnd == 0) 0 else j.t0 - prevEnd
+            prevEnd = math.max(prevEnd, j.t1)
+            if (gap > 40) println(f"  -- gap ${gap}ms before job ${j.id}")
             println(f"  job=${j.id}%3d ms=${j.t1 - j.t0}%5d stages=${j.stages}%2d " +
               f"tasks=${j.tasks}%4d in=${j.in / 1024}%8dK shufR=${j.shufR / 1024}%7dK " +
-              f"shufW=${j.shufW / 1024}%7dK")
+              f"shufW=${j.shufW / 1024}%7dK ${j.names.reverse.mkString(",")}")
           }
+        }
       }
     }
     spark.stop()

@@ -73,16 +73,43 @@ object UnigramLm {
     singles.unionByName(multis)
   }
 
+  /** Rows of a frame the optimizer already folded to a driver-LOCAL
+    * relation (collect() on it is a LocalTableScan — no Spark job).
+    * The model-sized vocabulary qualifies after [[localizeModel]];
+    * corpus-derived frames never do. */
+  private def localRows(df: DataFrame)
+      : Option[Array[org.apache.spark.sql.Row]] =
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(df.collect())
+      case _ => None
+    }
+
   /** Attach `cost_u` (integer micro-nats) to a (piece, n) vocabulary:
     * `floor(-ln(n/Σn)*1e6 + 0.5)`. The single float op in the whole
     * trainer; its 1 ppm quantization grid makes the (already ULP-scale)
-    * engine difference in `ln` unobservable. */
-  def withCosts(vocab: DataFrame): DataFrame =
-    vocab.crossJoin(broadcast(vocab.agg(sum(col("n")).as("__tot"))))
-      .withColumn("cost_u",
-        floor(-log(col("n").cast("double") / col("__tot")) * lit(1e6)
+    * engine difference in `ln` unobservable.
+    *
+    * When the vocabulary is already driver-local the total is summed on
+    * the driver and inlined as a literal — value-identical (exact Long
+    * sum either way), but the result stays a projection over a
+    * LocalRelation, so every downstream broadcast of the model builds
+    * WITHOUT a Spark job (the q144/q145/q148 action-churn cut). The
+    * distributed path is unchanged for corpus-derived vocabularies. */
+  def withCosts(vocab: DataFrame): DataFrame = localRows(vocab) match {
+    case Some(rows) =>
+      val nIdx = vocab.schema.fieldIndex("n")
+      val tot = rows.map(_.getLong(nIdx)).sum
+      vocab.withColumn("cost_u",
+        floor(-log(col("n").cast("double") / lit(tot)) * lit(1e6)
           + lit(0.5)).cast("long"))
-      .drop("__tot")
+    case None =>
+      vocab.crossJoin(broadcast(vocab.agg(sum(col("n")).as("__tot"))))
+        .withColumn("cost_u",
+          floor(-log(col("n").cast("double") / col("__tot")) * lit(1e6)
+            + lit(0.5)).cast("long"))
+        .drop("__tot")
+  }
 
   /** The Viterbi DP + backtrack as ONE `aggregate` HOF over `wordCol`,
     * reading piece costs from map column `mapCol`: returns the best
@@ -142,6 +169,20 @@ object UnigramLm {
     * and broadcast; the corpus-side frame is never reshuffled. */
   def viterbiSegment(words: DataFrame, wordCol: String, costedVocab: DataFrame,
       maxPieceLen: Int): DataFrame = {
+    // Driver-local vocabulary (the training loop after localizeModel):
+    // build the cost map as ONE literal instead of an aggregate +
+    // broadcast — each consuming action then skips two jobs and the
+    // join-analysis of the map subtree. Same map, same lookups.
+    localRows(costedVocab.select(col("piece"), col("cost_u"))) match {
+      case Some(rows) =>
+        val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        return words.withColumnRenamed(wordCol, "w")
+          .withColumn("__cmap", typedLit(m))
+          .withColumn("pieces", segmentExpr("w", "__cmap", maxPieceLen))
+          .drop("__cmap")
+          .withColumnRenamed("w", wordCol)
+      case None => ()
+    }
     val mapRow = costedVocab.agg(
       map_from_entries(collect_list(struct(col("piece"), col("cost_u"))))
         .as("__cmap"))
@@ -238,13 +279,35 @@ object UnigramLm {
     (vocab, stats.toDF("round", "corpus_cost_u", "n_pieces"))
   }
 
+  /** Materialize a MODEL-sized frame as a driver-LOCAL relation. The
+    * vocabulary is bounded by construction (≤ vocabSize multi-char pieces
+    * + the corpus's distinct single characters), so collecting it is the
+    * same driver-boundedness contract as [[viterbiSegment]]'s broadcast
+    * cost map. Why local instead of a checkpoint leaf: every EM round
+    * references the model from TWO broadcast builds (the cost map and
+    * withCosts' total), and a broadcast over a LocalRelation is built on
+    * the driver without launching a Spark job — measured at sf0.1 this
+    * cut the q144/q145/q148 action churn (37 jobs → ~1/3, ~1 s/query of
+    * between-job driver planning). Row order from collect() is
+    * irrelevant: the map keys are unique and the total is a sum.
+    */
+  private def localizeModel(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
+
   private def emTrain(docs: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int, emIters: Int, maxWordLen: Int,
       observe: Boolean): (DataFrame, Seq[(Int, Long, Long)]) = {
     require(emIters >= 0, s"emIters must be >= 0, got $emIters")
     val words = Checkpoints.truncate(wordFrequencies(docs, textCol, maxWordLen))
-    var costed = Checkpoints.truncate(
-      withCosts(seedVocab(words, vocabSize, maxPieceLen)))
+    // localize INSIDE withCosts: the cost projection then sits over a
+    // LocalRelation, which the optimizer folds — viterbiSegment's and
+    // measure()'s model references become literal/local-scan builds with
+    // no per-action Spark jobs.
+    var costed = withCosts(localizeModel(
+      seedVocab(words, vocabSize, maxPieceLen)))
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     // corpus cost + token total of a segmentation frame under its model:
     // sum of chosen pieces' costs ≡ the DP minimum by construction
@@ -267,13 +330,12 @@ object UnigramLm {
       val counts = seg
         .select(col("freq"), explode(col("pieces")).as("piece"))
         .groupBy("piece").agg(sum(col("freq")).as("__vn"))
-      val prev = costed
-      costed = Checkpoints.truncate(withCosts(
-        prev.select(col("piece"))
+      // prev costed is a LocalRelation projection — nothing to release
+      costed = withCosts(localizeModel(
+        costed.select(col("piece"))
           .join(counts, Seq("piece"), "left")
           .select(col("piece"),
             (coalesce(col("__vn"), lit(0L)) + lit(1L)).as("n"))))
-      Checkpoints.release(prev)
       if (observe) Checkpoints.release(seg)
     }
     if (observe)

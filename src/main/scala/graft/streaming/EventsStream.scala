@@ -636,6 +636,11 @@ object EventsStream {
     * sliding-window report: the same generator+aggregate maintained
     * incrementally; state is one row per open (window, type) group,
     * bounded by the watermark horizon × overlap factor, never by events.
+    * (Round 16 measured and REJECTED a pre-aggregate repartition spread
+    * of the single-split source: the extra raw-event shuffle + the
+    * driver-side split probe cost ~+0.4 s/run against a ~0.3 s
+    * single-task explode stage — the batch under-split barrier does not
+    * transfer to micro-batches this small.)
     */
   def runStreamingSlidingSmoke(spark: SparkSession, dir: String): DataFrame =
     drainToBatch(spark, slidingCounts(readEventsStream(spark, dir)),
