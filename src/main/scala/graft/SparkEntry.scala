@@ -1708,9 +1708,14 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
         .unionByName(docs.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      // The diff output feeds BOTH sides of the banding composition
+      // (semi-join + anti-join on the new snapshot) — persist the small
+      // touched-id frame so the md5 snapshot diff computes once, not
+      // once per side (guide §3.3; released by the caller's sweep).
       val touched = Curation.snapshotDiff(old, nw, "doc_id", "text")
         .filter(col("status").isin("added", "changed"))
         .select(col("doc_id"))
+        .persist()
       Dedup.crossCorpusNearDuplicates(
           nw.join(touched, Seq("doc_id")), "doc_id",
           nw.join(touched, Seq("doc_id"), "left_anti"), "doc_id",
