@@ -726,9 +726,19 @@ object SparkEntry {
     // q16's batch SQL: pair discovery is batch-split-invariant.
     "q81_streaming_minhash" -> ((s, dir) => {
       val base = scratch("graft-q81")
+      // nStateBuckets sized to the smoke's key volume (5k docs → 8
+      // buckets), the same rule q88's merge sink documents (one bucket
+      // ≪ executor memory; a deployment sizes upward by keys ÷ target
+      // keys-per-bucket). At the default 32, each of the three per-batch
+      // index appends paid 32 near-empty bucket writes + their staged-
+      // swap renames (two ~0.4–0.5 s 32-task write jobs per batch at
+      // sf0.1) with zero data-side difference — bucket count is storage
+      // layout, not semantics (stream_base/stream_p32 sweeps prove the
+      // pair set invariant).
       Dedup.streamingMinHashNearDuplicates(s, dir, "documents.parquet",
           "doc_id", "text", stateDir = s"$base/state",
-          checkpointDir = s"$base/ckpt", threshold = 0.5)
+          checkpointDir = s"$base/ckpt", threshold = 0.5,
+          nStateBuckets = 8)
         .orderBy("id_a", "id_b")
     }),
 
