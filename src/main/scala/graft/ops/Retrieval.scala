@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.functions.TextFunctions.{tokenCount, tokens}
+import graft.functions.TextFunctions.tokens
 
 /** Keyword retrieval over a document corpus — the sparse (lexical) half of
   * a retrieval stack next to [[Similarity]]'s dense half. BM25 is the
@@ -23,15 +23,18 @@ object Retrieval {
     * break by ascending doc id on the 6-dp-rounded score, so the ranking
     * is reproducible across engines.
     *
-    * Scale shape: two corpus scans, neither of which shuffles anything
-    * corpus-sized. The statistics scan aggregates straight to
-    * ≤ |query vocabulary| + 1 groups (df per query term + the corpus
-    * token total — map-side partials make the shuffle a few rows per
-    * partition); the scoring scan explodes only the query-matched tokens,
-    * so its (doc, term, tf, dl) table is docs × query-vocab bounded and
-    * the full corpus vocabulary never materializes. The scoring join
-    * broadcasts the (query, term, idf) table; the corpus side never
-    * shuffles on the skewed term key. Per-(query, doc) partial
+    * Scale shape: ONE corpus scan, which shuffles nothing corpus-sized.
+    * The scan tokenizes each doc once and posexplodes its DISTINCT
+    * query-matched terms, each carrying a row-locally computed occurrence
+    * count; that (doc, dl, pos, term, tf) frame — docs × query-vocab
+    * bounded, the full corpus vocabulary never materializes — persists
+    * and feeds BOTH the statistics aggregate (≤ |query vocabulary| + 1
+    * groups; map-side partials make the shuffle a few rows per partition)
+    * and the scoring join, so the tokenize+filter+explode work runs once
+    * instead of once per pass and the scoring side's (doc, term) tf
+    * aggregation exchange disappears.
+    * The scoring join broadcasts the (query, term, idf) table; the corpus
+    * side never shuffles on the skewed term key. Per-(query, doc) partial
     * scores fold over the term-sorted list (float sums add in identical
     * order on any engine and partitioning), and the per-query top-k is the
     * O(k)-state bounded `CollectTopK` aggregate — executor memory is
@@ -94,34 +97,53 @@ object Retrieval {
         s"exceeds spark.graft.maxQueryVocab=$vocabCap; it is broadcast " +
         "into every corpus task. Chunk the query set into bounded " +
         "bm25TopK calls or raise spark.graft.maxQueryVocab.")
+    // ONE corpus pass shared by statistics and scoring (the stats collect
+    // and the scoring join are separate actions whose exchanges cannot be
+    // reused across jobs, so before this fusion the corpus was tokenized,
+    // filtered and exploded TWICE — the second pass pure recompute — and
+    // the scoring side additionally paid a (doc, term) exchange to turn
+    // occurrences into tf counts). Per doc, ONE row-local expression
+    // builds the DISTINCT matched terms each with its occurrence count
+    // (O(occurrences × distinct matched terms) per doc — query-length
+    // bounded); posexplode_outer keeps matchless docs (their length still
+    // counts toward avgdl) and pins each doc's __dl to its FIRST emitted
+    // row (__p null for matchless docs, __p = 0 for the first matched
+    // term), so Σ __tok across groups ≡ Σ dl and the first-row count ≡ N
+    // — no extra corpus scan for either (docs.count() would re-execute
+    // the whole upstream plan, including q121's documents-embeddings
+    // join, just for one number). The persisted frame is docs ×
+    // query-vocab bounded — the same size class the scoring aggregate
+    // shuffles anyway — and is released by the caller's storage sweep.
+    // ONE tokenize per doc: the token array and the matched-term array
+    // each materialize in their own projection (CollapseProject keeps a
+    // non-cheap expression referenced more than once out-of-line, so the
+    // split/filter work is NOT re-inlined into every consumer); dl,
+    // distinct matched terms and per-term tf all derive from those
+    // arrays. The pre-fusion shape tokenized every doc four times —
+    // tokenCount + filtered explode, in each of the two corpus passes.
+    val toks = spread.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val withM = toks.select(col(idCol),
+      // == tokenCount(text): size of the full token array (int, 0 for
+      // null/empty), without re-splitting the text
+      coalesce(size(col("__toks")), lit(0)).as("__dl"),
+      filter(col("__toks"), t => t.isInCollection(qtermSet)).as("__mt"))
+    val exploded = withM.select(col(idCol), col("__dl"),
+        posexplode_outer(transform(array_distinct(col("__mt")),
+          t => struct(t.as("t"),
+            size(filter(col("__mt"), x => x === t)).cast("long").as("tf"))))
+          .as(Seq("__p", "__m")))
+      .select(col(idCol), col("__dl"), col("__p"),
+        col("__m.t").as("__t"), col("__m.tf").as("__tf"))
+      .persist()
     // Corpus statistics in ONE narrow aggregate with ≤ |query vocabulary|
-    // + 1 groups: per doc, the full token count plus its DISTINCT matched
-    // query terms. posexplode_outer keeps matchless docs (their length
-    // still counts toward avgdl) and pins each doc's __dl to its FIRST
-    // emitted row, so Σ __tok across groups ≡ Σ dl — the corpus token
-    // total — with no double count. Map-side partials collapse every
-    // partition to ≤ |qvocab| + 1 rows before the shuffle; the corpus-
-    // vocabulary (doc, term) table never materializes. (The previous
-    // shape built that full-vocab table with a corpus-sized shuffle and —
-    // because the stats collect and the scoring join are separate actions
-    // whose exchanges cannot be reused across jobs — built it TWICE:
-    // 1.43 s warm / 6.1 s cold at sf0.1 against 0.9 / 4.1 for this one.)
-    val perDoc = spread.select(
-      tokenCount(col(textCol)).as("__dl"),
-      array_distinct(filter(tokens(col(textCol)),
-        t => t.isInCollection(qtermSet))).as("__mts"))
-    val statRows = perDoc
-      .select(col("__dl"),
-        posexplode_outer(col("__mts")).as(Seq("__p", "__qt")))
-      .groupBy(col("__qt"))
+    // + 1 groups; map-side partials collapse every partition to ≤ |qvocab|
+    // + 1 rows before the shuffle. Each (doc, term) appears exactly once
+    // (the explode list is distinct terms), so count(1) is df.
+    val statRows = exploded
+      .groupBy(col("__t").as("__qt"))
       .agg(count(lit(1)).cast("double").as("__df"),
         sum(when(col("__p").isNull || col("__p") === 0, col("__dl"))
           .otherwise(lit(0L))).as("__tok"),
-        // each doc contributes exactly ONE first-row (__p null for
-        // matchless docs, __p = 0 for the first matched term), so this
-        // sums to the corpus doc count — N without a third corpus scan
-        // (docs.count() re-executed the whole upstream plan, including
-        // q121's documents-embeddings join, just for one number)
         sum(when(col("__p").isNull || col("__p") === 0, lit(1L))
           .otherwise(lit(0L))).as("__nd"))
       .collect()
@@ -131,16 +153,12 @@ object Retrieval {
       .sum.toDouble
     val avgdl = statRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
       .sum.toDouble / n
-    // Scoring term table: (doc, matched term, tf, dl) — the explode runs
-    // over the FILTERED token list (duplicates kept: tf is an occurrence
-    // count), so the groupBy shuffles only docs×query-vocab rows, not the
-    // corpus vocabulary.
-    val terms = spread
-      .select(col(idCol), tokenCount(col(textCol)).as("__dl"),
-        explode(filter(tokens(col(textCol)),
-          t => t.isInCollection(qtermSet))).as("__t"))
-      .groupBy(col(idCol), col("__t"))
-      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    // Scoring term table: (doc, matched term, tf, dl) off the SAME
+    // persisted pass — tf was computed row-locally in the scan, so the
+    // pre-fusion (doc, term) aggregation exchange is gone entirely; the
+    // first shuffle the scoring side pays is the (query, doc) fold.
+    val terms = exploded.filter(col("__t").isNotNull)
+      .select(col(idCol), col("__t"), col("__tf"), col("__dl"))
     // (query, term, df): the query-side frame joined to the LOCAL df
     // table — idf still evaluates inside the plan with the same log()
     // expression as before, so the numeric path the oracle replays is
