@@ -21,6 +21,12 @@ object Bench {
     * after it), so it cannot inflate any reported number.
     */
   private def isolate(spark: SparkSession): Unit = {
+    // Round-17 (VERDICT r16 #2): drop SparkEntry's JVM-resident memos
+    // (dupClustersMemo, fixtureCache) so no query's repeat — or sibling
+    // query — prices a memo hit instead of real computation. The memos
+    // remain a legitimate shared-pipeline scope for a long-lived session;
+    // the BENCH must price each timed thunk from the parquet inputs.
+    SparkEntry.invalidateTransientState()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     System.gc()
@@ -485,7 +491,43 @@ object Bench {
     // (build.sbt passes forked output through verbatim and suppresses the
     // [success] banner — see outputStrategy / showSuccess there).
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"control":$controlJson,"panel":$panelJson,"errors":$errs,"stream_floor":${fmt(floor)},"suspect":$suspectCapped,"suspect_omitted":$suspectOmitted,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","queries_in":"$summaryPath","summary":"$summaryPath","detail":"$detailPath"}""")
+    // FINAL LINE (VERDICT r16 #1): the driver captures only the last
+    // ~2000 chars of run output (measured: len(BENCH_r16.json tail) ==
+    // 2000 exactly), and round 16 proved that per-query results living
+    // only in the summary FILE leave the driver's cross-round comparison
+    // empty (PERF_r16 n_common: 0, geomean null). So the final stdout
+    // line now carries the per-query map itself, compacted to fit the
+    // capture: short qNN keys + 2-decimal values ≈ 1.8 kB for 160
+    // queries. "queries" carries the per-query MINIMUM over shuffled
+    // passes — the contention-robust estimate the verdicts adjudicate
+    // with ("queries_stat":"min" marks it; medians AND minima both stay
+    // in the summary file's uncapped maps, where all environment
+    // evidence — panel, gates, suspects — also still lives). Degrade
+    // gracefully: if the line would outgrow the capture (error text,
+    // pathological >100 s medians), fall back to 1-dp values, then to
+    // the r16-era headline-only line — a front-truncated line parses as
+    // nothing at all, which is strictly worse than fewer decimals.
+    def trimZeros(s: String): String =
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    def fmtDp(v: Double, dp: Int): String = trimZeros(
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString)
+    def qMinMap(dp: Int): String = results.map { case (k, _, xs, _) =>
+      "\"" + short(k) + "\":" + fmtDp(if (xs.isEmpty) 0.0 else xs.min, dp)
+    }.mkString("{", ",", "}")
+    // With the per-query map aboard only the essential fields fit; the
+    // fallback (no map) restores the full r16-style evidence line.
+    // No summary-path pointer here: measured against the r17pre data the
+    // 2-dp line ran 2005 chars WITH it — 47 chars of convention-derivable
+    // path were the difference between fitting the window and not.
+    def withQueries(dp: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"queries":${qMinMap(dp)},"queries_stat":"min","errors":$errs,"sf":"$sfDir"}"""
+    val headlineOnly =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.size},"control":$controlJson,"panel":$panelJson,"errors":$errs,"stream_floor":${fmt(floor)},"suspect":$suspectCapped,"suspect_omitted":$suspectOmitted,"probe":$probeJson,"load_gate":$gateJson,"probe_gate":$probeGateJson,"attempts":$attemptsJson,"kept_attempt":$keptAttempt,"loadavg":$loads,"repeats":$repeats,"sf":"$sfDir","queries_in":"$summaryPath","summary":"$summaryPath","detail":"$detailPath"}"""
+    val capture = 2000 // driver tail window; leave margin for the newline
+    println(Seq(withQueries(2), withQueries(1))
+      .find(_.length <= capture - 20).getOrElse(headlineOnly))
     System.out.flush()
   }
 }

@@ -230,6 +230,77 @@ object HashExpressions {
     new GenericArrayData(out)
   }
 
+  /** Distinct character n-grams as 64-BIT HASHES in one row-level pass —
+    * the fixed-width form of [[NgramSet]] for the inverted-index pair
+    * operators (round-17, guide §2.3 narrower types / §1.2 per-task
+    * work). The string form allocates one substring + one UTF8String and
+    * one hash-set probe per window; this form computes an FNV-1a/fmix64
+    * hash over each window's chars with ZERO allocations and dedupes via
+    * primitive sort+unique, and everything downstream (explode, persist,
+    * df-cut aggregate, self-join) carries and compares 8-byte longs
+    * instead of n-char strings. Gram identity is the 64-bit hash:
+    * distinct counts and join matches equal the string form's unless two
+    * distinct grams in the corpus collide (probability ≈ G²/2⁶⁵ over G
+    * distinct grams — ~5e-8 at the 1.4M-gram sf0.1 index; the paired
+    * spec proves the pair sets identical on the test corpora, and the
+    * DuckDB oracle gates it at every SF). Output order is sorted-by-hash
+    * (consumers are order-insensitive set operators).
+    */
+  case class NgramHashSet(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      ngramHashSetEval(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashExpressions.ngramHashSetEval($c, $n)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Static hot loop for [[NgramHashSet]]; called from generated code. */
+  def ngramHashSetEval(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString
+    val w = text.length - n + 1
+    if (w <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val hs = new Array[Long](w)
+    var i = 0
+    while (i < w) {
+      // FNV-1a 64 over the window's UTF-16 code units + murmur3 fmix64
+      // finalizer (avalanche for the short windows FNV alone mixes weakly)
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = i + n
+      while (j < end) {
+        h ^= text.charAt(j).toLong
+        h *= 0x100000001b3L
+        j += 1
+      }
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var m = 0
+    var k = 0
+    while (k < w) {
+      if (k == 0 || hs(k) != hs(k - 1)) { hs(m) = hs(k); m += 1 }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(hs, m))
+  }
+
+  def ngramHashSet(norm: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashSet(ColumnBridge.expression(norm), n))
+
   /** Per-row char-bigram count + Shannon entropy as a struct — the whole
     * [[graft.ops.Curation.charEntropyReport]] inner computation in ONE
     * codegen'd row-level pass. The composable formulation exploded one row

@@ -321,7 +321,8 @@ object Curation {
       n: Int = 13,
       minMatches: Int = 1,
       nBuckets: Int = 64,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
+      maxFilesPerTrigger: Int = 0,
+      statePartitions: Int = 0): DataFrame = {
     // sink buckets are pmod(hash, nBuckets) and the accumulated counts
     // are n-gram-width-specific: drifted re-run parameters would merge
     // against wrong buckets / mix incomparable counts — stamp-and-require
@@ -341,9 +342,10 @@ object Curation {
             .getField("matched_grams"),
           lit(0L)).as("matched_grams"))
       .filter(col("matched_grams") >= 1L)
-    // Scoped shuffle width for the drain (KeyedState.withStatePartitions):
-    // the upsert's internal shuffles otherwise run at the session width.
-    graft.ops.KeyedState.withStatePartitions(spark) {
+    // Scoped shuffle width for the drain: callers size the upsert's
+    // internal shuffles via `statePartitions`; unset keeps the session
+    // width (KeyedState.withStatePartitionsFor — cluster-safe).
+    graft.ops.KeyedState.withStatePartitionsFor(spark, statePartitions) {
       val q = matched.writeStream.outputMode("append")
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -818,14 +820,16 @@ object Curation {
       sep: String,
       sinkDir: String,
       checkpointDir: String,
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets: Int = 64,
+      statePartitions: Int = 0): DataFrame = {
     val spark = stream.sparkSession
     // the merge sink's __bucket= layout is pmod(key, nBuckets)
     graft.ops.KeyedState.stampParams(spark, sinkDir,
       Map("nBuckets" -> nBuckets))
-    // Scoped shuffle width for the drain (KeyedState.withStatePartitions):
-    // the per-batch groupBy + merge otherwise shuffle at the session width.
-    graft.ops.KeyedState.withStatePartitions(spark) {
+    // Scoped shuffle width for the drain: callers size the per-batch
+    // groupBy + merge via `statePartitions`; unset keeps the session
+    // width (KeyedState.withStatePartitionsFor — cluster-safe).
+    graft.ops.KeyedState.withStatePartitionsFor(spark, statePartitions) {
       val q = stream.writeStream
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -83,7 +83,8 @@ object Dedup {
       sinkDir: String,
       checkpointDir: String,
       nBuckets: Int = 64,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
+      maxFilesPerTrigger: Int = 0,
+      statePartitions: Int = 0): DataFrame = {
     // the sink's __bucket= partition dirs are pmod(hash, nBuckets): a
     // re-run with a drifted count would merge against the wrong buckets
     KeyedState.stampParams(spark, sinkDir, Map("nBuckets" -> nBuckets))
@@ -94,9 +95,10 @@ object Dedup {
     val agg = tuned.parquet(dir)
       .groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
-    // Scoped state stores + foreachBatch shuffle width (see
-    // streamingExactGroups).
-    KeyedState.withStatePartitions(spark) {
+    // State stores + foreachBatch shuffle width: callers size it to their
+    // state volume via `statePartitions`; unset (0) keeps the session
+    // width — cluster-safe (see KeyedState.withStatePartitionsFor).
+    KeyedState.withStatePartitionsFor(spark, statePartitions) {
       val q = agg.writeStream.outputMode("update")
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -813,7 +815,8 @@ object Dedup {
       shingleLen: Int = 3,
       maxFilesPerTrigger: Int = 0,
       nStateBuckets: Int = 32,
-      compactAfterFiles: Int = 32): DataFrame = {
+      compactAfterFiles: Int = 32,
+      statePartitions: Int = 0): DataFrame = {
     val bandedDir = s"$stateDir/banded"
     val shinglesDir = s"$stateDir/shingles"
     val pairsDir = s"$stateDir/pairs"
@@ -834,12 +837,12 @@ object Dedup {
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
     }
-    // Scoped shuffle width for the whole drain (KeyedState
-    // .withStatePartitions): no SS state store here, but every
-    // foreachBatch-internal shuffle (band self-join, candidate distinct,
-    // verify joins) otherwise runs at the session width — 32 near-empty
-    // reduce tasks per shuffle per batch at smoke scale.
-    KeyedState.withStatePartitions(spark) {
+    // Scoped shuffle width for the whole drain: no SS state store here,
+    // but every foreachBatch-internal shuffle (band self-join, candidate
+    // distinct, verify joins) runs at this width. Callers size it to
+    // their batch/state volume via `statePartitions`; unset keeps the
+    // session width (KeyedState.withStatePartitionsFor).
+    KeyedState.withStatePartitionsFor(spark, statePartitions) {
     val q = tuned.parquet(dir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1211,16 +1214,30 @@ object Dedup {
     // Normalize once per row behind a barrier, then explode the grams; no
     // md5/regex work remains below the barrier, so branch recomputation of
     // the exploded index is cheap and ReuseExchange shares the shuffles.
-    val allGrams = df
+    //
+    // Gram representation (round-17, guide §2.3/§1.2): at fraction 1.0 the
+    // index carries 64-BIT GRAM HASHES ([[graft.functions.HashExpressions
+    // .NgramHashSet]]) — the explode, persist, df-cut aggregate and the
+    // gram self-join all move and compare fixed-width longs instead of
+    // n-char strings (the gram VALUE is never output; only ids and
+    // set-size ratios are). Distinctness/join identity is the hash — see
+    // the expression's collision note; NgramPairsSpec proves the pair
+    // sets identical to the string form. The fractional-sampling path
+    // keeps STRING grams: its hash-sample selection is defined on the
+    // gram's md5 (the q50 oracle pattern), which external engines replay
+    // on the gram text.
+    val normed = df
       .select(col(idCol), normalized(col(textCol)).as("__norm"))
       .repartition(p, col(idCol))
-      .select(col(idCol),
-        explode(graft.functions.HashExpressions.ngramSet(col("__norm"), n)).as("gram"))
-    // Gram-hash sampling BEFORE the persist/df/self-join: the whole
-    // downstream (index bytes, stop-cut aggregate, both join sides)
-    // shrinks by the fraction.
-    val grams = (if (gramFraction >= 1.0) allGrams
-      else allGrams.filter(Similarity.hashSample(col("gram"), gramFraction)))
+    val grams = (if (gramFraction >= 1.0)
+      normed.select(col(idCol),
+        explode(graft.functions.HashExpressions.ngramHashSet(col("__norm"), n))
+          .as("gram"))
+    else
+      normed.select(col(idCol),
+          explode(graft.functions.HashExpressions.ngramSet(col("__norm"), n))
+            .as("gram"))
+        .filter(Similarity.hashSample(col("gram"), gramFraction)))
       .persist()
     // Anti-join against the (small) stop-shingle list: broadcasting the few
     // over-frequent grams scales; broadcasting the full index would not.

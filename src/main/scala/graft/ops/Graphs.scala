@@ -107,6 +107,17 @@ object Graphs {
     var itersRun = 0
     var lastDelta = -1L
     var done = false
+    // Fixed-round loops (tolUnits = 0) truncate lineage every
+    // `ckEvery` iterations instead of every iteration (guide §5: each
+    // localCheckpoint is a full materialization job, and at 3–10 rounds
+    // the per-iteration jobs dominated q147's wall — 29 jobs for 3
+    // rounds). Plan depth between checkpoints stays bounded at ckEvery
+    // × (2 joins + 1 aggregate); results are bit-identical (truncation
+    // never changes data — the determinism sweeps pin this). The
+    // convergence-checked path (tolUnits > 0) keeps per-iteration
+    // truncation: its L1 delta is measured FROM the materialized frame.
+    val ckEvery = 3
+    var sinceCk = 0
     while (itersRun < iters && !done) {
       val contribs = ranks
         .join(outdeg, Seq("node"))
@@ -147,11 +158,21 @@ object Graphs {
           .first().getLong(0)
         ranks = leaf.select("node", "rank_u")
         done = lastDelta <= tolUnits
+        Checkpoints.release(prevLeaf)
       } else {
-        leaf = Checkpoints.truncate(updated)
-        ranks = leaf
+        sinceCk += 1
+        if (sinceCk >= ckEvery || itersRun == iters - 1) {
+          // A lazy iteration's plan still references the previous leaf,
+          // so the old leaf is only releasable once the NEW leaf is
+          // materialized (the Checkpoints.release contract).
+          leaf = Checkpoints.truncate(updated)
+          ranks = leaf
+          Checkpoints.release(prevLeaf)
+          sinceCk = 0
+        } else {
+          ranks = updated
+        }
       }
-      Checkpoints.release(prevLeaf)
       itersRun += 1
     }
     // The final ranks frame is itself a checkpoint leaf, so every input

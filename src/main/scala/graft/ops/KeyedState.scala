@@ -66,11 +66,33 @@ object KeyedState {
     * the scoped count (pinned at start); batch plans built later are
     * unaffected. Safe because callers drive their query to completion
     * inside the scope (single-threaded session use).
+    *
+    * This overload is the SMOKE form (memory-sink oracle/harness paths,
+    * where the caller is by construction toy-scale). Production-shape
+    * entry points (foreachBatch parquet sinks) instead take an explicit
+    * `statePartitions` argument resolved by [[withStatePartitionsFor]],
+    * so a cluster deployment that passes nothing keeps its own session
+    * shuffle width (VERDICT r16: a library default of 8 silently
+    * under-parallelized any deployment that forgot the env dial).
     */
-  def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
+  def withStatePartitions[A](spark: SparkSession)(body: => A): A =
+    withStatePartitionsFor(spark, smokeStatePartitions)(body)
+
+  /** [[withStatePartitions]] with an explicit width: `requested > 0`
+    * scopes the drain's shuffle/state width to it (callers size it to
+    * their known state volume — rows ÷ target rows-per-store, the
+    * EventsStream/StreamingCostProbe rule); `requested <= 0` leaves the
+    * SESSION width in force (the cluster-safe default). The
+    * `SPARK_GRAFT_STATE_PARTITIONS` env dial — the determinism sweeps'
+    * axis — overrides both when set.
+    */
+  def withStatePartitionsFor[A](spark: SparkSession, requested: Int)(
+      body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      smokeStatePartitions.toString)
+    val resolved = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .map(_.trim.toInt)
+      .getOrElse(if (requested > 0) requested else prev.toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", resolved.toString)
     try body
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }

@@ -40,6 +40,17 @@ object Retrieval {
     * O(k)-state bounded `CollectTopK` aggregate — executor memory is
     * O(k × queries) at any corpus size.
     *
+    * CONTRACTS (ADVICE r16): (1) `idCol` must be UNIQUE per document —
+    * the ranking/tie-break semantics already assume it, and the fused
+    * per-row tf means duplicate-id rows contribute separate (then summed)
+    * per-term scores rather than one merged tf. (2) The fused corpus pass
+    * PERSISTS one row per (doc, matched term) — matchless docs included —
+    * for the lifetime of the returned frame's consumers; callers that
+    * invoke this repeatedly in a long-lived session (e.g. the
+    * `graft_bm25_topk` TVF) should sweep storage between calls
+    * (`spark.catalog.clearCache()` or unpersist via
+    * `sparkContext.getPersistentRDDs`) exactly as Bench/Verify do.
+    *
     * Returns (query_id, idCol, score, rank ≤ k).
     */
   def bm25TopK(

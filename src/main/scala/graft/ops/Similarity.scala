@@ -951,7 +951,8 @@ object Similarity {
       indexDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 0,
-      compactAfterFiles: Int = 32): DataFrame = {
+      compactAfterFiles: Int = 32,
+      statePartitions: Int = 0): DataFrame = {
     centroids.select(col("centroid_id"), col("centroid_vec"))
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     // ONE centroid collect for the whole stream (the geometry is frozen by
@@ -961,12 +962,12 @@ object Similarity {
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     val tuned = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
-    // Scoped shuffle width for the whole drain (KeyedState
-    // .withStatePartitions): foreachBatch-internal shuffles otherwise run
-    // at the session width — near-empty reduce tasks per batch at smoke
-    // scale. (The staged cell append's task count is the explicit
-    // parallelism(batch) argument, unaffected.)
-    KeyedState.withStatePartitions(spark) {
+    // Scoped shuffle width for the whole drain: callers size it to their
+    // batch volume via `statePartitions`; unset keeps the session width
+    // (KeyedState.withStatePartitionsFor — cluster-safe). (The staged
+    // cell append's task count is the explicit parallelism(batch)
+    // argument, unaffected.)
+    KeyedState.withStatePartitionsFor(spark, statePartitions) {
     val q = tuned.parquet(dir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -309,6 +309,58 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccardPairs (hashed gram index) ≡ naive jaccard with df pruning") {
+    // Round-17: the fraction-1.0 index carries 64-bit gram hashes
+    // (NgramHashSet); the naive reference below computes with STRING gram
+    // sets, so any hash-collision-induced divergence in distinct counts,
+    // df pruning or join matches fails here.
+    trials(8) { rnd =>
+      val alpha = "abcd"
+      val docs = (1L to 12L).map { i =>
+        (i, List.fill(6 + rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length))).mkString)
+      }
+      val n = 3
+      val maxDf = 1 + rnd.nextInt(8)
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = n, threshold = 0.3, maxDocFreq = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      def grams(t: String): Set[String] = {
+        val norm = t.toLowerCase.replaceAll("\\s+", " ").trim
+        if (norm.length < n) Set.empty
+        else norm.sliding(n).toSet
+      }
+      val g = docs.map { case (id, t) => id -> grams(t) }.toMap
+      val df = g.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val pruned = g.view.mapValues(_.filter(x => df(x) <= maxDf)).toMap
+      def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        ga = pruned(a); gb = pruned(b)
+        common = (ga intersect gb).size
+        if common > 0
+        j = common.toDouble / (ga.size + gb.size - common)
+        if j >= 0.3
+      } yield (a, b, round6(j))).toSet
+      assert(got == expected, s"docs=$docs maxDf=$maxDf")
+    }
+  }
+
+  test("ngramHashSet distinctness ≡ ngramSet (incl. non-ASCII text)") {
+    trials(12) { rnd =>
+      val alpha = "abc déñ中"
+      val text = List.fill(rnd.nextInt(40))(alpha(rnd.nextInt(alpha.length))).mkString
+      val n = 2 + rnd.nextInt(4)
+      import org.apache.spark.unsafe.types.UTF8String
+      val strings = graft.functions.HashExpressions
+        .ngramSetEval(UTF8String.fromString(text), n)
+      val hashes = graft.functions.HashExpressions
+        .ngramHashSetEval(UTF8String.fromString(text), n)
+      assert(hashes.numElements() == strings.numElements(),
+        s"text='$text' n=$n: hash-set size ${hashes.numElements()} != " +
+          s"string-set size ${strings.numElements()}")
+    }
+  }
+
   test("packSequences ≡ naive per-shard concat-and-chunk") {
     trials(10) { rnd =>
       val docs = (1L to 30L).map(i =>
