@@ -53,6 +53,10 @@ object Bench {
       val q = spark.readStream.schema(schema)
         .option("pathGlobFilter", "region.parquet").parquet(sfDir)
         .writeStream.outputMode("append").format("memory").queryName(name)
+        // mirrors the memory-sink drains' RAM-backed WAL (round 17) so
+        // the floor keeps measuring the path the smokes actually take
+        .option("checkpointLocation",
+          graft.ops.KeyedState.ephemeralCheckpointDir("bench-floor-ckpt"))
         .start()
       try q.processAllAvailable()
       finally q.stop()

@@ -144,8 +144,13 @@ object SparkEntry {
   /** ONE fixture pipeline run feeds all ten hom+het fixture queries
     * (q08/q09/q26-q29/q35-q37): the hom and het patients share the reference
     * tables, so they run as one job and each query filters to its patients.
-    * Stages are pinned as collected local relations (robust against
-    * clearCache between bench queries — results are ≤ 16 rows).
+    * Round-17: the map memoizes the LAZY stage frames (with runJob's
+    * per-stage persists), not eagerly collected local relations — the old
+    * collect-every-stage existed to survive the bench's clearCache sweep,
+    * and since [[invalidateTransientState]] now clears this memo between
+    * timed queries (VERDICT r16 #2), eager collection would make every
+    * fixture query pay ALL nine stages; lazily, a query executes only its
+    * own stage's lineage.
     */
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
@@ -156,12 +161,7 @@ object SparkEntry {
       val variants = fixtureVariantDf(s).unionByName(
         hetFixtureVariants
           .toDF("patient_id", "physical_chromosome", "snp_id", "allele", "zygosity"))
-      val stages = Pipeline.runJob(s, fixtureRefs(s), 1L,
-        variants = Some(variants))
-      stages.map { case (name, df) =>
-        name -> s.createDataFrame(
-          java.util.Arrays.asList(df.collect(): _*), df.schema)
-      }
+      Pipeline.runJob(s, fixtureRefs(s), 1L, variants = Some(variants))
     })
 
   /** Drop every JVM-resident memo ([[dupClustersMemo]], [[fixtureCache]])

@@ -32,6 +32,36 @@ object MatrixBuildProbe {
       b.destroy()
       println(f"run$r broadcastMatrices=${(t1 - t0) / 1e9}%.3f s genes=$n")
     }
+    // matched A/B: the historical groupByKey/mapGroups build, replicated
+    // verbatim, timed in the SAME session as the shipped single-pass form
+    locally {
+      import spark.implicits._
+      val base = refs.geneHaplotypeVariant
+        .select("gene_name", "haplotype_name", "snp_id", "allele")
+      (1 to 6).foreach { r =>
+        val t0 = System.nanoTime()
+        val perGene: Array[(String, Seq[String], Seq[String], Seq[String], Array[Short])] =
+          base.as[(String, String, String, String)]
+            .groupByKey(_._1)
+            .mapGroups { (gene: String, it: Iterator[(String, String, String, String)]) =>
+              val rows = it.map(x => (x._2, x._3, x._4)).toVector
+              val snps = rows.map(_._2).distinct.sorted
+              val m = graft.algo.GeneHaplotypeMatrix(gene, snps, rows)
+              (gene, m.snpIds: Seq[String], m.haplotypes: Seq[String],
+                m.alleleDict: Seq[String], m.cells)
+            }
+            .collect()
+        val matrices = perGene.map { case (gene, snps, haps, dict, cells) =>
+          gene -> graft.algo.GeneHaplotypeMatrix(gene, snps.toVector,
+            haps.toVector, dict.toVector, cells)
+        }.toMap
+        val b = spark.sparkContext.broadcast(matrices)
+        val t1 = System.nanoTime()
+        val n = b.value.size
+        b.destroy()
+        println(f"OLD run$r groupByKey build=${(t1 - t0) / 1e9}%.3f s genes=$n")
+      }
+    }
     // phase timing: replicate the encoded path step by step
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -289,6 +289,10 @@ object Curation {
       // inner-join shape gave the complete-mode table
       .filter(col("matched_grams") >= 1L)
     val q = matched.writeStream.outputMode("append")
+      // memory sink → RAM-backed WAL (durability-class match; see
+      // KeyedState.ephemeralCheckpointDir)
+      .option("checkpointLocation",
+        graft.ops.KeyedState.ephemeralCheckpointDir("graft-contam-ckpt"))
       .format("memory").queryName(queryName).start()
     try {
       q.processAllAvailable()

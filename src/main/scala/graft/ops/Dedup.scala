@@ -55,6 +55,10 @@ object Dedup {
     // ≈ +0.45 s/batch of pure commit overhead on toy state).
     KeyedState.withStatePartitions(spark) {
       val q = agg.writeStream.outputMode("complete")
+        // memory sink → RAM-backed WAL (durability-class match; see
+        // KeyedState.ephemeralCheckpointDir)
+        .option("checkpointLocation",
+          KeyedState.ephemeralCheckpointDir("graft-exact-groups-ckpt"))
         .format("memory").queryName(queryName).start()
       try q.processAllAvailable()
       finally q.stop()

@@ -97,6 +97,42 @@ object KeyedState {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  private val ephemeralDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.io.File]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      ephemeralDirs.forEach { f =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: Throwable => () }
+      }
+    }))
+  }
+
+  /** Scratch checkpoint dir for MEMORY-SINK streaming drains, RAM-backed
+    * (`/dev/shm`) when available, else `java.io.tmpdir`. Rationale (the
+    * same durability-class matching [[graft.ops.Checkpoints.truncate]]
+    * applies to lineage): a memory sink is non-durable by construction —
+    * its buffered rows die with the session — so its query's offset/commit
+    * WAL gains nothing from disk durability, yet the per-batch WAL writes
+    * were 17% of the measured micro-batch setup floor (StreamFloorProbe:
+    * full 0.522 s min vs 0.444 s with a RAM checkpoint). Durable sinks
+    * (foreachBatch parquet paths) keep their caller-provided checkpoint
+    * dirs untouched — their WAL IS the crash-recovery story
+    * (CrashRecoverySpec). Dirs are deleted on JVM exit.
+    */
+  def ephemeralCheckpointDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    // SPARK_GRAFT_EPHEMERAL_CKPT=disk pins the WAL to java.io.tmpdir —
+    // the A/B + determinism-sweep axis for this choice.
+    val useShm = !sys.env.get("SPARK_GRAFT_EPHEMERAL_CKPT").contains("disk")
+    val base =
+      if (useShm && shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val p = java.nio.file.Files.createTempDirectory(base, prefix)
+    ephemeralDirs.add(p.toFile)
+    p.toString
+  }
+
   /** Hash bucket for key columns: a pure function of the key, so a probe
     * by key touches exactly one bucket and bucket-pruned joins are
     * exactly equivalent to full-state joins. */

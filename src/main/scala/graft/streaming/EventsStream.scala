@@ -196,6 +196,10 @@ object EventsStream {
     val name = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     try withStatePartitions(spark) {
       val q = streaming.writeStream.outputMode(outputMode)
+        // memory sink → RAM-backed WAL (durability-class match; see
+        // KeyedState.ephemeralCheckpointDir)
+        .option("checkpointLocation",
+          graft.ops.KeyedState.ephemeralCheckpointDir(s"graft-${prefix}-ckpt"))
         .format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
