@@ -63,6 +63,8 @@ object R16QueryProbe {
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       (1 to repeats).foreach { r =>
+        // mirror Bench.isolate(): memo-free pricing per repeat (r17)
+        graft.SparkEntry.invalidateTransientState()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))

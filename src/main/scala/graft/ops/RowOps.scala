@@ -31,22 +31,26 @@ object RowOps {
     val orderCols = ordering.map(col)
     // First-occurrence flags are computed per group from the ORIGINAL columns;
     // a column shown by ANY group containing it survives (reference builds
-    // rows additively across groups, `Row.groovy:46-60`).
-    var flagged = df
-    groups.foreach { g =>
-      val w = Window.partitionBy(g.duplicateKey.map(col): _*).orderBy(orderCols: _*)
-      flagged = flagged.withColumn(s"__show_${g.name}", row_number().over(w) === 1)
-    }
+    // rows additively across groups, `Row.groovy:46-60`). Flags land in ONE
+    // projection and the blanking + flag-drop in ONE more (not per-column
+    // withColumn/drop folds, whose nested Projects the analyzer re-walks
+    // per level — measurable driver time at report plan width).
+    val flagged = df.select(
+      col("*") +: groups.map { g =>
+        val w = Window.partitionBy(g.duplicateKey.map(col): _*).orderBy(orderCols: _*)
+        (row_number().over(w) === 1).as(s"__show_${g.name}")
+      }: _*)
     val shownBy: Map[String, Seq[String]] = groups
       .flatMap(g => g.columnsToShow.map(_ -> g.name))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    var out = flagged
-    shownBy.foreach { case (c, gs) =>
-      val anyShown = gs.map(n => col(s"__show_$n")).reduce(_ || _)
-      out = out.withColumn(c, when(anyShown, col(c)))
-    }
-    groups.foreach(g => out = out.drop(s"__show_${g.name}"))
-    out
+    flagged.select(df.columns.map { c =>
+      shownBy.get(c) match {
+        case Some(gs) =>
+          val anyShown = gs.map(n => col(s"__show_$n")).reduce(_ || _)
+          when(anyShown, col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
   }
 
   /** Driver-side staircase collapse of consecutive sparse rows

@@ -62,37 +62,58 @@ final class ReferenceTables(
     import spark.implicits._
     val base = geneHaplotypeVariant
       .select("gene_name", "haplotype_name", "snp_id", "allele")
-    val parts: Array[(Array[String], Array[String], Array[String], Array[String], Array[Long])] =
-      base.as[(String, String, String, String)]
-        .mapPartitions { it =>
-          val gd = new java.util.LinkedHashMap[String, Integer]()
-          val hd = new java.util.LinkedHashMap[String, Integer]()
-          val sd = new java.util.LinkedHashMap[String, Integer]()
-          val ad = new java.util.LinkedHashMap[String, Integer]()
-          def code(m: java.util.LinkedHashMap[String, Integer], s: String,
-              what: String): Long = {
-            var v = m.get(s)
-            if (v == null) {
-              require(m.size < 65536, s"broadcastMatrices: more than 65535 " +
-                s"distinct ${what}s in one input partition; repartition the " +
-                "reference frame")
-              v = Integer.valueOf(m.size)
-              m.put(s, v)
-            }
-            v.longValue()
-          }
-          val buf = scala.collection.mutable.ArrayBuilder.make[Long]
-          while (it.hasNext) {
-            val r = it.next()
-            buf += (code(gd, r._1, "gene") << 48) |
-              (code(hd, r._2, "haplotype") << 32) |
-              (code(sd, r._3, "snp") << 16) | code(ad, r._4, "allele")
-          }
-          def keys(m: java.util.LinkedHashMap[String, Integer]) =
-            m.keySet.toArray(new Array[String](0))
-          Iterator.single((keys(gd), keys(hd), keys(sd), keys(ad), buf.result()))
+    // Dictionary-encode one row iterator into (dicts, packed rows) —
+    // runs per executor partition on the distributed path, or once on the
+    // driver when the reference frame is already a driver-resident literal.
+    def encodePart(it: Iterator[(String, String, String, String)])
+        : (Array[String], Array[String], Array[String], Array[String], Array[Long]) = {
+      val gd = new java.util.LinkedHashMap[String, Integer]()
+      val hd = new java.util.LinkedHashMap[String, Integer]()
+      val sd = new java.util.LinkedHashMap[String, Integer]()
+      val ad = new java.util.LinkedHashMap[String, Integer]()
+      def code(m: java.util.LinkedHashMap[String, Integer], s: String,
+          what: String): Long = {
+        var v = m.get(s)
+        if (v == null) {
+          require(m.size < 65536, s"broadcastMatrices: more than 65535 " +
+            s"distinct ${what}s in one input partition; repartition the " +
+            "reference frame")
+          v = Integer.valueOf(m.size)
+          m.put(s, v)
         }
-        .collect()
+        v.longValue()
+      }
+      val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+      while (it.hasNext) {
+        val r = it.next()
+        buf += (code(gd, r._1, "gene") << 48) |
+          (code(hd, r._2, "haplotype") << 32) |
+          (code(sd, r._3, "snp") << 16) | code(ad, r._4, "allele")
+      }
+      def keys(m: java.util.LinkedHashMap[String, Integer]) =
+        m.keySet.toArray(new Array[String](0))
+      (keys(gd), keys(hd), keys(sd), keys(ad), buf.result())
+    }
+    // A LocalRelation input (inline fixtures, literal reference tables) is
+    // already on the driver: encoding it through a Spark job would spin
+    // one job + a broadcast-sized collect per pipeline run for rows the
+    // driver can iterate directly (guide §1.2/§5 — action churn). Parquet-
+    // backed or otherwise distributed reference frames keep the
+    // one-pass-per-partition job; dictionaries bound what the driver holds
+    // either way. Encoding all local rows as ONE part yields the same
+    // global merge inputs (per-partition dicts are merged and re-sorted
+    // globally below, so the partition split is not observable).
+    val parts: Array[(Array[String], Array[String], Array[String], Array[String], Array[Long])] =
+      if (base.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) {
+        val rows = base.collect() // LocalTableScan: driver rows, no job
+        Array(encodePart(rows.iterator.map(r =>
+          (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))))
+      } else {
+        base.as[(String, String, String, String)]
+          .mapPartitions(it => Iterator.single(encodePart(it)))
+          .collect()
+      }
     // Global dictionaries, sorted with java.lang.String ordering — the
     // same `distinct.sorted` the historical per-gene build applied.
     val genes: Array[String] = parts.flatMap(_._1).distinct.sorted

@@ -72,9 +72,14 @@ object CondensedJoin {
     * deterministically (header-order columns, nulls last within each).
     */
   def condensed(spec: Spec, tables: Map[String, DataFrame]): DataFrame = {
+    // One projection per table, not a withColumnRenamed fold: each fold
+    // step nests another Project, and the analyzer re-walks the whole
+    // tree per level — at 9 tables × up to 8 columns the report paid
+    // measurable driver analysis time for plans the optimizer collapses
+    // anyway (guide §1.2 per-task → §5 driver work).
     def prefixed(table: String): DataFrame = {
       val df = tables(table)
-      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, name2(table, c)))
+      df.select(df.columns.map(c => col(c).as(name2(table, c))): _*)
     }
 
     var joined = prefixed(spec.root)
@@ -95,17 +100,27 @@ object CondensedJoin {
         case Foreign(ft, c) => name2(ft, c)
       }
     }
-    val orderCols = (dupAllCols ++ headerCols).distinct.map(c => col(c).asc_nulls_first)
+    val ordNames = (dupAllCols ++ headerCols).distinct
     // Stable row order is fixed BEFORE duplicate-blanking (the reference
     // blanks later duplicates of the fetch order; re-sorting after blanking
-    // would push nulled rows ahead of their dense first occurrence).
-    // Range-partitioned zipWithIndex, not a global window: the report join
-    // is job-scale, and Window.orderBy with no partition would drag it all
-    // to one task. Rows tying on every ordering column are identical in
-    // every OUTPUT column (orderCols covers the full header and all
-    // duplicate keys it displays), so their arbitrary relative ids cannot
-    // change the blanked report.
-    val ordered = Reports.sequentialId(joined, orderCols, "__ord")
+    // would push nulled rows ahead of their dense first occurrence). The
+    // order is carried as SNAPSHOTS of the ordering columns (`__ordN`
+    // copies taken before blanking): the first-occurrence windows and the
+    // final sort order by the snapshots' pre-blank values, which is exactly
+    // the order a dense id assigned in orderCols order would give — rows
+    // tying on every ordering column are identical in every OUTPUT column
+    // (orderCols covers the full header and all duplicate keys it
+    // displays), so their arbitrary relative order cannot change the
+    // blanked report. The historical materialized dense id
+    // (range-partitioned zipWithIndex) cost a RangePartitioner sample job,
+    // a zipWithIndex partition-count job, one extra full exchange of the
+    // joined frame and an RDD round trip out of codegen PER REPORT — pure
+    // action churn at report scale and a strict superset of the shuffles
+    // the snapshots need at any scale.
+    val snapNames = ordNames.indices.map(i => s"__ord$i")
+    val ordered = joined.select(
+      joined.columns.map(col) ++
+        ordNames.zip(snapNames).map { case (c, s) => col(c).as(s) }: _*)
 
     val groups = spec.select.map { case (t, visible) =>
       val key = spec.duplicateKey.get(t) match {
@@ -117,10 +132,10 @@ object CondensedJoin {
       }
       RowOps.DupGroup(t.replace(".", "_"), key, visible.map(c => name2(t, c)))
     }
-    val deduped = RowOps.noDuplicates(ordered, groups, Seq("__ord"))
+    val deduped = RowOps.noDuplicates(ordered, groups, snapNames)
 
     deduped
-      .orderBy(col("__ord"))
+      .orderBy(snapNames.map(c => col(c).asc_nulls_first): _*)
       .select(headerCols.map(col): _*)
   }
 
