@@ -1777,12 +1777,15 @@ object SparkEntry {
       // corpus-derived query frame, which every operator's bounded-check/
       // vocab/broadcast action re-executes). Materialize the join once —
       // guide §3.3/§5: when a composed query re-executes a join per
-      // action, persist the intermediate instead of paying the join 4×
-      // (and re-analyzing the join subtree in every downstream plan).
-      // Same rows, same hashes; released by the caller's storage sweep.
+      // action, persist the intermediate instead of paying the join 4×.
+      // Round-17: a lazy localCheckpoint instead of persist — same
+      // compute-once blocks, but downstream plans see a LogicalRDD leaf
+      // instead of re-analyzing the join subtree per action (§3.3
+      // "materialising an intermediate truncates the plan"). Same rows,
+      // same hashes; blocks released by the caller's storage sweep.
       val corpus = t(s, dir, "documents")
         .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
-        .persist()
+        .localCheckpoint(false)
       val qdocs = corpus.filter(col("doc_id") < 4)
       val lex = graft.ops.Retrieval.bm25TopK(
         corpus.select("doc_id", "text"), "doc_id", "text",

@@ -22,13 +22,34 @@ final class ReferenceTables(
     val genotypeDrugRecommendation: DataFrame
 ) extends Serializable {
 
+  /** Distinct 2-column view over the reference frame. When the frame is a
+    * driver-resident literal (LocalRelation — inline fixtures, literal
+    * reference tables), the distinct folds on the driver and the view
+    * stays a LocalRelation: every broadcast of it then builds WITHOUT a
+    * Spark job, where the `distinct()` aggregate cost one job per
+    * broadcast build in every pipeline/report run (guide §1.2/§5 action
+    * churn). First-occurrence order — the same row order the distributed
+    * aggregate is consumed under set semantics (joins only). Parquet-
+    * backed reference frames keep the distributed distinct.
+    */
+  private def distinctView(a: String, b: String): DataFrame = {
+    val base = geneHaplotypeVariant.select(a, b)
+    if (base.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) {
+      val rows = base.collect() // LocalTableScan: driver rows, no job
+      val seen = new java.util.LinkedHashSet[(String, String)]()
+      rows.foreach(r => seen.add((r.getString(0), r.getString(1))))
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](seen.size)
+      seen.forEach(t => out.add(org.apache.spark.sql.Row(t._1, t._2)))
+      base.sparkSession.createDataFrame(out, base.schema)
+    } else base.distinct()
+  }
+
   /** `gene_snp` view: distinct (gene_name, snp_id) (`haplorec.sql.jinja:59-67`). */
-  lazy val geneSnp: DataFrame =
-    geneHaplotypeVariant.select("gene_name", "snp_id").distinct()
+  lazy val geneSnp: DataFrame = distinctView("gene_name", "snp_id")
 
   /** `gene_haplotype` view (`haplorec.sql.jinja:69-76`). */
-  lazy val geneHaplotype: DataFrame =
-    geneHaplotypeVariant.select("gene_name", "haplotype_name").distinct()
+  lazy val geneHaplotype: DataFrame = distinctView("gene_name", "haplotype_name")
 
   /** Collect + broadcast all per-gene matrices once per session.
     *
