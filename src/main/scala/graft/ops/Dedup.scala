@@ -615,15 +615,21 @@ object Dedup {
 
   /** (id, band, band_sig) projection of a signature frame: each document
     * emits one row per band carrying that band's concatenated signature
-    * rows. The repartition barrier keeps the (expensive) signature
-    * expression from being inlined per band reference by CollapseProject.
+    * rows. The persist is a MATERIALIZATION BARRIER keeping the
+    * (expensive) signature expression from being inlined per band
+    * reference by CollapseProject — the historical barrier was a
+    * `repartition(p, id)`, but every caller reaches here with the shingle
+    * frame ALREADY id-partitioned (shingleSets' spread), so that barrier
+    * paid a second full-corpus exchange on the same key purely for its
+    * optimization-fence side effect (guide §2.4: remove shuffles the data
+    * layout already provides). The cache is narrow (id + signature) and
+    * follows the same caller-releases contract as the shingle-set persist.
     */
   private def bandProjection(sigs: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val p = sigs.sparkSession.sparkContext.defaultParallelism
-    sigs.repartition(p, col(idCol)).select(
+    sigs.persist().select(
       col(idCol),
       posexplode(array((0 until bands).map { b =>
         concat_ws("|", slice(col("sig"), b * rows + 1, rows))
